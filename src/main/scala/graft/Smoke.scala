@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility mirroring the driver's t1 smoke: run SparkEntry.entry on
+  * sf0.001 and require rows > 0.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    df.show(20, truncate = false)
+    val n = df.count()
+    println(s"[smoke] entry rows = $n")
+    spark.stop()
+    if (n <= 0) sys.exit(1)
+  }
+}

@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.sim.Semantic
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry is assembled from per-module maps (one module per
+  * SURVEY.md §7.1 build step); each declared query has a DuckDB oracle
+  * in `oracleSql` unless its semantics are not SQL-expressible, in which
+  * case the driver records a weaker rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Top-20 terms most semantically similar to the corpus's highest-df
+    * term — the reference's one query (app.py:145-179), Spark-native.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Semantic.relatedTerms(docs, Semantic.defaultQueryTerm(docs), k = 20)
+  }
+
+  private def modules: Seq[QueryModule] = Seq(
+    ops.CoreQueries,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracleSql).toMap
+}
+
+/** A build-plan module contributing declared queries + oracles. */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracleSql: Map[String, String]
 }

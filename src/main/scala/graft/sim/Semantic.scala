@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tfidf.TfIdf
+
+/** Term-term semantic similarity: cosine between document-space TF-IDF
+  * vectors (reference: /root/reference/app.py:66-111,145-179).
+  *
+  * The reference collects the query vector to a driver dict and ships it
+  * in every task closure (app.py:153-162); here it is a broadcast hash
+  * join (the vector has at most one row per document containing the
+  * query). For a pathological stop-word query at extreme scale the
+  * broadcast could exceed limits, so the join strategy is a parameter —
+  * `broadcastQuery = false` falls back to a shuffled left join.
+  */
+object Semantic {
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("term", StringType), StructField("sim", DoubleType)))
+
+  /** Deterministic data-derived query term: highest document frequency,
+    * ties broken by lexicographically smallest term. Keeps declared
+    * queries hash-stable across scale factors (SURVEY.md §7.4.6) —
+    * the DuckDB oracle derives the same term with the same rule.
+    */
+  def defaultQueryTerm(docs: DataFrame): String =
+    TfIdf.termCounts(docs)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(1)
+      .collect()
+      .headOption.map(_.getString(0))
+      .getOrElse("")
+
+  /** Top-k terms most similar to `query`.
+    *
+    * Output: (term string, sim double), sim rounded to `roundDigits`
+    * (Spark-vs-oracle summation-order noise), descending, ties broken by
+    * term, query itself excluded, sim==0 dropped (app.py:158,172,175).
+    *
+    * Ranking note: the reference ranks BEFORE dividing by the query norm
+    * (app.py:175 vs :178) — order-equivalent since the norm is a positive
+    * constant; we normalize first and report honest cosine values
+    * (SURVEY.md §7.4.3).
+    */
+  def relatedTerms(
+      docs: DataFrame,
+      query: String,
+      k: Int = 5,
+      termPred: Option[Column] = None,
+      broadcastQuery: Boolean = true,
+      roundDigits: Int = 9): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = TfIdf.tfidf(docs)
+
+    val qvec = tf.filter(col("term") === lit(query)).select(col("doc_id"), col("tfidf").as("v1"))
+    // ‖query‖₂ — a one-row aggregate, the only scalar the driver sees.
+    val den1 = qvec.agg(sqrt(sum(col("v1") * col("v1")))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      .getOrElse(0.0)
+    if (den1 == 0.0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outputSchema)
+
+    val candidates0 = tf.filter(col("term") =!= lit(query))
+    val candidates = termPred.fold(candidates0)(candidates0.filter)
+    val q = if (broadcastQuery) broadcast(qvec) else qvec
+
+    candidates
+      .join(q, Seq("doc_id"), "left")
+      .select(col("term"), coalesce(col("v1"), lit(0.0)).as("v1"), col("tfidf"))
+      .groupBy("term")
+      .agg(
+        sum(col("v1") * col("tfidf")).as("num"),
+        sum(col("tfidf") * col("tfidf")).as("den2"))
+      .filter(col("num") =!= 0.0)
+      .select(
+        col("term"),
+        round(col("num") / (sqrt(col("den2")) * lit(den1)), roundDigits).as("sim"))
+      .orderBy(col("sim").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Reference-parity predicate: terms shaped `gene_*_gene` (app.py:145). */
+  val geneTermPredicate: Column =
+    col("term").startsWith("gene_") && col("term").endsWith("_gene")
+}
