@@ -25,6 +25,7 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     ops.CoreQueries,
+    ops.Relational,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   * Every declared query reads through here so the scan layer is uniform:
@@ -12,7 +13,17 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright. Read nanos as long (legacy conf)
+    * and rebuild a microsecond timestamp with exact integer division —
+    * the data has no sub-microsecond components (verified at every SF),
+    * so this is lossless and matches DuckDB's nanosecond view.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

@@ -1,0 +1,350 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Relational operator suite over the TPC-H-ish tables (SURVEY.md §2.4:
+  * the operator categories the reference lacks, implemented so the
+  * engine is a complete query surface — joins of every flavor, windows,
+  * grouping sets, set ops, sorts/limits, scalar/date/string/JSON
+  * functions).
+  *
+  * Hash-stability strategy (SURVEY.md §5.4): every floating-point SUM
+  * goes through exact DECIMAL(28,10) aggregation on both engines — the
+  * double→decimal cast of a deterministic IEEE value has no rounding
+  * ties, decimal addition is associative, so Spark's partial aggregation
+  * order cannot perturb the result and no rounding slop is needed.
+  * Scale notes per query are in the Scaladoc of each entry.
+  */
+object Relational extends graft.QueryModule {
+
+  /** Exact, order-insensitive sum of a double expression. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast("double")
+  // DuckDB's DECIMAL(38,10)→DOUBLE cast is not correctly rounded
+  // (int128 → double → /1e10), while Spark's Decimal.toDouble is; route
+  // the oracle's final cast through VARCHAR so both ends are the
+  // correctly-rounded double of the same exact decimal.
+  private val DSUM = "CAST(CAST(sum(CAST(%s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+  private def ds(expr: String): String = DSUM.format(expr)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
+    // the shipdate filter and 6-column projection push into the parquet
+    // scan. At 100 TB this is one shuffle of 6 tiny groups.
+    "q_pricing_summary" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= lit("1999-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Global top-k: planned as TakeOrderedAndProject — no full sort.
+    "q_top_orders" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+
+    // Fact-fact inner join; AQE picks broadcast at small SF, shuffled
+    // hash at scale (both sides partitioned on the join key).
+    "q_cust_order_join" -> { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    },
+
+    // Star join through three explicit broadcast dims (supplier, nation,
+    // region are dimension tables at every scale) — a single stage of
+    // BroadcastHashJoins over the lineitem scan, then one small agg.
+    "q_region_revenue" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Left-semi join (EXISTS): customers with at least one finished order.
+    "q_semi_join" -> { (spark, dir) =>
+      val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      Tables.customer(spark, dir)
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    "q_anti_join" -> { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // Ranked window with a unique tie-break (orderkey) so row_number is
+    // deterministic; WindowGroupLimit pushes the rn<=3 filter down.
+    "q_window_topn" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Running-sum window; decimal accumulator so frame-order addition is
+    // exact on both engines.
+    "q_running_sum" -> { (spark, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(spark, dir)
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("running_qty", sum(col("l_quantity").cast(DecimalType(28, 10))).over(w).cast("double"))
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    },
+
+    // Set operations: INTERSECT / EXCEPT / UNION(distinct) as one result.
+    "q_set_ops" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir).select(col("l_partkey").as("k"))
+      val p  = Tables.part(spark, dir).select(col("p_partkey").as("k"))
+      val i = li.intersect(p).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+      val e = p.except(li).agg(count(lit(1)).as("n")).select(lit("except").as("op"), col("n"))
+      val u = li.union(p).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+      i.union(e).union(u).orderBy("op")
+    },
+
+    // ROLLUP with null markers coalesced to 'ALL' so null-ordering
+    // differences between engines can't reorder rows.
+    "q_rollup" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // CUBE over order status × priority.
+    "q_cube" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("n"), col("total"))
+        .orderBy("orderstatus", "orderpriority")
+    },
+
+    // Date bucketing: monthly revenue. year/month prune to two ints.
+    "q_monthly_revenue" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy(
+          year(col("l_shipdate")).as("yr"),
+          month(col("l_shipdate")).as("mo"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("yr", "mo")
+    },
+
+    // String function coverage: upper/lower/length/substr/concat/replace.
+    "q_string_fns" -> { (spark, dir) =>
+      Tables.part(spark, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(lower(col("p_name")), lit(" "), lit("_")).as("slug"))
+        .orderBy("p_partkey")
+    },
+
+    // CASE/WHEN bucketing + min/max (exact: no arithmetic on doubles).
+    "q_case_buckets" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("bucket")
+    },
+
+    // JSON extraction from events.props (get_json_object ≅ DuckDB
+    // json_extract_string) + exact int aggregation.
+    "q_json_events" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // Scalar subquery: customers above the global average balance (the
+    // average is computed exactly via decimal sum on both engines).
+    "q_above_avg_customers" -> { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val avgBal = c.agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      c.crossJoin(avgBal)
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // Distinct aggregation: exact count(distinct) per group.
+    "q_distinct_counts" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Correlated EXISTS with a pushed predicate: orders having any
+    // high-quantity line item (semi join on the filtered fact).
+    "q_orders_with_bulk_items" -> { (spark, dir) =>
+      val bulky = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+      Tables.orders(spark, dir)
+        .join(bulky, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${ds("l_quantity")} AS sum_qty,
+         |  ${ds("l_extendedprice")} AS sum_base_price,
+         |  ${ds("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${ds("l_quantity")} / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q_cust_order_join" ->
+      s"""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+         |  ${ds("o_totalprice")} AS total_price
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+    "q_region_revenue" ->
+      s"""SELECT r_name, n_name, ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_set_ops" ->
+      """WITH i AS (SELECT l_partkey AS k FROM lineitem INTERSECT SELECT p_partkey FROM part),
+        |     e AS (SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey FROM lineitem),
+        |     u AS (SELECT l_partkey AS k FROM lineitem UNION SELECT p_partkey FROM part)
+        |SELECT 'intersect' AS op, count(*) AS n FROM i
+        |UNION ALL SELECT 'except', count(*) FROM e
+        |UNION ALL SELECT 'union', count(*) FROM u
+        |ORDER BY op""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  count(*) AS n, ${ds("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         |  count(*) AS n, ${ds("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q_monthly_revenue" ->
+      s"""SELECT CAST(extract(year FROM l_shipdate) AS INT) AS yr,
+         |  CAST(extract(month FROM l_shipdate) AS INT) AS mo,
+         |  ${ds("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+    "q_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS uname, CAST(length(p_name) AS INT) AS name_len,
+        |  substr(p_type, 1, 6) AS type_prefix,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  replace(lower(p_name), ' ', '_') AS slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_json_events" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k,
+         |  ${ds("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_above_avg_customers" ->
+      s"""SELECT c_custkey, c_name, c_acctbal FROM customer
+         |WHERE c_acctbal > (SELECT ${ds("c_acctbal")} / count(*) FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_orders_with_bulk_items" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${ds("o_totalprice")} AS total
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

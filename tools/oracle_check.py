@@ -66,6 +66,9 @@ def main():
 
     n_ok = 0
     spark_only = []
+    dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - dumped):
+        print(f"FAIL {name}: no Spark dump (Verify errored — see its stderr)")
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
