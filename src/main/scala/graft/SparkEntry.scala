@@ -26,6 +26,10 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     ops.CoreQueries,
     ops.Relational,
+    ops.TextOps,
+    ops.Dedup,
+    ops.VectorOps,
+    ops.EventOps,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

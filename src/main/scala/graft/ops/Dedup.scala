@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Shingles
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table (which contains 25 planted near-duplicate pairs —
+  * one doc equal to another plus an extra `dup` token).
+  *
+  * Candidate-generation strategy by scale:
+  *  - exact: hash-groupBy on md5(text) — one shuffle of (hash, id).
+  *  - n-gram Jaccard: inverted-index self-join on shingles — candidate
+  *    pairs are bounded by shingle co-occurrence, not |docs|².
+  *  - MinHash+LSH: fixed-width signatures (8 perms), banded (4×2) —
+  *    candidates only where a band bucket collides; the 100 TB path,
+  *    O(docs) shuffle instead of the inverted-index join's worst case.
+  *  - SimHash: 32-bit fingerprint, 16-bit-prefix bucketing + Hamming
+  *    distance — constant per-doc state.
+  * All hashes are the cross-engine md5-derived 32-bit hash
+  * ([[Shingles.hash32]]), so every query is DuckDB-oracle-checked,
+  * including the sketches.
+  */
+object Dedup extends graft.QueryModule {
+
+  /** MinHash permutation constants: sig_j = (A(j)·h + B(j)) mod P.
+    * P = 2^31-1 (prime); A·h < 2^63 for h < 2^32, so no overflow under
+    * ANSI semantics. The oracle SQL is generated from these same values.
+    */
+  private val P = 2147483647L
+  private val A = Seq(1000003L, 1100009L, 1200007L, 1300021L, 1400017L, 1500007L, 1600033L, 1700021L)
+  private val B = Seq(12345L, 23456L, 34567L, 45678L, 56789L, 67890L, 78901L, 89012L)
+  private val NBANDS = 4 // bands of 2 rows each
+
+  private def sigCols: Seq[Column] =
+    A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"sig$j")
+    }
+  private def sigColsSql: String =
+    A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $P) AS sig$j"
+    }.mkString(",\n    ")
+
+  private def shingleHashCte: String =
+    s"""sh AS (${Shingles.shinglesSql(3)}),
+       |hashes AS (
+       |  SELECT DISTINCT doc_id, ${Shingles.hash32Sql("shingle")} AS h FROM sh)""".stripMargin
+
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    Shingles.shingles(docs, 3)
+      .select(col("doc_id"), Shingles.hash32(col("shingle")).as("h"))
+      .distinct()
+
+  /** 32-bit SimHash over distinct trigram-shingle hashes: bit i of the
+    * fingerprint is the sign of Σ (2·bit_i(h) − 1).
+    */
+  private def simhash(docs: DataFrame): DataFrame = {
+    val bitSums: Seq[Column] = (0 until 32).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"b$i")
+    }
+    shingleHashes(docs)
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 32).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  private def simhashCte: String = {
+    val bitSums = (0 until 32)
+      .map(i => s"sum(((h >> $i) & 1) * 2 - 1) AS b$i").mkString(",\n    ")
+    val assemble = (0 until 32)
+      .map(i => s"CAST(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)").mkString(" + ")
+    s"""bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashes GROUP BY doc_id),
+       |simhash AS (SELECT doc_id, $assemble AS simhash FROM bits)""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: md5(text) groups, keep-lowest-id semantics.
+    "q_exact_dedup" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+        .orderBy("text_md5")
+    },
+
+    // Near-dup pairs by trigram-shingle Jaccard ≥ 0.6, candidates via
+    // inverted-index self-join on the shingle (never |docs|² pairs).
+    "q_ngram_jaccard" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val sh = Shingles.shingles(docs, 3).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+        .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+        .orderBy("d1", "d2")
+    },
+
+    // MinHash signatures + banded LSH: candidate pairs from band-bucket
+    // collisions, scored by signature agreement (estimated Jaccard).
+    "q_minhash_lsh" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val sigs = shingleHashes(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = (0 until NBANDS).map { bnd =>
+        sigs.select(
+          col("doc_id"), lit(bnd).as("band"),
+          (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
+      }.reduce(_ union _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val est = (0 until 8).map(j =>
+        when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
+      cand
+        .join(sigs.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sigs.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("d1", "d2")
+    },
+
+    // Per-doc 32-bit SimHash fingerprints.
+    "q_simhash" -> { (spark, dir) =>
+      simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
+    // that keeps this O(docs) at scale), then exact Hamming ≤ 8.
+    "q_simhash_pairs" -> { (spark, dir) =>
+      val sh = simhash(Tables.documents(spark, dir))
+        .withColumn("prefix", shiftright(col("simhash"), 16))
+      sh.as("a").join(sh.as("b"),
+          col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy("d1", "d2")
+    },
+
+    // Embedding near-dup: top-20 most-cosine-similar vector pairs.
+    // Brute force at this SF; the LSH/IVF scale path is in VectorOps.
+    "q_embedding_neardup" -> { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val norm = (side: String) => sqrt(aggregate(
+        transform(col(s"$side.v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          round(dot / (norm("a") * norm("b")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("v1"), col("v2"))
+        .limit(20)
+    },
+  )
+
+  def oracleSql: Map[String, String] = {
+    val bandSelects = (0 until NBANDS).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, sig${2 * bnd} * $P + sig${2 * bnd + 1} AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val estExpr = (0 until 8)
+      .map(j => s"CASE WHEN s1.sig$j = s2.sig$j THEN 1 ELSE 0 END").mkString(" + ")
+    Map(
+      "q_exact_dedup" ->
+        """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+          |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+      "q_ngram_jaccard" ->
+        s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT p.d1, p.d2, p.inter, s1.nsh AS n1, s2.nsh AS n2,
+           |  CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) AS jaccard
+           |FROM pairs p
+           |JOIN sizes s1 ON p.d1 = s1.doc_id
+           |JOIN sizes s2 ON p.d2 = s2.doc_id
+           |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.6
+           |ORDER BY p.d1, p.d2""".stripMargin,
+      "q_minhash_lsh" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+           |SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS est_jaccard
+           |FROM cand c
+           |JOIN sigs s1 ON c.d1 = s1.doc_id
+           |JOIN sigs s2 ON c.d2 = s2.doc_id
+           |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
+           |ORDER BY c.d1, c.d2""".stripMargin,
+      "q_simhash" ->
+        s"""WITH $shingleHashCte,
+           |$simhashCte
+           |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin,
+      "q_simhash_pairs" ->
+        s"""WITH $shingleHashCte,
+           |$simhashCte,
+           |pref AS (SELECT doc_id, simhash, simhash >> 16 AS prefix FROM simhash)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |ORDER BY d1, d2""".stripMargin,
+      "q_embedding_neardup" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          |SELECT a.vec_id AS v1, b.vec_id AS v2,
+          |  round(list_sum([a.v[i]*b.v[i] FOR i IN range(1, len(a.v)+1)]) /
+          |    (sqrt(list_sum([a.v[i]*a.v[i] FOR i IN range(1, len(a.v)+1)])) *
+          |     sqrt(list_sum([b.v[i]*b.v[i] FOR i IN range(1, len(b.v)+1)]))), 6) AS cos
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin,
+    )
+  }
+}

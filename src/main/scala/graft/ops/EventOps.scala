@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+
+/** Event-stream analytics over the `events` table: tumbling windows,
+  * gap-based sessionization, funnels, and per-user activity. These are
+  * the batch formulations; `graft.streaming.EventStream` exposes the
+  * same window/sessionize logic over Structured Streaming.
+  *
+  * Scale: everything partitions by user_id or window bucket; the
+  * sessionize window sort is per-user (bounded state — the streaming
+  * variant uses the same key for mapGroupsWithState).
+  */
+object EventOps extends graft.QueryModule {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(28, 10))).cast("double")
+  private val DS = "CAST(CAST(sum(CAST(%s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour windows per event type (batch form of the
+    // streaming windowed aggregation).
+    "q_event_windows" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // Gap-based sessionization: a new session starts after >30 min of
+    // user inactivity. lag + cumulative-sum-of-flags, then one session
+    // row each. Deterministic ordering via (ts, event_id).
+    "q_sessionize" -> { (spark, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Conversion funnel view → click → purchase using each user's
+    // earliest event of each type.
+    "q_event_funnel" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_view_then_click"),
+          sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
+    },
+
+    // Per-user activity profile: volume, diversity, span, value.
+    "q_user_activity" -> { (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("user_id")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_event_windows" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS n, ${DS.format("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events, ${DS.format("value")} AS sum_value
+         |FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_event_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+        |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM per_user""".stripMargin,
+    "q_user_activity" ->
+      s"""SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+         |  min(ts) AS first_ts, max(ts) AS last_ts, ${DS.format("value")} AS total_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Shingles
+import graft.tfidf.TfIdf
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * tokenizer comparison (whitespace vs BPE-ish regex), quality scoring,
+  * language-ID heuristic, and content fingerprinting. All run over the
+  * `documents` table and are DuckDB-oracle-checked.
+  *
+  * Scale: every query is tokenize → per-doc aggregate — embarrassingly
+  * parallel, one shuffle on doc_id (or none where the aggregate can ride
+  * the scan), no driver materialization.
+  */
+object TextOps extends graft.QueryModule {
+
+  /** "Stopwords" derived from the data itself: the 10 globally most
+    * frequent terms (ties broken lexicographically). Data-derived so the
+    * query is hash-stable at every scale factor; the oracle derives the
+    * same set with the same rule.
+    */
+  private def topTerms(docs: DataFrame, k: Int = 10): DataFrame =
+    TfIdf.tokens(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+      .select(col("term").as("stop_term"))
+
+  private val topTermsSql =
+    """SELECT term AS stop_term FROM (
+      |  SELECT term, count(*) AS n FROM tok GROUP BY term
+      |  ORDER BY n DESC, term LIMIT 10)""".stripMargin
+
+  private val tokCte =
+    """tok AS (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE term <> '')""".stripMargin
+
+  // Language-ID stopword table: tiny per-language marker sets (public
+  // high-frequency function words). The heuristic scores each language
+  // by marker-token count; argmax with a fixed precedence order.
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "les", "de", "et", "est"),
+    "zh" -> Seq("de5", "le5", "shi4", "he2", "zai4"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-document token statistics: counts, type-token ratio, mean
+    // token length (all integer sums → exact doubles by division).
+    "q_token_stats" -> { (spark, dir) =>
+      TfIdf.tokens(Tables.documents(spark, dir))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_types"),
+          (countDistinct(col("term")).cast("double") / count(lit(1))).as("ttr"),
+          (sum(length(col("term"))).cast("double") / count(lit(1))).as("avg_token_len"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer comparison: whitespace count, BPE-ish regex token count
+    // (runs of letters / digits / single other symbols), and the
+    // chars/4 LLM heuristic.
+    "q_token_count" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= "")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+          ceil(col("n_chars").cast("double") / lit(4.0)).cast("long").as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality score: length saturation, lexical diversity, and inverse
+    // stopword density, combined with fixed weights. The stopword set is
+    // data-derived (top-10 global terms).
+    "q_quality_score" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val toks = TfIdf.tokens(docs)
+      val stats = toks
+        .join(broadcast(topTerms(docs)), col("term") === col("stop_term"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_types"),
+          sum(when(col("stop_term").isNotNull, 1L).otherwise(0L)).as("n_stop"))
+      stats.select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+            + (col("n_types").cast("double") / col("n_tokens")) * lit(0.3)
+            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * lit(0.4)).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: marker-stopword voting with deterministic
+    // precedence (score desc, then fixed language order). Output is the
+    // confusion matrix against the labeled `lang` column.
+    "q_lang_id" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val markerScores: Seq[Column] = langMarkers.map { case (lang, ws) =>
+        sum(when(col("term").isInCollection(ws), 1L).otherwise(0L)).as(s"s_$lang")
+      }
+      val scored = TfIdf.tokens(docs)
+        .groupBy("doc_id")
+        .agg(markerScores.head, markerScores.tail: _*)
+      val best = langMarkers.map(_._1).foldLeft(lit("und")) { (acc, lang) =>
+        // precedence: earlier languages win ties because strict > is
+        // required to displace the incumbent, scanning right-to-left
+        when(col(s"s_$lang") > lit(0) &&
+          langMarkers.map(_._1).filter(_ < lang).map(l => col(s"s_$lang") > col(s"s_$l"))
+            .foldLeft(langMarkers.map(_._1).filter(_ > lang).map(l => col(s"s_$lang") >= col(s"s_$l"))
+              .foldLeft(lit(true))(_ && _))(_ && _), lit(lang)).otherwise(acc)
+      }
+      scored.select(col("doc_id"), best.as("pred_lang"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Content fingerprints: order-insensitive bag-of-words md5 plus the
+    // minimum shingle hash (a 1-permutation minhash / winnowing seed).
+    "q_doc_fingerprint" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val bow = TfIdf.tokens(docs)
+        .groupBy("doc_id")
+        .agg(md5(concat_ws(" ", array_sort(collect_set(col("term"))))).as("bow_md5"))
+      val minShingle = Shingles.shingles(docs, 3)
+        .groupBy("doc_id")
+        .agg(min(Shingles.hash32(col("shingle"))).as("min_shingle_hash"))
+      bow.join(minShingle, Seq("doc_id"), "left").orderBy("doc_id")
+    },
+  )
+
+  def oracleSql: Map[String, String] = {
+    val langScoreExprs = langMarkers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"sum(CASE WHEN term IN ($inList) THEN 1 ELSE 0 END) AS s_$lang"
+    }.mkString(",\n    ")
+    // same precedence semantics as the Column fold: a language wins if
+    // score > 0, strictly beats all earlier languages, and >= all later.
+    val langs = langMarkers.map(_._1)
+    val bestExpr = langs.reverse.foldLeft("'und'") { (acc, lang) =>
+      val earlier = langs.filter(_ < lang).map(l => s"s_$lang > s_$l")
+      val later   = langs.filter(_ > lang).map(l => s"s_$lang >= s_$l")
+      val conds = (Seq(s"s_$lang > 0") ++ earlier ++ later).mkString(" AND ")
+      s"CASE WHEN $conds THEN '$lang' ELSE $acc END"
+    }
+    Map(
+      "q_token_stats" ->
+        s"""WITH $tokCte
+           |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types,
+           |  CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr,
+           |  CAST(sum(length(term)) AS DOUBLE) / count(*) AS avg_token_len
+           |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+          |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_quality_score" ->
+        s"""WITH $tokCte,
+           |stop AS ($topTermsSql),
+           |stats AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens, count(DISTINCT t.term) AS n_types,
+           |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+           |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+           |  GROUP BY t.doc_id)
+           |SELECT doc_id, n_tokens,
+           |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+           |    + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+           |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
+           |FROM stats ORDER BY doc_id""".stripMargin,
+      "q_lang_id" ->
+        s"""WITH $tokCte,
+           |scored AS (
+           |  SELECT doc_id,
+           |    $langScoreExprs
+           |  FROM tok GROUP BY doc_id),
+           |pred AS (SELECT doc_id, $bestExpr AS pred_lang FROM scored)
+           |SELECT d.lang, p.pred_lang, count(*) AS n
+           |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+           |GROUP BY d.lang, p.pred_lang ORDER BY d.lang, p.pred_lang""".stripMargin,
+      "q_doc_fingerprint" ->
+        s"""WITH $tokCte,
+           |bow AS (
+           |  SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS bow_md5
+           |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY doc_id),
+           |sh AS (${Shingles.shinglesSql(3)}),
+           |ms AS (
+           |  SELECT doc_id, min(${Shingles.hash32Sql("shingle")}) AS min_shingle_hash
+           |  FROM sh GROUP BY doc_id)
+           |SELECT b.doc_id, b.bow_md5, ms.min_shingle_hash
+           |FROM bow b LEFT JOIN ms ON b.doc_id = ms.doc_id ORDER BY b.doc_id""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  *  - q_knn_bruteforce: exact cosine top-k — the correctness baseline.
+  *    O(queries × corpus); at 100 TB this is the thing you only run to
+  *    evaluate recall of the ANN path.
+  *  - q_ann_ivf: inverted-file search — assign every vector to its
+  *    nearest coarse centroid, then search only the query's cell. The
+  *    scale path: the assignment is one broadcast-join pass over the
+  *    corpus, and each probe touches 1/C of the data.
+  *
+  * All dot products run on array<double> (cast from float) with a
+  * sequential left-fold, matching the oracle's list-comprehension sum
+  * element order; ranking keys round to 6 digits so a last-ulp
+  * difference cannot reorder results.
+  */
+object VectorOps extends graft.QueryModule {
+
+  private def castVec(df: DataFrame, name: String): DataFrame =
+    df.select(col("vec_id").as(name), col("embedding").cast("array<double>").as(s"${name}_v"))
+
+  private def dot(a: String, b: String): Column =
+    aggregate(zip_with(col(s"${a}_v"), col(s"${b}_v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: String): Column =
+    sqrt(aggregate(transform(col(s"${a}_v"), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def cosRounded(a: String, b: String): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** DuckDB cosine between list columns `a` and `b` (1-based lists). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) /
+       |  (sqrt(list_sum([$a[i]*$a[i] FOR i IN range(1, len($a)+1)])) *
+       |   sqrt(list_sum([$b[i]*$b[i] FOR i IN range(1, len($b)+1)]))), 6)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact top-10 cosine neighbors for query vectors (vec_id < 5).
+    "q_knn_bruteforce" -> { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val q = castVec(e.filter(col("vec_id") < 5), "qid")
+      val c = castVec(e, "vid")
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+      broadcast(q).join(c, col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "vid", "cos")
+        .orderBy("qid", "rank")
+    },
+
+    // IVF: coarse centroids = vec_id < 8 (stand-ins for trained k-means
+    // centers — deterministic so the oracle can reproduce them); assign
+    // all vectors to their nearest centroid (one broadcast join), then
+    // answer queries (vec_id >= 490) from their own cell only.
+    "q_ann_ivf" -> { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val cent = castVec(e.filter(col("vec_id") < 8), "cid")
+      val all  = castVec(e, "vid")
+      val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+      val assign = all.join(broadcast(cent), lit(true))
+        .select(col("vid"), col("vid_v"), col("cid"), cosRounded("vid", "cid").as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vid"), col("vid_v"), col("cid").as("cell"))
+      val queries = assign.filter(col("vid") >= 490)
+        .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("cell"))
+      val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+      queries.join(assign, Seq("cell"))
+        .filter(col("qid") =!= col("vid"))
+        .select(col("qid"), col("cell"), col("vid"), cosRounded("qid", "vid").as("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select("qid", "cell", "rank", "vid", "cos")
+        .orderBy("qid", "rank")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |assign0 AS (
+         |  SELECT a.vec_id AS vid, a.v, c.cid,
+         |    ${cosSql("a.v", "c.cv")} AS ccos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e a CROSS JOIN cent c),
+         |assign AS (SELECT vid, v, cid AS cell FROM assign0 WHERE rn = 1),
+         |q AS (SELECT vid AS qid, v AS qv, cell FROM assign WHERE vid >= 490),
+         |scored AS (
+         |  SELECT q.qid, q.cell, a.vid,
+         |    ${cosSql("q.qv", "a.v")} AS cos
+         |  FROM q JOIN assign a ON q.cell = a.cell AND q.qid <> a.vid),
+         |ranked AS (
+         |  SELECT qid, cell, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenization with positions, n-gram shingles, and a cross-engine
+  * 32-bit string hash.
+  *
+  * The hash is the first 8 hex digits of md5 interpreted as an integer,
+  * built arithmetically (ascii per hex char) so the exact same formula
+  * runs as a Spark Column tree and as DuckDB SQL — both engines agree
+  * bit-for-bit, which makes minhash/simhash oracle-checkable. The SQL
+  * generators live next to the Column builders so there is a single
+  * source of truth for the constants.
+  */
+object Shingles {
+
+  /** (doc_id, pos, term) — one row per token occurrence, position 1-based
+    * to match DuckDB's generate_subscripts.
+    */
+  def tokensWithPos(docs: DataFrame, docId: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .select(col(docId).as("doc_id"), posexplode(split(col(text), " ")).as(Seq("pos0", "term")))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+
+  /** (doc_id, shingle) — token n-grams via lead windows (null-propagating
+    * concat, so tail positions with fewer than n tokens drop out exactly
+    * like the `||` operator in the SQL oracle).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts: Seq[Column] = (0 until n).flatMap { i =>
+      val t = if (i == 0) col("term") else lead(col("term"), i).over(w)
+      if (i == 0) Seq(t) else Seq(lit(" "), t)
+    }
+    tokensWithPos(docs)
+      .withColumn("shingle", concat(parts: _*))
+      .filter(col("shingle").isNotNull)
+      .select("doc_id", "shingle")
+  }
+
+  /** SQL mirror of [[shingles]] as a DuckDB CTE body over `documents`:
+    * produces (doc_id, shingle).
+    */
+  def shinglesSql(n: Int = 3): String = {
+    val concat = (0 until n).map { i =>
+      if (i == 0) "term" else s"lead(term, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""SELECT doc_id, shingle FROM (
+       |  SELECT doc_id, $concat AS shingle FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) z WHERE term <> '') s
+       |WHERE shingle IS NOT NULL""".stripMargin
+  }
+
+  /** 32-bit hash of a string: first 8 hex chars of md5 as an integer. */
+  def hash32(c: Column): Column = {
+    val m = md5(c)
+    (0 until 8).map { i =>
+      val a = ascii(substring(m, i + 1, 1))
+      val hv = when(a >= 97, a - 87).otherwise(a - 48)
+      hv.cast("long") * lit(1L << (4 * (7 - i)))
+    }.reduce(_ + _)
+  }
+
+  /** SQL mirror of [[hash32]] (DuckDB). ascii() is INT32 there, so each
+    * nibble is cast to BIGINT before the power-of-16 multiply.
+    */
+  def hash32Sql(expr: String): String =
+    (0 until 8).map { i =>
+      s"CAST(CASE WHEN ascii(substr(md5($expr),${i + 1},1)) >= 97" +
+        s" THEN ascii(substr(md5($expr),${i + 1},1)) - 87" +
+        s" ELSE ascii(substr(md5($expr),${i + 1},1)) - 48 END AS BIGINT)" +
+        s" * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+}
