@@ -30,6 +30,7 @@ object SparkEntry {
     ops.Dedup,
     ops.VectorOps,
     ops.EventOps,
+    multimodal.MultimodalQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

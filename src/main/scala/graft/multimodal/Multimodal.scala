@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, a partition-parallel decode stage, and feature extraction.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic STUB standing in for a real decoder
+  * (JPEG/PNG/ffmpeg); everything around it — the binary column schema,
+  * the batch-iterator shape, partition parallelism, and the downstream
+  * feature columns — is real Spark plumbing and is tested.
+  *
+  * Scale: payloads never leave executors; the decode stage is
+  * mapPartitions (one JVM call per batch of rows, the Scala analogue of
+  * a pandas-UDF batch), so codec initialization amortizes per partition
+  * rather than per row.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, channels: Int, checksum: Long)
+
+  /** Build a media table from `documents`: payload = UTF-8 bytes of the
+    * text (a deterministic stand-in for real image/audio bytes), kind
+    * assigned round-robin by doc_id.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Decode + feature-extract, partition-parallel.
+    *
+    * STUB: a real implementation would parse the payload with an image/
+    * audio codec here. This deterministic fake derives "dimensions" from
+    * payload bytes so the pipeline shape (binary in → struct of features
+    * out, batched per partition) is exercised end-to-end.
+    */
+  def decodeStub(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      // per-partition "codec init" would happen here, once per task
+      batch.map { r =>
+        val b = r.payload
+        val n = b.length
+        // STUB decode: pseudo-dimensions from the first bytes; a real
+        // decoder returns actual width/height/channels.
+        val w = 16 + (if (n > 0) (b(0) & 0x7f) else 0)
+        val h = 16 + (if (n > 1) (b(1) & 0x7f) else 0)
+        val ch = if (r.kind == "audio") 1 else 3
+        var crc = 0L
+        var i = 0
+        while (i < n) { crc = (crc * 31 + (b(i) & 0xff)) % 1000000007L; i += 1 }
+        MediaFeatures(r.media_id, r.kind, n, w, h, ch, crc)
+      }
+    }
+  }
+
+  /** Metadata projection that never touches a codec — pure native
+    * functions over the binary column (codegen'd, oracle-checkable).
+    */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("content_md5"))
+}
+
+/** Declared-query surface for the multimodal plumbing (metadata only —
+  * the decode stage is exercised in MultimodalSpec, not oracle-SQL-
+  * expressible since the stub is imperative).
+  */
+object MultimodalQueries extends graft.QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> { (spark, dir) =>
+      Multimodal.metadata(Multimodal.mediaTable(spark, dir)).orderBy("media_id")
+    })
+  def oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -26,14 +26,13 @@ object VectorOps extends graft.QueryModule {
   private def castVec(df: DataFrame, name: String): DataFrame =
     df.select(col("vec_id").as(name), col("embedding").cast("array<double>").as(s"${name}_v"))
 
-  private def dot(a: String, b: String): Column =
-    aggregate(zip_with(col(s"${a}_v"), col(s"${b}_v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: String): Column =
-    sqrt(aggregate(transform(col(s"${a}_v"), x => x * x), lit(0.0), (acc, x) => acc + x))
-
+  /** Cosine via the native fused expression [[graft.functions.ArrayCosine]]
+    * (single codegen'd loop — no intermediate zipped/squared arrays, same
+    * accumulation order as the compositional aggregate/zip_with form used
+    * in Dedup.q_embedding_neardup, so results are bit-identical).
+    */
   private def cosRounded(a: String, b: String): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    round(call_function("array_cosine", col(s"${a}_v"), col(s"${b}_v")), 6)
 
   /** DuckDB cosine between list columns `a` and `b` (1-based lists). */
   private def cosSql(a: String, b: String): String =
@@ -45,6 +44,7 @@ object VectorOps extends graft.QueryModule {
 
     // Exact top-10 cosine neighbors for query vectors (vec_id < 5).
     "q_knn_bruteforce" -> { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
       val e = Tables.embeddings(spark, dir)
       val q = castVec(e.filter(col("vec_id") < 5), "qid")
       val c = castVec(e, "vid")
@@ -62,6 +62,7 @@ object VectorOps extends graft.QueryModule {
     // all vectors to their nearest centroid (one broadcast join), then
     // answer queries (vec_id >= 490) from their own cell only.
     "q_ann_ivf" -> { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
       val e = Tables.embeddings(spark, dir)
       val cent = castVec(e.filter(col("vec_id") < 8), "cid")
       val all  = castVec(e, "vid")

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming versions of the event analytics in
+  * [[graft.ops.EventOps]]: watermarked tumbling-window aggregation and
+  * stateful gap-based sessionization via flatMapGroupsWithState.
+  *
+  * The batch queries are the oracle-checked source of truth; these
+  * produce the same rows when a parquet directory is replayed as a
+  * stream (asserted in EventStreamSpec). State is keyed by user_id, so
+  * the streaming job scales exactly like the batch one partitions.
+  */
+object EventStream {
+
+  /** events.parquet raw schema with ts as nanos-since-epoch long (the
+    * file's TIMESTAMP(NANOS) read under nanosAsLong — see Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // glob, not a bare file path: FileStreamSource requires basePath
+      // to be a directory, which the glob's parent satisfies
+      .parquet(s"$sfDir/events.*")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type with a 1-hour watermark —
+    * the streaming twin of q_event_windows.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  case class Ev(event_id: Long, tsMicros: Long, user_id: Long, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  val gapMicros: Long = 1800L * 1000000L
+
+  /** Stateful sessionization: emits every session closed by a >30 min
+    * gap; the still-open tail session per user remains in state (and
+    * would be flushed by timeout in a live stream).
+    */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+        col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("user_id"), col("value")).as[Ev]
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMicros - s.end <= gapMicros =>
+                cur = Some(SessionState(s.start, e.tsMicros, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start, s.end, s.n, s.sum)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+import graft.streaming.EventStream
+
+/** The streaming twins must reproduce the oracle-checked batch results
+  * when the events parquet is replayed as a stream.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourlyCounts == batch q_event_windows") {
+    val q = EventStream.hourlyCounts(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly")
+      .select("window_start", "event_type", "n")
+      .collect().map(_.toString).sorted
+    val batch = EventOps.queries("q_event_windows")(spark, dir)
+      .select("window_start", "event_type", "n")
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming sessionize == batch q_sessionize minus each user's open tail session") {
+    val q = EventStream.sessionize(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sessions")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toString).sorted
+
+    // batch sessions, dropping the last session per user (still open in
+    // the streaming state, would flush on timeout)
+    val batch = EventOps.queries("q_sessionize")(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val expected = batch
+      .withColumn("max_sid", max(col("session_id")).over(w))
+      .filter(col("session_id") < col("max_sid"))
+      .select(col("user_id"), unix_micros(col("session_start")).as("session_start"),
+        col("n_events"))
+      .collect().map(_.toString).sorted
+
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(expected))
+  }
+}

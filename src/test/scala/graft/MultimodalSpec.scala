@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("mediaTable: binary payload with typed metadata, all kinds present") {
+    val m = Multimodal.mediaTable(spark, dir)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).sorted
+    assert(kinds.sameElements(Array("audio", "image", "video")))
+  }
+
+  test("decodeStub: deterministic features, bytes == text length, audio is mono") {
+    val feats = Multimodal.decodeStub(Multimodal.mediaTable(spark, dir))
+    val a = feats.collect().sortBy(_.media_id)
+    val b = Multimodal.decodeStub(Multimodal.mediaTable(spark, dir)).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq, "decode stub must be deterministic")
+    assert(a.length == 500)
+    assert(a.forall(f => f.width >= 16 && f.height >= 16))
+    assert(a.filter(_.kind == "audio").forall(_.channels == 1))
+    assert(a.filter(_.kind != "audio").forall(_.channels == 3))
+    // n_bytes equals the document's n_chars (ASCII text)
+    val nchars = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall(f => f.n_bytes.toLong == nchars(f.media_id)))
+  }
+
+  test("decodeStub runs partition-parallel (no single-partition collapse)") {
+    val m = Multimodal.mediaTable(spark, dir).repartition(4)
+    assert(Multimodal.decodeStub(m).rdd.getNumPartitions == 4)
+  }
+
+  test("metadata: native-function projection over the binary column") {
+    val md = Multimodal.metadata(Multimodal.mediaTable(spark, dir))
+    val row = md.filter(col("media_id") === 0).collect().head
+    assert(row.getInt(2) > 0)                      // n_bytes
+    assert(row.getString(3).matches("[0-9a-f]{32}")) // md5
+  }
+}
