@@ -20,7 +20,9 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    Semantic.relatedTerms(docs, Semantic.defaultQueryTerm(docs), k = 20)
+    val tf = graft.tfidf.TfIdf.tfidf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)
   }
 
   private def modules: Seq[QueryModule] = Seq(

@@ -36,8 +36,9 @@ object CoreQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_related_terms" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val q = Semantic.defaultQueryTerm(docs)
-      Semantic.relatedTerms(docs, q, k = 20)
+      val tf = TfIdf.tfidf(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)
     },
     "q_tfidf_topk" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)

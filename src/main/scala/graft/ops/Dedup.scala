@@ -95,7 +95,9 @@ object Dedup extends graft.QueryModule {
     // inverted-index self-join on the shingle (never |docs|² pairs).
     "q_ngram_jaccard" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
+      // persisted: referenced three times (sizes + both join sides)
       val sh = Shingles.shingles(docs, 3).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val pairs = sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -114,7 +116,11 @@ object Dedup extends graft.QueryModule {
     // collisions, scored by signature agreement (estimated Jaccard).
     "q_minhash_lsh" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
+      // persisted: the signature table feeds 4 band projections × both
+      // sides of the candidate self-join plus the two scoring joins —
+      // without caching the shingle+hash pipeline runs ~10 times
       val sigs = shingleHashes(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = (0 until NBANDS).map { bnd =>
         sigs.select(
           col("doc_id"), lit(bnd).as("band"),
@@ -145,6 +151,7 @@ object Dedup extends graft.QueryModule {
     "q_simhash_pairs" -> { (spark, dir) =>
       val sh = simhash(Tables.documents(spark, dir))
         .withColumn("prefix", shiftright(col("simhash"), 16))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.as("a").join(sh.as("b"),
           col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
         .select(
@@ -156,17 +163,25 @@ object Dedup extends graft.QueryModule {
 
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.
     // Brute force at this SF; the LSH/IVF scale path is in VectorOps.
+    // All-pairs via block-pair EQUI-joins rather than a `<` non-equi
+    // self-join: BroadcastNestedLoopJoin would break whole-stage codegen
+    // and leave the cosine interpreted (~10× slower measured). Block
+    // granularity only sets parallelism; the pair set is identical.
     "q_embedding_neardup" -> { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val norm = (side: String) => sqrt(aggregate(
-        transform(col(s"$side.v"), x => x * x), lit(0.0), (acc, x) => acc + x))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      val blocked = e.withColumn("blk", (col("vec_id") / lit(100L)).cast("long"))
+      val blks = blocked.select(col("blk")).distinct()
+      val blkPairs = blks.as("x").join(blks.as("y"), col("x.blk") <= col("y.blk"))
+        .select(col("x.blk").as("b1"), col("y.blk").as("b2"))
+      blkPairs
+        .join(blocked.as("a"), col("b1") === col("a.blk"))
+        .join(blocked.as("b"), col("b2") === col("b.blk"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
         .select(
           col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(dot / (norm("a") * norm("b")), 6).as("cos"))
+          round(call_function("array_cosine", col("a.v"), col("b.v")), 6).as("cos"))
         .orderBy(col("cos").desc, col("v1"), col("v2"))
         .limit(20)
     },

@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types._
 
 import graft.tfidf.TfIdf
@@ -15,6 +16,13 @@ import graft.tfidf.TfIdf
   * query). For a pathological stop-word query at extreme scale the
   * broadcast could exceed limits, so the join strategy is a parameter —
   * `broadcastQuery = false` falls back to a shuffled left join.
+  *
+  * The algorithm needs three passes over the TF-IDF table (query-term
+  * derivation when auto, query-norm scalar, candidate aggregation), so
+  * [[relatedTerms]] persists it once instead of recomputing the
+  * tokenize→count→window chain per pass — the 100 TB analogue is
+  * checkpointing the tf-idf table, which a multi-query service would
+  * share across requests anyway.
   */
 object Semantic {
 
@@ -26,16 +34,32 @@ object Semantic {
     * queries hash-stable across scale factors (SURVEY.md §7.4.6) —
     * the DuckDB oracle derives the same term with the same rule.
     */
-  def defaultQueryTerm(docs: DataFrame): String =
-    TfIdf.termCounts(docs)
-      .groupBy("term").agg(count(lit(1)).as("df"))
+  def queryTermFrom(tf: DataFrame): String =
+    tf.select(col("term"), col("df")).distinct()
       .orderBy(col("df").desc, col("term"))
       .limit(1)
       .collect()
       .headOption.map(_.getString(0))
       .getOrElse("")
 
-  /** Top-k terms most similar to `query`.
+  def defaultQueryTerm(docs: DataFrame): String = queryTermFrom(TfIdf.tfidf(docs))
+
+  /** Top-k terms most similar to `query`, computing and caching the
+    * TF-IDF table internally. See [[relatedTermsFrom]].
+    */
+  def relatedTerms(
+      docs: DataFrame,
+      query: String,
+      k: Int = 5,
+      termPred: Option[Column] = None,
+      broadcastQuery: Boolean = true,
+      roundDigits: Int = 9): DataFrame = {
+    val tf = TfIdf.tfidf(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    relatedTermsFrom(tf, query, k, termPred, broadcastQuery, roundDigits)
+  }
+
+  /** Top-k terms most similar to `query` over a prebuilt (ideally
+    * persisted) TF-IDF table.
     *
     * Output: (term string, sim double), sim rounded to `roundDigits`
     * (Spark-vs-oracle summation-order noise), descending, ties broken by
@@ -46,16 +70,14 @@ object Semantic {
     * constant; we normalize first and report honest cosine values
     * (SURVEY.md §7.4.3).
     */
-  def relatedTerms(
-      docs: DataFrame,
+  def relatedTermsFrom(
+      tf: DataFrame,
       query: String,
       k: Int = 5,
       termPred: Option[Column] = None,
       broadcastQuery: Boolean = true,
       roundDigits: Int = 9): DataFrame = {
-    val spark = docs.sparkSession
-    val tf = TfIdf.tfidf(docs)
-
+    val spark = tf.sparkSession
     val qvec = tf.filter(col("term") === lit(query)).select(col("doc_id"), col("tfidf").as("v1"))
     // ‖query‖₂ — a one-row aggregate, the only scalar the driver sees.
     val den1 = qvec.agg(sqrt(sum(col("v1") * col("v1")))).collect().headOption

@@ -56,15 +56,12 @@ object Shingles {
        |WHERE shingle IS NOT NULL""".stripMargin
   }
 
-  /** 32-bit hash of a string: first 8 hex chars of md5 as an integer. */
-  def hash32(c: Column): Column = {
-    val m = md5(c)
-    (0 until 8).map { i =>
-      val a = ascii(substring(m, i + 1, 1))
-      val hv = when(a >= 97, a - 87).otherwise(a - 48)
-      hv.cast("long") * lit(1L << (4 * (7 - i)))
-    }.reduce(_ + _)
-  }
+  /** 32-bit hash of a string: first 8 hex chars of md5 as an integer.
+    * One md5 + conv on the Spark side; the DuckDB mirror (no conv
+    * function there) assembles the same value nibble-by-nibble.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** SQL mirror of [[hash32]] (DuckDB). ascii() is INT32 there, so each
     * nibble is cast to BIGINT before the power-of-16 multiply.
