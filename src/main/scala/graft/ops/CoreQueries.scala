@@ -72,7 +72,7 @@ object CoreQueries extends graft.QueryModule {
          |  WHERE f.term <> (SELECT term FROM qterm)
          |  GROUP BY f.term
          |)
-         |SELECT term, round(num/(sqrt(den2) * (SELECT d1 FROM den1)), 9) AS sim
+         |SELECT term, round((num/sqrt(den2)) / (SELECT d1 FROM den1), 9) AS sim
          |FROM sims WHERE num <> 0 ORDER BY sim DESC, term LIMIT 20""".stripMargin,
     "q_tfidf_topk" ->
       s"""$tfidfCte

@@ -99,8 +99,14 @@ object Semantic {
         sum(col("tfidf") * col("tfidf")).as("den2"))
       .filter(col("num") =!= 0.0)
       .select(
-        col("term"),
-        round(col("num") / (sqrt(col("den2")) * lit(den1)), roundDigits).as("sim"))
+        col("term"), {
+          // roundDigits < 0 → raw doubles (reference-exact CLI output);
+          // declared queries round for Spark-vs-oracle sum-order noise.
+          // Two-step division mirrors the reference's arithmetic order
+          // (app.py:110 then :178) bit-for-bit.
+          val s = (col("num") / sqrt(col("den2"))) / lit(den1)
+          (if (roundDigits >= 0) round(s, roundDigits) else s).as("sim")
+        })
       .orderBy(col("sim").desc, col("term"))
       .limit(k)
   }
