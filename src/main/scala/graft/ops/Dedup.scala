@@ -81,84 +81,110 @@ object Dedup extends graft.QueryModule {
        |simhash AS (SELECT doc_id, $assemble AS simhash FROM bits)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- //
+  // Public library API — each declared query below delegates here.    //
+  // ---------------------------------------------------------------- //
+
+  /** Exact-duplicate groups by content hash, keep-lowest-id semantics. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Near-dup pairs by n-gram-shingle Jaccard ≥ threshold; candidates
+    * come from an inverted-index self-join on the shingle, never
+    * |docs|² pairs. At extreme scale, cap posting-list length first
+    * (drop shingles above a df ceiling) or pre-filter with
+    * [[minhashCandidates]].
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    // persisted: referenced three times (sizes + both join sides)
+    val sh = Shingles.shingles(docs, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+  }
+
+  /** Per-doc MinHash signature table (sig0..sig7). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    shingleHashes(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+  /** Banded-LSH candidate pairs scored by signature agreement
+    * (estimated Jaccard ≥ minEstJaccard). O(docs) signature pass +
+    * O(docs·bands) bucket shuffle — the 100 TB dedup path.
+    */
+  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    // persisted: the signature table feeds 4 band projections × both
+    // sides of the candidate self-join plus the two scoring joins —
+    // without caching the shingle+hash pipeline runs ~10 times
+    val sigs = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until NBANDS).map { bnd =>
+      sigs.select(
+        col("doc_id"), lit(bnd).as("band"),
+        (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val est = (0 until 8).map(j =>
+      when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(sigs.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sigs.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Per-doc 32-bit SimHash fingerprints. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = simhash(docs)
+
+  /** SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
+    * that keeps this O(docs) at scale), then exact Hamming ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = simhash(docs)
+      .withColumn("prefix", shiftright(col("simhash"), 16))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.as("a").join(sh.as("b"),
+        col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact dedup: md5(text) groups, keep-lowest-id semantics.
     "q_exact_dedup" -> { (spark, dir) =>
-      Tables.documents(spark, dir)
-        .groupBy(md5(col("text")).as("text_md5"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
-        .orderBy("text_md5")
+      exactDupGroups(Tables.documents(spark, dir)).orderBy("text_md5")
     },
 
-    // Near-dup pairs by trigram-shingle Jaccard ≥ 0.6, candidates via
-    // inverted-index self-join on the shingle (never |docs|² pairs).
     "q_ngram_jaccard" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
-      // persisted: referenced three times (sizes + both join sides)
-      val sh = Shingles.shingles(docs, 3).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
-        .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.6)
-        .select("d1", "d2", "inter", "n1", "n2", "jaccard")
-        .orderBy("d1", "d2")
+      jaccardPairs(Tables.documents(spark, dir), 3, 0.6).orderBy("d1", "d2")
     },
 
-    // MinHash signatures + banded LSH: candidate pairs from band-bucket
-    // collisions, scored by signature agreement (estimated Jaccard).
     "q_minhash_lsh" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
-      // persisted: the signature table feeds 4 band projections × both
-      // sides of the candidate self-join plus the two scoring joins —
-      // without caching the shingle+hash pipeline runs ~10 times
-      val sigs = shingleHashes(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = (0 until NBANDS).map { bnd =>
-        sigs.select(
-          col("doc_id"), lit(bnd).as("band"),
-          (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
-      }.reduce(_ union _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      val est = (0 until 8).map(j =>
-        when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
-      cand
-        .join(sigs.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sigs.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy("d1", "d2")
+      minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
 
-    // Per-doc 32-bit SimHash fingerprints.
     "q_simhash" -> { (spark, dir) =>
-      simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+      simhashFingerprints(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
-    // SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
-    // that keeps this O(docs) at scale), then exact Hamming ≤ 8.
     "q_simhash_pairs" -> { (spark, dir) =>
-      val sh = simhash(Tables.documents(spark, dir))
-        .withColumn("prefix", shiftright(col("simhash"), 16))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.as("a").join(sh.as("b"),
-          col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-        .filter(col("hamming") <= 8)
-        .orderBy("d1", "d2")
+      simhashPairs(Tables.documents(spark, dir), 8).orderBy("d1", "d2")
     },
 
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.

@@ -156,6 +156,36 @@ object Relational extends graft.QueryModule {
         .orderBy("orderstatus", "orderpriority")
     },
 
+    // GROUPING SETS: two independent one-dimension aggregates in one
+    // pass over the fact table.
+    "q_grouping_sets" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+          col("n"), col("total"))
+        .orderBy("orderstatus", "orderpriority")
+    },
+
+    // Window-function variety: lag/lead, ntile, percent_rank, cume_dist
+    // over a fully-ordered per-customer frame.
+    "q_window_variety" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(spark, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Date bucketing: monthly revenue. year/month prune to two ints.
     "q_monthly_revenue" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
@@ -311,6 +341,22 @@ object Relational extends graft.QueryModule {
          |  count(*) AS n, ${ds("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+         |  count(*) AS n, ${ds("o_totalprice")} AS total
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q_window_variety" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_monthly_revenue" ->
       s"""SELECT CAST(extract(year FROM l_shipdate) AS INT) AS yr,
          |  CAST(extract(month FROM l_shipdate) AS INT) AS mo,

@@ -128,6 +128,21 @@ object TextOps extends graft.QueryModule {
         .orderBy("lang", "pred_lang")
     },
 
+    // Array-function coverage over the token array: size, distinct,
+    // slice, membership, ordered-min via sort.
+    "q_array_fns" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(
+          col("doc_id"),
+          size(col("arr")).as("n_tokens_raw"),
+          size(array_distinct(col("arr"))).as("n_distinct"),
+          concat_ws(" ", slice(col("arr"), 1, 3)).as("first3"),
+          array_contains(col("arr"), "spark").as("has_spark"),
+          element_at(array_sort(col("arr")), 1).as("min_term"))
+        .orderBy("doc_id")
+    },
+
     // Content fingerprints: order-insensitive bag-of-words md5 plus the
     // minimum shingle hash (a 1-permutation minhash / winnowing seed).
     "q_doc_fingerprint" -> { (spark, dir) =>
@@ -193,6 +208,14 @@ object TextOps extends graft.QueryModule {
            |SELECT d.lang, p.pred_lang, count(*) AS n
            |FROM pred p JOIN documents d ON p.doc_id = d.doc_id
            |GROUP BY d.lang, p.pred_lang ORDER BY d.lang, p.pred_lang""".stripMargin,
+      "q_array_fns" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_raw,
+          |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+          |  array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+          |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+          |  list_sort(string_split(text, ' '))[1] AS min_term
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q_doc_fingerprint" ->
         s"""WITH $tokCte,
            |bow AS (
