@@ -74,6 +74,27 @@ object EventOps extends graft.QueryModule {
             .otherwise(0L)).as("n_full_funnel"))
     },
 
+    // As-of join — an operator Spark lacks natively (SURVEY §2.4
+    // preference (a): composed from built-ins): each event is joined to
+    // the customer's most recent order at event time. Candidate rows
+    // come from the equi-join on the key; the row_number picks the
+    // latest qualifying order with a deterministic tie-break. At scale
+    // this is one shuffle on the key and per-key sorted state — the
+    // sort-merge formulation a dedicated AsOfJoinExec would use.
+    "q_asof_join" -> { (spark, dir) =>
+      val e = Tables.events(spark, dir).filter(col("user_id") < 25)
+        .select("event_id", "user_id", "ts")
+      val o = Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    },
+
     // Per-user activity profile: volume, diversity, span, value.
     "q_user_activity" -> { (spark, dir) =>
       Tables.events(spark, dir)
@@ -121,6 +142,16 @@ object EventOps extends graft.QueryModule {
         |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
         |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM per_user""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 25),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey) AS rn
+        |  FROM e LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_user_activity" ->
       s"""SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
          |  min(ts) AS first_ts, max(ts) AS last_ts, ${DS.format("value")} AS total_value
