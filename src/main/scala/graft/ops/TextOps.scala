@@ -51,19 +51,81 @@ object TextOps extends graft.QueryModule {
     "fr" -> Seq("le", "les", "de", "et", "est"),
     "zh" -> Seq("de5", "le5", "shi4", "he2", "zai4"))
 
+  // ---------------------------------------------------------------- //
+  // Public library API — each declared query below delegates here.    //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document token statistics: counts, type-token ratio, mean
+    * token length (all integer sums → exact doubles by division).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    TfIdf.tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_types"),
+        (countDistinct(col("term")).cast("double") / count(lit(1))).as("ttr"),
+        (sum(length(col("term"))).cast("double") / count(lit(1))).as("avg_token_len"))
+
+  /** Quality score per document: length saturation, lexical diversity,
+    * inverse stopword density, fixed weights. Stopwords are the top-k
+    * global terms (data-derived, hash-stable across scale factors).
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val stats = TfIdf.tokens(docs)
+      .join(broadcast(topTerms(docs)), col("term") === col("stop_term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_types"),
+        sum(when(col("stop_term").isNotNull, 1L).otherwise(0L)).as("n_stop"))
+    stats.select(
+      col("doc_id"),
+      col("n_tokens"),
+      (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+      (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+        + (col("n_types").cast("double") / col("n_tokens")) * lit(0.3)
+        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * lit(0.4)).as("quality"))
+  }
+
+  /** Per-document language prediction by marker-stopword voting with
+    * deterministic precedence (score desc, then alphabetical language).
+    */
+  def langPredictions(docs: DataFrame): DataFrame = {
+    val markerScores: Seq[Column] = langMarkers.map { case (lang, ws) =>
+      sum(when(col("term").isInCollection(ws), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val scored = TfIdf.tokens(docs)
+      .groupBy("doc_id")
+      .agg(markerScores.head, markerScores.tail: _*)
+    val best = langMarkers.map(_._1).foldLeft(lit("und")) { (acc, lang) =>
+      // precedence: a language wins iff score > 0, strictly beats all
+      // alphabetically-earlier languages, and >= all later ones
+      when(col(s"s_$lang") > lit(0) &&
+        langMarkers.map(_._1).filter(_ < lang).map(l => col(s"s_$lang") > col(s"s_$l"))
+          .foldLeft(langMarkers.map(_._1).filter(_ > lang).map(l => col(s"s_$lang") >= col(s"s_$l"))
+            .foldLeft(lit(true))(_ && _))(_ && _), lit(lang)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), best.as("pred_lang"))
+  }
+
+  /** Content fingerprints: order-insensitive bag-of-words md5 + minimum
+    * shingle hash (1-permutation minhash / winnowing seed).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val bow = TfIdf.tokens(docs)
+      .groupBy("doc_id")
+      .agg(md5(concat_ws(" ", array_sort(collect_set(col("term"))))).as("bow_md5"))
+    val minShingle = Shingles.shingles(docs, 3)
+      .groupBy("doc_id")
+      .agg(min(Shingles.hash32(col("shingle"))).as("min_shingle_hash"))
+    bow.join(minShingle, Seq("doc_id"), "left")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Per-document token statistics: counts, type-token ratio, mean
-    // token length (all integer sums → exact doubles by division).
     "q_token_stats" -> { (spark, dir) =>
-      TfIdf.tokens(Tables.documents(spark, dir))
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("term")).as("n_types"),
-          (countDistinct(col("term")).cast("double") / count(lit(1))).as("ttr"),
-          (sum(length(col("term"))).cast("double") / count(lit(1))).as("avg_token_len"))
-        .orderBy("doc_id")
+      tokenStats(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
     // Tokenizer comparison: whitespace count, BPE-ish regex token count
@@ -79,49 +141,14 @@ object TextOps extends graft.QueryModule {
         .orderBy("doc_id")
     },
 
-    // Quality score: length saturation, lexical diversity, and inverse
-    // stopword density, combined with fixed weights. The stopword set is
-    // data-derived (top-10 global terms).
     "q_quality_score" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
-      val toks = TfIdf.tokens(docs)
-      val stats = toks
-        .join(broadcast(topTerms(docs)), col("term") === col("stop_term"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("term")).as("n_types"),
-          sum(when(col("stop_term").isNotNull, 1L).otherwise(0L)).as("n_stop"))
-      stats.select(
-          col("doc_id"),
-          col("n_tokens"),
-          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-          (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
-            + (col("n_types").cast("double") / col("n_tokens")) * lit(0.3)
-            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * lit(0.4)).as("quality"))
-        .orderBy("doc_id")
+      qualityScores(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
-    // Language-ID heuristic: marker-stopword voting with deterministic
-    // precedence (score desc, then fixed language order). Output is the
-    // confusion matrix against the labeled `lang` column.
+    // Language-ID confusion matrix against the labeled `lang` column.
     "q_lang_id" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val markerScores: Seq[Column] = langMarkers.map { case (lang, ws) =>
-        sum(when(col("term").isInCollection(ws), 1L).otherwise(0L)).as(s"s_$lang")
-      }
-      val scored = TfIdf.tokens(docs)
-        .groupBy("doc_id")
-        .agg(markerScores.head, markerScores.tail: _*)
-      val best = langMarkers.map(_._1).foldLeft(lit("und")) { (acc, lang) =>
-        // precedence: earlier languages win ties because strict > is
-        // required to displace the incumbent, scanning right-to-left
-        when(col(s"s_$lang") > lit(0) &&
-          langMarkers.map(_._1).filter(_ < lang).map(l => col(s"s_$lang") > col(s"s_$l"))
-            .foldLeft(langMarkers.map(_._1).filter(_ > lang).map(l => col(s"s_$lang") >= col(s"s_$l"))
-              .foldLeft(lit(true))(_ && _))(_ && _), lit(lang)).otherwise(acc)
-      }
-      scored.select(col("doc_id"), best.as("pred_lang"))
+      langPredictions(docs)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
@@ -143,17 +170,8 @@ object TextOps extends graft.QueryModule {
         .orderBy("doc_id")
     },
 
-    // Content fingerprints: order-insensitive bag-of-words md5 plus the
-    // minimum shingle hash (a 1-permutation minhash / winnowing seed).
     "q_doc_fingerprint" -> { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
-      val bow = TfIdf.tokens(docs)
-        .groupBy("doc_id")
-        .agg(md5(concat_ws(" ", array_sort(collect_set(col("term"))))).as("bow_md5"))
-      val minShingle = Shingles.shingles(docs, 3)
-        .groupBy("doc_id")
-        .agg(min(Shingles.hash32(col("shingle"))).as("min_shingle_hash"))
-      bow.join(minShingle, Seq("doc_id"), "left").orderBy("doc_id")
+      fingerprints(Tables.documents(spark, dir)).orderBy("doc_id")
     },
   )
 

@@ -40,48 +40,61 @@ object VectorOps extends graft.QueryModule {
        |  (sqrt(list_sum([$a[i]*$a[i] FOR i IN range(1, len($a)+1)])) *
        |   sqrt(list_sum([$b[i]*$b[i] FOR i IN range(1, len($b)+1)]))), 6)""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // Public library API — the declared queries below delegate here.    //
+  // ---------------------------------------------------------------- //
+
+  /** Exact cosine top-k neighbors for every vector matching queryPred.
+    * O(queries × corpus) — the recall baseline for the ANN path.
+    */
+  def knn(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = castVec(embeddings.filter(queryPred), "qid")
+    val c = castVec(embeddings, "vid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    broadcast(q).join(c, col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
+  /** IVF search: assign every vector to its nearest of nCentroids
+    * coarse centroids (one broadcast join over the corpus), then answer
+    * each query from its own cell only — each probe touches ~1/C of the
+    * data. Centroids are the lowest vec_ids (deterministic stand-ins
+    * for trained k-means centers, reproducible by the SQL oracle).
+    */
+  def ivfSearch(embeddings: DataFrame, queryPred: Column,
+      nCentroids: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cent = castVec(embeddings.filter(col("vec_id") < nCentroids), "cid")
+    val all  = castVec(embeddings, "vid")
+    val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+    val assign = all.join(broadcast(cent), lit(true))
+      .select(col("vid"), col("vid_v"), col("cid"), cosRounded("vid", "cid").as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("vid_v"), col("cid").as("cell"))
+    val queries = assign.filter(queryPred)
+      .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("cell"))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    queries.join(assign, Seq("cell"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("cell"), col("vid"), cosRounded("qid", "vid").as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("qid", "cell", "rank", "vid", "cos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact top-10 cosine neighbors for query vectors (vec_id < 5).
     "q_knn_bruteforce" -> { (spark, dir) =>
-      graft.functions.GraftFunctions.register(spark)
-      val e = Tables.embeddings(spark, dir)
-      val q = castVec(e.filter(col("vec_id") < 5), "qid")
-      val c = castVec(e, "vid")
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-      broadcast(q).join(c, col("qid") =!= col("vid"))
-        .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("qid", "rank", "vid", "cos")
-        .orderBy("qid", "rank")
+      knn(Tables.embeddings(spark, dir), col("vec_id") < 5, 10).orderBy("qid", "rank")
     },
 
-    // IVF: coarse centroids = vec_id < 8 (stand-ins for trained k-means
-    // centers — deterministic so the oracle can reproduce them); assign
-    // all vectors to their nearest centroid (one broadcast join), then
-    // answer queries (vec_id >= 490) from their own cell only.
     "q_ann_ivf" -> { (spark, dir) =>
-      graft.functions.GraftFunctions.register(spark)
-      val e = Tables.embeddings(spark, dir)
-      val cent = castVec(e.filter(col("vec_id") < 8), "cid")
-      val all  = castVec(e, "vid")
-      val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
-      val assign = all.join(broadcast(cent), lit(true))
-        .select(col("vid"), col("vid_v"), col("cid"), cosRounded("vid", "cid").as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vid"), col("vid_v"), col("cid").as("cell"))
-      val queries = assign.filter(col("vid") >= 490)
-        .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("cell"))
-      val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-      queries.join(assign, Seq("cell"))
-        .filter(col("qid") =!= col("vid"))
-        .select(col("qid"), col("cell"), col("vid"), cosRounded("qid", "vid").as("cos"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 5)
-        .select("qid", "cell", "rank", "vid", "cos")
-        .orderBy("qid", "rank")
+      ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
   )
 

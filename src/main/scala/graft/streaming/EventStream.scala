@@ -47,6 +47,15 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id,
+    * keeping 1 hour of id state (the watermark bounds the state store —
+    * the streaming twin of the batch md5-groupBy exact dedup).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
   case class Ev(event_id: Long, tsMicros: Long, user_id: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: Long, session_end: Long,

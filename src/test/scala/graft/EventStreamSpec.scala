@@ -29,6 +29,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming dedup: replaying the same file twice emits each event_id once") {
+    // two globs over the same file = the same events delivered twice
+    import org.apache.spark.sql.functions.col
+    val once = EventStream.readEvents(spark, dir)
+    val twice = EventStream.dedupEvents(once.union(once))
+    val q = twice.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("deduped").count()
+    val distinct = spark.table("deduped").select(col("event_id")).distinct().count()
+    val batchN = graft.core.Tables.events(spark, dir).count()
+    assert(n == distinct)
+    assert(n == batchN)
+  }
+
   test("streaming sessionize == batch q_sessionize minus each user's open tail session") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir))
       .writeStream.outputMode("append")
