@@ -74,6 +74,20 @@ object EventOps extends graft.QueryModule {
             .otherwise(0L)).as("n_full_funnel"))
     },
 
+    // PIVOT: one column per event type (explicit value list so the
+    // output schema is static — required for plan caching at scale and
+    // for the oracle's conditional-aggregation mirror).
+    "q_pivot" -> { (spark, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(spark, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, t) =>
+          df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+        .orderBy("user_id")
+    },
+
     // As-of join — an operator Spark lacks natively (SURVEY §2.4
     // preference (a): composed from built-ins): each event is joined to
     // the customer's most recent order at event time. Candidate rows
@@ -142,6 +156,14 @@ object EventOps extends graft.QueryModule {
         |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
         |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
         |FROM per_user""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 25),
         |j AS (

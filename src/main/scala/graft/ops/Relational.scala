@@ -263,8 +263,54 @@ object Relational extends graft.QueryModule {
         .orderBy("o_orderstatus")
     },
 
+    // Exact interpolated percentiles per group (Spark `percentile` ≅
+    // DuckDB `quantile_cont`: both sort and linearly interpolate).
+    "q_percentiles" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 9).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 9).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 9).as("median_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Statistical aggregates built from exact decimal sums so partition
+    // order cannot perturb them (built-in stddev/corr stream doubles in
+    // shuffle order — not reproducible across engines or cluster sizes).
+    "q_stats_agg" -> { (spark, dir) =>
+      val n   = count(lit(1)).cast("double")
+      val sx  = dsum(col("l_quantity"))
+      val sx2 = dsum(col("l_quantity") * col("l_quantity"))
+      val sy  = dsum(col("l_extendedprice"))
+      val sy2 = dsum(col("l_extendedprice") * col("l_extendedprice"))
+      val sxy = dsum(col("l_quantity") * col("l_extendedprice"))
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (sx / n).as("mean_qty"),
+          ((sx2 - sx * sx / n) / (n - lit(1.0))).as("var_qty"),
+          sqrt((sx2 - sx * sx / n) / (n - lit(1.0))).as("stddev_qty"),
+          ((n * sxy - sx * sy) /
+            sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Correlated EXISTS with a pushed predicate: orders having any
     // high-quantity line item (semi join on the filtered fact).
+    // Approx mode for extreme scale: HyperLogLog distinct counts (~2%
+    // default error, constant memory). No SQL oracle — sketch internals
+    // are engine-specific; the driver records a rows-only check. The
+    // exact twin for recall measurement is q_distinct_counts.
+    "q_approx_distinct" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders_1pct"))
+    },
+
     "q_orders_with_bulk_items" -> { (spark, dir) =>
       val bulky = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
       Tables.orders(spark, dir)
@@ -387,6 +433,25 @@ object Relational extends graft.QueryModule {
     "q_distinct_counts" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 9) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 9) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = ds("l_quantity"); val sx2 = ds("l_quantity * l_quantity")
+      val sy = ds("l_extendedprice"); val sy2 = ds("l_extendedprice * l_extendedprice")
+      val sxy = ds("l_quantity * l_extendedprice")
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  $sx / $n AS mean_qty,
+         |  ($sx2 - $sx * $sx / $n) / ($n - 1.0) AS var_qty,
+         |  sqrt(($sx2 - $sx * $sx / $n) / ($n - 1.0)) AS stddev_qty,
+         |  ($n * $sxy - $sx * $sy) /
+         |    sqrt(($n * $sx2 - $sx * $sx) * ($n * $sy2 - $sy * $sy)) AS corr_qty_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "q_orders_with_bulk_items" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${ds("o_totalprice")} AS total
          |FROM orders
