@@ -23,7 +23,7 @@ object Main {
     }
     val path = args(0)
     val query = args(1)
-    val k = args.drop(2).find(a => a.forall(_.isDigit)).map(_.toInt).getOrElse(5)
+    val k = args.drop(2).flatMap(_.toIntOption).headOption.getOrElse(5)
     val geneFilter = args.contains("--gene-filter")
 
     val spark = SparkSession.builder()

@@ -36,8 +36,12 @@ object SparkEntry {
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"query name declared by multiple modules: $dups")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

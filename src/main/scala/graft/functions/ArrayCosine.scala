@@ -17,10 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * identical to the chained form, so results are bit-for-bit the same —
   * the DuckDB oracle comparisons are unaffected.
   *
-  * Semantics: zips to the shorter length; null elements are treated as
-  * impossible (inputs come from parquet float arrays); a zero vector
-  * yields NaN/Infinity rather than an ANSI error, matching the
-  * mathematical definition's partiality.
+  * Semantics: zips to the shorter length; null elements contribute 0
+  * to all three accumulators (consistent in both interpreted and
+  * codegen paths); a zero vector yields NaN/Infinity rather than an
+  * ANSI error, matching the mathematical definition's partiality.
   */
 case class ArrayCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +42,8 @@ case class ArrayCosine(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -62,8 +63,8 @@ case class ArrayCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $x.getDouble($i);
-         |  double $yv = $y.getDouble($i);
+         |  double $xv = $x.isNullAt($i) ? 0.0 : $x.getDouble($i);
+         |  double $yv = $y.isNullAt($i) ? 0.0 : $y.getDouble($i);
          |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

@@ -38,23 +38,32 @@ object EventStream {
   }
 
   /** Tumbling 1-hour windows per event type with a 1-hour watermark —
-    * the streaming twin of q_event_windows.
+    * the streaming twin of q_event_windows. The value sum goes through
+    * exact DECIMAL like the batch query so micro-batch merge order
+    * cannot perturb it (plain double summation would differ from the
+    * batch result in low-order bits).
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Streaming exact dedup: drop re-deliveries of the same event_id,
-    * keeping 1 hour of id state (the watermark bounds the state store —
-    * the streaming twin of the batch md5-groupBy exact dedup).
+    * keeping 1 hour of id state — the streaming twin of the batch
+    * md5-groupBy exact dedup. dropDuplicatesWithinWatermark (not plain
+    * dropDuplicates, whose state never evicts unless the event-time
+    * column is part of the key) lets the watermark bound the state
+    * store, which is what makes this viable on an unbounded stream.
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class Ev(event_id: Long, tsMicros: Long, user_id: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)

@@ -39,4 +39,12 @@ class ArrayCosineSpec extends AnyFunSuite {
     val r = spark.sql("SELECT array_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").collect().head
     assert(r.isNullAt(0))
   }
+
+  test("array_cosine treats null ELEMENTS as zero (no NPE, consistent paths)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_cosine(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 5.0d)) AS c").collect().head
+    // [1, 0]·[1, 5] / (1 * sqrt(26))
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(26.0)) < 1e-12)
+  }
 }

@@ -21,10 +21,10 @@ class EventStreamSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
 
     val streamed = spark.table("hourly")
-      .select("window_start", "event_type", "n")
+      .select("window_start", "event_type", "n", "sum_value")
       .collect().map(_.toString).sorted
     val batch = EventOps.queries("q_event_windows")(spark, dir)
-      .select("window_start", "event_type", "n")
+      .select("window_start", "event_type", "n", "sum_value")
       .collect().map(_.toString).sorted
     assert(streamed.sameElements(batch))
   }

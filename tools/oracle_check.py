@@ -36,10 +36,7 @@ def frame_hash(df: pd.DataFrame) -> str:
     for col in df.columns:
         h.update(col.encode())
         for v in df[col].tolist():
-            if isinstance(v, float):
-                h.update(repr(v).encode())
-            else:
-                h.update(repr(v).encode())
+            h.update(repr(v).encode())
     return h.hexdigest()[:16]
 
 
