@@ -21,16 +21,25 @@ object CorpusReader {
 
   /** Read a corpus text file into the engine's canonical
     * (doc_id string, text string) shape.
+    *
+    * @param asciiFold reproduce the reference's py2 lossy
+    *   `encode("ascii","ignore")` (app.py:124): drop every non-ASCII
+    *   character. Off by default — UTF-8 passthrough is the documented
+    *   divergence; on for strict reference parity.
     */
-  def readCorpus(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .select(
-        substring_index(col("value"), " ", 1).as("doc_id"),
-        // everything after the first token; empty when the line has
-        // no separator at all (single-token or blank lines)
-        when(instr(col("value"), " ") > 0,
-          expr("substring(value, instr(value, ' ') + 1)"))
-          .otherwise(lit("")).as("text"))
+  def readCorpus(spark: SparkSession, path: String, asciiFold: Boolean = false): DataFrame = {
+    val raw = spark.read.text(path)
+    val base = if (asciiFold)
+      raw.select(regexp_replace(col("value"), "[^\\x00-\\x7F]", "").as("value"))
+    else raw
+    base.select(
+      substring_index(col("value"), " ", 1).as("doc_id"),
+      // everything after the first token; empty when the line has
+      // no separator at all (single-token or blank lines)
+      when(instr(col("value"), " ") > 0,
+        expr("substring(value, instr(value, ' ') + 1)"))
+        .otherwise(lit("")).as("text"))
+  }
 
   /** The same corpus as one row per token occurrence. */
   def tokens(spark: SparkSession, path: String): DataFrame =

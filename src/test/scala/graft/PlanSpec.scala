@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the PERF.md plan audit as assertions,
+  * so a future change can't silently lose pushdown, broadcast choice,
+  * or top-k planning.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_top_orders plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_pricing_summary pushes the shipdate filter into the parquet scan") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_pricing_summary prunes columns: unused lineitem fields never reach the scan") {
+    val p = plan("q_pricing_summary")
+    assert(!p.contains("l_partkey"), p)
+    assert(!p.contains("l_suppkey"), p)
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("q_region_revenue broadcasts all three dimension tables") {
+    val p = plan("q_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_related_terms uses a broadcast join for the query vector, not a closure") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val tf = graft.tfidf.TfIdf.tfidf(docs)
+    val df = graft.sim.Semantic.relatedTermsFrom(tf, graft.sim.Semantic.queryTermFrom(tf), 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_window_topn gets the WindowGroupLimit pushdown for rn <= 3") {
+    val p = plan("q_window_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
