@@ -82,6 +82,12 @@ object MultimodalQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> { (spark, dir) =>
       Multimodal.metadata(Multimodal.mediaTable(spark, dir)).orderBy("media_id")
+    },
+    // Full decode pipeline (binary → per-partition stub decode →
+    // feature struct). Deterministic but imperative, so rows-only: no
+    // SQL oracle can reproduce the mapPartitions stage.
+    "q_multimodal_features" -> { (spark, dir) =>
+      Multimodal.decodeStub(Multimodal.mediaTable(spark, dir)).toDF().orderBy("media_id")
     })
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->

@@ -73,6 +73,18 @@ class GoldenFixtureSpec extends AnyFunSuite {
     assert(idfA.forall(v => math.abs(v - 0.5 * math.log10(1.5)) < 1e-12))
   }
 
+  test("shuffled-join fallback (broadcastQuery=false) gives identical results") {
+    // the stop-word escape hatch for queries whose vector would exceed
+    // broadcast limits at extreme scale — must be result-identical
+    val a = Semantic.relatedTerms(golden, "gene_egfr_gene", k = 5,
+      termPred = Some(Semantic.geneTermPredicate), broadcastQuery = true)
+      .collect().map(_.toString).toSeq
+    val b = Semantic.relatedTerms(golden, "gene_egfr_gene", k = 5,
+      termPred = Some(Semantic.geneTermPredicate), broadcastQuery = false)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("tfidf table shape: one row per (doc, term), df and totals correct") {
     val tf = TfIdf.tfidf(golden).collect()
     assert(tf.length == 14)
