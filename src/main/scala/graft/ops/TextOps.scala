@@ -122,7 +122,49 @@ object TextOps extends graft.QueryModule {
     bow.join(minShingle, Seq("doc_id"), "left")
   }
 
+  /** Deterministic content-hash bucket in [0, 100): stable across runs,
+    * engines, and cluster sizes — the right way to sample or split
+    * training data (seeded RNG sampling is engine-specific and breaks
+    * reproducibility between Spark and any other system).
+    */
+  def hashBucket(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** SQL mirror of [[hashBucket]] (DuckDB; no conv there). */
+  def hashBucketSql(expr: String): String = {
+    val m = s"md5(CAST($expr AS VARCHAR))"
+    val nibble = (i: Int) =>
+      s"CAST(CASE WHEN ascii(substr($m,$i,1)) >= 97 THEN ascii(substr($m,$i,1)) - 87" +
+        s" ELSE ascii(substr($m,$i,1)) - 48 END AS BIGINT)"
+    s"((${nibble(1)} * 4096 + ${nibble(2)} * 256 + ${nibble(3)} * 16 + ${nibble(4)}) % 100)"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic ~10% sample by content hash of the key — consistent
+    // across engines and re-runs, unlike seeded RNG sampling.
+    "q_hash_sample" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .filter(hashBucket(col("l_orderkey")) < 10)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("l_returnflag")
+    },
+
+    // Train/validation/test split (80/10/10) by doc_id hash: every
+    // engine that can compute md5 assigns each doc to the same split.
+    "q_train_split" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .withColumn("split",
+          when(hashBucket(col("doc_id")) < 80, "train")
+            .when(hashBucket(col("doc_id")) < 90, "valid")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split")
+    },
 
     "q_token_stats" -> { (spark, dir) =>
       tokenStats(Tables.documents(spark, dir)).orderBy("doc_id")
@@ -190,6 +232,17 @@ object TextOps extends graft.QueryModule {
       s"CASE WHEN $conds THEN '$lang' ELSE $acc END"
     }
     Map(
+      "q_hash_sample" ->
+        s"""SELECT l_returnflag, count(*) AS n_sampled
+           |FROM lineitem WHERE ${hashBucketSql("l_orderkey")} < 10
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q_train_split" ->
+        s"""SELECT CASE WHEN ${hashBucketSql("doc_id")} < 80 THEN 'train'
+           |            WHEN ${hashBucketSql("doc_id")} < 90 THEN 'valid'
+           |            ELSE 'test' END AS split,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM documents GROUP BY split ORDER BY split""".stripMargin,
       "q_token_stats" ->
         s"""WITH $tokCte
            |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types,
