@@ -109,6 +109,20 @@ object EventOps extends graft.QueryModule {
         .orderBy("event_id")
     },
 
+    // Retention cohorts: users grouped by first-activity week, counted
+    // in each subsequent week they return. The classic growth analytic;
+    // two shuffles (per-user min, then cohort×week count).
+    "q_retention_cohorts" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      ev.distinct()
+        .join(cohorts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week")
+    },
+
     // Per-user activity profile: volume, diversity, span, value.
     "q_user_activity" -> { (spark, dir) =>
       Tables.events(spark, dir)
@@ -174,6 +188,12 @@ object EventOps extends graft.QueryModule {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, ts, o_orderkey, o_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT c.cohort_week, e.week, count(DISTINCT e.user_id) AS n_active
+        |FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |GROUP BY c.cohort_week, e.week ORDER BY cohort_week, week""".stripMargin,
     "q_user_activity" ->
       s"""SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
          |  min(ts) AS first_ts, max(ts) AS last_ts, ${DS.format("value")} AS total_value
