@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: wall-clock a declared query (cold + warm) under the
+  * bench configuration. Usage: runMain graft.TimeProbe q_name [q_name ...]
+  */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.foreach { n =>
+      val t0 = System.nanoTime()
+      val c0 = SparkEntry.queries(n)(spark, dir).count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val c1 = SparkEntry.queries(n)(spark, dir).count()
+      val warm = (System.nanoTime() - t1) / 1e9
+      println(f"[time] $n%-28s cold=$cold%8.2fs warm=$warm%8.2fs rows=$c0/$c1")
+    }
+    spark.stop()
+  }
+}

@@ -81,7 +81,12 @@ object GraftFunctions {
   /** Idempotent per-session registration; afterwards the function is
     * callable from SQL and via `call_function("array_cosine", a, b)`.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("array_cosine")
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction(
+        "array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "built-in")
+    }
+  }
 }

@@ -49,9 +49,16 @@ object Dedup extends graft.QueryModule {
        |  SELECT DISTINCT doc_id, ${Shingles.hash32Sql("shingle")} AS h FROM sh)""".stripMargin
 
   private def shingleHashes(docs: DataFrame): DataFrame =
+    shingleHashesAll(docs).distinct()
+
+  /** Per-occurrence shingle hashes (duplicates kept). min() is
+    * duplicate-insensitive, so the minhash signature pass reads this
+    * directly and skips the distinct's extra shuffle; simhash sums
+    * per-bit contributions and keeps the distinct.
+    */
+  private def shingleHashesAll(docs: DataFrame): DataFrame =
     Shingles.shingles(docs, 3)
       .select(col("doc_id"), Shingles.hash32(col("shingle")).as("h"))
-      .distinct()
 
   /** 32-bit SimHash over distinct trigram-shingle hashes: bit i of the
     * fingerprint is the sign of Σ (2·bit_i(h) − 1).
@@ -116,7 +123,7 @@ object Dedup extends graft.QueryModule {
 
   /** Per-doc MinHash signature table (sig0..sig7). */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleHashes(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    shingleHashesAll(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
   /** Banded-LSH candidate pairs scored by signature agreement
     * (estimated Jaccard ≥ minEstJaccard). O(docs) signature pass +
