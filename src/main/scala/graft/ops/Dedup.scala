@@ -157,6 +157,22 @@ object Dedup extends graft.QueryModule {
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame = simhash(docs)
 
+  /** Near-duplicate clusters: connected components over the MinHash-LSH
+    * candidate pairs, labeled by the min doc_id in each component — the
+    * "keep one canonical document per duplicate group" step of a
+    * training-data dedup pipeline. Docs with no near-dup partner are
+    * trivially their own cluster and are omitted (the interesting output
+    * is the docs that need a keep/drop decision).
+    */
+  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val edges = minhashCandidates(docs, minEstJaccard)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    Graph.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+  }
+
   /** SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
     * that keeps this O(docs) at scale), then exact Hamming ≤ maxHamming.
     */
@@ -184,6 +200,10 @@ object Dedup extends graft.QueryModule {
 
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
+    },
+
+    "q_dedup_clusters" -> { (spark, dir) =>
+      dupClusters(Tables.documents(spark, dir), 0.5).orderBy("doc_id")
     },
 
     "q_simhash" -> { (spark, dir) =>
@@ -263,6 +283,38 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      // min-reachable-label via recursive CTE == the engine's min-label
+      // propagation fixpoint, so cluster ids agree exactly
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+           |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |SELECT node AS doc_id, cluster_id,
+           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           |FROM labels ORDER BY doc_id""".stripMargin,
       "q_simhash" ->
         s"""WITH $shingleHashCte,
            |$simhashCte
