@@ -22,7 +22,36 @@ object EventOps extends graft.QueryModule {
     sum(c.cast(DecimalType(28, 10))).cast("double")
   private val DS = "CAST(CAST(sum(CAST(%s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
 
+  /** Overlapping value tiers for the interval join — irregular bounds
+    * and genuine overlap (an event can land in several tiers), so the
+    * join is many-to-many and NOT expressible as a bucketing function.
+    * Single source of truth for the Spark literal table and the oracle
+    * VALUES list.
+    */
+  private val tiers: Seq[(String, Double, Double)] = Seq(
+    ("micro", 0.0, 1.0), ("small", 1.0, 30.0), ("medium", 20.0, 80.0),
+    ("large", 60.0, 1000.0), ("jumbo", 250.0, 1000.0))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Interval join: match each event to every tier whose [lo, hi)
+    // range contains its value. The tier table is tiny and broadcast,
+    // so the non-equi condition plans as a broadcast nested-loop join —
+    // the right physical plan when one side is a handful of rows; a
+    // large-large interval join would instead bucketize both sides to a
+    // common grid and equi-join on the bucket.
+    "q_interval_join" -> { (spark, dir) =>
+      import spark.implicits._
+      val t = broadcast(tiers.toDF("tier", "lo", "hi"))
+      Tables.events(spark, dir)
+        .join(t, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("tier")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("tier")
+    },
 
     // Tumbling 1-hour windows per event type (batch form of the
     // streaming windowed aggregation).
@@ -138,6 +167,16 @@ object EventOps extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_interval_join" -> {
+      val values = tiers
+        .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+      s"""WITH t(tier, lo, hi) AS (VALUES $values)
+         |SELECT tier, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  ${DS.format("value")} AS sum_value
+         |FROM events JOIN t ON value >= lo AND value < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin
+    },
     "q_event_windows" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n, ${DS.format("value")} AS sum_value

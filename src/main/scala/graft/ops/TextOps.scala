@@ -139,6 +139,13 @@ object TextOps extends graft.QueryModule {
     s"((${nibble(1)} * 4096 + ${nibble(2)} * 256 + ${nibble(3)} * 16 + ${nibble(4)}) % 100)"
   }
 
+  /** Per-language sampling rates (percent) for corpus rebalancing:
+    * downsample the over-represented language, keep the rest. A single
+    * source of truth drives both the Column tree and the oracle CASE.
+    */
+  private val strataRates: Seq[(String, Int)] =
+    Seq("de" -> 80, "en" -> 25, "es" -> 80, "fr" -> 80, "zh" -> 50)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic ~10% sample by content hash of the key — consistent
@@ -164,6 +171,39 @@ object TextOps extends graft.QueryModule {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("split")
+    },
+
+    // Stratified sampling for corpus rebalancing: per-language rates
+    // applied via the deterministic hash bucket, so the selected set is
+    // identical on every engine and cluster size. One pass, no shuffle
+    // beyond the final tiny aggregate.
+    "q_stratified_sample" -> { (spark, dir) =>
+      val rate = strataRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables.documents(spark, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(hashBucket(col("doc_id")) < rate, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+
+    // Inverted index: per-term document frequency plus the head of the
+    // sorted posting list. Postings are capped for the declared output;
+    // the full-list variant is the same aggregate without the slice. At
+    // 100 TB posting lists for stop-word-df terms are the skew risk —
+    // cap or drop terms above a df ceiling before materializing.
+    "q_inverted_index" -> { (spark, dir) =>
+      TfIdf.tokens(Tables.documents(spark, dir))
+        .groupBy("term")
+        .agg(
+          countDistinct(col("doc_id")).as("df"),
+          // stringified: the harness compare cannot hash array cells
+          concat_ws(",", slice(array_sort(collect_set(col("doc_id"))), 1, 5)).as("postings_head"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("term")
     },
 
     "q_token_stats" -> { (spark, dir) =>
@@ -243,6 +283,22 @@ object TextOps extends graft.QueryModule {
            |  count(*) AS n_docs,
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+      "q_stratified_sample" -> {
+        val rateCase = strataRates
+          .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN ${hashBucketSql("doc_id")} < $rateCase
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      },
+      "q_inverted_index" ->
+        s"""WITH $tokCte,
+           |dt AS (SELECT DISTINCT doc_id, term FROM tok)
+           |SELECT term, count(*) AS df,
+           |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') AS postings_head,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM dt GROUP BY term ORDER BY term""".stripMargin,
       "q_token_stats" ->
         s"""WITH $tokCte
            |SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types,
