@@ -65,6 +65,20 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: every micro-batch joins the event stream
+    * against a static dimension. The dimension is broadcast, so the
+    * stream side never shuffles — the standard shape for decorating an
+    * unbounded stream with slowly-changing reference data (at scale the
+    * dim is re-broadcast per batch, so a refreshed snapshot is picked up
+    * on the next trigger).
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"))
+
   case class Ev(event_id: Long, tsMicros: Long, user_id: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: Long, session_end: Long,

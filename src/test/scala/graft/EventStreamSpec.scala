@@ -44,6 +44,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(n == batchN)
   }
 
+  test("stream-static enrichment == the same join run in batch") {
+    val customers = graft.core.Tables.customer(spark, dir)
+    val q = EventStream.enrich(EventStream.readEvents(spark, dir), customers)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("enriched").collect().map(_.toString).sorted
+    val batch = EventStream.enrich(
+        graft.core.Tables.events(spark, dir).select(
+          col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props")),
+        customers)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming sessionize == batch q_sessionize minus each user's open tail session") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir))
       .writeStream.outputMode("append")
