@@ -157,6 +157,26 @@ object Dedup extends graft.QueryModule {
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame = simhash(docs)
 
+  /** Hybrid semantic dedup: MinHash-LSH proposes candidate pairs from
+    * the TEXT; each pair is then scored in EMBEDDING space (vec_id
+    * aligns with doc_id in the testdata) and flagged when the cosine
+    * clears `minCos`. This is the modern two-stage pipeline: a cheap
+    * syntactic sketch bounds the candidate set, the semantic check
+    * runs only on candidates — O(candidates), never O(n²) in either
+    * space.
+    */
+  def semanticDedup(docs: DataFrame, embeddings: DataFrame,
+      minEstJaccard: Double = 0.5, minCos: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    minhashCandidates(docs, minEstJaccard)
+      .join(e.as("e1"), col("d1") === col("e1.vec_id"))
+      .join(e.as("e2"), col("d2") === col("e2.vec_id"))
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        round(call_function("array_cosine", col("e1.v"), col("e2.v")), 6).as("emb_cos"))
+      .withColumn("confirmed", col("emb_cos") >= lit(minCos))
+  }
+
   /** Near-duplicate clusters: connected components over the MinHash-LSH
     * candidate pairs, labeled by the min doc_id in each component — the
     * "keep one canonical document per duplicate group" step of a
@@ -200,6 +220,11 @@ object Dedup extends graft.QueryModule {
 
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
+    },
+
+    "q_semantic_dedup" -> { (spark, dir) =>
+      semanticDedup(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+        0.5, 0.9).orderBy("d1", "d2")
     },
 
     "q_dedup_clusters" -> { (spark, dir) =>
@@ -283,6 +308,33 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      "q_semantic_dedup" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |scored AS (
+           |  SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS est_jaccard
+           |  FROM cand c
+           |  JOIN sigs s1 ON c.d1 = s1.doc_id
+           |  JOIN sigs s2 ON c.d2 = s2.doc_id
+           |  WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT s.d1, s.d2, s.est_jaccard,
+           |  ${VectorOps.cosSql("e1.v", "e2.v")} AS emb_cos,
+           |  ${VectorOps.cosSql("e1.v", "e2.v")} >= 0.9 AS confirmed
+           |FROM scored s
+           |JOIN e e1 ON s.d1 = e1.vec_id
+           |JOIN e e2 ON s.d2 = e2.vec_id
+           |ORDER BY s.d1, s.d2""".stripMargin,
+
       // min-reachable-label via recursive CTE == the engine's min-label
       // propagation fixpoint, so cluster ids agree exactly
       "q_dedup_clusters" ->

@@ -33,6 +33,44 @@ object Relational extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Skew-salted join on the graded surface: result is identical to the
+    // plain orders⋈customer (the oracle runs the plain form) — the salt
+    // spreads each join key over 8 sub-keys with the dim replicated per
+    // salt, the pre-planned mitigation for a hot key that would
+    // overwhelm one reducer when AQE's runtime skew split is too late.
+    "q_salted_agg" -> { (spark, dir) =>
+      val dim = Tables.customer(spark, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(Tables.orders(spark, dir), dim, "o_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Date/time scalar-function coverage: extraction, truncation, date
+    // arithmetic, month boundaries — all codegen'd built-ins riding the
+    // scan, no shuffle.
+    "q_datetime_fns" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .filter(col("o_orderkey") <= 2000)
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          // derived dates go out as timestamps: pandas reads parquet DATE
+          // as object cells, which the harness hash can't match to the
+          // oracle's datetime64 column
+          date_add(col("o_orderdate"), 30).cast("timestamp").as("plus30"),
+          trunc(col("o_orderdate"), "month").cast("timestamp").as("month_start"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("days_since_92"))
+        .orderBy("o_orderkey")
+    },
+
     // TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
     // the shipdate filter and 6-column projection push into the parquet
     // scan. At 100 TB this is one shuffle of 6 tiny groups.
@@ -322,6 +360,23 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // plain form — the salt must be semantically invisible
+    "q_salted_agg" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${ds("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_datetime_fns" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS days_since_92
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
     "q_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${ds("l_quantity")} AS sum_qty,

@@ -35,7 +35,7 @@ object VectorOps extends graft.QueryModule {
     round(call_function("array_cosine", col(s"${a}_v"), col(s"${b}_v")), 6)
 
   /** DuckDB cosine between list columns `a` and `b` (1-based lists). */
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"""round(list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)]) /
        |  (sqrt(list_sum([$a[i]*$a[i] FOR i IN range(1, len($a)+1)])) *
        |   sqrt(list_sum([$b[i]*$b[i] FOR i IN range(1, len($b)+1)]))), 6)""".stripMargin
