@@ -35,8 +35,12 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init at min(self, neighbors): one aggregation that is exactly the
+    // first propagation round, so near-diagonal dup graphs (pairs,
+    // triangles) start converged and pay a single verification round
+    var labels = sym.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("node"), col("label"))
       .localCheckpoint(true)
     // labels only ever decrease, so Σ label is a strictly decreasing
     // convergence metric — one cheap agg per round, no self-join diff
