@@ -79,6 +79,29 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("c_mktsegment").as("segment"))
 
+  /** Stream-stream inner join: each view matched to the same user's
+    * purchases within the following hour. Both sides are watermarked
+    * and the join condition is time-bounded, which is what lets the
+    * state store evict rows once the watermark passes the bound —
+    * without the time range the state would grow forever. This is the
+    * attribution-join shape (impression→conversion) of an event
+    * pipeline.
+    */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(buys,
+      col("user_id") === col("b_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
+  }
+
   case class Ev(event_id: Long, tsMicros: Long, user_id: Long, value: Double)
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: Long, session_end: Long,

@@ -62,6 +62,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream-stream view->purchase join == the same join run in batch") {
+    val q = EventStream.viewToPurchase(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attributed").collect().map(_.toString).sorted
+    val batchEvents = graft.core.Tables.events(spark, dir).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"), col("props"))
+    val batch = EventStream.viewToPurchase(batchEvents)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("streaming sessionize == batch q_sessionize minus each user's open tail session") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir))
       .writeStream.outputMode("append")
