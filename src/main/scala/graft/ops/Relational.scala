@@ -71,6 +71,23 @@ object Relational extends graft.QueryModule {
         .orderBy("o_orderkey")
     },
 
+    // Wide → long reshape (the inverse of q_pivot): Dataset.unpivot
+    // melts the measure columns into (measure, value) rows. Runs after
+    // the aggregate, so it reshapes a tiny frame — free at any scale.
+    "q_unpivot" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_price"), col("sum_disc_price")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
     // TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
     // the shipdate filter and 6-column projection push into the parquet
     // scan. At 100 TB this is one shuffle of 6 tiny groups.
@@ -360,6 +377,21 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // UNION ALL melt — deterministic portable form of UNPIVOT
+    "q_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    ${ds("l_quantity")} AS sum_qty,
+         |    ${ds("l_extendedprice")} AS sum_base_price,
+         |    ${ds("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_disc_price', sum_disc_price FROM wide
+         |ORDER BY l_returnflag, measure""".stripMargin,
+
     // plain form — the salt must be semantically invisible
     "q_salted_agg" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,

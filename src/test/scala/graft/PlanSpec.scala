@@ -49,4 +49,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_window_topn")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q_interval_join broadcasts the tiny tier table (nested-loop, stream side unshuffled)") {
+    val p = plan("q_interval_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_salted_agg joins on (key, salt): no plain-key join survives in the plan") {
+    val p = plan("q_salted_agg")
+    assert(p.contains("__salt"), p)
+  }
+
+  test("q_ann_ivf broadcasts the probe's query side (cell key would park on nCentroids partitions)") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_datetime_fns computes entirely on the scan: no shuffle except the output sort") {
+    val p = plan("q_datetime_fns")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
