@@ -135,6 +135,25 @@ object Relational extends graft.QueryModule {
         .orderBy("r_name", "n_name")
     },
 
+    // Full-outer join of two independent daily aggregates — days with
+    // signups but no purchases (and vice versa) survive with nulls.
+    // Both sides pre-aggregate before the join, so the shuffle carries
+    // one row per (day, side), not raw events.
+    "q_full_outer" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      def daily(kind: String, n: String) = ev
+        .filter(col("event_type") === kind)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(n))
+      daily("signup", "n_signups")
+        .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+        .select(
+          col("day").cast("timestamp").as("day"),
+          coalesce(col("n_signups"), lit(0L)).as("n_signups"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("day")
+    },
+
     // Left-semi join (EXISTS): customers with at least one finished order.
     "q_semi_join" -> { (spark, dir) =>
       val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
@@ -377,6 +396,19 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_full_outer" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_signups
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(COALESCE(s.day, p.day) AS TIMESTAMP) AS day,
+        |  COALESCE(n_signups, 0) AS n_signups,
+        |  COALESCE(n_purchases, 0) AS n_purchases
+        |FROM s FULL OUTER JOIN p ON s.day = p.day
+        |ORDER BY day""".stripMargin,
+
     // UNION ALL melt — deterministic portable form of UNPIVOT
     "q_unpivot" ->
       s"""WITH wide AS (
