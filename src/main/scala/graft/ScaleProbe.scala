@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: scale-up experiment. Replicates lineitem/documents N×
+  * (with shifted keys so cardinalities scale too) and times the
+  * operator families that dominate the suite, to verify near-linear
+  * scaling of the chosen plans before they ever see a cluster.
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def replicate(df: DataFrame, keyCols: Seq[String], shift: Long): DataFrame =
+      (0 until factor).map { i =>
+        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * shift)))
+      }.reduce(_ unionByName _)
+
+    val li = replicate(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey", "l_suppkey"), 10000000L)
+    val ord = replicate(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      Seq("o_orderkey", "o_custkey"), 10000000L)
+    li.persist(); ord.persist()
+    println(s"[scale] lineitem ${li.count()} rows, orders ${ord.count()} rows (${factor}x)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+
+    // scan-heavy aggregate (q_pricing_summary shape)
+    time("agg_pricing") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1)))
+        .count()
+    }
+    // fact-fact shuffled join + aggregate (q_cust_order_join shape)
+    time("join_fact_fact") {
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1))).count()
+    }
+    // window rank (q_window_topn shape)
+    time("window_topn") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    }
+    // global top-k (q_top_orders shape)
+    time("topk") {
+      ord.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50).count()
+    }
+    spark.stop()
+  }
+}
