@@ -84,8 +84,10 @@ object MultimodalQueries extends graft.QueryModule {
       Multimodal.metadata(Multimodal.mediaTable(spark, dir)).orderBy("media_id")
     },
     // Full decode pipeline (binary → per-partition stub decode →
-    // feature struct). Deterministic but imperative, so rows-only: no
-    // SQL oracle can reproduce the mapPartitions stage.
+    // feature struct). The stub is deterministic byte arithmetic, so
+    // even this imperative stage has a full SQL oracle: the rolling
+    // checksum folds via list_reduce over the byte values (testdata
+    // text is pure ASCII, so chars == bytes).
     "q_multimodal_features" -> { (spark, dir) =>
       Multimodal.decodeStub(Multimodal.mediaTable(spark, dir)).toDF().orderBy("media_id")
     })
@@ -95,5 +97,21 @@ object MultimodalQueries extends graft.QueryModule {
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    text,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '.'),
+        |                     c -> CAST(ascii(c) AS BIGINT))) AS bytes
+        |  FROM documents)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST(16 + (CASE WHEN n_bytes > 0 THEN ascii(substr(text, 1, 1)) % 128 ELSE 0 END) AS INT) AS width,
+        |  CAST(16 + (CASE WHEN n_bytes > 1 THEN ascii(substr(text, 2, 1)) % 128 ELSE 0 END) AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'audio' THEN 1 ELSE 3 END AS INT) AS channels,
+        |  list_reduce(bytes, (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+        |FROM m ORDER BY media_id""".stripMargin)
 }
