@@ -139,6 +139,40 @@ object TextOps extends graft.QueryModule {
     s"((${nibble(1)} * 4096 + ${nibble(2)} * 256 + ${nibble(3)} * 16 + ${nibble(4)}) % 100)"
   }
 
+  /** BM25 document ranking for a query term set (k1 = 1.2, b = 0.75):
+    * the classic retrieval scorer, here over the engine's tf table.
+    * Pure count arithmetic + one ln per (term, doc) — deterministic
+    * across engines with the decimal-sum trick for the per-doc total.
+    * One shuffle for tf, one for doc lengths, one tiny broadcast of the
+    * query terms; scales like the tf-idf pipeline it shares stages with.
+    */
+  def bm25(docs: DataFrame, queryTerms: DataFrame, k: Int = 50): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val tok = TfIdf.tokens(docs)
+    val n = docs.count().toDouble
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(sum(col("dl"))).head.getLong(0).toDouble / n
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(queryTerms), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .withColumn("idf", log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+    // quantize each term's contribution at 1e-6 BEFORE the exact sum:
+    // ln()/division differ across engines in the last ulp, and a
+    // 1e-16 discrepancy sits safely inside a 1e-6 grid cell (it flipped
+    // a digit at 1e-10 — observed at sf0.001)
+    perTerm.groupBy("doc_id")
+      .agg(sum(col("s").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-language sampling rates (percent) for corpus rebalancing:
     * downsample the over-represented language, keep the rest. A single
     * source of truth drives both the Column tree and the oracle CASE.
@@ -171,6 +205,13 @@ object TextOps extends graft.QueryModule {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("split")
+    },
+
+    // BM25 top-50 docs for the data-derived 3-term query (most frequent
+    // terms, ties lexicographic — hash-stable at every scale factor).
+    "q_bm25" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      bm25(docs, topTerms(docs, 3).select(col("stop_term").as("term")), 50)
     },
 
     // Stratified sampling for corpus rebalancing: per-language rates
@@ -283,6 +324,31 @@ object TextOps extends graft.QueryModule {
            |  count(*) AS n_docs,
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+      "q_bm25" ->
+        s"""WITH $tokCte,
+           |q AS (
+           |  SELECT term FROM (
+           |    SELECT term, count(*) AS n FROM tok GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 3)),
+           |n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+           |avgdl AS (
+           |  SELECT CAST(sum(dl) AS DOUBLE) / (SELECT n FROM n_docs) AS avgdl FROM dl),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |per_term AS (
+           |  SELECT tf.doc_id,
+           |    ln(((SELECT n FROM n_docs) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |      * (tf.tf * 2.2)
+           |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM avgdl))) AS s
+           |  FROM tf
+           |  JOIN q ON tf.term = q.term
+           |  JOIN df ON tf.term = df.term
+           |  JOIN dl ON tf.doc_id = dl.doc_id)
+           |SELECT doc_id,
+           |  CAST(CAST(sum(CAST(s AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS bm25
+           |FROM per_term GROUP BY doc_id
+           |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
       "q_stratified_sample" -> {
         val rateCase = strataRates
           .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
