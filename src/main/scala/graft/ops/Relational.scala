@@ -171,6 +171,23 @@ object Relational extends graft.QueryModule {
         .orderBy("c_custkey")
     },
 
+    // RANGE-frame window (value-based, not row-based): per-customer
+    // 90-day moving spend. RANGE handles sparse order dates correctly —
+    // a ROWS frame would silently span arbitrary time gaps. State per
+    // key is bounded by the frame width, so this scales like any
+    // per-key window.
+    "q_moving_revenue" -> { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-89, 0)
+      Tables.orders(spark, dir)
+        .filter(col("o_custkey") < 50)
+        .withColumn("day_num",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"))
+        .withColumn("spend_90d",
+          sum(col("o_totalprice").cast(DecimalType(28, 10))).over(w).cast("double"))
+        .select("o_custkey", "day_num", "o_orderkey", "spend_90d")
+        .orderBy("o_custkey", "day_num", "o_orderkey")
+    },
+
     // Ranked window with a unique tie-break (orderkey) so row_number is
     // deterministic; WindowGroupLimit pushes the rn<=3 filter down.
     "q_window_topn" -> { (spark, dir) =>
@@ -396,6 +413,17 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_moving_revenue" ->
+      """SELECT o_custkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_num,
+        |  o_orderkey,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
+        |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS spend_90d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, day_num, o_orderkey""".stripMargin,
+
     "q_full_outer" ->
       """WITH s AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_signups
