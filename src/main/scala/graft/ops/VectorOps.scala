@@ -94,6 +94,65 @@ object VectorOps extends graft.QueryModule {
       .select("qid", "cell", "rank", "vid", "cos")
   }
 
+  /** Lloyd's k-means over the embedding column — the trainer for real
+    * IVF coarse centroids (the declared q_ann_ivf keeps deterministic
+    * lowest-id stand-ins so its oracle stays cross-engine-exact; this
+    * is the library path a deployment would use).
+    *
+    * Deterministic: init = the k lowest vec_ids, assignment ties break
+    * by centroid id, updates average in vec_id order. Each iteration is
+    * one broadcast join (centroids ≪ corpus) + one groupBy(cluster) —
+    * no driver materialization except the k centroid vectors
+    * themselves, which is what makes this run at corpus scale; at
+    * 100 TB you train on a hash-sample (`TextOps.hashBucket`-style)
+    * and assign the full corpus once with the final centroids.
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    val e = castVec(embeddings, "vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = e.filter(col("vid") < k)
+      .select(col("vid").cast("int").as("cid"), col("vid_v").as("cid_v"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+      val assigned = e.join(broadcast(cent), lit(true))
+        .select(col("vid"), col("vid_v"), col("cid"),
+          call_function("array_cosine", col("vid_v"), col("cid_v")).as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      // per-dimension mean: explode to (cluster, dim, value), aggregate,
+      // reassemble in dimension order — stays distributed end to end
+      cent = assigned
+        .select(col("cid"), posexplode(col("vid_v")).as(Seq("dim", "x")))
+        // decimal mean: double avg() depends on partial-agg combine
+        // order across tasks; the "deterministic" guarantee needs an
+        // order-insensitive accumulator
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          / count(lit(1))).cast("double").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cid_v"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    cent
+  }
+
+  /** Mean cosine of every vector to its nearest centroid — the
+    * clustering quality metric (higher is tighter).
+    */
+  def assignmentQuality(embeddings: DataFrame, centroids: DataFrame): Double = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = castVec(embeddings, "vid")
+    e.join(broadcast(centroids), lit(true))
+      .select(col("vid"),
+        call_function("array_cosine", col("vid_v"), col("cid_v")).as("ccos"))
+      .groupBy("vid").agg(max(col("ccos")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_knn_bruteforce" -> { (spark, dir) =>
