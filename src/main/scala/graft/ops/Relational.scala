@@ -88,6 +88,19 @@ object Relational extends graft.QueryModule {
         .orderBy("l_returnflag", "measure")
     },
 
+    // ANSI-mode error handling: Spark 4 runs ANSI ON, so bad casts and
+    // zero divides THROW by default — the try_* family returns NULL
+    // instead, which is what a bulk pipeline over dirty data needs.
+    "q_try_fns" -> { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(
+          col("doc_id"),
+          col("source").try_cast("int").as("bad_cast"),
+          substring(col("source"), 4, 10).try_cast("int").as("src_num"),
+          try_divide(col("n_chars"), col("doc_id") % 5).as("ratio"))
+        .orderBy("doc_id")
+    },
+
     // TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
     // the shipdate filter and 6-column projection push into the parquet
     // scan. At 100 TB this is one shuffle of 6 tiny groups.
@@ -413,6 +426,14 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_try_fns" ->
+      """SELECT doc_id,
+        |  TRY_CAST(source AS INT) AS bad_cast,
+        |  TRY_CAST(substr(source, 4, 10) AS INT) AS src_num,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_moving_revenue" ->
       """SELECT o_custkey,
         |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_num,
