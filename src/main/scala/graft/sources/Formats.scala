@@ -47,4 +47,29 @@ object Formats {
       .option("timestampNTZFormat", tsNtzFmt)
       .schema(schema)
       .json(path)
+
+  /** Compact a parquet directory to ~targetMB output files, optionally
+    * sorting within files by the given columns (sorted files give
+    * parquet min/max row-group statistics real selectivity, so later
+    * point/range scans skip row groups).
+    *
+    * The small-files problem is the silent killer of long-running
+    * ingestion at scale: a stream or per-batch job writing a file per
+    * partition per trigger turns a table into millions of kilobyte
+    * files, and every downstream scan pays per-file open cost. Periodic
+    * compaction like this is the standard maintenance pass.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetMB: Int = 128, sortCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(inDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (bytes / (targetMB.toLong * 1024 * 1024)).toLong).toInt
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df.repartition(nFiles)
+    out.write.mode("overwrite").parquet(outDir)
+  }
 }

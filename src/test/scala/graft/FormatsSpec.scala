@@ -23,6 +23,27 @@ class FormatsSpec extends AnyFunSuite {
     assert(a.sameElements(b), s"$name value drift")
   }
 
+  test("compactParquet merges a fragmented table into few sorted files, data intact") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    val src = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val frag = java.nio.file.Files.createTempDirectory("frag").toString
+    val compacted = java.nio.file.Files.createTempDirectory("compact").toString
+    src.repartition(64).write.mode("overwrite").parquet(frag) // 64 tiny files
+    Formats.compactParquet(spark, frag, compacted, targetMB = 128,
+      sortCols = Seq("l_orderkey", "l_linenumber"))
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) == 64)
+    assert(parquetFiles(compacted) <= 4, s"expected few files, got ${parquetFiles(compacted)}")
+    val a = spark.read.parquet(frag).orderBy("l_orderkey", "l_linenumber")
+      .collect().map(_.toString)
+    val b = spark.read.parquet(compacted).orderBy("l_orderkey", "l_linenumber")
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("CSV round-trip preserves schema and values (incl. timestamps)") {
     roundtrips("csv", Formats.writeCsv, (p, s) => Formats.readCsv(spark, p, s))
   }
