@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev utility: quality metrics for the approximate operators — the
+  * companion to Bench's speed numbers. Measures IVF recall against the
+  * brute-force baseline and MinHash-LSH candidate recall against exact
+  * shingle-Jaccard truth.
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.EvalProbe
+  */
+object EvalProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.core.Tables.documents(spark, dir)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+
+    // IVF recall@5: fraction of brute-force top-5 neighbors the
+    // cell-restricted search also returns, per query, averaged.
+    val queryPredBrute = col("vec_id") >= 490
+    val truth = graft.ops.VectorOps.knn(emb, queryPredBrute, 5)
+      .select(col("qid"), col("vid"))
+    val got = graft.ops.VectorOps.ivfSearch(emb, col("vid") >= 490, 8, 5)
+      .select(col("qid"), col("vid"))
+    val nTruth = truth.count()
+    val hit = truth.join(got, Seq("qid", "vid"), "left_semi").count()
+    println(f"[eval] ivf_recall@5           ${hit.toDouble / nTruth}%.3f  ($hit/$nTruth)")
+
+    // trained centroids + multi-probe: the two recall levers
+    val trained = graft.ops.VectorOps.kmeans(emb, k = 8, iters = 5)
+    for (nprobe <- Seq(1, 2, 4)) {
+      val g = graft.ops.VectorOps
+        .ivfSearchCentroids(emb, col("vid") >= 490, trained, 5, nprobe)
+        .select(col("qid"), col("vid"))
+      val h = truth.join(g, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] ivf_kmeans_p$nprobe%d_recall@5 ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
+    }
+
+    // LSH candidate recall: fraction of true near-dup pairs (trigram
+    // jaccard >= 0.6) surfaced as MinHash band candidates; plus the
+    // candidate precision at est_jaccard >= 0.5.
+    val trueDups = graft.ops.Dedup.jaccardPairs(docs, 3, 0.6).select("d1", "d2")
+    val cand = graft.ops.Dedup.minhashCandidates(docs, 0.0).select("d1", "d2")
+    val scored = graft.ops.Dedup.minhashCandidates(docs, 0.5).select("d1", "d2")
+    val nTrue = trueDups.count()
+    val candHit = trueDups.join(cand, Seq("d1", "d2"), "left_semi").count()
+    val scoredN = scored.count()
+    val scoredTrue = scored.join(trueDups, Seq("d1", "d2"), "left_semi").count()
+    println(f"[eval] lsh_candidate_recall ${candHit.toDouble / nTrue}%.3f  ($candHit/$nTrue)")
+    println(f"[eval] lsh_est0.5_precision ${scoredTrue.toDouble / scoredN}%.3f  ($scoredTrue/$scoredN)")
+    spark.stop()
+  }
+}

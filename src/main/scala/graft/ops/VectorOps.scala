@@ -67,21 +67,36 @@ object VectorOps extends graft.QueryModule {
     */
   def ivfSearch(embeddings: DataFrame, queryPred: Column,
       nCentroids: Int = 8, k: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cent = castVec(embeddings.filter(col("vec_id") < nCentroids), "cid")
+      .select(col("cid").cast("int").as("cid"), col("cid_v"))
+    ivfSearchCentroids(embeddings, queryPred, cent, k, nprobe = 1)
+  }
+
+  /** IVF search against an explicit centroid table (e.g. from
+    * [[kmeans]]), with multi-probe: each query searches its `nprobe`
+    * closest cells, trading a linear factor of scanned cells for
+    * recall. The corpus side is still assigned to exactly one cell, so
+    * index size stays O(n); only the probe fan-out grows.
+    */
+  def ivfSearchCentroids(embeddings: DataFrame, queryPred: Column,
+      centroids: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cent = centroids.select(col("cid"), col("cid_v"))
     val all  = castVec(embeddings, "vid")
     val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
-    // persisted: the assignment pass feeds both the query side and the
-    // search side of the probe join — without caching the corpus×centroid
-    // scoring pipeline runs twice (measured 2× on the probe-heavy bench)
-    val assign = all.join(broadcast(cent), lit(true))
+    // persisted: the centroid-scoring pass feeds both the query side and
+    // the search side of the probe join — without caching the
+    // corpus×centroid pipeline runs twice (measured 2× on the bench)
+    val scored = all.join(broadcast(cent), lit(true))
       .select(col("vid"), col("vid_v"), col("cid"), cosRounded("vid", "cid").as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("vid_v"), col("cid").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = assign.filter(queryPred)
-      .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("cell"))
+    // every corpus vector lives in exactly one cell (rn = 1) …
+    val assign = scored.filter(col("rn") === 1)
+      .select(col("vid"), col("vid_v"), col("cid").as("cell"))
+    // … while a query probes its nprobe closest cells
+    val queries = scored.filter(queryPred && col("rn") <= nprobe)
+      .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("cid").as("cell"))
     val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     // broadcast the query side: `cell` has only nCentroids distinct
     // values, so a shuffled join would use at most nCentroids of the
