@@ -173,6 +173,25 @@ object TextOps extends graft.QueryModule {
       .limit(k)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing n-gram
+    * shingles with a probe set (the shingles of held-out eval
+    * documents). The probe side is tiny and broadcast; the corpus side
+    * is the same shingle stream every dedup sketch uses — one scan, one
+    * aggregate, no full-corpus pairwise anything. At 100 TB the probe
+    * set (all public benchmarks ≈ millions of n-grams) still fits in a
+    * broadcast; this is the standard eval-contamination filter of a
+    * training-data pipeline.
+    */
+  def contamination(docs: DataFrame, probeDocs: DataFrame, n: Int = 3): DataFrame = {
+    val corpus = Shingles.shingles(docs, n)
+    val probe = Shingles.shingles(probeDocs, n)
+      .select(col("shingle")).distinct()
+    corpus
+      .join(broadcast(probe), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_hits"))
+  }
+
   /** Per-language sampling rates (percent) for corpus rebalancing:
     * downsample the over-represented language, keep the rest. A single
     * source of truth drives both the Column tree and the oracle CASE.
@@ -205,6 +224,15 @@ object TextOps extends graft.QueryModule {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("split")
+    },
+
+    // Decontamination sweep: docs sharing >=3 distinct trigrams with
+    // the probe docs (doc_id < 3 stand in for held-out eval sets).
+    "q_contamination" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      contamination(docs.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
+        .filter(col("n_hits") >= 3)
+        .orderBy("doc_id")
     },
 
     // BM25 top-50 docs for the data-derived 3-term query (most frequent
@@ -324,6 +352,16 @@ object TextOps extends graft.QueryModule {
            |  count(*) AS n_docs,
            |  CAST(sum(n_chars) AS BIGINT) AS total_chars
            |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+      "q_contamination" ->
+        s"""WITH sh AS (${Shingles.shinglesSql(3)}),
+           |probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 3),
+           |hits AS (
+           |  SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+           |  FROM sh s JOIN probe p ON s.shingle = p.shingle
+           |  WHERE s.doc_id >= 3
+           |  GROUP BY s.doc_id)
+           |SELECT doc_id, n_hits FROM hits WHERE n_hits >= 3
+           |ORDER BY doc_id""".stripMargin,
       "q_bm25" ->
         s"""WITH $tokCte,
            |q AS (
