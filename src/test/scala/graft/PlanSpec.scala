@@ -70,4 +70,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_datetime_fns")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q_bm25 broadcasts the query-term and df sides") {
+    val p = plan("q_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_moving_revenue evaluates the RANGE frame on a single per-key exchange") {
+    val p = plan("q_moving_revenue")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_contamination broadcasts the probe shingle set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
