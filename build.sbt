@@ -15,6 +15,11 @@ run / fork := true
 // harness parses the JSON line from stdout and sbt's logger would
 // otherwise decorate it with "[info] ".
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// … and sbt must not print "[success] Total time: …" AFTER that JSON
+// line: the harness reads the last line of stdout (BENCH_r02 recorded
+// parsed:null with the JSON intact but followed by the [success] line).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,8 +86,10 @@ object MultimodalQueries extends graft.QueryModule {
     // Full decode pipeline (binary → per-partition stub decode →
     // feature struct). The stub is deterministic byte arithmetic, so
     // even this imperative stage has a full SQL oracle: the rolling
-    // checksum folds via list_reduce over the byte values (testdata
-    // text is pure ASCII, so chars == bytes).
+    // checksum folds via list_reduce over the byte values. PRECONDITION
+    // (asserted by MultimodalSpec): documents.text is pure printable
+    // ASCII — ascii(c) equals the UTF-8 byte only then, and the fold
+    // enumerates chars, not bytes.
     "q_multimodal_features" -> { (spark, dir) =>
       Multimodal.decodeStub(Multimodal.mediaTable(spark, dir)).toDF().orderBy("media_id")
     })
@@ -105,7 +107,7 @@ object MultimodalQueries extends graft.QueryModule {
         |    text,
         |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(regexp_extract_all(text, '.'),
+        |      list_transform(regexp_extract_all(text, '[\s\S]'),
         |                     c -> CAST(ascii(c) AS BIGINT))) AS bytes
         |  FROM documents)
         |SELECT media_id, kind, n_bytes,

@@ -43,9 +43,12 @@ object Graph {
       .select(col("src").as("node"), col("label"))
       .localCheckpoint(true)
     // labels only ever decrease, so Σ label is a strictly decreasing
-    // convergence metric — one cheap agg per round, no self-join diff
+    // convergence metric — one cheap agg per round, no self-join diff.
+    // sum() over zero rows is null — an empty edge list must converge
+    // immediately (empty result), not NPE in compareTo
     def sumLabels(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prev = sumLabels(labels)
     var it = 0
     var done = false

@@ -101,18 +101,29 @@ object VectorOps extends graft.QueryModule {
     // broadcast the query side: `cell` has only nCentroids distinct
     // values, so a shuffled join would use at most nCentroids of the
     // shuffle partitions — broadcast keeps the probe scan fully parallel
-    broadcast(queries).join(assign, Seq("cell"))
+    val result = broadcast(queries).join(assign, Seq("cell"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("cell"), col("vid"), cosRounded("qid", "vid").as("cos"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select("qid", "cell", "rank", "vid", "cos")
+      // eagerly materialize the top-k (tiny: nqueries × k rows) so the
+      // persisted corpus×centroid table can be dropped before returning
+      // — callers in a loop (EvalProbe's nprobe ladder, library users)
+      // must not accumulate MEMORY_AND_DISK cache per call
+      .localCheckpoint(true)
+    scored.unpersist(false)
+    result
   }
 
-  /** Lloyd's k-means over the embedding column — the trainer for real
-    * IVF coarse centroids (the declared q_ann_ivf keeps deterministic
-    * lowest-id stand-ins so its oracle stays cross-engine-exact; this
-    * is the library path a deployment would use).
+  /** Spherical Lloyd's k-means over the embedding column — the trainer
+    * for real IVF coarse centroids (the declared q_ann_ivf keeps
+    * deterministic lowest-id stand-ins so its oracle stays
+    * cross-engine-exact; this is the library path a deployment would
+    * use). Assignment is by cosine and centroid updates renormalize to
+    * the unit sphere, so the objective is the spherical k-means one;
+    * emptied clusters retain their previous centroid (always exactly k
+    * centroids out).
     *
     * Deterministic: init = the k lowest vec_ids, assignment ties break
     * by centroid id, updates average in vec_id order. Each iteration is
@@ -138,7 +149,7 @@ object VectorOps extends graft.QueryModule {
         .filter(col("rn") === 1)
       // per-dimension mean: explode to (cluster, dim, value), aggregate,
       // reassemble in dimension order — stays distributed end to end
-      cent = assigned
+      val means = assigned
         .select(col("cid"), posexplode(col("vid_v")).as(Seq("dim", "x")))
         // decimal mean: double avg() depends on partial-agg combine
         // order across tasks; the "deterministic" guarantee needs an
@@ -149,6 +160,22 @@ object VectorOps extends graft.QueryModule {
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cid_v"))
+      // spherical k-means: assignment is by cosine, so project the mean
+      // back onto the unit sphere — the update under which the cosine
+      // objective is monotone (plain means shrink toward the origin and
+      // can oscillate). The per-centroid transform is interpreted HOF
+      // but runs over only k rows.
+      val spherical = means
+        .withColumn("_n", expr(
+          "sqrt(aggregate(cid_v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
+        .select(col("cid"), expr(
+          "CASE WHEN _n = 0 THEN cid_v ELSE transform(cid_v, x -> x / _n) END"
+        ).as("cid_v"))
+      // a cluster that lost all members keeps its previous centroid so
+      // the trainer always returns exactly k centroids (deterministic —
+      // no data-dependent re-seeding)
+      cent = spherical
+        .union(cent.join(spherical.select("cid"), Seq("cid"), "left_anti"))
         .localCheckpoint(true)
     }
     e.unpersist()

@@ -28,6 +28,12 @@ class GraphSpec extends AnyFunSuite {
     assert(components(Seq((7L, 3L))) === components(Seq((3L, 7L))))
   }
 
+  test("an empty edge list yields an empty labeling (dup-free corpus)") {
+    // q_dedup_clusters feeds LSH candidate pairs here; zero candidates
+    // must produce the empty frame the oracle produces, not crash
+    assert(components(Seq.empty) === Map.empty)
+  }
+
   test("a cycle converges") {
     val got = components(Seq((2L, 3L), (3L, 4L), (4L, 2L)))
     assert(got === Map(2L -> 2L, 3L -> 2L, 4L -> 2L))

@@ -35,4 +35,12 @@ class KMeansSpec extends AnyFunSuite {
     assert(cent.length == 5)
     assert(cent.forall(_.getSeq[Double](1).length == 64))
   }
+
+  test("centroids are unit-norm (spherical update)") {
+    val cent = VectorOps.kmeans(emb, k = 8, iters = 3).collect()
+    cent.foreach { r =>
+      val n = math.sqrt(r.getSeq[Double](1).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid ${r.getInt(0)} norm $n")
+    }
+  }
 }

@@ -37,6 +37,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(m).rdd.getNumPartitions == 4)
   }
 
+  test("oracle precondition: documents.text is printable ASCII at every SF") {
+    // The q_multimodal_features DuckDB oracle folds ascii(char) per
+    // char, which equals the Scala per-UTF-8-byte checksum only while
+    // text has no multi-byte or control characters. If a testdata
+    // refresh breaks this, fail here with a diagnosis instead of an
+    // opaque hash mismatch in the driver gate.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val bad = graft.core.Tables.documents(spark, s"/root/testdata/$sf")
+        .filter(not(col("text").rlike("^[\\x20-\\x7e]*$"))).count()
+      assert(bad == 0L, s"$sf: $bad documents with non-printable-ASCII text " +
+        "— the q_multimodal_features oracle's ascii()-fold no longer matches " +
+        "the byte checksum; switch the oracle to a byte-level fold")
+    }
+  }
+
   test("metadata: native-function projection over the binary column") {
     val md = Multimodal.metadata(Multimodal.mediaTable(spark, dir))
     val row = md.filter(col("media_id") === 0).collect().head
