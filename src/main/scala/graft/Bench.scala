@@ -20,6 +20,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: the suite's ~65 queries × several
+      // codegen stages each overflow that between the warmup and timed
+      // passes, so every timed query would recompile its generated code
+      // — the warmup only pays off if the cache can hold the suite
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>
