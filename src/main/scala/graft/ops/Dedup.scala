@@ -193,6 +193,20 @@ object Dedup extends graft.QueryModule {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
   }
 
+  /** The deduplicated corpus itself: drop every non-canonical member of
+    * a near-dup cluster (keep the min-doc_id representative), keep all
+    * docs without a near-dup partner. This is the step that actually
+    * emits training data — [[dupClusters]] is its decision table. The
+    * drop set (cluster members ≠ label) is tiny relative to the corpus,
+    * so the anti-join broadcasts it and the corpus never shuffles.
+    */
+  def dedupedCorpus(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val drop = dupClusters(docs, minEstJaccard)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+  }
+
   /** SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
     * that keeps this O(docs) at scale), then exact Hamming ≤ maxHamming.
     */
@@ -229,6 +243,15 @@ object Dedup extends graft.QueryModule {
 
     "q_dedup_clusters" -> { (spark, dir) =>
       dupClusters(Tables.documents(spark, dir), 0.5).orderBy("doc_id")
+    },
+
+    // The emitted training corpus after near-dup removal, summarized
+    // per language (tiny stable output; the full frame is the API).
+    "q_dedup_keep" -> { (spark, dir) =>
+      dedupedCorpus(Tables.documents(spark, dir), 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
     },
 
     "q_simhash" -> { (spark, dir) =>
@@ -367,6 +390,39 @@ object Dedup extends graft.QueryModule {
            |SELECT node AS doc_id, cluster_id,
            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
            |FROM labels ORDER BY doc_id""".stripMargin,
+      "q_dedup_keep" ->
+        s"""WITH RECURSIVE $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+           |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+           |drops AS (SELECT node AS doc_id FROM labels WHERE node <> cluster_id)
+           |SELECT d.lang, count(*) AS n_kept,
+           |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+           |FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
       "q_simhash" ->
         s"""WITH $shingleHashCte,
            |$simhashCte

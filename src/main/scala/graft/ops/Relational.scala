@@ -33,6 +33,86 @@ object Relational extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Argmin join (TPC-H Q2 shape): per part, the supplier offering the
+    // lowest price — a single min(struct(price, suppkey)) aggregate, so
+    // ties break deterministically by suppkey and no window shuffle or
+    // join-back is needed; then a per-supplier rollup joined to the
+    // (broadcast) supplier dim. Two shuffles total at any scale.
+    "q_cheapest_supplier" -> { (spark, dir) =>
+      val cheapest = Tables.lineitem(spark, dir)
+        .groupBy("l_partkey")
+        .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("m"))
+        .select(
+          col("l_partkey"),
+          col("m.l_extendedprice").as("min_price"),
+          col("m.l_suppkey").as("suppkey"))
+      cheapest
+        .groupBy("suppkey")
+        .agg(count(lit(1)).as("n_parts_cheapest"), dsum(col("min_price")).as("sum_min_price"))
+        .join(broadcast(Tables.supplier(spark, dir)), col("suppkey") === col("s_suppkey"))
+        .select("suppkey", "s_name", "n_parts_cheapest", "sum_min_price")
+        .orderBy("suppkey")
+    },
+
+    // Generator + gap fill: a calendar spine from sequence()/explode
+    // (no driver round-trip — the min/max span stays a one-row frame),
+    // left-joined to per-day order counts, rolled up monthly. The spine
+    // is generated data, so this also covers "rows from nothing"; at
+    // scale the spine is tiny and broadcast to the daily aggregate.
+    "q_date_spine" -> { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val spine = o.agg(min(col("o_orderdate")).as("d0"), max(col("o_orderdate")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val daily = o.groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(when(col("n_orders").isNotNull, 1L).otherwise(0L)).as("active_days"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("n_orders"))
+        .orderBy("month")
+    },
+
+    // Correlated LATERAL subquery: per high-balance customer, their top-2
+    // orders by price — the lateral body re-evaluates per outer row
+    // (logically); Catalyst decorrelates it into a ranked join, so the
+    // physical plan is the same window-topn shape that scales.
+    "q_lateral_topn" -> { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_acctbal > 9000
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    },
+
+    // Map-typed columns: per-customer order-status histogram as a real
+    // MapType (entries sorted for determinism), read back with
+    // try_element_at (ANSI mode: plain element_at throws on a missing
+    // key), map_keys, and size. Maps live entirely inside the row —
+    // no extra shuffle beyond the two aggregates.
+    "q_map_fns" -> { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_custkey")
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("o_orderstatus").as("k"), col("cnt").as("v"))))).as("m"))
+        .select(
+          col("o_custkey"),
+          size(col("m")).as("n_statuses"),
+          coalesce(try_element_at(col("m"), lit("F")), lit(0L)).as("n_finished"),
+          coalesce(try_element_at(col("m"), lit("O")), lit(0L)).as("n_open"),
+          concat_ws(",", map_keys(col("m"))).as("statuses"))
+        .orderBy("o_custkey")
+    },
+
     // Skew-salted join on the graded surface: result is identical to the
     // plain orders⋈customer (the oracle runs the plain form) — the salt
     // spreads each join key over 8 sub-keys with the dim replicated per
@@ -426,6 +506,44 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_cheapest_supplier" ->
+      s"""WITH ranked AS (
+         |  SELECT l_partkey, l_extendedprice, l_suppkey,
+         |    row_number() OVER (PARTITION BY l_partkey
+         |      ORDER BY l_extendedprice, l_suppkey) AS rn
+         |  FROM lineitem),
+         |cheapest AS (
+         |  SELECT l_partkey, l_extendedprice AS min_price, l_suppkey AS suppkey
+         |  FROM ranked WHERE rn = 1)
+         |SELECT c.suppkey, s.s_name, count(*) AS n_parts_cheapest,
+         |  ${ds("c.min_price")} AS sum_min_price
+         |FROM cheapest c JOIN supplier s ON c.suppkey = s.s_suppkey
+         |GROUP BY c.suppkey, s.s_name ORDER BY c.suppkey""".stripMargin,
+    "q_date_spine" ->
+      """WITH span AS (SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM span),
+        |daily AS (SELECT o_orderdate AS day, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT date_trunc('month', s.day) AS month, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN d.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS active_days,
+        |  CAST(coalesce(sum(d.n_orders), 0) AS BIGINT) AS n_orders
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |GROUP BY date_trunc('month', s.day) ORDER BY month""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_acctbal > 9000
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+    "q_map_fns" ->
+      """SELECT o_custkey,
+        |  CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_finished,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_open,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_try_fns" ->
       """SELECT doc_id,
         |  TRY_CAST(source AS INT) AS bad_cast,

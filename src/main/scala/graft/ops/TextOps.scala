@@ -192,6 +192,68 @@ object TextOps extends graft.QueryModule {
       .agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
+  /** Cumulative data-curation filter funnel: per-stage survivor counts
+    * for the standard cleaning chain (length band → minimum token
+    * count → stopword-density cap → exact-dup removal). One tokenize
+    * pass + one window over the content hash — no per-stage rescans, so
+    * the funnel costs the same as a single quality pass at any scale.
+    * Each stage is cumulative (ANDs all earlier predicates), which is
+    * what an ablation report of a training-data pipeline shows.
+    */
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    val stats = TfIdf.tokens(docs)
+      .join(broadcast(topTerms(docs)), col("term") === col("stop_term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("stop_term").isNotNull, 1L).otherwise(0L)).as("n_stop"))
+    val wDup = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val flags = docs.join(stats, Seq("doc_id"), "left")
+      .withColumn("keep_doc", min(col("doc_id")).over(wDup))
+      .select(
+        col("n_chars").between(100, 500).as("f_len"),
+        (coalesce(col("n_tokens"), lit(0L)) >= 40).as("f_tok"),
+        (coalesce(col("n_stop"), lit(0L)).cast("double")
+          / coalesce(col("n_tokens"), lit(1L)) <= 0.6).as("f_stop"),
+        (col("doc_id") === col("keep_doc")).as("f_uniq"))
+    flags.agg(
+        count(lit(1)).as("s0"),
+        sum(when(col("f_len"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("f_len") && col("f_tok"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("f_len") && col("f_tok") && col("f_stop"), 1L).otherwise(0L)).as("s3"),
+        sum(when(col("f_len") && col("f_tok") && col("f_stop") && col("f_uniq"), 1L)
+          .otherwise(0L)).as("s4"))
+      .select(expr(
+        """stack(5,
+          |  '0_all',        s0,
+          |  '1_length',     s1,
+          |  '2_min_tokens', s2,
+          |  '3_stopwords',  s3,
+          |  '4_exact_dedup',s4)""".stripMargin).as(Seq("stage", "n_docs")))
+      .orderBy("stage")
+  }
+
+  /** Per-source rebalancing to the smallest source's size: compute each
+    * source's integer keep-rate toward the global minimum count, then
+    * apply it with the deterministic content-hash bucket. The rate
+    * derivation is a global window over the (tiny) per-source count
+    * frame — no driver round-trip — and the selection is one codegen'd
+    * scan pass, so the whole rebalance is one aggregate + one scan at
+    * any corpus size.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        expr("100 * min(n_docs) OVER () DIV n_docs"))
+    docs.join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("rate")).as("rate"),
+        sum(when(hashBucket(col("doc_id")) < col("rate"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Per-language sampling rates (percent) for corpus rebalancing:
     * downsample the over-represented language, keep the rest. A single
     * source of truth drives both the Column tree and the oracle CASE.
@@ -277,6 +339,16 @@ object TextOps extends graft.QueryModule {
 
     "q_token_stats" -> { (spark, dir) =>
       tokenStats(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
+    // Curation-funnel ablation: survivors after each cumulative filter.
+    "q_quality_funnel" -> { (spark, dir) =>
+      qualityFunnel(Tables.documents(spark, dir))
+    },
+
+    // Domain-mix rebalancing toward the smallest source.
+    "q_source_mix" -> { (spark, dir) =>
+      sourceMix(Tables.documents(spark, dir))
     },
 
     // Tokenizer comparison: whitespace count, BPE-ish regex token count
@@ -409,6 +481,45 @@ object TextOps extends graft.QueryModule {
            |  CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS ttr,
            |  CAST(sum(length(term)) AS DOUBLE) / count(*) AS avg_token_len
            |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_quality_funnel" ->
+        s"""WITH $tokCte,
+           |stop AS ($topTermsSql),
+           |stats AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens,
+           |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+           |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+           |  GROUP BY t.doc_id),
+           |flags AS (
+           |  SELECT
+           |    d.n_chars BETWEEN 100 AND 500 AS f_len,
+           |    coalesce(st.n_tokens, 0) >= 40 AS f_tok,
+           |    CAST(coalesce(st.n_stop, 0) AS DOUBLE)
+           |      / coalesce(st.n_tokens, 1) <= 0.6 AS f_stop,
+           |    d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS f_uniq
+           |  FROM documents d LEFT JOIN stats st ON d.doc_id = st.doc_id),
+           |agg AS (
+           |  SELECT count(*) AS s0,
+           |    CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+           |    CAST(sum(CASE WHEN f_len AND f_tok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+           |    CAST(sum(CASE WHEN f_len AND f_tok AND f_stop THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+           |    CAST(sum(CASE WHEN f_len AND f_tok AND f_stop AND f_uniq THEN 1 ELSE 0 END) AS BIGINT) AS s4
+           |  FROM flags)
+           |SELECT '0_all' AS stage, s0 AS n_docs FROM agg
+           |UNION ALL SELECT '1_length', s1 FROM agg
+           |UNION ALL SELECT '2_min_tokens', s2 FROM agg
+           |UNION ALL SELECT '3_stopwords', s3 FROM agg
+           |UNION ALL SELECT '4_exact_dedup', s4 FROM agg
+           |ORDER BY stage""".stripMargin,
+      "q_source_mix" ->
+        s"""WITH rates AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    100 * min(count(*)) OVER () // count(*) AS rate
+           |  FROM documents GROUP BY source)
+           |SELECT d.source, max(r.n_docs) AS n_docs, max(r.rate) AS rate,
+           |  CAST(sum(CASE WHEN ${hashBucketSql("d.doc_id")} < r.rate
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents d JOIN rates r ON d.source = r.source
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
       "q_token_count" ->
         """SELECT doc_id,
           |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,

@@ -80,6 +80,23 @@ object VectorOps extends graft.QueryModule {
     */
   def ivfSearchCentroids(embeddings: DataFrame, queryPred: Column,
       centroids: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val (result, scored) = ivfSearchLazy(embeddings, queryPred, centroids, k, nprobe)
+    // eagerly materialize the top-k (tiny: nqueries × k rows) so the
+    // persisted corpus×centroid table can be dropped before returning
+    // — callers in a loop (EvalProbe's nprobe ladder, library users)
+    // must not accumulate MEMORY_AND_DISK cache per call
+    val out = result.localCheckpoint(true)
+    scored.unpersist(false)
+    out
+  }
+
+  /** The probe pipeline, lazily: (result, persisted scored table). The
+    * public wrapper materializes and unpersists; PlanSpec asserts the
+    * broadcast shape here, before localCheckpoint truncates the plan to
+    * an ExistingRDD scan.
+    */
+  private[graft] def ivfSearchLazy(embeddings: DataFrame, queryPred: Column,
+      centroids: DataFrame, k: Int, nprobe: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cent = centroids.select(col("cid"), col("cid_v"))
     val all  = castVec(embeddings, "vid")
@@ -107,13 +124,7 @@ object VectorOps extends graft.QueryModule {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select("qid", "cell", "rank", "vid", "cos")
-      // eagerly materialize the top-k (tiny: nqueries × k rows) so the
-      // persisted corpus×centroid table can be dropped before returning
-      // — callers in a loop (EvalProbe's nprobe ladder, library users)
-      // must not accumulate MEMORY_AND_DISK cache per call
-      .localCheckpoint(true)
-    scored.unpersist(false)
-    result
+    (result, scored)
   }
 
   /** Spherical Lloyd's k-means over the embedding column — the trainer

@@ -62,7 +62,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_ann_ivf broadcasts the probe's query side (cell key would park on nCentroids partitions)") {
-    val p = plan("q_ann_ivf")
+    // assert on the lazy pipeline: the public wrapper localCheckpoints
+    // (to drop its persisted working table), which truncates the
+    // visible plan to an ExistingRDD scan
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("cid_v"))
+    val (result, scored) = graft.ops.VectorOps.ivfSearchLazy(
+      emb, col("vid") >= 490, cent, 5, 1)
+    val p = result.queryExecution.executedPlan.toString
+    scored.unpersist(false)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
