@@ -77,6 +77,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_lateral_topn decorrelates to a ranked join (no per-row re-execution shapes)") {
+    val p = plan("q_lateral_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_cheapest_supplier computes the argmin as an aggregate, not a window") {
+    val p = plan("q_cheapest_supplier")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+  }
+
+  test("q_date_spine gap-fills via broadcast of the bounded daily aggregate") {
+    val p = plan("q_date_spine")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_datetime_fns computes entirely on the scan: no shuffle except the output sort") {
     val p = plan("q_datetime_fns")
     assert(!p.contains("Exchange hashpartitioning"), p)
