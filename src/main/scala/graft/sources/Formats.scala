@@ -48,6 +48,17 @@ object Formats {
       .schema(schema)
       .json(path)
 
+  /** ORC round-trip: the other self-describing columnar format Spark
+    * ships a vectorized reader for (predicate pushdown and column
+    * pruning work like parquet's). Useful when a neighboring system
+    * exchanges ORC; parquet remains the canonical store.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Compact a parquet directory to ~targetMB output files, optionally
     * sorting within files by the given columns (sorted files give
     * parquet min/max row-group statistics real selectivity, so later

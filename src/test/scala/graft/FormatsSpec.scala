@@ -51,4 +51,19 @@ class FormatsSpec extends AnyFunSuite {
   test("JSON round-trip preserves schema and values (incl. timestamps)") {
     roundtrips("json", Formats.writeJson, (p, s) => Formats.readJson(spark, p, s))
   }
+
+  test("ORC round-trip preserves schema and values (incl. timestamps)") {
+    roundtrips("orc", Formats.writeOrc, (p, s) => Formats.readOrc(spark, p, s))
+  }
+
+  test("ORC scan gets pushdown: filter reaches the reader as a search argument") {
+    val src = Tables.lineitem(spark, dir)
+    val tmp = Files.createTempDirectory("graft-orc-pushdown").toString + "/t"
+    Formats.writeOrc(src, tmp)
+    val plan = Formats.readOrc(spark, tmp, src.schema)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"), plan)
+  }
 }
