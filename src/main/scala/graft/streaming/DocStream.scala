@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.TextOps
+
+/** Streaming curation-on-ingest: the training-data cleaning pass
+  * applied while documents arrive, instead of as a post-hoc batch.
+  *
+  * [[curate]] is a plain DataFrame → DataFrame transform, so the SAME
+  * code runs in batch and under Structured Streaming (asserted equal in
+  * DocStreamSpec) — the Spark-idiomatic way to keep an ingest filter
+  * and a backfill job from drifting apart.
+  *
+  * Everything here is stateless (per-row projections + filters), so the
+  * stream needs no watermark and scales with partition count alone.
+  * Cross-document steps — near-dup removal, stopword-aware quality —
+  * stay in the batch layer ([[graft.ops.Dedup]], [[graft.ops.TextOps]]),
+  * or for exact dup-on-ingest use
+  * `withWatermark(ingest_ts).dropDuplicatesWithinWatermark("content_md5")`
+  * on streams that carry an ingest timestamp (see
+  * [[EventStream.dedupEvents]] for the eviction-safe pattern).
+  */
+object DocStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      // glob: FileStreamSource wants the basePath to be a directory
+      .parquet(s"$sfDir/documents.*")
+
+  /** Ingest-time curation: token/length features, content fingerprint,
+    * deterministic train/valid/test assignment, and the stateless
+    * quality filters (length band + minimum token count). Identical
+    * semantics in batch and streaming.
+    */
+  def curate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(filter(split(col("text"), " "), t => t =!= "")))
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("split",
+        when(TextOps.hashBucket(col("doc_id")) < 80, "train")
+          .when(TextOps.hashBucket(col("doc_id")) < 90, "valid")
+          .otherwise("test"))
+      .filter(col("n_chars").between(100, 500) && col("n_tokens") >= 20)
+
+  /** Run the curated stream into a parquet table via foreachBatch — the
+    * sink shape that lets a streaming job reuse any batch writer (here:
+    * append, partitioned by split so downstream training readers prune).
+    */
+  def writeCurated(curated: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    curated.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("split").parquet(outDir)
+      }
+      .start()
+}
