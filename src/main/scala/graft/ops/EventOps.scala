@@ -53,6 +53,28 @@ object EventOps extends graft.QueryModule {
         .orderBy("tier")
     },
 
+    // Attribution join: each view matched to the same user's purchases
+    // within the following hour — the batch twin of the watermarked
+    // stream-stream join (streaming.EventStream.viewToPurchase), so the
+    // streaming operator's semantics are DuckDB-oracle-checked through
+    // this declared form. Equi-join on user_id carries the work; the
+    // time band is a post-join filter, so the plan is a plain hash/SMJ
+    // that scales with the user-key shuffle.
+    "q_attribution" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"),
+          col("ts").as("purchase_ts"))
+      views.join(buys,
+          col("user_id") === col("b_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
+        .orderBy("view_id", "purchase_id")
+    },
+
     // Tumbling 1-hour windows per event type (batch form of the
     // streaming windowed aggregation).
     "q_event_windows" -> { (spark, dir) =>
@@ -177,6 +199,14 @@ object EventOps extends graft.QueryModule {
          |FROM events JOIN t ON value >= lo AND value < hi
          |GROUP BY tier ORDER BY tier""".stripMargin
     },
+    "q_attribution" ->
+      """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
     "q_event_windows" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n, ${DS.format("value")} AS sum_value
