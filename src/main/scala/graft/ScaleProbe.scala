@@ -61,6 +61,33 @@ object ScaleProbe {
     time("topk") {
       ord.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50).count()
     }
+
+    // dedup/sketch family over a replicated corpus. Each replica gets a
+    // Caesar-translated text (all shingles distinct across replicas) so
+    // the near-dup graph stays realistic — identical replicas would put
+    // every copy of a doc in one LSH bucket and the candidate join
+    // would grow quadratically, which no real corpus does.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // 26 distinct rotations exist; past that, replicas would repeat a
+    // translation and collide as exact dups, inflating the pair join
+    val dFactor = math.min(factor, 26)
+    val docs = (0 until dFactor).map { i =>
+      val to = alpha.drop(i % 26) + alpha.take(i % 26)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", translate(col("text"), alpha, to))
+    }.reduce(_ unionByName _)
+    docs.persist()
+    println(s"[scale] documents ${docs.count()} rows (${dFactor}x)")
+    time("dedup_minhash_lsh") {
+      graft.ops.Dedup.minhashCandidates(docs, 0.5).count()
+    }
+    time("dedup_simhash_fp") {
+      graft.ops.Dedup.simhashFingerprints(docs).count()
+    }
+    time("text_quality") {
+      graft.ops.TextOps.qualityScores(docs).count()
+    }
     spark.stop()
   }
 }
