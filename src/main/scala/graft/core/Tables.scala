@@ -24,6 +24,18 @@ object Tables {
     table(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+  /** Register every testdata table as a temp view so the whole engine
+    * surface is reachable from plain `spark.sql(...)` — the SQL layer
+    * the reference never had. Views are metadata-only; scans, pushdown
+    * and pruning behave exactly as via the DataFrame loaders.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
