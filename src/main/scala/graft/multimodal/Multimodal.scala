@@ -72,6 +72,46 @@ object Multimodal {
       col("media_id"), col("kind"),
       length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("content_md5"))
+
+  /** Frame sampling over video payloads, entirely in native functions:
+    * fixed-size pseudo-frames (a real container would read frame
+    * offsets from its index), keep every `every`-th frame, fingerprint
+    * each kept frame's byte slice. explode(sequence(...)) generates the
+    * frame rows on the executors — the per-payload fan-out never builds
+    * a driver-side list, and the substring/md5 stay in codegen.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, every: Int = 4): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"),
+        ceil(length(col("payload")).cast("double") / frameBytes).cast("long").as("n_frames"))
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))).as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("frame_off"),
+        md5(substring(col("payload"), (col("frame_idx") * frameBytes + 1).cast("int"),
+          lit(frameBytes))).as("frame_md5"))
+
+  /** Resize stage, partition-parallel like [[decodeStub]].
+    *
+    * STUB: a real implementation would decode, scale with an image
+    * library, and re-encode; this deterministic fake halves the payload
+    * by dropping every second byte so the pipeline shape (binary in →
+    * smaller binary out, batched per partition) is exercised.
+    */
+  def resizeStub(media: DataFrame, factor: Int = 2): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val out = new Array[Byte]((r.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * factor); i += 1 }
+        MediaRecord(r.media_id, r.kind, out)
+      }
+    }
+  }
 }
 
 /** Declared-query surface for the multimodal plumbing (metadata only —
@@ -92,6 +132,12 @@ object MultimodalQueries extends graft.QueryModule {
     // enumerates chars, not bytes.
     "q_multimodal_features" -> { (spark, dir) =>
       Multimodal.decodeStub(Multimodal.mediaTable(spark, dir)).toDF().orderBy("media_id")
+    },
+    // Frame sampling: every 4th 64-byte pseudo-frame of each video
+    // payload, fingerprinted — all native fns, so fully oracle-checked.
+    "q_frame_sample" -> { (spark, dir) =>
+      Multimodal.frameSample(Multimodal.mediaTable(spark, dir), 64, 4)
+        .orderBy("media_id", "frame_idx")
     })
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_meta" ->
@@ -100,6 +146,19 @@ object MultimodalQueries extends graft.QueryModule {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+    // kind = 'video' ⇔ doc_id % 3 = 2; text is ASCII (asserted in
+    // MultimodalSpec), so substr over text equals the byte slice.
+    "q_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, frame_idx, frame_idx * 64 AS frame_off,
+        |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM (SELECT media_id, text,
+        |        unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+        |      FROM v)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

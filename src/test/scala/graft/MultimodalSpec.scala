@@ -37,6 +37,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeStub(m).rdd.getNumPartitions == 4)
   }
 
+  test("resizeStub halves payloads deterministically, schema preserved") {
+    val m = Multimodal.mediaTable(spark, dir)
+    val r = Multimodal.resizeStub(m, 2).collect().sortBy(_.media_id)
+    val orig = m.collect().map(x => x.getLong(0) -> x.getAs[Array[Byte]]("payload")).toMap
+    assert(r.length == orig.size)
+    r.foreach { rec =>
+      val o = orig(rec.media_id)
+      assert(rec.payload.length == (o.length + 1) / 2)
+      assert(rec.payload.zipWithIndex.forall { case (b, i) => b == o(i * 2) })
+    }
+  }
+
+  test("frameSample emits every 4th fixed-size frame of video payloads only") {
+    val fs = Multimodal.frameSample(Multimodal.mediaTable(spark, dir), 64, 4)
+      .collect()
+    assert(fs.nonEmpty)
+    val vids = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2).count()
+    assert(fs.map(_.getLong(0)).distinct.length == vids)
+    assert(fs.forall(r => r.getLong(1) % 4 == 0))
+    assert(fs.forall(r => r.getLong(2) == r.getLong(1) * 64))
+  }
+
   test("oracle precondition: documents.text is printable ASCII at every SF") {
     // The q_multimodal_features DuckDB oracle folds ascii(char) per
     // char, which equals the Scala per-UTF-8-byte checksum only while
