@@ -100,13 +100,27 @@ object Dedup extends graft.QueryModule {
 
   /** Near-dup pairs by n-gram-shingle Jaccard ≥ threshold; candidates
     * come from an inverted-index self-join on the shingle, never
-    * |docs|² pairs. At extreme scale, cap posting-list length first
-    * (drop shingles above a df ceiling) or pre-filter with
-    * [[minhashCandidates]].
+    * |docs|² pairs.
+    *
+    * `dfCeiling`: the 100 TB knob. The self-join's cost is Σ df² over
+    * shingles, so one stop-phrase shingle shared by a million documents
+    * dominates everything; dropping shingles with df above the ceiling
+    * (standard near-dup practice, cf. suffix-array/minhash pipelines)
+    * bounds every posting list while barely moving Jaccard on real
+    * near-dups — their overlap lives in the rare shingles. Note the
+    * intersection AND both sizes are computed over the capped shingle
+    * set, so the score stays a true Jaccard of the reduced universe.
+    * Default Int.MaxValue = exact semantics (the declared query's
+    * oracle contract).
     */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      dfCeiling: Int = Int.MaxValue): DataFrame = {
+    val shAll = Shingles.shingles(docs, n).distinct()
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     // persisted: referenced three times (sizes + both join sides)
-    val sh = Shingles.shingles(docs, n).distinct()
+    val sh = (if (dfCeiling == Int.MaxValue) shAll
+      else shAll.withColumn("_df", count(lit(1)).over(wDf))
+        .filter(col("_df") <= dfCeiling).drop("_df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a").join(sh.as("b"),

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Unit tests for dedup knobs not covered by the declared queries. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("jaccardPairs dfCeiling: capped posting lists keep near-dup recall") {
+    def pairSet(ceiling: Int) =
+      Dedup.jaccardPairs(docs, 3, 0.6, ceiling)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Int.MaxValue)
+    val capped = pairSet(4)
+    assert(exact.nonEmpty)
+    // real near-dups overlap on their rare shingles, so dropping the
+    // high-df head must retain (almost) all of them
+    val recall = (exact intersect capped).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall: exact=${exact.size} capped=${capped.size}")
+  }
+
+  test("jaccardPairs dfCeiling actually bounds the join input") {
+    import org.apache.spark.sql.functions._
+    val sh = graft.text.Shingles.shingles(docs, 3).distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val total = sh.count()
+    val kept = sh.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= 4).count()
+    assert(kept < total, s"ceiling removed nothing ($kept of $total)")
+  }
+}
