@@ -32,6 +32,35 @@ object EventOps extends graft.QueryModule {
     ("micro", 0.0, 1.0), ("small", 1.0, 30.0), ("medium", 20.0, 80.0),
     ("large", 60.0, 1000.0), ("jumbo", 250.0, 1000.0))
 
+  /** Large-large interval join: match each point row to every range row
+    * whose [lo, hi) contains its value, WITHOUT a nested-loop join.
+    * Both sides map onto a common grid — each range explodes into the
+    * cells it covers, each point into its one cell — then a plain
+    * equi-join on the cell id carries the work and the exact containment
+    * predicate filters the cell-mates. Spark plans it as a hash/SMJ that
+    * shuffles on the cell id, so it scales like any fact-fact join;
+    * `gridWidth` trades replication of wide ranges against cell
+    * selectivity. (The declared q_interval_join keeps the broadcast BNLJ
+    * — the right plan when one side is tiny; this is the documented path
+    * when both sides are large. Equality of the two asserted in
+    * IntervalJoinSpec.)
+    */
+  def intervalJoinBucketed(points: DataFrame, valueCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      gridWidth: Double): DataFrame = {
+    val cellOf = (c: org.apache.spark.sql.Column) => floor(c / gridWidth).cast("long")
+    val rangeCells = ranges.withColumn("__cell",
+      explode(sequence(cellOf(col(loCol)),
+        // hi is exclusive: a range ending exactly on a cell boundary
+        // does not reach into that cell
+        cellOf(when(col(hiCol) === floor(col(hiCol) / gridWidth) * gridWidth,
+          col(hiCol) - lit(gridWidth)).otherwise(col(hiCol))))))
+    val pointCells = points.withColumn("__cell", cellOf(col(valueCol)))
+    pointCells.join(rangeCells, Seq("__cell"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__cell")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Interval join: match each event to every tier whose [lo, hi)
