@@ -43,6 +43,16 @@ object EvalProbe {
       println(f"[eval] ivf_kmeans_p$nprobe%d_recall@5 ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
     }
 
+    // sign-projection LSH ANN: the no-training bucketing alternative —
+    // fewer planes = bigger buckets = more recall for more scan
+    for (planes <- Seq(4, 6, 8)) {
+      val g = graft.ops.VectorOps
+        .lshSearch(emb, col("vid") >= 490, planes, 64, 5)
+        .select(col("qid"), col("vid"))
+      val h = truth.join(g, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] lsh_p${planes}%d_recall@5       ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
+    }
+
     // LSH candidate recall: fraction of true near-dup pairs (trigram
     // jaccard >= 0.6) surfaced as MinHash band candidates; plus the
     // candidate precision at est_jaccard >= 0.5.

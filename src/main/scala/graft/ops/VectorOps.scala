@@ -127,6 +127,53 @@ object VectorOps extends graft.QueryModule {
     (result, scored)
   }
 
+  /** Sign-random-projection LSH for cosine ANN — the bucketing
+    * alternative to IVF: project every vector onto `nPlanes` fixed
+    * hyperplanes, bucket by the sign-bit word, and answer each query
+    * from its own bucket. No training pass (unlike IVF's centroids);
+    * recall comes from bucket collision probability 1−θ/π per plane.
+    *
+    * The hyperplane weights are deterministic pseudo-random constants
+    * (splitmix64 of (plane, dim), driver-side, engine-independent), so
+    * the index is reproducible across runs and clusters. The per-vector
+    * signature is a flat ±w·x sum chain — whole-stage codegen, no
+    * interpreted higher-order functions — and the bucket equi-join
+    * shuffles O(n) rows once, which is the entire index cost at 100 TB.
+    */
+  def lshSearch(embeddings: DataFrame, queryPred: Column,
+      nPlanes: Int = 8, dims: Int = 64, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // splitmix64 → uniform in [-1, 1); pure integer mixing, no RNG state
+    def w(plane: Int, dim: Int): Double = {
+      var z = (plane.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val all = castVec(embeddings, "vid")
+    val bucket = (0 until nPlanes).map { p =>
+      val dot = (0 until dims)
+        .map(i => element_at(col("vid_v"), i + 1) * lit(w(p, i)))
+        .reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val signed = all.withColumn("bucket", bucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = signed.filter(queryPred)
+      .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("bucket"))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    val result = broadcast(queries).join(signed, Seq("bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("bucket"), col("vid"), cosRounded("qid", "vid").as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("qid", "bucket", "rank", "vid", "cos")
+      .localCheckpoint(true)
+    signed.unpersist(false)
+    result
+  }
+
   /** Spherical Lloyd's k-means over the embedding column — the trainer
     * for real IVF coarse centroids (the declared q_ann_ivf keeps
     * deterministic lowest-id stand-ins so its oracle stays

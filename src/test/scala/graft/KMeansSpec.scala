@@ -36,6 +36,20 @@ class KMeansSpec extends AnyFunSuite {
     assert(cent.forall(_.getSeq[Double](1).length == 64))
   }
 
+  test("lshSearch: deterministic, bucket-consistent, returns ranked neighbors") {
+    def run() = VectorOps.lshSearch(emb, col("vid") >= 495, 4, 64, 5)
+      .collect().map(_.toString).sorted.toList
+    val a = run()
+    assert(a == run(), "LSH index must be reproducible")
+    val rows = VectorOps.lshSearch(emb, col("vid") >= 495, 4, 64, 5).collect()
+    assert(rows.nonEmpty)
+    // every neighbor shares the query's bucket and ranks are 1..k dense
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).distinct.length == 1)
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("centroids are unit-norm (spherical update)") {
     val cent = VectorOps.kmeans(emb, k = 8, iters = 3).collect()
     cent.foreach { r =>
