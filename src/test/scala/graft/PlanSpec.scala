@@ -96,6 +96,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_attribution joins on the user-id equi key (time band as filter, no BNLJ)") {
+    val p = plan("q_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_frame_sample fans out via Generate on the executors (no extra exchange)") {
+    val p = plan("q_frame_sample")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_datetime_fns computes entirely on the scan: no shuffle except the output sort") {
     val p = plan("q_datetime_fns")
     assert(!p.contains("Exchange hashpartitioning"), p)
