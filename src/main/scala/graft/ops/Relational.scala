@@ -113,6 +113,22 @@ object Relational extends graft.QueryModule {
         .orderBy("o_custkey")
     },
 
+    // PII-style redaction: digit masking, id extraction, title-casing,
+    // and edit distance — the scrub pass a curation pipeline runs before
+    // text leaves a trust boundary. All codegen'd scalar functions
+    // riding the scan (note: Spark regexp_replace is global by default;
+    // the DuckDB oracle needs the explicit 'g' flag).
+    "q_redact" -> { (spark, dir) =>
+      Tables.customer(spark, dir)
+        .select(
+          col("c_custkey"),
+          regexp_replace(col("c_name"), lit("[0-9]"), lit("#")).as("masked_name"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("cust_num"),
+          initcap(lower(col("c_mktsegment"))).as("segment_title"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("seg_dist"))
+        .orderBy("c_custkey")
+    },
+
     // Skew-salted join on the graded surface: result is identical to the
     // plain orders⋈customer (the oracle runs the plain form) — the salt
     // spreads each join key over 8 sub-keys with the dim replicated per
@@ -506,6 +522,13 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+        |  upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS segment_title,
+        |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS INT) AS seg_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_cheapest_supplier" ->
       s"""WITH ranked AS (
          |  SELECT l_partkey, l_extendedprice, l_suppkey,
