@@ -52,6 +52,21 @@ class FormatsSpec extends AnyFunSuite {
     roundtrips("json", Formats.writeJson, (p, s) => Formats.readJson(spark, p, s))
   }
 
+  test("schema evolution: mergeSchema unions parquet batches with added columns") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-evolve").toString
+    val v1 = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val v2 = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag") // column added later
+    v1.write.parquet(s"$base/batch=1")
+    v2.write.parquet(s"$base/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.toSet == Set("l_orderkey", "l_quantity", "l_returnflag", "batch"))
+    // old rows surface the new column as null; no rows lost
+    assert(merged.count() == v1.count() + v2.count())
+    assert(merged.filter(col("batch") === 1 && col("l_returnflag").isNotNull).count() == 0)
+  }
+
   test("ORC round-trip preserves schema and values (incl. timestamps)") {
     roundtrips("orc", Formats.writeOrc, (p, s) => Formats.readOrc(spark, p, s))
   }
