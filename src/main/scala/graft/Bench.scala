@@ -25,6 +25,11 @@ object Bench {
       // passes, so every timed query would recompile its generated code
       // — the warmup only pays off if the cache can hold the suite
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let AQE coalesce small shuffles below the advisory size instead
+      // of fanning every tiny exchange out to #cores tasks (the Spark
+      // tuning guide's own recommendation); large stages keep their
+      // parallelism, so this only trims task-scheduling overhead
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>

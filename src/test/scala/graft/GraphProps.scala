@@ -46,4 +46,11 @@ object GraphProps extends Properties("Graph") {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got == unionFind(edges)
   }
+
+  property("large-star/small-star matches driver union-find") = forAll(genEdges) { edges =>
+    import spark.implicits._
+    val got = Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got == unionFind(edges)
+  }
 }

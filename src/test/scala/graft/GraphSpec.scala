@@ -38,4 +38,22 @@ class GraphSpec extends AnyFunSuite {
     val got = components(Seq((2L, 3L), (3L, 4L), (4L, 2L)))
     assert(got === Map(2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
+
+  private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction agrees with min-label propagation on a long chain") {
+    // a 12-hop path: worst case for propagation (O(d) rounds), the
+    // shape star contraction collapses in O(log d)
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    assert(starComponents(chain) === components(chain))
+  }
+
+  test("star contraction: empty edges, disjoint components, self-loops") {
+    assert(starComponents(Seq.empty) === Map.empty)
+    assert(starComponents(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(starComponents(Seq((7L, 7L))) === Map(7L -> 7L))
+  }
 }
