@@ -54,16 +54,23 @@ object DocStream {
       .filter(col("n_chars").between(100, 500) && col("n_tokens") >= 20)
 
   /** Run the curated stream into a parquet table via foreachBatch — the
-    * sink shape that lets a streaming job reuse any batch writer (here:
-    * append, partitioned by split so downstream training readers prune).
+    * sink shape that lets a streaming job reuse any batch writer.
+    *
+    * Exactly-once at the batch level: foreachBatch can RE-EXECUTE a
+    * micro-batch after a failure, so a plain append would duplicate it.
+    * Each batch overwrites its own `ingest_batch=<id>` directory — a
+    * replay lands byte-identical files in the same place instead of
+    * appending a second copy. `split` stays a partition level beneath
+    * it, so training readers still prune.
     */
   def writeCurated(curated: DataFrame, outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     curated.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("split").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").partitionBy("split")
+          .parquet(s"$outDir/ingest_batch=$id")
       }
       .start()
 }

@@ -26,6 +26,15 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("sink is idempotent under batch replay (overwrite-by-batch-dir)") {
+    val out = java.nio.file.Files.createTempDirectory("curated-replay").toString
+    val b = batchCurated
+    // simulate foreachBatch re-executing the same micro-batch id twice
+    b.write.mode("overwrite").partitionBy("split").parquet(s"$out/ingest_batch=0")
+    b.write.mode("overwrite").partitionBy("split").parquet(s"$out/ingest_batch=0")
+    assert(spark.read.parquet(out).count() == b.count())
+  }
+
   test("foreachBatch sink lands a split-partitioned parquet table") {
     val out = java.nio.file.Files.createTempDirectory("curated-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("curated-ckpt").toString
