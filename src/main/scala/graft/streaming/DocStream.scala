@@ -53,6 +53,24 @@ object DocStream {
           .otherwise("test"))
       .filter(col("n_chars").between(100, 500) && col("n_tokens") >= 20)
 
+  /** [[curate]] with single-pass pipeline metrics: Observation rows
+    * ride the same job as the data (collected by the driver when the
+    * action finishes), so a 100 TB curation run reports its input
+    * size, survivor count, and kept-token volume without a second scan.
+    * Returns (curated frame, input observation, output observation) —
+    * read `obs.get` after the first action on the frame.
+    */
+  def curateWithMetrics(docs: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val obsIn = org.apache.spark.sql.Observation("curation_in")
+    val obsOut = org.apache.spark.sql.Observation("curation_out")
+    val out = curate(docs.observe(obsIn, count(lit(1)).as("n_in")))
+      .observe(obsOut,
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("kept_tokens"))
+    (out, obsIn, obsOut)
+  }
+
   /** Run the curated stream into a parquet table via foreachBatch — the
     * sink shape that lets a streaming job reuse any batch writer.
     *

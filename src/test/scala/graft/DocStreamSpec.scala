@@ -26,6 +26,15 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("curateWithMetrics reports in/out counts from the data's own job") {
+    val (curated, obsIn, obsOut) =
+      DocStream.curateWithMetrics(graft.core.Tables.documents(spark, dir))
+    val n = curated.count()
+    assert(obsIn.get("n_in") == 500L)
+    assert(obsOut.get("n_kept") == n)
+    assert(obsOut.get("kept_tokens").asInstanceOf[Long] > 0L)
+  }
+
   test("sink is idempotent under batch replay (overwrite-by-batch-dir)") {
     val out = java.nio.file.Files.createTempDirectory("curated-replay").toString
     val b = batchCurated
