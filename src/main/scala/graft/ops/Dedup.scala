@@ -127,12 +127,18 @@ object Dedup extends graft.QueryModule {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    // eager: the thresholded pair set is the bounded stage output; the
+    // persisted shingle table is per-call working state and must not
+    // leak cache to the caller (same hygiene as ivfSearchCentroids)
+    val out = pairs
       .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
       .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
   }
 
   /** Per-doc MinHash signature table (sig0..sig7). */
@@ -161,11 +167,17 @@ object Dedup extends graft.QueryModule {
       .distinct()
     val est = (0 until 8).map(j =>
       when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
-    cand
+    // eager: scored candidates are the stage output (bounded by band
+    // collisions); drop the signature cache before returning so looped
+    // callers (EvalProbe, dupClusters→dedup_keep) don't accumulate it
+    val out = cand
       .join(sigs.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sigs.as("s2"), col("d2") === col("s2.doc_id"))
       .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Per-doc 32-bit SimHash fingerprints. */
@@ -228,12 +240,15 @@ object Dedup extends graft.QueryModule {
     val sh = simhash(docs)
       .withColumn("prefix", shiftright(col("simhash"), 16))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.as("a").join(sh.as("b"),
+    val out = sh.as("a").join(sh.as("b"),
         col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

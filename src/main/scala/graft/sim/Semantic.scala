@@ -45,7 +45,12 @@ object Semantic {
   def defaultQueryTerm(docs: DataFrame): String = queryTermFrom(TfIdf.tfidf(docs))
 
   /** Top-k terms most similar to `query`, computing and caching the
-    * TF-IDF table internally. See [[relatedTermsFrom]].
+    * TF-IDF table internally. The top-k result (k rows) is eagerly
+    * materialized so the TF-IDF working cache can be dropped before
+    * returning — repeated library calls must not accumulate
+    * MEMORY_AND_DISK state. Multi-query serving should build the tf
+    * table once and use [[relatedTermsFrom]], which leaves caching to
+    * the caller. See [[relatedTermsFrom]].
     */
   def relatedTerms(
       docs: DataFrame,
@@ -55,7 +60,10 @@ object Semantic {
       broadcastQuery: Boolean = true,
       roundDigits: Int = 9): DataFrame = {
     val tf = TfIdf.tfidf(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    relatedTermsFrom(tf, query, k, termPred, broadcastQuery, roundDigits)
+    val out = relatedTermsFrom(tf, query, k, termPred, broadcastQuery, roundDigits)
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
   }
 
   /** Top-k terms most similar to `query` over a prebuilt (ideally
