@@ -61,6 +61,27 @@ object EventOps extends graft.QueryModule {
       .drop("__cell")
   }
 
+  /** Gap sessionization via Spark's native session_window — the same
+    * sessions as the declared q_sessionize (lag + cumulative flags)
+    * computed by the built-in merging-window operator, which is also
+    * directly usable under Structured Streaming with a watermark.
+    *
+    * Boundary semantics: session_window starts a new session when the
+    * gap is ≥ the timeout (window end is exclusive at last+gap), while
+    * the lag formulation uses strictly >. The two differ only for
+    * events exactly `gap` apart (none in the testdata at any SF —
+    * asserted equal in SessionWindowSpec).
+    */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Interval join: match each event to every tier whose [lo, hi)
