@@ -78,6 +78,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming session_window: every emitted session is a batch session") {
+    // native session_window under a watermark emits a session only once
+    // the watermark passes its close; with one replayed file the tail
+    // sessions stay open, so the streamed set is a prefix of batch
+    val q = graft.ops.EventOps.sessionizeNative(
+        EventStream.readEvents(spark, dir).withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("native_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("native_sessions")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toString).toSet
+    val batch = graft.ops.EventOps.sessionizeNative(
+        graft.core.Tables.events(spark, dir))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toString).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed-only sessions: ${streamed -- batch}")
+  }
+
   test("streaming sessionize == batch q_sessionize minus each user's open tail session") {
     val q = EventStream.sessionize(EventStream.readEvents(spark, dir))
       .writeStream.outputMode("append")
