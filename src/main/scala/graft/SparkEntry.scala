@@ -22,7 +22,10 @@ object SparkEntry {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val tf = graft.tfidf.TfIdf.tfidf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)
+    val out = Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)
+      .localCheckpoint(true)
+    tf.unpersist(false)
+    out
   }
 
   private def modules: Seq[QueryModule] = Seq(

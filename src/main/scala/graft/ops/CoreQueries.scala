@@ -36,9 +36,14 @@ object CoreQueries extends graft.QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_related_terms" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
+      // tf persisted across the three passes (query-term derivation,
+      // norm, aggregation), dropped once the k-row result materializes
       val tf = TfIdf.tfidf(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)
+      val out = Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)
+        .localCheckpoint(true)
+      tf.unpersist(false)
+      out
     },
     "q_tfidf_topk" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
