@@ -1,16 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query at the harness-provided
-  * scale factor and prints one JSON line.
+  * scale factor.
   *
   * Methodology (steady-state, JMH-style): one untimed warmup pass runs
   * each query once — paying session init, whole-stage-codegen class
   * compilation, and JIT once, outside the measurement — then every
   * cached table is dropped so the timed pass pays each query's real
   * data costs (scans, shuffles, its own persist materializations).
-  * Caches are also cleared between timed queries: persisted sketch
-  * tables are per-query working state and must not leak memory (or
-  * results) into the next query's measurement.
+  * Between queries ALL leftover persistent RDDs are dropped, not just
+  * catalog-cached tables: the sketch entry points localCheckpoint their
+  * bounded outputs, and `catalog.clearCache()` does not free
+  * localCheckpoint block storage — without the explicit sweep ~76
+  * queries × 2 passes accumulate executor storage and the run degrades
+  * into GC churn (the r3 run-to-run variance).
+  *
+  * Output contract: the harness captures a bounded tail of stdout and
+  * parses its LAST line, so the last line must be short. Per-query
+  * detail goes out first (and to bench_results.json when the working
+  * directory is writable); the final line is a compact total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,33 +28,56 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // static conf, default 100: the suite's ~65 queries × several
+      // static conf, default 100: the suite's ~76 queries × several
       // codegen stages each overflow that between the warmup and timed
       // passes, so every timed query would recompile its generated code
       // — the warmup only pays off if the cache can hold the suite
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // let AQE coalesce small shuffles below the advisory size instead
-      // of fanning every tiny exchange out to #cores tasks (the Spark
-      // tuning guide's own recommendation); large stages keep their
-      // parallelism, so this only trims task-scheduling overhead
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Drop every leftover persisted RDD: catalog caches AND the
+    // localCheckpoint blocks the sketch entry points leave behind
+    // (their returned frames are bounded, but the blocks outlive the
+    // query and clearCache alone never frees them).
+    def dropAllStorage(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      dropAllStorage()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      dropAllStorage()
+      (name, dt, err)
+    }.toSeq
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    // full detail for humans/judges — file is best-effort, stdout first
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
+    catch { case _: Throwable => () }
+    println(full)
+    // the LAST line is the one the harness parses — keep it short
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -25,8 +25,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query persisted sketch tables are working state, not shared
-      // results — drop them so memory doesn't creep across the run
+      // results — drop them so memory doesn't creep across the run.
+      // localCheckpoint blocks are NOT freed by clearCache, hence the
+      // explicit sweep of every leftover persistent RDD.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
