@@ -149,11 +149,21 @@ object Dedup extends graft.QueryModule {
     * (estimated Jaccard ≥ minEstJaccard). O(docs) signature pass +
     * O(docs·bands) bucket shuffle — the 100 TB dedup path.
     */
-  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    candidatesFromSignatures(minhashSignatures(docs), minEstJaccard)
+
+  /** The banded-LSH pass against a precomputed signature table
+    * ([[minhashSignatures]] output, or a materialized signature store) —
+    * the pipeline-reuse entry point: a real dedup run computes the
+    * signature table ONCE and feeds it to candidate generation,
+    * clustering, and corpus emission, instead of re-sketching the corpus
+    * per step. `sigs` must have columns (doc_id, sig0..sig7).
+    */
+  def candidatesFromSignatures(sigs0: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
     // persisted: the signature table feeds 4 band projections × both
     // sides of the candidate self-join plus the two scoring joins —
-    // without caching the shingle+hash pipeline runs ~10 times
-    val sigs = minhashSignatures(docs)
+    // without caching the upstream pipeline runs ~10 times
+    val sigs = sigs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until NBANDS).map { bnd =>
       sigs.select(
@@ -210,10 +220,19 @@ object Dedup extends graft.QueryModule {
     * trivially their own cluster and are omitted (the interesting output
     * is the docs that need a keep/drop decision).
     */
-  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val edges = minhashCandidates(docs, minEstJaccard)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-    Graph.connectedComponents(edges)
+  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    clustersFromCandidates(minhashCandidates(docs, minEstJaccard))
+
+  /** Clustering over a precomputed candidate-pair frame
+    * ([[minhashCandidates]] / [[candidatesFromSignatures]] output —
+    * any frame with d1/d2 pair columns). Runs the large-star/small-star
+    * contraction ([[Graph.connectedComponentsStar]]): O(log d) rounds,
+    * the declared 100 TB path (label contract identical to min-label
+    * propagation, so the recursive-CTE oracle applies unchanged).
+    */
+  def clustersFromCandidates(candidates: DataFrame): DataFrame = {
+    val edges = candidates.select(col("d1").as("src"), col("d2").as("dst"))
+    Graph.connectedComponentsStar(edges)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
@@ -226,8 +245,16 @@ object Dedup extends graft.QueryModule {
     * drop set (cluster members ≠ label) is tiny relative to the corpus,
     * so the anti-join broadcasts it and the corpus never shuffles.
     */
-  def dedupedCorpus(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val drop = dupClusters(docs, minEstJaccard)
+  def dedupedCorpus(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    dedupedCorpus(docs, dupClusters(docs, minEstJaccard))
+
+  /** Corpus emission against a precomputed cluster decision table
+    * ([[dupClusters]] / [[clustersFromCandidates]] output) — the reuse
+    * entry point: a pipeline that just built the clusters feeds them
+    * here instead of re-running the whole sketch→LSH→CC chain.
+    */
+  def dedupedCorpus(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")

@@ -22,6 +22,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall: exact=${exact.size} capped=${capped.size}")
   }
 
+  test("signature/cluster reuse entry points equal the one-shot chain") {
+    import org.apache.spark.sql.functions._
+    // a pipeline materializes the signature table once and feeds every
+    // downstream step — results must equal the per-step one-shot API
+    val sigs = Dedup.minhashSignatures(docs)
+    val candReuse = Dedup.candidatesFromSignatures(sigs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candOneShot = Dedup.minhashCandidates(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candReuse === candOneShot && candReuse.nonEmpty)
+    val clusters = Dedup.clustersFromCandidates(Dedup.minhashCandidates(docs, 0.5))
+    val keepReuse = Dedup.dedupedCorpus(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepOneShot = Dedup.dedupedCorpus(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepReuse === keepOneShot && keepReuse.nonEmpty)
+    // the decision table drops exactly the non-canonical cluster members
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(keepReuse.size.toLong === docs.count() - dropped)
+  }
+
   test("jaccardPairs dfCeiling actually bounds the join input") {
     import org.apache.spark.sql.functions._
     val sh = graft.text.Shingles.shingles(docs, 3).distinct()
