@@ -140,17 +140,25 @@ object VectorOps extends graft.QueryModule {
     * interpreted higher-order functions — and the bucket equi-join
     * shuffles O(n) rows once, which is the entire index cost at 100 TB.
     */
+  /** Hyperplane weight (plane, dim) ↦ uniform [-1, 1): splitmix64 of the
+    * packed indices — pure integer mixing, no RNG state, so the LSH
+    * index is reproducible across engines; the DuckDB oracle embeds
+    * these same constants as literals (Double.toString round-trips
+    * exactly, and strtod parses correctly rounded, so both engines see
+    * bit-identical weights).
+    */
+  private[ops] def lshPlaneWeight(plane: Int, dim: Int): Double = {
+    var z = (plane.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
   def lshSearch(embeddings: DataFrame, queryPred: Column,
       nPlanes: Int = 8, dims: Int = 64, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    // splitmix64 → uniform in [-1, 1); pure integer mixing, no RNG state
-    def w(plane: Int, dim: Int): Double = {
-      var z = (plane.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
+    def w(plane: Int, dim: Int): Double = lshPlaneWeight(plane, dim)
     val all = castVec(embeddings, "vid")
     val bucket = (0 until nPlanes).map { p =>
       val dot = (0 until dims)
@@ -262,7 +270,27 @@ object VectorOps extends graft.QueryModule {
     "q_ann_ivf" -> { (spark, dir) =>
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
+
+    // Sign-projection LSH ANN — the no-training bucketed path; fully
+    // deterministic planes make even this sketch oracle-checkable.
+    "q_lsh_search" -> { (spark, dir) =>
+      lshSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 64, 5)
+        .orderBy("qid", "rank")
+    },
   )
+
+  /** The oracle's bucket expression for vector column `v` (1-based
+    * DuckDB list): per plane, a left-folded dot-product chain in the
+    * exact element order Spark's `reduce(_ + _)` emits, so the sign
+    * decision is bit-identical across engines.
+    */
+  private def lshBucketSql(v: String, nPlanes: Int = 8, dims: Int = 64): String =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until dims)
+        .map(i => s"$v[${i + 1}]*${lshPlaneWeight(p, i)}")
+        .mkString(" + ")
+      s"CAST(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END AS BIGINT)"
+    }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q_knn_bruteforce" ->
@@ -297,6 +325,21 @@ object VectorOps extends graft.QueryModule {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
          |  FROM scored)
          |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+    "q_lsh_search" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |signed AS (
+         |  SELECT vec_id AS vid, v, ${lshBucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vid AS qid, v AS qv, bucket FROM signed WHERE vid >= 490),
+         |scored AS (
+         |  SELECT q.qid, q.bucket, s.vid,
+         |    ${cosSql("q.qv", "s.v")} AS cos
+         |  FROM q JOIN signed s ON q.bucket = s.bucket AND q.qid <> s.vid),
+         |ranked AS (
+         |  SELECT qid, bucket, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, bucket, rank, vid, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
   )
 }
