@@ -21,6 +21,19 @@ import org.apache.spark.sql.SparkSession
   * directory is writable); the final line is a compact total.
   */
 object Bench {
+
+  /** Time one query action; a failure is REPORTED, never silently timed
+    * as a fast success (a broken query used to bench as a great number).
+    */
+  private[graft] def timeOne(run: () => Unit): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err = try { run(); None } catch {
+      case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+    }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,12 +64,7 @@ object Bench {
       dropAllStorage()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val (dt, err) = timeOne(() => fn(spark, sfDir).count())
       dropAllStorage()
       (name, dt, err)
     }.toSeq

@@ -88,6 +88,21 @@ object ScaleProbe {
     time("text_quality") {
       graft.ops.TextOps.qualityScores(docs).count()
     }
+    // the full cluster path (LSH candidates → star contraction) and
+    // both CC algorithms head-to-head on the same candidate edges
+    val cand = graft.ops.Dedup.minhashCandidates(docs, 0.5)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .persist()
+    println(s"[scale] candidate edges ${cand.count()} rows")
+    time("cc_star") {
+      graft.ops.Graph.connectedComponentsStar(cand).count()
+    }
+    time("cc_propagation") {
+      graft.ops.Graph.connectedComponents(cand).count()
+    }
+    time("repetition_stats") {
+      graft.ops.TextOps.repetitionStats(docs, 3).count()
+    }
     spark.stop()
   }
 }

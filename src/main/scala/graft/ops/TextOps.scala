@@ -192,6 +192,46 @@ object TextOps extends graft.QueryModule {
       .agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
+  /** Intra-document repetition statistics over token n-grams — the
+    * Gopher-style repetition quality rules (Rae et al., "Scaling
+    * Language Models", §A1.1: duplicate/top n-gram fractions flag
+    * boilerplate and degenerate text). Per document: total and distinct
+    * n-gram counts, the fraction of duplicate n-gram occurrences, and
+    * the fraction claimed by the single most-repeated n-gram. One
+    * shingle pass + two aggregates keyed by doc_id — embarrassingly
+    * parallel, no cross-document state at any corpus size. Fractions
+    * are single integer→double divisions, so both engines agree
+    * bit-for-bit.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame =
+    Shingles.shingles(docs, n)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        ((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c")).cast("double"))
+          .as("dup_frac"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_frac"))
+
+  /** Deterministic weighted (probability-proportional-to-size) sample:
+    * each document races with priority hash(text)/weight — a uniform
+    * race with speed `weight`, so P(i beats j) = wᵢ/(wᵢ+wⱼ) — and the
+    * k smallest priorities win. Priority sampling with a content-hash
+    * uniform instead of seeded RNG: reproducible across engines,
+    * re-runs, and cluster sizes, and the priority is one integer→double
+    * division (no transcendentals), so the selected set is
+    * oracle-exact. Scale: priority rides the scan; the top-k is
+    * TakeOrderedAndProject — no shuffle, k rows to the driver.
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int = 50): DataFrame =
+    docs.select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        (Shingles.hash32(col("text")).cast("double") / weight.cast("double"))
+          .as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
   /** Cumulative data-curation filter funnel: per-stage survivor counts
     * for the standard cleaning chain (length band → minimum token
     * count → stopword-density cap → exact-dup removal). One tokenize
@@ -318,6 +358,19 @@ object TextOps extends graft.QueryModule {
           count(lit(1)).as("n_docs"),
           sum(when(hashBucket(col("doc_id")) < rate, 1L).otherwise(0L)).as("n_sampled"))
         .orderBy("lang")
+    },
+
+    // Gopher-style repetition stats: duplicate/top trigram fractions
+    // per document (the boilerplate/degenerate-text quality signals).
+    "q_repetition" -> { (spark, dir) =>
+      repetitionStats(Tables.documents(spark, dir), 3).orderBy("doc_id")
+    },
+
+    // Weighted (PPS) sampling: top-50 by deterministic priority
+    // hash(text)/n_chars — longer documents proportionally favored,
+    // selection identical on every engine and cluster size.
+    "q_weighted_sample" -> { (spark, dir) =>
+      weightedSample(Tables.documents(spark, dir), col("n_chars"), 50)
     },
 
     // Inverted index: per-term document frequency plus the head of the
@@ -468,6 +521,19 @@ object TextOps extends graft.QueryModule {
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
       },
+      "q_repetition" ->
+        s"""WITH sh AS (${Shingles.shinglesSql(3)}),
+           |per AS (SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY doc_id, shingle)
+           |SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+           |  count(*) AS n_distinct,
+           |  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+           |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_weighted_sample" ->
+        s"""SELECT doc_id, source, lang, n_chars,
+           |  CAST(${Shingles.hash32Sql("text")} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+           |FROM documents ORDER BY priority, doc_id LIMIT 50""".stripMargin,
       "q_inverted_index" ->
         s"""WITH $tokCte,
            |dt AS (SELECT DISTINCT doc_id, term FROM tok)

@@ -19,6 +19,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q_weighted_sample plans as TakeOrderedAndProject riding the scan (no shuffle)") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_repetition is two hash aggregates on doc_id — no join, no cartesian") {
+    val p = plan("q_repetition")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_pricing_summary pushes the shipdate filter into the parquet scan") {
     val p = plan("q_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
