@@ -260,6 +260,50 @@ object Dedup extends graft.QueryModule {
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
 
+  /** Embedding near-dup, the bucketed scale path: BANDED
+    * sign-projection LSH (the same band/row structure as
+    * [[minhashCandidates]]) bounds the candidate set, then exact cosine
+    * ranks the candidates — the declared scale counterpart of the exact
+    * all-pairs q_embedding_neardup baseline, same top-k contract.
+    *
+    * Per band b, vectors bucket by the sign word of `planesPerBand`
+    * hyperplanes (an independent plane set per band via the offset);
+    * candidates are same-bucket pairs in ANY band. With per-plane
+    * collision p = 1 − θ/π, pair recall is 1 − (1 − p^r)^b: for true
+    * near-dups (θ ≤ 25°) at r=4, b=4 that is ≈ 0.96, while compute
+    * drops to b·n²/2^r expected comparisons (4× under these defaults,
+    * and the r dial trades recall for a 2^r reduction at scale). Bands
+    * shuffle (vec_id, band, bucket) ids only — vectors join back in
+    * after the candidate set is deduplicated, so the wide rows never
+    * fan out b times.
+    */
+  def embeddingNearDupLsh(embeddings: DataFrame, planesPerBand: Int = 4,
+      nBands: Int = 4, dims: Int = 64, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until nBands).map { b =>
+      e.select(
+        col("vec_id"), lit(b).as("band"),
+        VectorOps.lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val out = cand
+      .join(e.as("e1"), col("v1") === col("e1.vec_id"))
+      .join(e.as("e2"), col("v2") === col("e2.vec_id"))
+      .select(col("v1"), col("v2"),
+        round(call_function("array_cosine", col("e1.v"), col("e2.v")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("v1"), col("v2"))
+      .limit(k)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    out
+  }
+
   /** SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
     * that keeps this O(docs) at scale), then exact Hamming ≤ maxHamming.
     */
@@ -341,6 +385,12 @@ object Dedup extends graft.QueryModule {
           round(call_function("array_cosine", col("a.v"), col("b.v")), 6).as("cos"))
         .orderBy(col("cos").desc, col("v1"), col("v2"))
         .limit(20)
+    },
+
+    // The bucketed scale path for the same top-20 contract: banded
+    // sign-LSH candidates, exact cosine on candidates only.
+    "q_embedding_neardup_lsh" -> { (spark, dir) =>
+      embeddingNearDupLsh(Tables.embeddings(spark, dir), 4, 4, 64, 20)
     },
   )
 
@@ -500,6 +550,24 @@ object Dedup extends graft.QueryModule {
           |     sqrt(list_sum([b.v[i]*b.v[i] FOR i IN range(1, len(b.v)+1)]))), 6) AS cos
           |FROM e a JOIN e b ON a.vec_id < b.vec_id
           |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin,
+      "q_embedding_neardup_lsh" -> {
+        val bandSel = (0 until 4).map { b =>
+          s"SELECT vec_id, $b AS band, ${VectorOps.lshBucketSql("v", 4, 64, b * 4)} AS bkt FROM e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bands AS (
+           |  $bandSel),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+           |SELECT c.v1, c.v2,
+           |  ${VectorOps.cosSql("e1.v", "e2.v")} AS cos
+           |FROM cand c
+           |JOIN e e1 ON c.v1 = e1.vec_id
+           |JOIN e e2 ON c.v2 = e2.vec_id
+           |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
+      },
     )
   }
 }

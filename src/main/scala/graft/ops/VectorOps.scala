@@ -155,18 +155,27 @@ object VectorOps extends graft.QueryModule {
     (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  def lshSearch(embeddings: DataFrame, queryPred: Column,
-      nPlanes: Int = 8, dims: Int = 64, k: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    def w(plane: Int, dim: Int): Double = lshPlaneWeight(plane, dim)
-    val all = castVec(embeddings, "vid")
-    val bucket = (0 until nPlanes).map { p =>
+  /** Sign-bit bucket word for vector column `v` over planes
+    * [planeOffset, planeOffset + nPlanes): per plane, a left-folded
+    * dot-product chain in a fixed element order, so the sign decision —
+    * and therefore the bucket — is bit-identical to the SQL oracle's.
+    * `planeOffset` selects an independent plane set per LSH band.
+    * Shared by [[lshSearch]] and [[Dedup.embeddingNearDupLsh]].
+    */
+  private[ops] def lshBucketCol(v: Column, nPlanes: Int = 8, dims: Int = 64,
+      planeOffset: Int = 0): Column =
+    (0 until nPlanes).map { p =>
       val dot = (0 until dims)
-        .map(i => element_at(col("vid_v"), i + 1) * lit(w(p, i)))
+        .map(i => element_at(v, i + 1) * lit(lshPlaneWeight(planeOffset + p, i)))
         .reduce(_ + _)
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val signed = all.withColumn("bucket", bucket)
+
+  def lshSearch(embeddings: DataFrame, queryPred: Column,
+      nPlanes: Int = 8, dims: Int = 64, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val all = castVec(embeddings, "vid")
+    val signed = all.withColumn("bucket", lshBucketCol(col("vid_v"), nPlanes, dims))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = signed.filter(queryPred)
       .select(col("vid").as("qid"), col("vid_v").as("qid_v"), col("bucket"))
@@ -284,10 +293,11 @@ object VectorOps extends graft.QueryModule {
     * exact element order Spark's `reduce(_ + _)` emits, so the sign
     * decision is bit-identical across engines.
     */
-  private def lshBucketSql(v: String, nPlanes: Int = 8, dims: Int = 64): String =
+  private[ops] def lshBucketSql(v: String, nPlanes: Int = 8, dims: Int = 64,
+      planeOffset: Int = 0): String =
     (0 until nPlanes).map { p =>
       val dot = (0 until dims)
-        .map(i => s"$v[${i + 1}]*${lshPlaneWeight(p, i)}")
+        .map(i => s"$v[${i + 1}]*${lshPlaneWeight(planeOffset + p, i)}")
         .mkString(" + ")
       s"CAST(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END AS BIGINT)"
     }.mkString(" + ")
