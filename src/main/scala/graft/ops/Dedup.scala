@@ -282,6 +282,11 @@ object Dedup extends graft.QueryModule {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one union branch per band over the persisted table, NOT one fused
+    // projection+explode: fusing all band words into a single generated
+    // method (nBands × planesPerBand × dims multiply-adds) measured 2×
+    // slower end-to-end — the giant method defeats JIT while the small
+    // per-band projections each compile tight (PERF.md round-4 notes)
     val bands = (0 until nBands).map { b =>
       e.select(
         col("vec_id"), lit(b).as("band"),
