@@ -103,6 +103,29 @@ object ScaleProbe {
     time("repetition_stats") {
       graft.ops.TextOps.repetitionStats(docs, 3).count()
     }
+
+    // embedding near-dup: exact all-pairs vs banded sign-LSH as the
+    // corpus grows. Replicas get a per-replica circular shift of the
+    // vector (norm-preserving, angle-scrambling) so copies don't
+    // collide as artificial exact duplicates in every LSH bucket.
+    val eFactor = math.min(factor, 8)
+    val emb = (0 until eFactor).map { i =>
+      val k = i % 64
+      val rot = if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", rot)
+    }.reduce(_ unionByName _)
+    emb.persist()
+    println(s"[scale] embeddings ${emb.count()} rows (${eFactor}x)")
+    time("emb_exact_allpairs") {
+      graft.ops.Dedup.embeddingNearDupExact(emb, 20).count()
+    }
+    time("emb_banded_lsh") {
+      graft.ops.Dedup.embeddingNearDupLsh(emb, 4, 4, 64, 20).count()
+    }
     spark.stop()
   }
 }

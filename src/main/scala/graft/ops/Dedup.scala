@@ -260,6 +260,33 @@ object Dedup extends graft.QueryModule {
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
 
+  /** Embedding near-dup, exact baseline: all-pairs cosine top-k via
+    * block-pair EQUI-joins rather than a `<` non-equi self-join —
+    * BroadcastNestedLoopJoin would break whole-stage codegen and leave
+    * the cosine interpreted (~10× slower measured). Block granularity
+    * only sets parallelism; the pair set is identical. O(n²) compute by
+    * construction — the recall oracle for [[embeddingNearDupLsh]], run
+    * at scale only to evaluate it.
+    */
+  def embeddingNearDupExact(embeddings: DataFrame, k: Int = 20,
+      blockSize: Long = 100L): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val blocked = e.withColumn("blk", (col("vec_id") / lit(blockSize)).cast("long"))
+    val blks = blocked.select(col("blk")).distinct()
+    val blkPairs = blks.as("x").join(blks.as("y"), col("x.blk") <= col("y.blk"))
+      .select(col("x.blk").as("b1"), col("y.blk").as("b2"))
+    blkPairs
+      .join(blocked.as("a"), col("b1") === col("a.blk"))
+      .join(blocked.as("b"), col("b2") === col("b.blk"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(call_function("array_cosine", col("a.v"), col("b.v")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("v1"), col("v2"))
+      .limit(k)
+  }
+
   /** Embedding near-dup, the bucketed scale path: BANDED
     * sign-projection LSH (the same band/row structure as
     * [[minhashCandidates]]) bounds the candidate set, then exact cosine
@@ -368,28 +395,9 @@ object Dedup extends graft.QueryModule {
     },
 
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.
-    // Brute force at this SF; the LSH/IVF scale path is in VectorOps.
-    // All-pairs via block-pair EQUI-joins rather than a `<` non-equi
-    // self-join: BroadcastNestedLoopJoin would break whole-stage codegen
-    // and leave the cosine interpreted (~10× slower measured). Block
-    // granularity only sets parallelism; the pair set is identical.
+    // Exact all-pairs baseline at this SF (see embeddingNearDupExact).
     "q_embedding_neardup" -> { (spark, dir) =>
-      graft.functions.GraftFunctions.register(spark)
-      val e = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val blocked = e.withColumn("blk", (col("vec_id") / lit(100L)).cast("long"))
-      val blks = blocked.select(col("blk")).distinct()
-      val blkPairs = blks.as("x").join(blks.as("y"), col("x.blk") <= col("y.blk"))
-        .select(col("x.blk").as("b1"), col("y.blk").as("b2"))
-      blkPairs
-        .join(blocked.as("a"), col("b1") === col("a.blk"))
-        .join(blocked.as("b"), col("b2") === col("b.blk"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(
-          col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-          round(call_function("array_cosine", col("a.v"), col("b.v")), 6).as("cos"))
-        .orderBy(col("cos").desc, col("v1"), col("v2"))
-        .limit(20)
+      embeddingNearDupExact(Tables.embeddings(spark, dir), 20)
     },
 
     // The bucketed scale path for the same top-20 contract: banded
