@@ -65,6 +65,26 @@ object EvalProbe {
     val scoredTrue = scored.join(trueDups, Seq("d1", "d2"), "left_semi").count()
     println(f"[eval] lsh_candidate_recall ${candHit.toDouble / nTrue}%.3f  ($candHit/$nTrue)")
     println(f"[eval] lsh_est0.5_precision ${scoredTrue.toDouble / scoredN}%.3f  ($scoredTrue/$scoredN)")
+
+    // banded sign-LSH embedding near-dup vs the exact all-pairs top-20:
+    // top-k overlap (worst case on this isotropic data — see PERF.md)
+    // and the candidate fraction (compute reduction vs n²/2).
+    val exactTop = graft.ops.Dedup.embeddingNearDupExact(emb, 20).select("v1", "v2")
+    val bandedTop = graft.ops.Dedup.embeddingNearDupLsh(emb, 4, 4, 64, 20).select("v1", "v2")
+    val overlap = exactTop.join(bandedTop, Seq("v1", "v2"), "left_semi").count()
+    println(f"[eval] banded_top20_overlap ${overlap / 20.0}%.3f  ($overlap/20)")
+    val n = emb.count()
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bands = (0 until 4).map { b =>
+      e.select(col("vec_id"), lit(b).as("band"),
+        graft.ops.VectorOps.lshBucketCol(col("v"), 4, 64, b * 4).as("bkt"))
+    }.reduce(_ union _)
+    val nCand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+    val nPairs = n * (n - 1) / 2
+    println(f"[eval] banded_cand_fraction ${nCand.toDouble / nPairs}%.3f  ($nCand/$nPairs)")
     spark.stop()
   }
 }

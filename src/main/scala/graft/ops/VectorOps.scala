@@ -162,7 +162,7 @@ object VectorOps extends graft.QueryModule {
     * `planeOffset` selects an independent plane set per LSH band.
     * Shared by [[lshSearch]] and [[Dedup.embeddingNearDupLsh]].
     */
-  private[ops] def lshBucketCol(v: Column, nPlanes: Int = 8, dims: Int = 64,
+  private[graft] def lshBucketCol(v: Column, nPlanes: Int = 8, dims: Int = 64,
       planeOffset: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val dot = (0 until dims)
