@@ -69,6 +69,24 @@ object Bench {
       (name, dt, err)
     }.toSeq
 
+    val (full, summary) = render(results, sfDir)
+    // full detail for humans/judges — file is best-effort, stdout first
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
+    catch { case _: Throwable => () }
+    println(full)
+    // the LAST line is the one the harness parses — keep it short
+    println(summary)
+    spark.stop()
+  }
+
+  /** (full detail JSON, short summary JSON). The summary is printed
+    * LAST and must stay well under the harness's ~2k-char stdout-tail
+    * window regardless of suite size — BenchSpec pins both lines as
+    * parseable JSON and the summary as bounded (the contract whose
+    * violation recorded parsed:null for three rounds).
+    */
+  private[graft] def render(results: Seq[(String, Double, Option[String])],
+      sfDir: String): (String, String) = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -78,14 +96,9 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    // full detail for humans/judges — file is best-effort, stdout first
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
-    catch { case _: Throwable => () }
-    println(full)
-    // the LAST line is the one the harness parses — keep it short
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":${jstr(sfDir)}}""")
-    spark.stop()
+    val head =
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)}"""
+    (s"""{$head,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""",
+      s"""{$head,"sf":${jstr(sfDir)}}""")
   }
 }

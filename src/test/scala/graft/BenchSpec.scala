@@ -19,4 +19,23 @@ class BenchSpec extends AnyFunSuite {
     val (_, err) = Bench.timeOne(() => broken.collect())
     assert(err.isDefined && err.get.nonEmpty, s"expected an error flag, got $err")
   }
+
+  test("bench output contract: both lines parse as JSON, summary stays tail-sized") {
+    // the harness keeps a bounded tail of stdout and parses the LAST
+    // line — r1–r3 recorded parsed:null (prefix, trailer, truncation);
+    // this pins the contract for a suite far larger than today's
+    val results = (1 to 500).map(i => (s"q_$i", i / 100.0,
+      if (i % 50 == 0) Some("""boom "quoted"
+newline""") else None))
+    val (full, summary) = Bench.render(results, "/root/testdata/sf0.1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = om.readTree(full)
+    val s = om.readTree(summary)
+    assert(f.get("queries").size() === 500)
+    assert(f.get("errors").size() === 10)
+    assert(s.get("n_queries").asInt() === 500 && s.get("n_errors").asInt() === 10)
+    assert(s.get("metric").asText() === "total" && s.get("unit").asText() === "sec")
+    assert(summary.length < 500, s"summary must fit the stdout tail: ${summary.length}")
+    assert(!summary.contains("\n"))
+  }
 }
