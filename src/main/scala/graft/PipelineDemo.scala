@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline built from the library's
+  * reuse entry points — the shape a production run takes, with every
+  * expensive artifact computed ONCE and fed forward (the per-query
+  * declared API recomputes per call by design; a pipeline must not):
+  *
+  *   1. quality gate      TextOps.qualityScores, threshold filter
+  *   2. decontamination   TextOps.contamination vs a held-out probe set
+  *   3. sketch ONCE       Dedup.minhashSignatures
+  *   4. candidates        Dedup.candidatesFromSignatures (banded LSH)
+  *   5. clusters          Dedup.clustersFromCandidates (star contraction)
+  *   6. emit corpus       Dedup.dedupedCorpus(docs, clusters)
+  *   7. split + write     hash split, parquet partitioned by split
+  *
+  * Scale notes: steps 1–2 are scan-shaped; 3–5 shuffle O(docs·bands)
+  * ids, never text; 6 broadcasts the (tiny) drop set so the corpus
+  * never shuffles; 7 writes partition-pruned output. The only driver
+  * materializations are the printed summary counts.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.PipelineDemo [outDir]
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = if (args.nonEmpty) args(0) else "/tmp/graft_pipeline_out"
+
+    val docs = graft.core.Tables.documents(spark, dir)
+    val n0 = docs.count()
+
+    // 1. quality gate: drop the bottom of the quality distribution
+    val quality = graft.ops.TextOps.qualityScores(docs)
+      .filter(col("quality") >= 0.5)
+      .select("doc_id")
+    val gated = docs.join(quality, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n1 = gated.count()
+
+    // 2. decontamination vs the held-out probe docs (doc_id < 3 stand in)
+    val contaminated = graft.ops.TextOps
+      .contamination(gated.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
+      .filter(col("n_hits") >= 3)
+      .select("doc_id")
+    val clean = gated.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val n2 = clean.count()
+
+    // 3–5. sketch ONCE, then candidates → clusters off the same table
+    val sigs = graft.ops.Dedup.minhashSignatures(clean)
+    val cand = graft.ops.Dedup.candidatesFromSignatures(sigs, 0.5)
+    val clusters = graft.ops.Dedup.clustersFromCandidates(cand)
+
+    // 6. the deduplicated corpus, reusing the cluster decision table
+    val kept = graft.ops.Dedup.dedupedCorpus(clean, clusters)
+    val n3 = kept.count()
+
+    // 7. deterministic 80/10/10 split, written partition-pruned
+    val split = kept.withColumn("split",
+      when(graft.ops.TextOps.hashBucket(col("doc_id")) < 80, "train")
+        .when(graft.ops.TextOps.hashBucket(col("doc_id")) < 90, "valid")
+        .otherwise("test"))
+    split.write.mode("overwrite").partitionBy("split").parquet(out)
+    val perSplit = spark.read.parquet(out).groupBy("split").count()
+      .orderBy("split").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    gated.unpersist()
+
+    println(s"[pipeline] corpus=$n0 quality_gate=$n1 decontaminated=$n2 deduped=$n3")
+    println(s"[pipeline] written $out: $perSplit")
+    spark.stop()
+  }
+}
