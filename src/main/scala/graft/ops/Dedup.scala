@@ -364,6 +364,13 @@ object Dedup extends graft.QueryModule {
       jaccardPairs(Tables.documents(spark, dir), 3, 0.6).orderBy("d1", "d2")
     },
 
+    // The dfCeiling knob on the declared surface: posting lists capped
+    // at df ≤ 4, scores a true Jaccard of the reduced shingle universe
+    // (the 100 TB cost bound — Σ df² is what the self-join pays).
+    "q_ngram_jaccard_capped" -> { (spark, dir) =>
+      jaccardPairs(Tables.documents(spark, dir), 3, 0.6, 4).orderBy("d1", "d2")
+    },
+
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
@@ -420,6 +427,26 @@ object Dedup extends graft.QueryModule {
       "q_ngram_jaccard" ->
         s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
            |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT p.d1, p.d2, p.inter, s1.nsh AS n1, s2.nsh AS n2,
+           |  CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) AS jaccard
+           |FROM pairs p
+           |JOIN sizes s1 ON p.d1 = s1.doc_id
+           |JOIN sizes s2 ON p.d2 = s2.doc_id
+           |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.6
+           |ORDER BY p.d1, p.d2""".stripMargin,
+      "q_ngram_jaccard_capped" ->
+        s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
+           |sh1 AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |sh AS (
+           |  SELECT doc_id, shingle FROM (
+           |    SELECT doc_id, shingle,
+           |      count(*) OVER (PARTITION BY shingle) AS df FROM sh1) t
+           |  WHERE df <= 4),
            |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
            |pairs AS (
            |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
