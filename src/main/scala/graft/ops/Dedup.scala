@@ -152,6 +152,16 @@ object Dedup extends graft.QueryModule {
   def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs), minEstJaccard)
 
+  /** The banded-LSH bucket key projection of a signature table:
+    * (doc_id, band, bkey), NBANDS rows per doc.
+    */
+  private def bandProjection(sigs: DataFrame): DataFrame =
+    (0 until NBANDS).map { bnd =>
+      sigs.select(
+        col("doc_id"), lit(bnd).as("band"),
+        (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
+    }.reduce(_ union _)
+
   /** The banded-LSH pass against a precomputed signature table
     * ([[minhashSignatures]] output, or a materialized signature store) —
     * the pipeline-reuse entry point: a real dedup run computes the
@@ -165,11 +175,7 @@ object Dedup extends graft.QueryModule {
     // without caching the upstream pipeline runs ~10 times
     val sigs = sigs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until NBANDS).map { bnd =>
-      sigs.select(
-        col("doc_id"), lit(bnd).as("band"),
-        (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    val bands = bandProjection(sigs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -187,6 +193,86 @@ object Dedup extends graft.QueryModule {
       .filter(col("est_jaccard") >= minEstJaccard)
       .localCheckpoint(true)
     sigs.unpersist(false)
+    out
+  }
+
+  /** Incremental near-dup detection: score a NEW batch of documents
+    * against an EXISTING signature index without ever pairing the
+    * history with itself — the daily-ingest shape of a 100 TB dedup
+    * pipeline, where the historical signature store is orders of
+    * magnitude larger than the increment. The new batch's band buckets
+    * join against (history ∪ batch) buckets, so every emitted pair
+    * touches ≥ 1 new document and cost scales with the increment, not
+    * the corpus; signatures are per-document, so the batch sketch is
+    * identical to what a full-corpus pass would compute. Output
+    * contract matches [[candidatesFromSignatures]] (d1 < d2,
+    * est_jaccard ≥ threshold) restricted to pairs with a new member.
+    */
+  def incrementalCandidates(newDocs: DataFrame, oldSigs0: DataFrame,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both signature tables feed a band projection plus the two scoring
+    // joins — persist each, drop before returning (house cache hygiene)
+    val newSigs = minhashSignatures(newDocs).persist(lvl)
+    val oldSigs = oldSigs0.persist(lvl)
+    val allSigs = newSigs.union(oldSigs)
+    val cand = bandProjection(newSigs).as("x")
+      .join(bandProjection(allSigs).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .distinct()
+    val est = (0 until 8).map(j =>
+      when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
+    val out = cand
+      .join(allSigs.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(allSigs.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .localCheckpoint(true)
+    newSigs.unpersist(false)
+    oldSigs.unpersist(false)
+    out
+  }
+
+  /** Span-level duplicate coverage (cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find k-token spans
+    * occurring in more than one document and report, per document, how
+    * many of its token positions are covered by such cross-document
+    * duplicate spans. Document-level sketches (MinHash, SimHash) miss
+    * partial overlap — quoted paragraphs, shared boilerplate headers —
+    * which is exactly what this measures, as a distributable stand-in
+    * for the suffix-array pass of that paper. Cost at scale: one
+    * aggregate keyed by the span (never a pairwise join), one join back
+    * to positioned spans, one per-doc distinct over covered positions —
+    * every stage O(corpus tokens × k). At 100 TB the span key would be
+    * [[graft.text.Shingles.hash32]]'d before the shuffle to cut key
+    * width (elided here so the oracle stays string-exact).
+    */
+  def spanDupStats(docs: DataFrame, k: Int = 8): DataFrame = {
+    // persisted: the positioned span table feeds the duplicate-span
+    // aggregate and the coverage join
+    val sp = Shingles.spansWithPos(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupSpans = sp.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("span")
+    val covered = sp.join(dupSpans, "span")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("p")).as("dup_tokens"))
+    val totals = Shingles.tokensWithPos(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val out = covered.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_frac"))
+      .localCheckpoint(true)
+    sp.unpersist(false)
     out
   }
 
@@ -375,6 +461,23 @@ object Dedup extends graft.QueryModule {
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
 
+    // Daily-ingest shape: docs 400+ are the "new batch", deduped
+    // against the signature index of the 0–399 "history" — history is
+    // never paired with itself.
+    "q_incremental_dedup" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      incrementalCandidates(
+        docs.filter(col("doc_id") >= 400),
+        minhashSignatures(docs.filter(col("doc_id") < 400)),
+        0.5).orderBy("d1", "d2")
+    },
+
+    // Span-level duplicate coverage: per-doc fraction of token
+    // positions inside an 8-token span shared with another document.
+    "q_span_dedup" -> { (spark, dir) =>
+      spanDupStats(Tables.documents(spark, dir), 8).orderBy("doc_id")
+    },
+
     "q_semantic_dedup" -> { (spark, dir) =>
       semanticDedup(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
         0.5, 0.9).orderBy("d1", "d2")
@@ -477,6 +580,46 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      // same signature pipeline as q_minhash_lsh; the incremental
+      // restriction is exactly "the pair touches the new batch"
+      "q_incremental_dedup" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           |  WHERE x.doc_id >= 400 OR y.doc_id >= 400)
+           |SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS est_jaccard
+           |FROM cand c
+           |JOIN sigs s1 ON c.d1 = s1.doc_id
+           |JOIN sigs s2 ON c.d2 = s2.doc_id
+           |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
+           |ORDER BY c.d1, c.d2""".stripMargin,
+      "q_span_dedup" ->
+        s"""WITH sp AS (${Shingles.spansWithPosSql(8)}),
+           |dup AS (
+           |  SELECT span FROM sp GROUP BY span
+           |  HAVING count(DISTINCT doc_id) > 1),
+           |cov AS (
+           |  SELECT doc_id, count(DISTINCT p) AS dup_tokens FROM (
+           |    SELECT sp.doc_id, unnest(generate_series(sp.pos, sp.pos + 7)) AS p
+           |    FROM sp JOIN dup USING (span)) z
+           |  GROUP BY doc_id),
+           |tot AS (
+           |  SELECT doc_id, count(*) AS n_tokens FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |    FROM documents) z
+           |  WHERE term <> '' GROUP BY doc_id)
+           |SELECT c.doc_id, t.n_tokens, c.dup_tokens,
+           |  CAST(c.dup_tokens AS DOUBLE) / t.n_tokens AS dup_frac
+           |FROM cov c JOIN tot t ON c.doc_id = t.doc_id
+           |ORDER BY c.doc_id""".stripMargin,
       "q_semantic_dedup" ->
         s"""WITH $shingleHashCte,
            |sigs AS (

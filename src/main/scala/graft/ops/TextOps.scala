@@ -192,6 +192,35 @@ object TextOps extends graft.QueryModule {
       .agg(countDistinct(col("shingle")).as("n_hits"))
   }
 
+  /** Unigram language-model score per document — the CCNet-style
+    * perplexity-proxy quality filter (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets"): average token
+    * negative log-likelihood under the corpus's own unigram
+    * distribution. Documents made of rare tokens (noise, gibberish,
+    * wrong-language fragments) score high; common fluent text scores
+    * low — the standard cheap first-pass signal when a real LM is too
+    * expensive. Scale: the unigram table is one aggregate (vocab-sized,
+    * broadcast even at 100 TB); scoring rides the token scan. Each
+    * token's −ln p is quantized at 1e-6 BEFORE the exact decimal sum
+    * (the BM25 cross-engine trick: ln differs in the last ulp across
+    * engines); the final mean is one double division, identical on
+    * both.
+    */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val tok = TfIdf.tokens(docs)
+    val total = tok.count().toDouble
+    val uni = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    tok.join(broadcast(uni), "term")
+      .select(col("doc_id"),
+        (-log(col("cnt").cast("double") / lit(total)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("nll"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("nll")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_nll"))
+  }
+
   /** Intra-document repetition statistics over token n-grams — the
     * Gopher-style repetition quality rules (Rae et al., "Scaling
     * Language Models", §A1.1: duplicate/top n-gram fractions flag
@@ -366,6 +395,12 @@ object TextOps extends graft.QueryModule {
       repetitionStats(Tables.documents(spark, dir), 3).orderBy("doc_id")
     },
 
+    // CCNet-style perplexity proxy: per-doc mean token NLL under the
+    // corpus unigram distribution.
+    "q_unigram_nll" -> { (spark, dir) =>
+      unigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
     // Weighted (PPS) sampling: top-50 by deterministic priority
     // hash(text)/n_chars — longer documents proportionally favored,
     // selection identical on every engine and cluster size.
@@ -487,6 +522,17 @@ object TextOps extends graft.QueryModule {
            |  GROUP BY s.doc_id)
            |SELECT doc_id, n_hits FROM hits WHERE n_hits >= 3
            |ORDER BY doc_id""".stripMargin,
+      "q_unigram_nll" ->
+        s"""WITH $tokCte,
+           |uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+           |per AS (
+           |  SELECT doc_id,
+           |    CAST(-ln(CAST(cnt AS DOUBLE) / (SELECT n FROM tot)) AS DECIMAL(28,6)) AS nll
+           |  FROM tok JOIN uni USING (term))
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+           |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q_bm25" ->
         s"""WITH $tokCte,
            |q AS (

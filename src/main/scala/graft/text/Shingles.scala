@@ -25,36 +25,51 @@ object Shingles {
       .filter(col("term") =!= "")
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
 
-  /** (doc_id, shingle) — token n-grams via lead windows (null-propagating
+  /** (doc_id, pos, span) — positioned token n-grams: the n-token span
+    * starting at token position pos, via lead windows (null-propagating
     * concat, so tail positions with fewer than n tokens drop out exactly
-    * like the `||` operator in the SQL oracle).
+    * like the `||` operator in the SQL oracle). Positions are the raw
+    * 1-based split positions ([[tokensWithPos]]); with no empty tokens
+    * in the text they are dense token indexes.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  def spansWithPos(docs: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts: Seq[Column] = (0 until n).flatMap { i =>
       val t = if (i == 0) col("term") else lead(col("term"), i).over(w)
       if (i == 0) Seq(t) else Seq(lit(" "), t)
     }
     tokensWithPos(docs)
-      .withColumn("shingle", concat(parts: _*))
-      .filter(col("shingle").isNotNull)
-      .select("doc_id", "shingle")
+      .withColumn("span", concat(parts: _*))
+      .filter(col("span").isNotNull)
+      .select("doc_id", "pos", "span")
+  }
+
+  /** (doc_id, shingle) — token n-grams ([[spansWithPos]] without the
+    * position).
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    spansWithPos(docs, n).select(col("doc_id"), col("span").as("shingle"))
+
+  /** SQL mirror of [[spansWithPos]] as a DuckDB CTE body over
+    * `documents`: produces (doc_id, pos, span).
+    */
+  def spansWithPosSql(n: Int): String = {
+    val concat = (0 until n).map { i =>
+      if (i == 0) "term" else s"lead(term, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }.mkString(" || ' ' || ")
+    s"""SELECT doc_id, pos, span FROM (
+       |  SELECT doc_id, pos, $concat AS span FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) z WHERE term <> '') s
+       |WHERE span IS NOT NULL""".stripMargin
   }
 
   /** SQL mirror of [[shingles]] as a DuckDB CTE body over `documents`:
     * produces (doc_id, shingle).
     */
-  def shinglesSql(n: Int = 3): String = {
-    val concat = (0 until n).map { i =>
-      if (i == 0) "term" else s"lead(term, $i) OVER (PARTITION BY doc_id ORDER BY pos)"
-    }.mkString(" || ' ' || ")
-    s"""SELECT doc_id, shingle FROM (
-       |  SELECT doc_id, $concat AS shingle FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-       |           generate_subscripts(string_split(text, ' '), 1) AS pos
-       |    FROM documents) z WHERE term <> '') s
-       |WHERE shingle IS NOT NULL""".stripMargin
-  }
+  def shinglesSql(n: Int = 3): String =
+    s"SELECT doc_id, span AS shingle FROM (${spansWithPosSql(n)})"
 
   /** 32-bit hash of a string: first 8 hex chars of md5 as an integer.
     * One md5 + conv on the Spark side; the DuckDB mirror (no conv

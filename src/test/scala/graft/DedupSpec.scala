@@ -43,6 +43,34 @@ class DedupSpec extends AnyFunSuite {
     assert(keepReuse.size.toLong === docs.count() - dropped)
   }
 
+  test("incrementalCandidates == full candidates restricted to the new batch") {
+    import org.apache.spark.sql.functions._
+    // signatures are per-document, so deduping the increment against
+    // the history index must find exactly the full pass's pairs that
+    // touch the increment — and never pair the history with itself
+    val inc = Dedup.incrementalCandidates(
+        docs.filter(col("doc_id") >= 400),
+        Dedup.minhashSignatures(docs.filter(col("doc_id") < 400)), 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(docs, 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a >= 400 || b >= 400 }
+    assert(inc === expected && inc.nonEmpty)
+    assert(inc.forall { case (a, b) => a >= 400 || b >= 400 })
+  }
+
+  test("spanDupStats: coverage is bounded and planted whole-doc dups are near-fully covered") {
+    val stats = Dedup.spanDupStats(docs, 8).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val n = r.getLong(1); val d = r.getLong(2)
+      assert(d >= 1 && d <= n, s"doc ${r.getLong(0)}: dup_tokens $d vs n_tokens $n")
+    }
+    // planted pairs are whole-document near-dups, so at least one doc
+    // must be almost entirely inside shared spans
+    assert(stats.exists(r => r.getLong(2).toDouble / r.getLong(1) >= 0.9))
+  }
+
   test("jaccardPairs dfCeiling actually bounds the join input") {
     import org.apache.spark.sql.functions._
     val sh = graft.text.Shingles.shingles(docs, 3).distinct()
