@@ -83,10 +83,15 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("array_cosine")
-    if (!reg.functionExists(id)) {
+    val cosId = org.apache.spark.sql.catalyst.FunctionIdentifier("array_cosine")
+    if (!reg.functionExists(cosId)) {
       reg.createOrReplaceTempFunction(
         "array_cosine", exprs => ArrayCosine(exprs(0), exprs(1)), "built-in")
+    }
+    val dotId = org.apache.spark.sql.catalyst.FunctionIdentifier("array_dot_long")
+    if (!reg.functionExists(dotId)) {
+      reg.createOrReplaceTempFunction(
+        "array_dot_long", exprs => ArrayDotLong(exprs(0), exprs(1)), "built-in")
     }
   }
 }

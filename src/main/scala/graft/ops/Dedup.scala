@@ -487,6 +487,17 @@ object Dedup extends graft.QueryModule {
       dupClusters(Tables.documents(spark, dir), 0.5).orderBy("doc_id")
     },
 
+    // PageRank centrality over the near-dup candidate graph (3 fixed
+    // iterations, d = 0.85): which member of each duplicate
+    // neighborhood is the hub copy. Deterministic decimal-summed
+    // contributions make even iterative float ranks oracle-exact.
+    "q_pagerank" -> { (spark, dir) =>
+      val cand = minhashCandidates(Tables.documents(spark, dir), 0.5)
+      Graph.pagerank(cand.select(col("d1").as("src"), col("d2").as("dst")), 3, 0.85)
+        .select(col("node").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
+    },
+
     // The emitted training corpus after near-dup removal, summarized
     // per language (tiny stable output; the full frame is the API).
     "q_dedup_keep" -> { (spark, dir) =>
@@ -679,6 +690,49 @@ object Dedup extends graft.QueryModule {
            |SELECT node AS doc_id, cluster_id,
            |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
            |FROM labels ORDER BY doc_id""".stripMargin,
+      // same candidate-edge chain as q_dedup_clusters; PageRank is
+      // unrolled (3 iterations) with the decimal-summed contributions
+      // and the VARCHAR-mediated decimal→double cast (DuckDB's direct
+      // cast is not correctly rounded)
+      "q_pagerank" -> {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT e.dst AS node,
+             |    (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 *
+             |      CAST(CAST(sum(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS rank
+             |  FROM edges e
+             |  JOIN deg d ON e.src = d.src
+             |  JOIN $prev r ON e.src = r.node
+             |  GROUP BY e.dst)""".stripMargin
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+           |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
+      },
       "q_dedup_keep" ->
         s"""WITH RECURSIVE $shingleHashCte,
            |sigs AS (

@@ -145,4 +145,53 @@ object Graph {
       .union(nodes.select(col("node"), col("node").as("label")))
       .groupBy("node").agg(min("label").as("label"))
   }
+
+  /** Fixed-iteration PageRank over the undirected graph given as an
+    * edge list (each edge contributes both directions): rank ←
+    * (1−d)/n + d · Σ_{v∈in(u)} rank(v)/deg(v), uniform init 1/n — the
+    * graph-analytics centrality of a duplicate/link graph (which
+    * cluster member is the "hub" copy; which page the link graph
+    * endorses). Fixed iteration count instead of convergence detection
+    * keeps the result a pure function of the input, which is what makes
+    * it oracle-checkable (the DuckDB twin unrolls the same iterations).
+    *
+    * Scale: each iteration is one join (ranks × symmetrized edges) and
+    * one aggregate keyed by the destination node — the same one-shuffle
+    * round shape as [[connectedComponents]]; lineage is truncated per
+    * round. Determinism: rank/deg is one IEEE division; the per-node
+    * accumulation quantizes each contribution to DECIMAL(28,12) before
+    * an exact sum (partial-agg combine order can't move the result),
+    * and the damping step is fixed-order double arithmetic — so ranks
+    * are bit-identical across engines and partition counts. A
+    * symmetrized graph has no dangling nodes, so no leaked-mass term is
+    * needed.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // sym + deg feed every iteration — persist once, drop at the end
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(lvl)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
+    val n = deg.count()
+    val base = (1.0 - damping) / n.toDouble
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n.toDouble).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      ranks = sym.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(base) + lit(damping) * col("s").cast("double")).as("rank"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(false)
+    deg.unpersist(false)
+    ranks
+  }
 }

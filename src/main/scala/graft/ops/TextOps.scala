@@ -221,6 +221,47 @@ object TextOps extends graft.QueryModule {
           .as("avg_nll"))
   }
 
+  /** Token-stream sequence packing: concatenate documents in doc_id
+    * order into one global token stream and cut it into fixed
+    * `chunkTokens`-token training windows — the standard "concatenate
+    * and chunk" batching of LLM pretraining. Per document: its start
+    * offset in the stream, the first/last chunk it lands in, and how
+    * many chunk boundaries it spans.
+    *
+    * The global cumulative offset is a distributed two-phase prefix
+    * sum, NOT a single global window (Window.orderBy with no partition
+    * moves the whole corpus to one partition — the naive formulation
+    * that dies at scale): per-doc counts cumsum WITHIN an id-range
+    * bucket (parallel across buckets), per-bucket subtotals prefix-sum
+    * on a frame with one row per bucket (tiny at any corpus size —
+    * 100 TB / bucketWidth docs ≈ thousands of rows), and the bucket
+    * offsets broadcast back. Integer arithmetic end to end, so the
+    * result equals the oracle's global-window cumsum exactly.
+    */
+  def packSequences(docs: DataFrame, chunkTokens: Int = 256,
+      bucketWidth: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = TfIdf.tokens(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketWidth"))
+    val wIntra = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = counts.withColumn("cum_end", sum(col("n_tokens")).over(wIntra))
+    // one row per bucket: the only unpartitioned window in the engine
+    // runs over this bounded frame, never over the corpus
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.groupBy("bucket").agg(sum(col("n_tokens")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wBucket), lit(0L)))
+      .select("bucket", "boff")
+    intra.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("boff") + col("cum_end") - col("n_tokens")).as("start_off"))
+      .withColumn("first_chunk", expr(s"start_off DIV $chunkTokens"))
+      .withColumn("last_chunk", expr(s"(start_off + n_tokens - 1) DIV $chunkTokens"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + lit(1L))
+  }
+
   /** Intra-document repetition statistics over token n-grams — the
     * Gopher-style repetition quality rules (Rae et al., "Scaling
     * Language Models", §A1.1: duplicate/top n-gram fractions flag
@@ -401,6 +442,12 @@ object TextOps extends graft.QueryModule {
       unigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Concatenate-and-chunk sequence packing into 256-token training
+    // windows, via the distributed two-phase prefix sum.
+    "q_pack_sequences" -> { (spark, dir) =>
+      packSequences(Tables.documents(spark, dir), 256).orderBy("doc_id")
+    },
+
     // Weighted (PPS) sampling: top-50 by deterministic priority
     // hash(text)/n_chars — longer documents proportionally favored,
     // selection identical on every engine and cluster size.
@@ -533,6 +580,22 @@ object TextOps extends graft.QueryModule {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // oracle states the SPEC (one global-window cumsum); the engine's
+      // bucketed two-phase prefix sum must equal it exactly
+      "q_pack_sequences" ->
+        s"""WITH $tokCte,
+           |counts AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+           |      AS start_off
+           |  FROM counts)
+           |SELECT doc_id, n_tokens, start_off,
+           |  start_off // 256 AS first_chunk,
+           |  (start_off + n_tokens - 1) // 256 AS last_chunk,
+           |  ((start_off + n_tokens - 1) // 256) - (start_off // 256) + 1 AS n_chunks
+           |FROM c ORDER BY doc_id""".stripMargin,
       "q_bm25" ->
         s"""WITH $tokCte,
            |q AS (

@@ -191,6 +191,56 @@ object VectorOps extends graft.QueryModule {
     result
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|xᵢ|/127, each
+    * component qᵢ = floor(xᵢ/max|x|·127 + 0.5) ∈ [−127, 127] — the
+    * standard 4× index-compression step of a large-scale vector store
+    * (a 64-d float32 vector becomes 64 bytes + one scale). Every step
+    * is plain IEEE double arithmetic in a fixed operation order
+    * (divide, multiply, add, floor), so the quantized codes — and
+    * everything computed from them — are bit-identical across engines;
+    * a zero vector quantizes to all zeros rather than dividing by zero.
+    */
+  def quantizeInt8(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val e = castVec(embeddings, "vid")
+    val m = greatest((0 until dims).map(i => abs(element_at(col("vid_v"), i + 1))): _*)
+    e.withColumn("m", m)
+      .select(
+        col("vid"),
+        (col("m") / lit(127.0)).as("scale"),
+        array((0 until dims).map(i =>
+          when(col("m") === lit(0.0), lit(0L)).otherwise(
+            floor(element_at(col("vid_v"), i + 1) / col("m") * lit(127.0) + lit(0.5)))): _*)
+          .as("qv"))
+  }
+
+  /** Top-k similarity search over int8-quantized vectors: the integer
+    * dot product ranks candidates (exact — no floating-point
+    * accumulation at all, via the codegen'd
+    * [[graft.functions.ArrayDotLong]] kernel), rescaled by the two
+    * per-vector scales into a cosine-comparable score. At 100 TB this
+    * is the memory-bound regime's answer: the scan reads ¼ the bytes of
+    * the float index, and the hot loop is integer multiply-adds. The
+    * quantization is a projection that rides the scan (no shuffle);
+    * queries broadcast exactly like [[knn]].
+    */
+  def quantizedKnn(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+      dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = quantizeInt8(embeddings.filter(queryPred), dims)
+      .select(col("vid").as("qid"), col("scale").as("qs"), col("qv").as("q_qv"))
+    val c = quantizeInt8(embeddings, dims)
+      .select(col("vid"), col("scale").as("cs"), col("qv").as("c_qv"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    broadcast(q).join(c, col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), col("qs"), col("cs"),
+        call_function("array_dot_long", col("q_qv"), col("c_qv")).as("qdot"))
+      .select(col("qid"), col("vid"), col("qdot"),
+        (col("qdot").cast("double") * col("qs") * col("cs")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "qdot", "score")
+  }
+
   /** Spherical Lloyd's k-means over the embedding column — the trainer
     * for real IVF coarse centroids (the declared q_ann_ivf keeps
     * deterministic lowest-id stand-ins so its oracle stays
@@ -286,6 +336,14 @@ object VectorOps extends graft.QueryModule {
       lshSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 64, 5)
         .orderBy("qid", "rank")
     },
+
+    // Int8-quantized top-k: the 4×-compressed index scan with an exact
+    // integer dot-product kernel (no float accumulation → oracle-exact
+    // even though it's an "approximate" representation).
+    "q_quantized_knn" -> { (spark, dir) =>
+      quantizedKnn(Tables.embeddings(spark, dir), col("vec_id") < 5, 10, 64)
+        .orderBy("qid", "rank")
+    },
   )
 
   /** The oracle's bucket expression for vector column `v` (1-based
@@ -336,6 +394,30 @@ object VectorOps extends graft.QueryModule {
          |  FROM scored)
          |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "q_quantized_knn" -> {
+      val dims = 64
+      val maxabs = (1 to dims).map(i => s"abs(v[$i])").mkString("greatest(", ", ", ")")
+      // same fixed operation order as the Column tree: divide, multiply,
+      // add 0.5, floor — bit-identical codes on both engines
+      val qvList = (1 to dims)
+        .map(i => s"CASE WHEN m = 0 THEN 0 ELSE CAST(floor(v[$i]/m*127.0 + 0.5) AS BIGINT) END")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |withm AS (SELECT vec_id, v, $maxabs AS m FROM e),
+         |q8 AS (SELECT vec_id, m/127.0 AS scale, $qvList AS qv FROM withm),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    CAST(list_sum([q.qv[i]*c.qv[i] FOR i IN range(1, $dims + 1)]) AS BIGINT) AS qdot,
+         |    q.scale AS qs, c.scale AS cs
+         |  FROM q8 q JOIN q8 c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, qdot, CAST(qdot AS DOUBLE) * qs * cs AS score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY CAST(qdot AS DOUBLE) * qs * cs DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vid, qdot, score FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    },
     "q_lsh_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |signed AS (

@@ -56,4 +56,35 @@ class GraphSpec extends AnyFunSuite {
       === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     assert(starComponents(Seq((7L, 7L))) === Map(7L -> 7L))
   }
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Double] =
+    Graph.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pagerank matches a driver-side reference within float tolerance") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 3L), (4L, 5L))
+    val sym = (edges ++ edges.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2) }
+    val n = sym.size
+    var r = sym.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until 3) {
+      val contrib = sym.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> r(u) / vs.size)
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      r = r.keys.map(u => u -> (0.15 / n + 0.85 * contrib(u))).toMap
+    }
+    val got = ranks(edges)
+    assert(got.keySet === r.keySet)
+    got.foreach { case (node, rank) =>
+      assert(math.abs(rank - r(node)) < 1e-9, s"node $node: $rank vs ${r(node)}")
+    }
+  }
+
+  test("pagerank conserves total mass and ranks the hub highest") {
+    // star: 0 is the hub — on a symmetrized dangling-free graph the
+    // total rank stays 1 every iteration
+    val got = ranks(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(0L) === got.values.max)
+  }
 }
