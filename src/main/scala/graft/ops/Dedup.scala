@@ -695,11 +695,14 @@ object Dedup extends graft.QueryModule {
       // and the VARCHAR-mediated decimal→double cast (DuckDB's direct
       // cast is not correctly rounded)
       "q_pagerank" -> {
+        // ranks iterate normalized to mean 1 (init 1.0) so the 1e-6
+        // contribution grid is O(1)-relative at any graph size; the
+        // conventional sum-1 rank = scaled rank / n in the output
         def iter(prev: String, cur: String): String =
           s"""$cur AS (
              |  SELECT e.dst AS node,
-             |    (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 *
-             |      CAST(CAST(sum(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS rank
+             |    (1.0 - 0.85) + 0.85 *
+             |      CAST(CAST(sum(CAST(r.rank / d.deg AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS rank
              |  FROM edges e
              |  JOIN deg d ON e.src = d.src
              |  JOIN $prev r ON e.src = r.node
@@ -727,11 +730,12 @@ object Dedup extends graft.QueryModule {
            |  UNION ALL SELECT d2, d1 FROM edges0),
            |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
            |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-           |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+           |r0 AS (SELECT src AS node, 1.0 AS rank FROM deg),
            |${iter("r0", "r1")},
            |${iter("r1", "r2")},
            |${iter("r2", "r3")}
-           |SELECT node AS doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
+           |SELECT node AS doc_id, rank / (SELECT n FROM nn) AS rank
+           |FROM r3 ORDER BY doc_id""".stripMargin
       },
       "q_dedup_keep" ->
         s"""WITH RECURSIVE $shingleHashCte,

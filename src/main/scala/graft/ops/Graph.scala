@@ -158,13 +158,21 @@ object Graph {
     * Scale: each iteration is one join (ranks × symmetrized edges) and
     * one aggregate keyed by the destination node — the same one-shuffle
     * round shape as [[connectedComponents]]; lineage is truncated per
-    * round. Determinism: rank/deg is one IEEE division; the per-node
-    * accumulation quantizes each contribution to DECIMAL(28,12) before
-    * an exact sum (partial-agg combine order can't move the result),
-    * and the damping step is fixed-order double arithmetic — so ranks
-    * are bit-identical across engines and partition counts. A
-    * symmetrized graph has no dangling nodes, so no leaked-mass term is
-    * needed.
+    * round. Determinism: ranks iterate NORMALIZED to mean 1 (sum = n,
+    * init 1.0) so their magnitude is independent of graph size, and
+    * each contribution rank/deg — one IEEE division — is quantized to
+    * DECIMAL(28,6) before an exact sum (partial-agg combine order can't
+    * move the result). The coarse 1e-6 grid is the same cross-engine
+    * guard as the BM25 scorer: Spark's double→decimal cast rounds the
+    * shortest decimal representation where other engines round the
+    * exact binary value — a ~1e-16-relative discrepancy that can flip a
+    * fine-grained grid cell (observed at DECIMAL(28,12) on the sf0.1
+    * graph) but in practice never crosses a 1e-6 boundary of an O(1)
+    * value. The mean-1 normalization is what keeps the grid O(1)
+    * relative: raw sum-1 ranks shrink as 1/n and a fixed absolute grid
+    * would erase them at 10⁹ nodes. The conventional sum-1 rank is the
+    * scaled rank divided by n (one exact-same-everywhere division,
+    * applied in the output projection).
     */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -175,15 +183,15 @@ object Graph {
       .persist(lvl)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
     val n = deg.count()
-    val base = (1.0 - damping) / n.toDouble
-    var ranks = deg.select(col("src").as("node"), lit(1.0 / n.toDouble).as("rank"))
+    val base = 1.0 - damping
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       ranks = sym.join(deg, "src")
         .join(ranks, col("src") === col("node"))
         .select(col("dst"),
           (col("rank") / col("deg").cast("double"))
-            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("c"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
@@ -192,6 +200,6 @@ object Graph {
     }
     sym.unpersist(false)
     deg.unpersist(false)
-    ranks
+    ranks.select(col("node"), (col("rank") / lit(n.toDouble)).as("rank"))
   }
 }

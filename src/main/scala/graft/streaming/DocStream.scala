@@ -91,4 +91,30 @@ object DocStream {
           .parquet(s"$outDir/ingest_batch=$id")
       }
       .start()
+
+  /** Streaming near-dup detection on ingest: every micro-batch of new
+    * documents is deduped against the STATIC historical signature index
+    * via [[graft.ops.Dedup.incrementalCandidates]] — the streaming face
+    * of the daily-ingest shape. Per-batch cost scales with the batch
+    * (the history never pairs with itself), and a deployment appends
+    * each batch's own signatures to the index table between batches to
+    * keep it current.
+    *
+    * foreachBatch is the right bridge here: candidate generation is a
+    * multi-join batch pipeline (band buckets, signature scoring), not a
+    * stateless streaming operator, and replays are idempotent because
+    * each batch overwrites its own `ingest_batch=<id>` directory with a
+    * deterministic result — the same contract as [[writeCurated]].
+    */
+  def dedupOnIngest(newDocs: DataFrame, historySigs: DataFrame,
+      outDir: String, checkpointDir: String,
+      minEstJaccard: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Dedup.incrementalCandidates(batch, historySigs, minEstJaccard)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$id")
+      }
+      .start()
 }

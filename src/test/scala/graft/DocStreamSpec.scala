@@ -44,6 +44,25 @@ class DocStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == b.count())
   }
 
+  test("streaming dedup-on-ingest == batch incremental dedup against the same index") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val histSigs = graft.ops.Dedup.minhashSignatures(docs.filter(col("doc_id") < 400))
+      .localCheckpoint(true) // a real deployment reads a materialized index
+    val out = java.nio.file.Files.createTempDirectory("dedup-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ingest-ckpt").toString
+    val q = DocStream.dedupOnIngest(
+      DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400),
+      histSigs, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.Dedup.incrementalCandidates(
+        docs.filter(col("doc_id") >= 400), histSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch sink lands a split-partitioned parquet table") {
     val out = java.nio.file.Files.createTempDirectory("curated-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("curated-ckpt").toString

@@ -75,16 +75,18 @@ class GraphSpec extends AnyFunSuite {
     }
     val got = ranks(edges)
     assert(got.keySet === r.keySet)
+    // tolerance covers the deterministic 1e-6 contribution quantization
+    // (≤ deg·5e-7 per node per round before the /n normalization)
     got.foreach { case (node, rank) =>
-      assert(math.abs(rank - r(node)) < 1e-9, s"node $node: $rank vs ${r(node)}")
+      assert(math.abs(rank - r(node)) < 1e-5, s"node $node: $rank vs ${r(node)}")
     }
   }
 
   test("pagerank conserves total mass and ranks the hub highest") {
     // star: 0 is the hub — on a symmetrized dangling-free graph the
-    // total rank stays 1 every iteration
+    // total rank stays 1 every iteration (up to contribution quantization)
     val got = ranks(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
-    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
     assert(got(0L) === got.values.max)
   }
 }

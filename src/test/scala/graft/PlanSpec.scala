@@ -138,4 +138,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_pack_sequences: the only single-partition window is the per-bucket frame") {
+    val p = plan("q_pack_sequences")
+    // the corpus-sized cumsum is partitioned by bucket; only the
+    // one-row-per-bucket subtotal frame may collapse to one partition
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // bucket offsets re-join the corpus via broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_quantized_knn broadcasts the tiny query side and never sort-merges") {
+    val p = plan("q_quantized_knn")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
