@@ -85,6 +85,25 @@ object EvalProbe {
       .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
     val nPairs = n * (n - 1) / 2
     println(f"[eval] banded_cand_fraction ${nCand.toDouble / nPairs}%.3f  ($nCand/$nPairs)")
+
+    // int8 quantization fidelity: top-10 overlap of the quantized MIPS
+    // ranking vs the exact double dot-product ranking (same queries)
+    val exactDot = {
+      val q = e.select(col("vec_id").as("qid"), col("v").as("qv")).filter(col("qid") >= 490)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dot").desc, col("vid"))
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (s, x) -> s + x)").as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vid")
+    }
+    val quantTop = graft.ops.VectorOps.quantizedKnn(emb, col("vec_id") >= 490, 10)
+      .select("qid", "vid")
+    val nDot = exactDot.count()
+    val qHit = exactDot.join(quantTop, Seq("qid", "vid"), "left_semi").count()
+    println(f"[eval] int8_top10_overlap   ${qHit.toDouble / nDot}%.3f  ($qHit/$nDot)")
     spark.stop()
   }
 }
