@@ -103,6 +103,19 @@ object ScaleProbe {
     time("repetition_stats") {
       graft.ops.TextOps.repetitionStats(docs, 3).count()
     }
+    // graph analytics over the candidate edges (3 PageRank rounds)
+    time("pagerank_3it") {
+      graft.ops.Graph.pagerank(cand, 3).count()
+    }
+    // sequence packing: the two-phase prefix sum over the corpus
+    time("pack_sequences") {
+      graft.ops.TextOps.packSequences(docs, 256).count()
+    }
+    // int8-quantized MIPS scan (5 queries against the whole corpus)
+    time("quantized_knn") {
+      graft.ops.VectorOps.quantizedKnn(docs.sparkSession
+        .read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 5, 10).count()
+    }
 
     // embedding near-dup: exact all-pairs vs banded sign-LSH as the
     // corpus grows. Replicas get a per-replica circular shift of the

@@ -21,11 +21,14 @@ object TimeProbe {
       val c0 = SparkEntry.queries(n)(spark, dir).count()
       val cold = (System.nanoTime() - t0) / 1e9
       // steady = Bench's timed-pass protocol: codegen/JIT warm, but the
-      // query pays its own data costs (incl. persist materialization)
+      // query pays its own data costs (incl. persist materialization);
+      // sweep localCheckpoint blocks too — clearCache() alone leaks them
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
       val c1 = SparkEntry.queries(n)(spark, dir).count()
       val steady = (System.nanoTime() - t1) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
       println(f"[time] $n%-28s cold=$cold%8.2fs steady=$steady%8.2fs rows=$c0/$c1")
     }
