@@ -33,6 +33,7 @@ object SparkEntry {
     ops.Relational,
     ops.TextOps,
     ops.Dedup,
+    ops.Sketches,
     ops.VectorOps,
     ops.EventOps,
     multimodal.MultimodalQueries,

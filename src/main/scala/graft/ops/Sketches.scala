@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Shingles
+
+/** Sublinear-state sketch operators — the "keep a bounded summary of an
+  * unbounded stream" family a 100 TB pipeline leans on when exact state
+  * would not fit:
+  *
+  *  - Count-min sketch: frequency estimation / heavy hitters in
+  *    O(d·w) counters regardless of corpus size. The sketch build is a
+  *    single map-side-combinable aggregate over the token stream, so at
+  *    scale it costs one shuffle of ≤ d·w rows — the canonical
+  *    "heavy hitters without a full groupBy" move (Cormode & Muthu 2005).
+  *  - Bloom-filter join pruning: a bounded bit-set summary of the
+  *    build side's join keys, broadcast to the probe side to drop
+  *    non-matching rows BEFORE the join shuffle — the hand-rolled,
+  *    oracle-checkable analog of Spark's runtime bloom-filter pushdown
+  *    (spark.sql.optimizer.runtime.bloomFilter.*), sized so the false
+  *    positives are measurable and measured.
+  *
+  * Both sketches use the cross-engine [[Shingles.hash32]] (salted per
+  * row/probe), so every bucket index and bit position is bit-identical
+  * in DuckDB and the declared queries are hash-checked end to end —
+  * including the sketch internals, not just the final answer.
+  */
+object Sketches extends graft.QueryModule {
+
+  // ---- count-min sketch ------------------------------------------- //
+
+  /** Depth (independent hash rows) and width (buckets per row). With
+    * d=4, w=256 the estimate error is ≤ e·N/w ≈ 1% of the stream length
+    * at 99.8% confidence — tight enough to rank a 31-term vocabulary and
+    * small enough that the whole sketch broadcasts as ≤ 1024 rows.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  private def cmsBucket(term: Column, r: Int): Column =
+    Shingles.hash32(concat(lit(s"cms$r:"), term)) % CmsWidth
+  private def cmsBucketSql(expr: String, r: Int): String =
+    s"${Shingles.hash32Sql(s"'cms$r:' || $expr")} % $CmsWidth"
+
+  /** The count-min sketch of a token stream: (r, bucket, cnt), ≤ d·w
+    * rows. One hash-aggregate with partial (map-side) combine — the
+    * shuffle carries at most d·w rows per mapper, independent of N.
+    */
+  def countMinSketch(tokens: DataFrame, term: String = "term"): DataFrame =
+    tokens
+      .select(explode(array((0 until CmsDepth).map { r =>
+        struct(lit(r).as("r"), cmsBucket(col(term), r).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Heavy hitters with their count-min estimates: every term whose
+    * CMS estimate (min over the d rows — the classic overestimate-only
+    * bound) clears `minFrac` of the stream, with the exact count
+    * alongside so the overestimate is visible and testable. The exact
+    * count is the EVALUATION column; a pure 100 TB run would keep only
+    * the sketch and a candidate set.
+    */
+  def heavyHitters(tokens: DataFrame, minFrac: Double = 0.02): DataFrame = {
+    val sketch = countMinSketch(tokens)
+    val total = tokens.agg(count(lit(1)).as("n_total"))
+    // candidate terms: the distinct-term frame (bounded by vocabulary,
+    // not stream length); each probes the broadcast sketch d times
+    var est = tokens.groupBy("term").agg(count(lit(1)).as("exact_count"))
+    for (r <- 0 until CmsDepth)
+      est = est
+        .withColumn(s"b$r", cmsBucket(col("term"), r))
+        .join(
+          broadcast(sketch.filter(col("r") === r)
+            .select(col("bucket").as(s"b$r"), col("cnt").as(s"c$r"))),
+          s"b$r")
+    est
+      .crossJoin(total)
+      .withColumn("est_count", least((0 until CmsDepth).map(r => col(s"c$r")): _*))
+      .filter(col("est_count") >= lit(minFrac) * col("n_total"))
+      .select("term", "est_count", "exact_count")
+  }
+
+  // ---- bloom-filter join pruning ---------------------------------- //
+
+  /** Bits (2^17) and hash count. 32-bit words keep every mask positive
+    * on both engines (a 1<<63 BIGINT shift is implementation-defined
+    * overflow in some engines; 1<<31 in a 64-bit lane is not), so the
+    * filter is 4096 words — broadcastable at any build-side cardinality,
+    * which is the point: the probe side never shuffles to be pruned.
+    */
+  private val BloomBits = 131072
+  private val BloomHashes = 3
+
+  private def bloomPos(key: Column, i: Int): Column =
+    Shingles.hash32(concat(lit(s"bf$i:"), key.cast("string"))) % BloomBits
+  private def bloomPosSql(expr: String, i: Int): String =
+    s"${Shingles.hash32Sql(s"'bf$i:' || CAST($expr AS VARCHAR)")} % $BloomBits"
+
+  /** Build a bloom filter over `keys` (single-column frame): one row per
+    * set 32-bit word — (word_idx, word). bit_or partial-aggregates
+    * map-side, so the shuffle is ≤ 4096 rows no matter the build size.
+    */
+  def bloomBuild(keys: DataFrame): DataFrame = {
+    val k = keys.columns.head
+    keys
+      .select(explode(array((0 until BloomHashes).map(i => bloomPos(col(k), i)): _*)).as("p"))
+      .select(
+        expr("p DIV 32").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("m"))
+      .groupBy("w")
+      .agg(bit_or(col("m")).as("word"))
+  }
+
+  /** Probe: keep the rows of `probe` whose `keyCol` passes the (broadcast)
+    * bloom filter — every true match survives; false positives pass at
+    * the designed rate and are eliminated by the real join afterwards.
+    * The left join against the word table is broadcast, so pruning costs
+    * zero shuffles on the probe side.
+    */
+  def bloomProbe(probe: DataFrame, keyCol: String, bloom: DataFrame): DataFrame = {
+    var p = probe
+    for (i <- 0 until BloomHashes)
+      p = p
+        .withColumn(s"_p$i", bloomPos(col(keyCol), i))
+        .withColumn(s"_w$i", expr(s"_p$i DIV 32"))
+        .withColumn(s"_m$i", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p$i % 32 AS INT))"))
+        .join(broadcast(bloom.select(col("w").as(s"_w$i"), col("word").as(s"_word$i"))),
+          Seq(s"_w$i"), "left")
+    val pass = (0 until BloomHashes).map { i =>
+      coalesce(col(s"_word$i").bitwiseAND(col(s"_m$i")) === col(s"_m$i"), lit(false))
+    }.reduce(_ && _)
+    p.filter(pass).select(probe.columns.map(col): _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Count-min heavy hitters over the corpus token stream: every term
+    // whose sketch estimate clears 2% of all tokens, with the exact
+    // count alongside (est_count >= exact_count always — the CMS
+    // guarantee — and the margin is the collision error the w knob
+    // buys down). Sketch state: ≤ 1024 counters at any corpus size.
+    "q_heavy_hitters" -> { (spark, dir) =>
+      heavyHitters(
+        graft.tfidf.TfIdf.tokens(Tables.documents(spark, dir)).select("term"),
+        0.02).orderBy("term")
+    },
+
+    // Bloom-pruned semi-join: lineitem order keys probed against a
+    // 131072-bit / 3-hash bloom built from high-value orders. The one
+    // output row quantifies the filter: every true match passed
+    // (n_true == semi-join cardinality) and the false-positive overhead
+    // is the gap the real join later absorbs. At 100 TB the bloom words
+    // broadcast while the probe side never shuffles — this is runtime
+    // filter pushdown, hand-rolled and oracle-checked.
+    "q_bloom_join" -> { (spark, dir) =>
+      val keys = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val bloom = bloomBuild(keys)
+      val probe = Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct()
+      val passed = bloomProbe(probe, "l_orderkey", bloom)
+        .withColumn("bloom_pass", lit(1L))
+      val truth = keys.distinct().withColumn("true_match", lit(1L))
+      probe
+        .join(passed, Seq("l_orderkey"), "left")
+        .join(truth, col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_probe_keys"),
+          coalesce(sum(col("bloom_pass")), lit(0L)).as("n_bloom_pass"),
+          coalesce(sum(col("true_match")), lit(0L)).as("n_true_match"),
+          coalesce(sum(when(col("bloom_pass").isNotNull && col("true_match").isNull, 1L)),
+            lit(0L)).as("n_false_pos"))
+    },
+  )
+
+  def oracleSql: Map[String, String] = {
+    val tokCte =
+      """toks AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '')""".stripMargin
+    val cmsRows = (0 until CmsDepth).map { r =>
+      s"SELECT $r AS r, ${cmsBucketSql("term", r)} AS bucket FROM toks"
+    }.mkString("\n  UNION ALL ")
+    val cmsJoins = (0 until CmsDepth).map { r =>
+      s"JOIN sketch s$r ON s$r.r = $r AND s$r.bucket = ${cmsBucketSql("c.term", r)}"
+    }.mkString("\n")
+    val bloomRows = (0 until BloomHashes).map { i =>
+      s"SELECT ${bloomPosSql("o_orderkey", i)} AS p FROM keys"
+    }.mkString("\n  UNION ALL ")
+    val bloomPass = (0 until BloomHashes).map { i =>
+      s"""EXISTS (SELECT 1 FROM bloom b
+         |    WHERE b.w = ${bloomPosSql("pr.l_orderkey", i)} // 32
+         |      AND (b.word & (CAST(1 AS BIGINT) << (${bloomPosSql("pr.l_orderkey", i)} % 32)))
+         |          = (CAST(1 AS BIGINT) << (${bloomPosSql("pr.l_orderkey", i)} % 32)))""".stripMargin
+    }.mkString("\n  AND ")
+    Map(
+      "q_heavy_hitters" ->
+        s"""WITH $tokCte,
+           |tot AS (SELECT count(*) AS n_total FROM toks),
+           |rows_ AS (
+           |  $cmsRows),
+           |sketch AS (SELECT r, bucket, count(*) AS cnt FROM rows_ GROUP BY r, bucket),
+           |cand AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY term)
+           |SELECT c.term,
+           |  least(${(0 until CmsDepth).map(r => s"s$r.cnt").mkString(", ")}) AS est_count,
+           |  c.exact_count
+           |FROM cand c
+           |$cmsJoins
+           |WHERE least(${(0 until CmsDepth).map(r => s"s$r.cnt").mkString(", ")})
+           |      >= 0.02 * (SELECT n_total FROM tot)
+           |ORDER BY c.term""".stripMargin,
+      "q_bloom_join" ->
+        s"""WITH keys AS (
+           |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+           |pos AS (
+           |  $bloomRows),
+           |bloom AS (
+           |  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS word
+           |  FROM pos GROUP BY p // 32),
+           |probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+           |flags AS (
+           |  SELECT pr.l_orderkey,
+           |    CASE WHEN $bloomPass THEN 1 ELSE 0 END AS bloom_pass,
+           |    CASE WHEN EXISTS (SELECT 1 FROM keys k WHERE k.o_orderkey = pr.l_orderkey)
+           |      THEN 1 ELSE 0 END AS true_match
+           |  FROM probe pr)
+           |SELECT count(*) AS n_probe_keys,
+           |  CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           |  CAST(sum(true_match) AS BIGINT) AS n_true_match,
+           |  CAST(sum(CASE WHEN bloom_pass = 1 AND true_match = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_false_pos
+           |FROM flags""".stripMargin,
+    )
+  }
+}
