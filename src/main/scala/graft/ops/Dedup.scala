@@ -440,6 +440,84 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Sorted-neighborhood (SNM) candidate generation: rank every document
+    * by its SimHash fingerprint and compare only documents within `w`
+    * positions of each other in that order — O(n·w) candidate pairs from
+    * one sort, the classic windowed alternative to bucketing when the
+    * sketch space is totally ordered (near-identical fingerprints sort
+    * adjacently).
+    *
+    * The global rank is NOT a single-partition window: documents bucket
+    * by the fingerprint's high byte (order-preserving), rank within each
+    * bucket in parallel, and add a broadcast prefix offset from the
+    * one-row-per-bucket count frame — the same two-phase distributed
+    * prefix pattern as sequence packing, so the sort scales out. The
+    * only single-partition step is a window over ≤ 256 bucket-count
+    * rows. Cross-bucket neighbor pairs are still found because the
+    * JOIN is on the global rank, not the bucket.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int = 4, maxHamming: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the fingerprint table (one md5-shingle pipeline) feeds
+    // the bucket counts and both sides of the neighbor join
+    val sh = simhash(docs).withColumn("bkt", shiftright(col("simhash"), 24))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = sh.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bkt", "off")
+    val ranked = sh
+      .withColumn("rin", row_number().over(Window.partitionBy("bkt").orderBy("simhash", "doc_id")))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("simhash"), (col("off") + col("rin")).as("rank"))
+    val probes = ranked
+      .withColumn("tgt", explode(array((1 to w).map(i => col("rank") + lit(i.toLong)): _*)))
+    val out = probes.as("a").join(ranked.as("b"), col("a.tgt") === col("b.rank"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
+  /** Chunk-level duplicate coverage: cut each document into aligned
+    * k-token chunks (positions 1, k+1, 2k+1, …; the trailing partial
+    * chunk is dropped) and report, per document, how many of its chunks
+    * also occur verbatim in another document. The fixed-stride cousin of
+    * [[spanDupStats]]: 1/k the shuffle keys (one per chunk instead of
+    * one per token position) in exchange for missing overlaps that
+    * straddle a chunk boundary — the cost/recall dial large pipelines
+    * actually ship (chunk-hash dedup) when the full span pass is too
+    * expensive. At 100 TB the chunk key would be
+    * [[graft.text.Shingles.hash32]]'d before the shuffle (elided here so
+    * the oracle stays string-exact).
+    */
+  def chunkDupStats(docs: DataFrame, k: Int = 16): DataFrame = {
+    // persisted: the chunk table feeds the duplicate-chunk aggregate,
+    // the per-doc totals, and the coverage join
+    val chunks = Shingles.spansWithPos(docs, k)
+      .filter(((col("pos") - 1) % k) === 0)
+      .select(col("doc_id"), col("span").as("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = chunks.groupBy("chunk").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("chunk")
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val dupPerDoc = chunks.join(dup, "chunk")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_chunks"))
+    val out = perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+      .withColumn("dup_frac",
+        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      .localCheckpoint(true)
+    chunks.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_exact_dedup" -> { (spark, dir) =>
@@ -513,6 +591,18 @@ object Dedup extends graft.QueryModule {
 
     "q_simhash_pairs" -> { (spark, dir) =>
       simhashPairs(Tables.documents(spark, dir), 8).orderBy("d1", "d2")
+    },
+
+    // Sorted-neighborhood candidates: one global fingerprint sort
+    // (two-phase distributed rank), compare within a 4-position window.
+    "q_sorted_neighborhood" -> { (spark, dir) =>
+      sortedNeighborhoodPairs(Tables.documents(spark, dir), 4, 8).orderBy("d1", "d2")
+    },
+
+    // Chunk-hash dedup: aligned 16-token chunks, per-doc duplicate-chunk
+    // coverage — span_dedup's cheaper fixed-stride sibling.
+    "q_chunk_dedup" -> { (spark, dir) =>
+      chunkDupStats(Tables.documents(spark, dir), 16).orderBy("doc_id")
     },
 
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.
@@ -783,6 +873,33 @@ object Dedup extends graft.QueryModule {
            |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
            |ORDER BY d1, d2""".stripMargin,
+      "q_sorted_neighborhood" ->
+        s"""WITH $shingleHashCte,
+           |$simhashCte,
+           |ranked AS (
+           |  SELECT doc_id, simhash,
+           |    row_number() OVER (ORDER BY simhash, doc_id) AS rank
+           |  FROM simhash)
+           |SELECT least(a.doc_id, b.doc_id) AS d1,
+           |  greatest(a.doc_id, b.doc_id) AS d2,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM ranked a JOIN ranked b
+           |  ON b.rank > a.rank AND b.rank <= a.rank + 4
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |ORDER BY d1, d2""".stripMargin,
+      "q_chunk_dedup" ->
+        s"""WITH sp AS (${Shingles.spansWithPosSql(16)}),
+           |ch AS (SELECT doc_id, span AS chunk FROM sp WHERE (pos - 1) % 16 = 0),
+           |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+           |per AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+           |dupper AS (
+           |  SELECT doc_id, count(*) AS dup_chunks
+           |  FROM ch JOIN dup USING (chunk) GROUP BY doc_id)
+           |SELECT p.doc_id, p.n_chunks,
+           |  COALESCE(dp.dup_chunks, 0) AS dup_chunks,
+           |  CAST(COALESCE(dp.dup_chunks, 0) AS DOUBLE) / p.n_chunks AS dup_frac
+           |FROM per p LEFT JOIN dupper dp ON p.doc_id = dp.doc_id
+           |ORDER BY p.doc_id""".stripMargin,
       "q_embedding_neardup" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
           |SELECT a.vec_id AS v1, b.vec_id AS v2,

@@ -82,7 +82,36 @@ object EventOps extends graft.QueryModule {
         dsum(col("value")).as("sum_value"))
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
 
+  /** Ingest-time event dedup: within each (user, event_type, tumbling
+    * `windowSec` window) group, keep the FIRST event — ties on timestamp
+    * break by event_id, so the kept set is deterministic under any
+    * arrival order. A single min(struct(ts, event_id)) hash aggregate
+    * (partial + final, no window function), keyed exactly like the
+    * streaming twin ([[graft.streaming.DocStream]]'s
+    * dropDuplicatesWithinWatermark pattern) — the batch backfill and the
+    * live stream agree on which copy survives. One shuffle at any scale.
+    */
+  def dedupEvents(events: DataFrame, windowSec: Int = 600): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"),
+        expr(s"CAST(ts AS LONG) DIV $windowSec").as("win"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.ts").as("ts"), col("first.event_id").as("event_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Keep-first event dedup in 10-minute tumbling windows, summarized
+    // per event type (kept vs dropped duplicate share).
+    "q_event_dedup" -> { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val kept = dedupEvents(ev, 600)
+        .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .join(kept, "event_type")
+        .withColumn("n_dropped", col("n_events") - col("n_kept"))
+        .orderBy("event_type")
+    },
 
     // Interval join: match each event to every tier whose [lo, hi)
     // range contains its value. The tier table is tiny and broadcast,
@@ -246,6 +275,17 @@ object EventOps extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // floor(epoch(ts)) == Spark's CAST(ts AS LONG) (both floor seconds);
+    // // is DuckDB's integer division
+    "q_event_dedup" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 600 AS win, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  count(*) AS n_kept,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dropped
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_interval_join" -> {
       val values = tiers
         .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")

@@ -33,6 +33,29 @@ object Relational extends graft.QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Shipping-priority join (TPC-H Q3 shape): the canonical 3-table
+    // selective fact join — segment-filtered customers × date-filtered
+    // orders × date-filtered lineitems, revenue per order, top 10.
+    // Filters push to every scan; the filtered customer key set is small
+    // and AQE broadcasts it, so only the orders⋈lineitem shuffle pays
+    // at scale; top-10 is TakeOrderedAndProject (no global sort), with
+    // a deterministic (revenue, date, key) tie-break.
+    "q_shipping_priority" -> { (spark, dir) =>
+      val cutoff = to_timestamp(lit("1997-01-01"))
+      val c = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
     // Argmin join (TPC-H Q2 shape): per part, the supplier offering the
     // lowest price — a single min(struct(price, suppkey)) aggregate, so
     // ties break deterministically by suppkey and no window shuffle or
@@ -522,6 +545,18 @@ object Relational extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_shipping_priority" ->
+      s"""SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         |  ${ds("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         |  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+         |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+         |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+         |LIMIT 10""".stripMargin,
     "q_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

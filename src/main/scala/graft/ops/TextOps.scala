@@ -371,7 +371,62 @@ object TextOps extends graft.QueryModule {
   private val strataRates: Seq[(String, Int)] =
     Seq("de" -> 80, "en" -> 25, "es" -> 80, "fr" -> 80, "zh" -> 50)
 
+  /** Out-of-vocabulary rate per document against a data-derived
+    * tokenizer vocabulary (the `vocabSize` globally most frequent terms,
+    * ties lexicographic). The coverage signal a tokenizer-training
+    * pipeline watches: a rising OOV rate means the vocab no longer fits
+    * the corpus mix. The vocab is tiny by construction, so the membership
+    * probe is a broadcast left join against the token stream — one
+    * shuffle (per-doc aggregate), vocab derivation is its own
+    * top-k aggregate that never grows past the vocabulary.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val toks = TfIdf.tokens(docs)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Deterministic output sharding: every document lands in one of
+    * `nShards` shards by content-independent key hash — the write-path
+    * partitioner of a training-data pipeline (shard files must be
+    * reproducible across runs and engines, so no round-robin or RNG).
+    * The declared query reports the per-shard balance sheet; the skew
+    * of n_docs across shards is the thing to watch (md5 on the id keys
+    * it within sampling noise of uniform at any corpus size).
+    */
+  def shardAssign(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs
+      .withColumn("shard",
+        Shingles.hash32(concat(lit("shard:"), col("doc_id").cast("string"))) % nShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tokenizer-vocabulary coverage: per-doc OOV fraction against the
+    // top-20-term vocab (data-derived, tie-broken lexicographically).
+    "q_oov_rate" -> { (spark, dir) =>
+      oovRate(Tables.documents(spark, dir), 20).orderBy("doc_id")
+    },
+
+    // Deterministic 16-way output sharding balance sheet.
+    "q_shard_assign" -> { (spark, dir) =>
+      shardAssign(Tables.documents(spark, dir), 16).orderBy("shard")
+    },
 
     // Deterministic ~10% sample by content hash of the key — consistent
     // across engines and re-runs, unlike seeded RNG sampling.
@@ -548,6 +603,28 @@ object TextOps extends graft.QueryModule {
       s"CASE WHEN $conds THEN '$lang' ELSE $acc END"
     }
     Map(
+      "q_oov_rate" ->
+        s"""WITH $tokCte,
+           |vocab AS (
+           |  SELECT term FROM (
+           |    SELECT term, count(*) AS n FROM tok GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 20)),
+           |flagged AS (
+           |  SELECT t.doc_id,
+           |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+           |  CAST(CAST(sum(oov) AS BIGINT) AS DOUBLE) / count(*) AS oov_rate
+           |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_shard_assign" ->
+        s"""SELECT ${Shingles.hash32Sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |  min(doc_id) AS min_doc_id,
+           |  max(doc_id) AS max_doc_id
+           |FROM documents
+           |GROUP BY shard ORDER BY shard""".stripMargin,
       "q_hash_sample" ->
         s"""SELECT l_returnflag, count(*) AS n_sampled
            |FROM lineitem WHERE ${hashBucketSql("l_orderkey")} < 10

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, EventOps, Sketches, TextOps}
+
+/** Semantic invariants of the round-5 operators — the properties the
+  * DuckDB hash check can't state directly (bounds, containment,
+  * equivalence to a reference formulation).
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.core.Tables.documents(spark, dir)
+  private def tokens = graft.tfidf.TfIdf.tokens(docs).select("term")
+
+  test("count-min estimate never underestimates, and is exact for bucket-collision-free terms") {
+    // minFrac = 0 keeps every term, so the bound is checked vocab-wide
+    val rows = Sketches.heavyHitters(tokens, 0.0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getLong(1); val exact = r.getLong(2)
+      assert(est >= exact, s"term ${r.getString(0)}: est $est < exact $exact")
+    }
+    // with w=256 buckets and a tiny vocabulary, at least one term should
+    // sit alone in its buckets in some row — est == exact there
+    assert(rows.exists(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("bloom filter has no false negatives; false positives stay near the designed rate") {
+    val keys = graft.core.Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val bloom = Sketches.bloomBuild(keys).persist()
+    // every build key must pass its own filter
+    assert(Sketches.bloomProbe(keys, "o_orderkey", bloom).count() === keys.count())
+    // non-member probes: keys far outside the orderkey domain
+    val nonMembers = spark.range(10000000L, 10005000L).toDF("o_orderkey")
+    val fp = Sketches.bloomProbe(nonMembers, "o_orderkey", bloom).count()
+    // designed rate (1 - e^{-kn/m})^k is well under 1% at sf0.001's
+    // build cardinality; allow 10x slack for hash clumping
+    assert(fp < 50, s"false positives $fp of 5000")
+    bloom.unpersist()
+  }
+
+  test("two-phase SNM rank equals a single global row_number") {
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, 4, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: global window rank (fine at test scale), same window
+    val sh = Dedup.simhashFingerprints(docs)
+    val ranked = sh.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("simhash", "doc_id")))
+    val ref = ranked.as("a").join(ranked.as("b"),
+        col("b.rank") > col("a.rank") && col("b.rank") <= col("a.rank") + 4)
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === ref && pairs.nonEmpty)
+  }
+
+  test("sorted-neighborhood finds the planted near-dups that simhash prefix bucketing finds") {
+    // adjacent fingerprints sort adjacently: SNM at the same Hamming cut
+    // should recover most prefix-bucket pairs (window misses are allowed,
+    // catastrophic loss is not)
+    val snm = Dedup.sortedNeighborhoodPairs(docs, 4, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.simhashPairs(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.nonEmpty && bucketed.nonEmpty)
+    val recall = (snm intersect bucketed).size.toDouble / bucketed.size
+    assert(recall >= 0.5, s"SNM recall vs prefix bucketing: $recall")
+  }
+
+  test("chunkDupStats: chunk counts match token counts; planted dups are heavily covered") {
+    val stats = Dedup.chunkDupStats(docs, 16).collect()
+    val tokCounts = graft.text.Shingles.tokensWithPos(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val id = r.getLong(0); val nChunks = r.getLong(1); val dup = r.getLong(2)
+      assert(nChunks === tokCounts(id) / 16, s"doc $id chunk count")
+      assert(dup >= 0 && dup <= nChunks)
+    }
+    // whole-doc planted dups share every aligned chunk except possibly
+    // the one holding the extra token
+    assert(stats.exists(r => r.getLong(2) === r.getLong(1) && r.getLong(1) > 0))
+  }
+
+  test("dedupEvents keeps exactly one earliest event per (user, type, window)") {
+    val ev = graft.core.Tables.events(spark, dir)
+    val kept = EventOps.dedupEvents(ev, 600)
+    // one survivor per group
+    val groups = ev.groupBy(col("user_id"), col("event_type"),
+      expr("CAST(ts AS LONG) DIV 600")).count()
+    assert(kept.count() === groups.count())
+    // each survivor is the group's min (ts, event_id) — verify by
+    // anti-joining against a window-ranked reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"), expr("CAST(ts AS LONG) DIV 600"))
+      .orderBy(col("ts"), col("event_id"))
+    val ref = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id")
+    assert(kept.select("event_id").exceptAll(ref).count() === 0)
+  }
+
+  test("oovRate: full-vocabulary coverage means zero OOV everywhere") {
+    val rows = TextOps.oovRate(docs, 1000000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) === 0L, s"doc ${r.getLong(0)} has OOV under full vocab"))
+    val small = TextOps.oovRate(docs, 5).collect()
+    assert(small.exists(_.getLong(2) > 0), "tiny vocab must produce OOV tokens")
+  }
+
+  test("shardAssign partitions the corpus exactly and near-uniformly") {
+    val rows = TextOps.shardAssign(docs, 16).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // md5 sharding of 500 ids across 16 shards: no shard should be
+    // pathologically empty or dominant
+    val counts = rows.map(_.getLong(1))
+    assert(counts.min > 5 && counts.max < 100, counts.mkString(","))
+  }
+}
