@@ -141,6 +141,42 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Containment pairs: overlap coefficient |A∩B| / min(|A|,|B|) over
+    * n-gram shingle sets — the doc-inside-doc signal. Jaccard divides
+    * by the UNION, so a short document quoted verbatim inside a long
+    * one scores near zero and survives Jaccard dedup; containment
+    * scores it ≈ 1 (cf. Broder's "containment" in the original
+    * resemblance paper and the suffix-array substring passes that
+    * modern pipelines run for exactly this case). Candidate generation
+    * and cost model are identical to [[jaccardPairs]] (inverted-index
+    * self-join, Σ df² bounded by `dfCeiling` at scale).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      dfCeiling: Int = Int.MaxValue): DataFrame = {
+    val shAll = Shingles.shingles(docs, n).distinct()
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    // persisted: referenced three times (sizes + both join sides)
+    val sh = (if (dfCeiling == Int.MaxValue) shAll
+      else shAll.withColumn("_df", count(lit(1)).over(wDf))
+        .filter(col("_df") <= dfCeiling).drop("_df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val out = pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("d1", "d2", "inter", "n1", "n2", "containment")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
   /** Per-doc MinHash signature table (sig0..sig7). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     shingleHashesAll(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -345,6 +381,29 @@ object Dedup extends graft.QueryModule {
       .select("doc_id")
     docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
   }
+
+  /** Quality-aware canonical selection: per near-dup cluster, keep the
+    * HIGHEST-quality member (min doc_id breaks ties) instead of the
+    * min-id one — what production dedup actually ships, since the
+    * canonical copy should be the cleanest, not the earliest-crawled.
+    * `quality` is any (doc_id, quality: double) frame (the declared
+    * query feeds [[TextOps.qualityScores]]). The argmax is a
+    * `min(struct(-quality, doc_id))` partial+final hash aggregate —
+    * map-side combinable, no Window, no per-cluster sort — so at 100 TB
+    * it costs one shuffle of (cluster_id, 2 doubles) after the
+    * clusters/quality join.
+    */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(struct(negate(col("quality")).as("nq"), col("doc_id"))).as("best"))
+      .select(
+        col("cluster_id"), col("n_members"),
+        col("best.doc_id").as("keep_doc_id"),
+        negate(col("best.nq")).as("keep_quality"))
 
   /** Embedding near-dup, exact baseline: all-pairs cosine top-k via
     * block-pair EQUI-joins rather than a `<` non-equi self-join —
@@ -605,6 +664,20 @@ object Dedup extends graft.QueryModule {
       chunkDupStats(Tables.documents(spark, dir), 16).orderBy("doc_id")
     },
 
+    // Containment (overlap coefficient): doc-inside-doc pairs Jaccard
+    // misses — same inverted-index candidate machinery, |A∩B|/min.
+    "q_containment" -> { (spark, dir) =>
+      containmentPairs(Tables.documents(spark, dir), 3, 0.8).orderBy("d1", "d2")
+    },
+
+    // Quality-aware canonical selection: per cluster keep the
+    // highest-quality member (argmax as a min(struct) hash aggregate).
+    "q_keep_best" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      keepBestPerCluster(dupClusters(docs, 0.5), TextOps.qualityScores(docs))
+        .orderBy("cluster_id")
+    },
+
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.
     // Exact all-pairs baseline at this SF (see embeddingNearDupExact).
     "q_embedding_neardup" -> { (spark, dir) =>
@@ -750,6 +823,79 @@ object Dedup extends graft.QueryModule {
 
       // min-reachable-label via recursive CTE == the engine's min-label
       // propagation fixpoint, so cluster ids agree exactly
+      "q_containment" ->
+        s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT p.d1, p.d2, p.inter, s1.nsh AS n1, s2.nsh AS n2,
+           |  CAST(p.inter AS DOUBLE) / least(s1.nsh, s2.nsh) AS containment
+           |FROM pairs p
+           |JOIN sizes s1 ON p.d1 = s1.doc_id
+           |JOIN sizes s2 ON p.d2 = s2.doc_id
+           |WHERE CAST(p.inter AS DOUBLE) / least(s1.nsh, s2.nsh) >= 0.8
+           |ORDER BY p.d1, p.d2""".stripMargin,
+      // clusters chain (identical to q_dedup_clusters) × the quality
+      // chain (identical to q_quality_score); argmax replicated as a
+      // row_number window — value-identical doubles make the selection
+      // agree with the min(struct) aggregate on the Spark side
+      "q_keep_best" ->
+        s"""WITH RECURSIVE $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+           |labels AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+           |tok AS (
+           |  SELECT doc_id, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term <> ''),
+           |stop AS (
+           |  SELECT term AS stop_term FROM (
+           |    SELECT term, count(*) AS n FROM tok GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 10)),
+           |stats AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens, count(DISTINCT t.term) AS n_types,
+           |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+           |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+           |  GROUP BY t.doc_id),
+           |qual AS (
+           |  SELECT doc_id,
+           |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+           |      + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+           |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
+           |  FROM stats),
+           |ranked AS (
+           |  SELECT l.cluster_id, l.doc_id, q.quality,
+           |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+           |    row_number() OVER (PARTITION BY l.cluster_id
+           |                       ORDER BY q.quality DESC, l.doc_id) AS rn
+           |  FROM labels l JOIN qual q ON l.doc_id = q.doc_id)
+           |SELECT cluster_id, n_members, doc_id AS keep_doc_id, quality AS keep_quality
+           |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE $shingleHashCte,
            |sigs AS (

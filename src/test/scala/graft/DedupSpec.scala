@@ -80,4 +80,34 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("_df") <= 4).count()
     assert(kept < total, s"ceiling removed nothing ($kept of $total)")
   }
+
+  test("containmentPairs: subset docs score 1.0 where Jaccard stays low") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a short doc quoted verbatim inside a much longer one: Jaccard is
+    // small (union is the long doc) but containment is exactly 1
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 80).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(two, 3, 0.8).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(Dedup.jaccardPairs(two, 3, 0.6).count() === 0,
+      "Jaccard must miss the doc-inside-doc pair containment catches")
+  }
+
+  test("keepBestPerCluster: picks max quality, min doc_id on ties") {
+    import spark.implicits._
+    val clusters = Seq(
+      (10L, 1L, 3L), (11L, 1L, 3L), (12L, 1L, 3L),
+      (20L, 2L, 2L), (21L, 2L, 2L)).toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq(
+      (10L, 0.5), (11L, 0.9), (12L, 0.9),
+      (20L, 0.7), (21L, 0.7)).toDF("doc_id", "quality")
+    val out = Dedup.keepBestPerCluster(clusters, quality)
+      .orderBy("cluster_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((1L, 3L, 11L, 0.9), (2L, 2L, 20L, 0.7)))
+  }
 }
