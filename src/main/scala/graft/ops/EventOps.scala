@@ -99,6 +99,32 @@ object EventOps extends graft.QueryModule {
       .select(col("user_id"), col("event_type"),
         col("first.ts").as("ts"), col("first.event_id").as("event_id"))
 
+  /** SCD Type-2 dimension build: fold a change-event stream into
+    * versioned validity intervals per entity — each change event of
+    * `changeType` opens a version (valid_from = event ts, the tracked
+    * attribute is `value`) and the NEXT change closes it (valid_to =
+    * next valid_from, NULL = current). The warehouse CDC primitive:
+    * point-in-time joins against the dimension become
+    * `valid_from <= t AND (t < valid_to OR valid_to IS NULL)`.
+    *
+    * Every window is partitioned by the entity key — one shuffle on
+    * user_id, per-user sequential scan, no global sort — so the build
+    * parallelizes over entities and survives any corpus size (a skewed
+    * mega-entity is bounded by its own change count, not the table).
+    * Ties on ts break by event_id, so versioning is deterministic
+    * under any arrival order.
+    */
+  def scd2(events: DataFrame, changeType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    events.filter(col("event_type") === changeType)
+      .select(col("user_id"), col("value"), col("ts").as("valid_from"), col("event_id"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "value", "valid_from", "valid_to", "is_current")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Keep-first event dedup in 10-minute tumbling windows, summarized
@@ -137,6 +163,13 @@ object EventOps extends graft.QueryModule {
     "q_session_window" -> { (spark, dir) =>
       sessionizeNative(Tables.events(spark, dir))
         .orderBy("user_id", "session_start")
+    },
+
+    // SCD Type-2 dimension from the purchase-event stream: versioned
+    // validity intervals per user, open-ended current rows.
+    "q_scd2" -> { (spark, dir) =>
+      scd2(Tables.events(spark, dir), "purchase")
+        .orderBy("user_id", "version")
     },
 
     // Attribution join: each view matched to the same user's purchases
@@ -296,6 +329,15 @@ object EventOps extends graft.QueryModule {
          |FROM events JOIN t ON value >= lo AND value < hi
          |GROUP BY tier ORDER BY tier""".stripMargin
     },
+    "q_scd2" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INT) AS version, value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q_attribution" ->
       """SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
         |  p.event_id AS purchase_id, p.ts AS purchase_ts

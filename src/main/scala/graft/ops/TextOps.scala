@@ -364,6 +364,75 @@ object TextOps extends graft.QueryModule {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source mixing (the multilingual-corpus
+    * rebalancing rule, cf. the α-sampling of XLM-R / mT5): sampling
+    * weight w_s ∝ n_s^α with α = 1/2, which flattens the source
+    * distribution — head sources are down-weighted, tail sources
+    * up-weighted — without the min-source cliff of [[sourceMix]].
+    * Emits per source the weight and the effective document count
+    * w_s · N a weighted sampler would draw.
+    *
+    * Exactness across engines: √n is IEEE-correctly-rounded in both
+    * engines, each √n is quantized to DECIMAL(28,6), and the
+    * normalizer is the EXACT decimal sum — order-independent, so the
+    * Spark partial/final aggregate and DuckDB's sequential sum agree
+    * bit-for-bit (the pagerank precedent). The per-source frame is one
+    * row per source, so the normalizer is a one-row broadcast scalar —
+    * no single-partition window over data rows at any corpus size.
+    */
+  def sourceMixTemperature(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt(col("n_docs").cast("double")).cast(dec))
+    val tot = counts.agg(
+      sum(col("w_raw")).as("w_tot"), sum(col("n_docs")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"),
+        (col("w_raw").cast("double") / col("w_tot").cast("double")).as("weight"),
+        (col("w_raw").cast("double") / col("w_tot").cast("double")
+          * col("n_total").cast("double")).as("eff_docs"))
+      .orderBy("source")
+  }
+
+  /** Deterministic global corpus shuffle: assign every document a
+    * stable pseudo-random position — the reproducible
+    * shuffle-before-training step (epoch order must be identical on
+    * re-run and resumable mid-epoch, so `orderBy(rand())` is exactly
+    * what a training pipeline cannot use). The position is the global
+    * rank under a salted md5 key.
+    *
+    * The global rank is NOT a single-partition window: keys bucket by
+    * their high byte (order-preserving), rank within each bucket in
+    * parallel, and add a broadcast prefix offset from the
+    * one-row-per-bucket count frame — the same two-phase distributed
+    * prefix pattern as sequence packing / sorted-neighborhood, so the
+    * shuffle scales out; the only single-partition step is a window
+    * over ≤ 256 bucket-count rows.
+    */
+  def shuffleRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the keyed frame feeds the bucket counts and the rank
+    val keyed = docs.select(
+        col("doc_id"),
+        Shingles.hash32(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("bkt", shiftright(col("shuffle_key"), 24))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bkt", "off")
+    val out = keyed
+      .withColumn("rin",
+        row_number().over(Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")))
+      .join(broadcast(offsets), "bkt")
+      .select(col("doc_id"), col("shuffle_key"), (col("off") + col("rin")).as("shuffle_pos"))
+      .localCheckpoint(true)
+    keyed.unpersist(false)
+    out
+  }
+
   /** Per-language sampling rates (percent) for corpus rebalancing:
     * downsample the over-represented language, keep the rest. A single
     * source of truth drives both the Column tree and the oracle CASE.
@@ -539,6 +608,17 @@ object TextOps extends graft.QueryModule {
     // Domain-mix rebalancing toward the smallest source.
     "q_source_mix" -> { (spark, dir) =>
       sourceMix(Tables.documents(spark, dir))
+    },
+
+    // Temperature-scaled (α = 1/2) source mixing weights.
+    "q_mix_temperature" -> { (spark, dir) =>
+      sourceMixTemperature(Tables.documents(spark, dir))
+    },
+
+    // Reproducible pre-training shuffle: stable pseudo-random global
+    // position per document via the two-phase distributed rank.
+    "q_shuffle_rank" -> { (spark, dir) =>
+      shuffleRank(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
     // Tokenizer comparison: whitespace count, BPE-ish regex token count
@@ -772,6 +852,31 @@ object TextOps extends graft.QueryModule {
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM documents d JOIN rates r ON d.source = r.source
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      // the oracle's single global window IS the semantics the
+      // two-phase bucketed rank must reproduce exactly
+      "q_shuffle_rank" -> {
+        val h = Shingles.hash32Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")
+        s"""SELECT doc_id, $h AS shuffle_key,
+           |  row_number() OVER (ORDER BY $h, doc_id) AS shuffle_pos
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      // √n quantized to DECIMAL(28,6), EXACT decimal normalizer sum;
+      // the VARCHAR-mediated decimal→double cast is the correctly-
+      // rounded one in DuckDB (pagerank precedent)
+      "q_mix_temperature" ->
+        """WITH counts AS (
+          |  SELECT source, count(*) AS n_docs,
+          |    CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(28,6)) AS w_raw
+          |  FROM documents GROUP BY source),
+          |tot AS (
+          |  SELECT sum(w_raw) AS w_tot, sum(n_docs) AS n_total FROM counts)
+          |SELECT c.source, c.n_docs,
+          |  CAST(CAST(c.w_raw AS VARCHAR) AS DOUBLE)
+          |    / CAST(CAST(t.w_tot AS VARCHAR) AS DOUBLE) AS weight,
+          |  CAST(CAST(c.w_raw AS VARCHAR) AS DOUBLE)
+          |    / CAST(CAST(t.w_tot AS VARCHAR) AS DOUBLE)
+          |    * CAST(t.n_total AS DOUBLE) AS eff_docs
+          |FROM counts c CROSS JOIN tot t ORDER BY c.source""".stripMargin,
       "q_token_count" ->
         """SELECT doc_id,
           |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_tokens,

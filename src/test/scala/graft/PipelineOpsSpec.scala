@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, TextOps}
+
+/** Invariants for the round-5 pipeline operators (SCD2, temperature
+  * mixing, reproducible shuffle) beyond the DuckDB hash gate.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.core.Tables.documents(spark, dir)
+  private def events = graft.core.Tables.events(spark, dir)
+
+  test("scd2: versions tile the timeline, exactly one current row per user") {
+    val dim = EventOps.scd2(events, "purchase").collect()
+    val byUser = dim.groupBy(_.getLong(0))
+    byUser.foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length), s"user $user versions")
+      // each version's valid_to is the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) == b.getTimestamp(3), s"user $user interval gap")
+        case _ => ()
+      }
+      assert(rows.count(_.getBoolean(5)) == 1, s"user $user current rows")
+      assert(sorted.last.isNullAt(4), s"user $user open-ended tail")
+    }
+    assert(dim.length == events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("mix temperature: weights normalize to 1 and flatten the distribution") {
+    val rows = TextOps.sourceMixTemperature(docs).collect()
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-9, s"weights sum to $wsum")
+    // α = 1/2 flattening: the effective share of the largest source
+    // shrinks vs its raw share, the smallest source's grows
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val biggest = rows.maxBy(_.getLong(1))
+    val smallest = rows.minBy(_.getLong(1))
+    assert(biggest.getDouble(2) <= biggest.getLong(1) / total + 1e-12)
+    assert(smallest.getDouble(2) >= smallest.getLong(1) / total - 1e-12)
+  }
+
+  test("shuffle rank: a permutation, equal to the single-window global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextOps.shuffleRank(docs)
+    val n = docs.count()
+    val positions = out.select("shuffle_pos").collect().map(_.getLong(0)).sorted
+    assert(positions.toSeq == (1L to n), "positions must be a permutation of 1..n")
+    // the two-phase bucketed rank must equal the naive global window
+    val naive = docs
+      .select(col("doc_id"),
+        graft.text.Shingles.hash32(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("pos", row_number().over(Window.orderBy("k", "doc_id")).cast("long"))
+      .select("doc_id", "pos")
+    val mismatch = out.select(col("doc_id"), col("shuffle_pos"))
+      .except(naive.select(col("doc_id"), col("pos").as("shuffle_pos")))
+    assert(mismatch.isEmpty, "bucketed rank diverges from the global window")
+  }
+}
