@@ -307,6 +307,58 @@ object VectorOps extends graft.QueryModule {
     cent
   }
 
+  /** Top principal direction of the embedding cloud: mean-center, then
+    * power iteration v ← normalize(Σᵢ yᵢ (yᵢ·v)) — the common-direction
+    * estimate that embedding post-processing removes (Mu & Viswanath
+    * 2018, "All-but-the-Top": subtracting μ and the top principal
+    * component(s) measurably improves similarity tasks), and the first
+    * step of a PCA-whitening pipeline. Returns one row per dimension:
+    * (dim, mu, pc1).
+    *
+    * Scale shape: the vectors explode to (vec_id, dim, y) once; each
+    * iteration is two shuffled aggregates — per-VECTOR dot products
+    * (groupBy vec_id) then per-DIMENSION accumulation (groupBy dim) —
+    * plus a d-row normalize, so cost is O(iters · n · d) with no
+    * driver-side matrix and nothing denser than the d-row direction
+    * frame ever broadcast. Exactness across engines: every cross-row
+    * sum quantizes its terms to DECIMAL(28,12) first (order-independent
+    * exact sums — the pagerank precedent), and all per-row arithmetic
+    * is identical IEEE doubles, so the iterate — and hence the oracle
+    * hash — is bit-stable under any partitioning.
+    */
+  def principalDirection(embeddings: DataFrame, dims: Int = 64, iters: Int = 2): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = castVec(embeddings, "vid")
+    val n = e.count()
+    val x = e.select(col("vid"), posexplode(col("vid_v")).as(Seq("dim", "x")))
+    val mu = x.groupBy("dim")
+      .agg((sum(col("x").cast(dec)).cast("double") / lit(n.toDouble)).as("mu"))
+    // centered (vec_id, dim, y) feeds both aggregates of every iteration
+    val y = x.join(broadcast(mu), "dim")
+      .select(col("vid"), col("dim"), (col("x") - col("mu")).as("y"))
+      .persist(lvl)
+    var v: DataFrame = mu.select(col("dim"),
+      (lit(1.0) / sqrt(lit(dims.toDouble))).as("vd"))
+    for (_ <- 0 until iters) {
+      val s = y.join(broadcast(v), "dim")
+        .groupBy("vid")
+        .agg(sum((col("y") * col("vd")).cast(dec)).cast("double").as("s"))
+      val u = y.join(s, "vid")
+        .groupBy("dim")
+        .agg(sum((col("y") * col("s")).cast(dec)).cast("double").as("u"))
+      val nrm = u.agg(sqrt(sum((col("u") * col("u")).cast(dec)).cast("double")).as("nrm"))
+      v = u.crossJoin(broadcast(nrm))
+        .select(col("dim"), (col("u") / col("nrm")).as("vd"))
+        .localCheckpoint(true)
+    }
+    val out = mu.join(v, "dim")
+      .select(col("dim"), col("mu"), col("vd").as("pc1"))
+      .localCheckpoint(true)
+    y.unpersist(false)
+    out
+  }
+
   /** Mean cosine of every vector to its nearest centroid — the
     * clustering quality metric (higher is tighter).
     */
@@ -343,6 +395,12 @@ object VectorOps extends graft.QueryModule {
     "q_quantized_knn" -> { (spark, dir) =>
       quantizedKnn(Tables.embeddings(spark, dir), col("vec_id") < 5, 10, 64)
         .orderBy("qid", "rank")
+    },
+
+    // Embedding post-processing statistics: the mean vector and the
+    // top principal direction (2 power-iteration rounds), per ABTT.
+    "q_pca_power" -> { (spark, dir) =>
+      principalDirection(Tables.embeddings(spark, dir), 64, 2).orderBy("dim")
     },
   )
 
@@ -417,6 +475,43 @@ object VectorOps extends graft.QueryModule {
          |  FROM scored)
          |SELECT qid, rank, vid, qdot, score FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin
+    },
+    // unrolled power iteration; every cross-row sum is decimal-exact
+    // (terms quantized to DECIMAL(28,12)) and BOTH decimal casts go
+    // through VARCHAR: decimal→double because DuckDB's direct cast is
+    // not correctly rounded (pagerank precedent), and double→decimal
+    // because DuckDB's direct cast rounds in the double domain (ulp
+    // ~1e-4 at scale 12) while Spark quantizes the shortest decimal
+    // repr — the VARCHAR hop reproduces Spark's Double.toString
+    // semantics exactly (measured: 0/20k mismatches vs 1/20k direct)
+    "q_pca_power" -> {
+      def dsum(term: String) =
+        s"CAST(CAST(sum(CAST(CAST($term AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)"
+      def iter(prev: String, k: Int): String =
+        s"""s$k AS (
+           |  SELECT y.vec_id, ${dsum("y.y * v.vd")} AS s
+           |  FROM y JOIN $prev v ON y.dim = v.dim GROUP BY y.vec_id),
+           |u$k AS (
+           |  SELECT y.dim, ${dsum("y.y * s.s")} AS u
+           |  FROM y JOIN s$k s ON y.vec_id = s.vec_id GROUP BY y.dim),
+           |v$k AS (
+           |  SELECT dim, u / (SELECT sqrt(${dsum("u * u")}) FROM u$k) AS vd
+           |  FROM u$k)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+         |  FROM e CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+         |mu AS (
+         |  SELECT dim, ${dsum("x")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS mu
+         |  FROM x GROUP BY dim),
+         |y AS (
+         |  SELECT x.vec_id, x.dim, x.x - mu.mu AS y
+         |  FROM x JOIN mu ON x.dim = mu.dim),
+         |v0 AS (SELECT dim, 1.0 / sqrt(64.0) AS vd FROM mu),
+         |${iter("v0", 1)},
+         |${iter("v1", 2)}
+         |SELECT m.dim, m.mu, v2.vd AS pc1
+         |FROM mu m JOIN v2 ON m.dim = v2.dim ORDER BY m.dim""".stripMargin
     },
     "q_lsh_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

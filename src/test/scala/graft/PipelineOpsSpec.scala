@@ -45,6 +45,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(smallest.getDouble(2) >= smallest.getLong(1) / total - 1e-12)
   }
 
+  test("pca power iteration: unit norm, recovers a planted dominant direction") {
+    import spark.implicits._
+    // vectors spread along axis 0 with small fixed axis-1 offsets: the
+    // top principal component must be ±e0
+    val planted = Seq(
+      (0L, Array(4.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(-4.0f, -0.1f, 0.1f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, -0.1f, 0.1f)),
+      (3L, Array(-2.0f, 0.1f, 0.0f, -0.1f)),
+      (4L, Array(1.0f, -0.1f, 0.1f, 0.0f)),
+      (5L, Array(-1.0f, 0.0f, -0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val pc = graft.ops.VectorOps.principalDirection(planted, 4, 4)
+      .orderBy("dim").collect().map(_.getDouble(2))
+    val norm = math.sqrt(pc.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9, s"pc1 norm $norm")
+    assert(math.abs(pc(0)) > 0.99, s"pc1 not along planted axis: ${pc.toSeq}")
+  }
+
   test("shuffle rank: a permutation, equal to the single-window global rank") {
     import org.apache.spark.sql.expressions.Window
     val out = TextOps.shuffleRank(docs)
