@@ -411,6 +411,19 @@ object TextOps extends graft.QueryModule {
     * over ≤ 256 bucket-count rows.
     */
   def shuffleRank(docs: DataFrame): DataFrame = {
+    val (lazyOut, keyed) = shuffleRankLazy(docs)
+    // eager: the ranked output is the stage result; the keyed working
+    // table must not leak cache to the caller
+    val out = lazyOut.localCheckpoint(true)
+    keyed.unpersist(false)
+    out
+  }
+
+  /** The shuffle pipeline, lazily: (result, persisted keyed table).
+    * The public wrapper materializes and unpersists; PlanSpec asserts
+    * the two-phase rank's plan shape on the lazy form.
+    */
+  private[graft] def shuffleRankLazy(docs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the keyed frame feeds the bucket counts and the rank
     val keyed = docs.select(
@@ -428,9 +441,7 @@ object TextOps extends graft.QueryModule {
         row_number().over(Window.partitionBy("bkt").orderBy("shuffle_key", "doc_id")))
       .join(broadcast(offsets), "bkt")
       .select(col("doc_id"), col("shuffle_key"), (col("off") + col("rin")).as("shuffle_pos"))
-      .localCheckpoint(true)
-    keyed.unpersist(false)
-    out
+    (out, keyed)
   }
 
   /** Per-language sampling rates (percent) for corpus rebalancing:

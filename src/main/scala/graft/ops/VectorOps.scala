@@ -315,48 +315,77 @@ object VectorOps extends graft.QueryModule {
     * step of a PCA-whitening pipeline. Returns one row per dimension:
     * (dim, mu, pc1).
     *
-    * Scale shape: the vectors explode to (vec_id, dim, y) once; each
-    * iteration is two shuffled aggregates — per-VECTOR dot products
-    * (groupBy vec_id) then per-DIMENSION accumulation (groupBy dim) —
-    * plus a d-row normalize, so cost is O(iters · n · d) with no
-    * driver-side matrix and nothing denser than the d-row direction
-    * frame ever broadcast. Exactness across engines: every cross-row
-    * sum quantizes its terms to DECIMAL(28,12) first (order-independent
-    * exact sums — the pagerank precedent), and all per-row arithmetic
-    * is identical IEEE doubles, so the iterate — and hence the oracle
-    * hash — is bit-stable under any partitioning.
+    * Scale shape: vectors stay as array rows; each iteration is ONE
+    * codegen'd pass over the centered corpus — a per-row quantized-fold
+    * dot product s_i = y_i·v, then a d-column partial+final aggregate
+    * u = Σᵢ yᵢ·s_i whose shuffle is just the d-value partial states —
+    * so cost is O(iters · n · d) compute with NO exploded rows, NO
+    * joins, and no data shuffle at any corpus size. Only the d-vector
+    * iterate (the model, like kmeans centroids) ever reaches the
+    * driver. Exactness across engines: every cross-row sum quantizes
+    * its terms onto a fixed 1e-12 grid via `floor(x·1e12 + 0.5)` — all
+    * IEEE double ops, identical in both engines — and accumulates
+    * EXACT LONG sums (order-independent, like the q_quantized_knn
+    * integer kernel but for iterative float math; pure codegen, no
+    * per-term decimal conversions). The dot products are scaled by 1/n
+    * (the direction iterate is normalization-invariant), which keeps
+    * every quantized term O(1) at any corpus size — the long
+    * accumulators hold n·~1e13, headroom to corpora of ~10⁵ rows per
+    * unit magnitude × 1e12 grid; for extreme row counts the grid
+    * constant is the knob to coarsen. The driver-side norm walks the
+    * same grid, so the iterate — and hence the oracle hash — is
+    * bit-stable under any partitioning.
     */
+  /** The quantization grid: [[principalDirection]] sums
+    * floor(term·GRID + 0.5) longs exactly; 1e12 ≈ 12 decimal digits.
+    */
+  private val GRID = 1e12
+
   def principalDirection(embeddings: DataFrame, dims: Int = 64, iters: Int = 2): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // floor(x·1e12 + 0.5): pure IEEE double ops + exact long sums —
+    // identical on executors, in DuckDB, and here on the driver
+    def qLong(x: Double): Long = math.floor(x * GRID + 0.5).toLong
+    def qsum(c: Column) = sum(floor(c * lit(GRID) + lit(0.5))).cast("double") / lit(GRID)
     val e = castVec(embeddings, "vid")
-    val n = e.count()
-    val x = e.select(col("vid"), posexplode(col("vid_v")).as(Seq("dim", "x")))
-    val mu = x.groupBy("dim")
-      .agg((sum(col("x").cast(dec)).cast("double") / lit(n.toDouble)).as("mu"))
-    // centered (vec_id, dim, y) feeds both aggregates of every iteration
-    val y = x.join(broadcast(mu), "dim")
-      .select(col("vid"), col("dim"), (col("x") - col("mu")).as("y"))
-      .persist(lvl)
-    var v: DataFrame = mu.select(col("dim"),
-      (lit(1.0) / sqrt(lit(dims.toDouble))).as("vd"))
+    // per-dimension mean, one 64-wide partial+final aggregate riding
+    // the scan (count shares the row — no separate count() job)
+    val muAggs = (0 until dims).map(d =>
+      qsum(element_at(col("vid_v"), d + 1)).as(s"sx$d")) :+ count(lit(1)).as("n")
+    val muRow = e.agg(muAggs.head, muAggs.tail: _*).head()
+    val n = muRow.getLong(dims)
+    if (n == 0L)
+      return Seq.empty[(Int, Double, Double)].toDF("dim", "mu", "pc1")
+    val mu = (0 until dims).map(d => muRow.getDouble(d) / n.toDouble).toArray
+    // centered row vectors, kept as arrays: every iteration is one
+    // codegen'd pass — per-row quantized-fold dot product, then a
+    // 64-column map-side-combined aggregate. No exploded rows, no
+    // joins, no shuffle beyond the 64-value partial states.
+    val muLit = array(mu.map(lit(_)): _*)
+    val y = e.select(col("vid"),
+        zip_with(col("vid_v"), muLit, (a, b) => a - b).as("yv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 0 until iters) {
-      val s = y.join(broadcast(v), "dim")
-        .groupBy("vid")
-        .agg(sum((col("y") * col("vd")).cast(dec)).cast("double").as("s"))
-      val u = y.join(s, "vid")
-        .groupBy("dim")
-        .agg(sum((col("y") * col("s")).cast(dec)).cast("double").as("u"))
-      val nrm = u.agg(sqrt(sum((col("u") * col("u")).cast(dec)).cast("double")).as("nrm"))
-      v = u.crossJoin(broadcast(nrm))
-        .select(col("dim"), (col("u") / col("nrm")).as("vd"))
-        .localCheckpoint(true)
+      // s_i = (Σ_d quantized y_id·v_d) / n — the 1/n scaling keeps u
+      // O(1) at any corpus size (direction is normalization-invariant)
+      val vLit = array(v.map(lit(_)): _*)
+      val sCol = (aggregate(
+        zip_with(col("yv"), vLit, (a, b) => a * b),
+        lit(0L),
+        (acc, p) => acc + floor(p * lit(GRID) + lit(0.5)))
+        .cast("double") / lit(GRID) / lit(n.toDouble)).as("s")
+      val uAggs = (0 until dims).map(d =>
+        qsum(element_at(col("yv"), d + 1) * col("s")).as(s"u$d"))
+      val uRow = y.select(col("yv"), sCol).agg(uAggs.head, uAggs.tail: _*).head()
+      val u = (0 until dims).map(uRow.getDouble).toArray
+      // norm on the driver walks the same integer grid as the engines
+      val nrm = math.sqrt(u.map(x => qLong(x * x)).sum.toDouble / GRID)
+      v = u.map(_ / nrm)
     }
-    val out = mu.join(v, "dim")
-      .select(col("dim"), col("mu"), col("vd").as("pc1"))
-      .localCheckpoint(true)
     y.unpersist(false)
-    out
+    (0 until dims).map(d => (d, mu(d), v(d))).toDF("dim", "mu", "pc1")
   }
 
   /** Mean cosine of every vector to its nearest centroid — the
@@ -476,33 +505,32 @@ object VectorOps extends graft.QueryModule {
          |SELECT qid, rank, vid, qdot, score FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin
     },
-    // unrolled power iteration; every cross-row sum is decimal-exact
-    // (terms quantized to DECIMAL(28,12)) and BOTH decimal casts go
-    // through VARCHAR: decimal→double because DuckDB's direct cast is
-    // not correctly rounded (pagerank precedent), and double→decimal
-    // because DuckDB's direct cast rounds in the double domain (ulp
-    // ~1e-4 at scale 12) while Spark quantizes the shortest decimal
-    // repr — the VARCHAR hop reproduces Spark's Double.toString
-    // semantics exactly (measured: 0/20k mismatches vs 1/20k direct)
+    // unrolled power iteration; every cross-row sum quantizes its
+    // terms onto the 1e-12 grid — floor(term*1e12 + 0.5), all IEEE
+    // double ops identical in both engines — and accumulates EXACT
+    // BIGINT sums (order-independent), mirroring the Column tree's
+    // long-sum aggregates; dot products scale by 1/n to keep every
+    // term O(1) (see principalDirection)
     "q_pca_power" -> {
-      def dsum(term: String) =
-        s"CAST(CAST(sum(CAST(CAST($term AS VARCHAR) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)"
+      def qsum(term: String) =
+        s"CAST(sum(CAST(floor(($term) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
       def iter(prev: String, k: Int): String =
         s"""s$k AS (
-           |  SELECT y.vec_id, ${dsum("y.y * v.vd")} AS s
+           |  SELECT y.vec_id,
+           |    ${qsum("y.y * v.vd")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS s
            |  FROM y JOIN $prev v ON y.dim = v.dim GROUP BY y.vec_id),
            |u$k AS (
-           |  SELECT y.dim, ${dsum("y.y * s.s")} AS u
+           |  SELECT y.dim, ${qsum("y.y * s.s")} AS u
            |  FROM y JOIN s$k s ON y.vec_id = s.vec_id GROUP BY y.dim),
            |v$k AS (
-           |  SELECT dim, u / (SELECT sqrt(${dsum("u * u")}) FROM u$k) AS vd
+           |  SELECT dim, u / (SELECT sqrt(${qsum("u * u")}) FROM u$k) AS vd
            |  FROM u$k)""".stripMargin
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |x AS (
          |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
          |  FROM e CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
          |mu AS (
-         |  SELECT dim, ${dsum("x")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS mu
+         |  SELECT dim, ${qsum("x")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS mu
          |  FROM x GROUP BY dim),
          |y AS (
          |  SELECT x.vec_id, x.dim, x.x - mu.mu AS y

@@ -154,4 +154,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_scd2: both windows ride ONE exchange on the entity key") {
+    val p = plan("q_scd2")
+    // version + valid_to share the (user_id, ts, event_id) window spec,
+    // so the dimension build pays exactly one hash exchange; the
+    // remaining exchange is the declared output sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("shuffleRank: the only single-partition window is the bucket-count frame") {
+    val (out, keyed) = graft.ops.TextOps.shuffleRankLazy(
+      graft.core.Tables.documents(spark, dir))
+    val p = out.queryExecution.executedPlan.toString
+    // the corpus-sized rank is partitioned by bkt; only the ≤256-row
+    // bucket subtotal frame may collapse to one partition, and the
+    // offsets re-join the corpus via broadcast, not a shuffle
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("hashpartitioning(bkt"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    keyed.unpersist(false)
+  }
 }
