@@ -344,10 +344,24 @@ object VectorOps extends graft.QueryModule {
   def principalDirection(embeddings: DataFrame, dims: Int = 64, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // floor(x·1e12 + 0.5): pure IEEE double ops + exact long sums —
-    // identical on executors, in DuckDB, and here on the driver
-    def qLong(x: Double): Long = math.floor(x * GRID + 0.5).toLong
-    def qsum(c: Column) = sum(floor(c * lit(GRID) + lit(0.5))).cast("double") / lit(GRID)
+    principalDirectionArrays(embeddings, dims, iters) match {
+      case None => Seq.empty[(Int, Double, Double)].toDF("dim", "mu", "pc1")
+      case Some((mu, v)) =>
+        (0 until dims).map(d => (d, mu(d), v(d))).toDF("dim", "mu", "pc1")
+    }
+  }
+
+  /** floor(x·1e12 + 0.5): pure IEEE double ops + exact long sums —
+    * identical on executors, in DuckDB, and on the driver.
+    */
+  private def qLong(x: Double): Long = math.floor(x * GRID + 0.5).toLong
+  private def qsum(c: Column) = sum(floor(c * lit(GRID) + lit(0.5))).cast("double") / lit(GRID)
+
+  /** [[principalDirection]]'s fit, as driver-side model arrays (mu, pc1)
+    * — None on an empty corpus. Shared with [[abttResiduals]].
+    */
+  private[graft] def principalDirectionArrays(embeddings: DataFrame, dims: Int,
+      iters: Int): Option[(Array[Double], Array[Double])] = {
     val e = castVec(embeddings, "vid")
     // per-dimension mean, one 64-wide partial+final aggregate riding
     // the scan (count shares the row — no separate count() job)
@@ -355,8 +369,7 @@ object VectorOps extends graft.QueryModule {
       qsum(element_at(col("vid_v"), d + 1)).as(s"sx$d")) :+ count(lit(1)).as("n")
     val muRow = e.agg(muAggs.head, muAggs.tail: _*).head()
     val n = muRow.getLong(dims)
-    if (n == 0L)
-      return Seq.empty[(Int, Double, Double)].toDF("dim", "mu", "pc1")
+    if (n == 0L) return None
     val mu = (0 until dims).map(d => muRow.getDouble(d) / n.toDouble).toArray
     // centered row vectors, kept as arrays: every iteration is one
     // codegen'd pass — per-row quantized-fold dot product, then a
@@ -385,7 +398,41 @@ object VectorOps extends graft.QueryModule {
       v = u.map(_ / nrm)
     }
     y.unpersist(false)
-    (0 until dims).map(d => (d, mu(d), v(d))).toDF("dim", "mu", "pc1")
+    Some((mu, v))
+  }
+
+  /** All-but-the-top scoring: per vector, the loading on the top
+    * principal direction c_i = y_i·pc1 and the squared norm of the
+    * residual after removing it — ABTT's actual post-processing step
+    * (the [[principalDirection]] fit, applied). Emits the top-k most
+    * common-direction-loaded vectors (|c| desc): at curation time these
+    * are the "generic" embeddings — boilerplate-like content whose
+    * similarity scores the common direction inflates. One codegen'd
+    * pass over the corpus (quantized-fold dot + residual fold per row,
+    * both against broadcast literal model arrays), then a k-row
+    * TakeOrderedAndProject — no shuffle, no join, any corpus size.
+    */
+  def abttResiduals(embeddings: DataFrame, dims: Int = 64, iters: Int = 2,
+      k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    principalDirectionArrays(embeddings, dims, iters) match {
+      case None => Seq.empty[(Long, Double, Double)].toDF("vec_id", "loading", "resid_sq")
+      case Some((mu, v)) =>
+        val muLit = array(mu.map(lit(_)): _*)
+        val vLit = array(v.map(lit(_)): _*)
+        def qfold(arr: Column) = aggregate(arr, lit(0L),
+          (acc, p) => acc + floor(p * lit(GRID) + lit(0.5))).cast("double") / lit(GRID)
+        val e = castVec(embeddings, "vid")
+        e.select(col("vid"),
+            zip_with(col("vid_v"), muLit, (a, b) => a - b).as("yv"))
+          .withColumn("loading", qfold(zip_with(col("yv"), vLit, (a, b) => a * b)))
+          .withColumn("resid_sq", qfold(
+            zip_with(col("yv"), vLit, (a, b) => (a - col("loading") * b) * (a - col("loading") * b))))
+          .select(col("vid").as("vec_id"), col("loading"), col("resid_sq"))
+          .orderBy(abs(col("loading")).desc, col("vec_id"))
+          .limit(k)
+    }
   }
 
   /** Mean cosine of every vector to its nearest centroid — the
@@ -431,6 +478,12 @@ object VectorOps extends graft.QueryModule {
     "q_pca_power" -> { (spark, dir) =>
       principalDirection(Tables.embeddings(spark, dir), 64, 2).orderBy("dim")
     },
+
+    // The fit applied: top-10 most common-direction-loaded vectors
+    // with their post-removal residual norms (ABTT step 2).
+    "q_abtt_residual" -> { (spark, dir) =>
+      abttResiduals(Tables.embeddings(spark, dir), 64, 2, 10)
+    },
   )
 
   /** The oracle's bucket expression for vector column `v` (1-based
@@ -446,6 +499,38 @@ object VectorOps extends graft.QueryModule {
         .mkString(" + ")
       s"CAST(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END AS BIGINT)"
     }.mkString(" + ")
+
+  /** SQL mirror of [[qsum]]: grid-quantized terms, exact BIGINT sum. */
+  private def qsumSql(term: String) =
+    s"CAST(sum(CAST(floor(($term) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
+
+  /** The shared CTE chain of the q_pca_power fit (through iterate v2). */
+  private def pcaCtes: String = {
+    def iter(prev: String, k: Int): String =
+      s"""s$k AS (
+         |  SELECT y.vec_id,
+         |    ${qsumSql("y.y * v.vd")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS s
+         |  FROM y JOIN $prev v ON y.dim = v.dim GROUP BY y.vec_id),
+         |u$k AS (
+         |  SELECT y.dim, ${qsumSql("y.y * s.s")} AS u
+         |  FROM y JOIN s$k s ON y.vec_id = s.vec_id GROUP BY y.dim),
+         |v$k AS (
+         |  SELECT dim, u / (SELECT sqrt(${qsumSql("u * u")}) FROM u$k) AS vd
+         |  FROM u$k)""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+       |  FROM e CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+       |mu AS (
+       |  SELECT dim, ${qsumSql("x")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS mu
+       |  FROM x GROUP BY dim),
+       |y AS (
+       |  SELECT x.vec_id, x.dim, x.x - mu.mu AS y
+       |  FROM x JOIN mu ON x.dim = mu.dim),
+       |v0 AS (SELECT dim, 1.0 / sqrt(64.0) AS vd FROM mu),
+       |${iter("v0", 1)},
+       |${iter("v1", 2)}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_knn_bruteforce" ->
@@ -511,36 +596,25 @@ object VectorOps extends graft.QueryModule {
     // BIGINT sums (order-independent), mirroring the Column tree's
     // long-sum aggregates; dot products scale by 1/n to keep every
     // term O(1) (see principalDirection)
-    "q_pca_power" -> {
-      def qsum(term: String) =
-        s"CAST(sum(CAST(floor(($term) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
-      def iter(prev: String, k: Int): String =
-        s"""s$k AS (
-           |  SELECT y.vec_id,
-           |    ${qsum("y.y * v.vd")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS s
-           |  FROM y JOIN $prev v ON y.dim = v.dim GROUP BY y.vec_id),
-           |u$k AS (
-           |  SELECT y.dim, ${qsum("y.y * s.s")} AS u
-           |  FROM y JOIN s$k s ON y.vec_id = s.vec_id GROUP BY y.dim),
-           |v$k AS (
-           |  SELECT dim, u / (SELECT sqrt(${qsum("u * u")}) FROM u$k) AS vd
-           |  FROM u$k)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x AS (
-         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
-         |  FROM e CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
-         |mu AS (
-         |  SELECT dim, ${qsum("x")} / (SELECT CAST(count(*) AS DOUBLE) FROM e) AS mu
-         |  FROM x GROUP BY dim),
-         |y AS (
-         |  SELECT x.vec_id, x.dim, x.x - mu.mu AS y
-         |  FROM x JOIN mu ON x.dim = mu.dim),
-         |v0 AS (SELECT dim, 1.0 / sqrt(64.0) AS vd FROM mu),
-         |${iter("v0", 1)},
-         |${iter("v1", 2)}
+    "q_pca_power" ->
+      s"""WITH $pcaCtes
          |SELECT m.dim, m.mu, v2.vd AS pc1
-         |FROM mu m JOIN v2 ON m.dim = v2.dim ORDER BY m.dim""".stripMargin
-    },
+         |FROM mu m JOIN v2 ON m.dim = v2.dim ORDER BY m.dim""".stripMargin,
+    // same fit (shared CTE chain), applied: per-vector loading on the
+    // direction and the residual after removing it, top-10 by |loading|
+    "q_abtt_residual" ->
+      s"""WITH $pcaCtes,
+         |c AS (
+         |  SELECT y.vec_id, ${qsumSql("y.y * v.vd")} AS loading
+         |  FROM y JOIN v2 v ON y.dim = v.dim GROUP BY y.vec_id),
+         |r AS (
+         |  SELECT y.vec_id,
+         |    ${qsumSql("(y.y - c.loading * v.vd) * (y.y - c.loading * v.vd)")} AS resid_sq
+         |  FROM y JOIN v2 v ON y.dim = v.dim JOIN c ON y.vec_id = c.vec_id
+         |  GROUP BY y.vec_id)
+         |SELECT c.vec_id, c.loading, r.resid_sq
+         |FROM c JOIN r ON c.vec_id = r.vec_id
+         |ORDER BY abs(c.loading) DESC, c.vec_id LIMIT 10""".stripMargin,
     "q_lsh_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |signed AS (

@@ -63,6 +63,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(pc(0)) > 0.99, s"pc1 not along planted axis: ${pc.toSeq}")
   }
 
+  test("abtt residuals: Pythagoras holds — loading² + resid² ≈ ‖y‖²") {
+    import spark.implicits._
+    val planted = Seq(
+      (0L, Array(4.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(-4.0f, -0.1f, 0.1f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, -0.1f, 0.1f)),
+      (3L, Array(-2.0f, 0.1f, 0.0f, -0.1f))).toDF("vec_id", "embedding")
+    val scored = graft.ops.VectorOps.abttResiduals(planted, 4, 4, 4).collect()
+    assert(scored.length === 4)
+    // recover the centered rows to check against
+    val rows = planted.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val mu = (0 until 4).map(d => rows.map(_._2(d)).sum / rows.length)
+    scored.foreach { r =>
+      val y = rows.find(_._1 == r.getLong(0)).get._2.zip(mu).map { case (x, m) => x - m }
+      val norm2 = y.map(x => x * x).sum
+      val pyth = r.getDouble(1) * r.getDouble(1) + r.getDouble(2)
+      assert(math.abs(pyth - norm2) < 1e-6, s"vec ${r.getLong(0)}: $pyth vs $norm2")
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // the most-loaded vector must be the ±4 outlier pair's member
+    assert(Set(0L, 1L).contains(scored.head.getLong(0)))
+  }
+
   test("shuffle rank: a permutation, equal to the single-window global rank") {
     import org.apache.spark.sql.expressions.Window
     val out = TextOps.shuffleRank(docs)
