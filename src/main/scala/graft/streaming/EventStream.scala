@@ -109,6 +109,50 @@ object EventStream {
 
   val gapMicros: Long = 1800L * 1000000L
 
+  case class Scd2State(version: Int, value: Double, validFromMicros: Long)
+  case class Scd2Row(user_id: Long, version: Int, value: Double,
+      valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD Type-2 maintenance — the live twin of
+    * [[graft.ops.EventOps.scd2]]: each change event CLOSES the entity's
+    * current version (emitted downstream with its final
+    * [valid_from, valid_to) interval) and opens the next one in state.
+    * Append-mode emission is exactly the CDC contract a warehouse sink
+    * wants: closed versions are immutable facts, the open version lives
+    * in the state store until its closing change arrives (a live
+    * deployment would also flush it on timeout). State is one
+    * (version, value, valid_from) triple per entity — O(entities),
+    * keyed by user_id, so the stream scales exactly like the batch
+    * window partitions. Spec-asserted equal to the batch build's
+    * closed-version set on replay (EventStreamSpec).
+    */
+  def scd2Stream(events: DataFrame, changeType: String = "purchase"): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.filter(col("event_type") === changeType)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("user_id"), col("value")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state: GroupState[Scd2State]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Row]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) =>
+                out += Scd2Row(userId, s.version, s.value, s.validFromMicros, e.tsMicros)
+                cur = Some(Scd2State(s.version + 1, e.value, e.tsMicros))
+              case None =>
+                cur = Some(Scd2State(1, e.value, e.tsMicros))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful sessionization: emits every session closed by a >30 min
     * gap; the still-open tail session per user remains in state (and
     * would be flushed by timeout in a live stream).

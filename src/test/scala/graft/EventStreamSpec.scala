@@ -125,4 +125,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(expected))
   }
+
+  test("streaming scd2 == batch q_scd2's closed versions on replay") {
+    val q = EventStream.scd2Stream(EventStream.readEvents(spark, dir), "purchase")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_stream")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("scd2_stream")
+      .select("user_id", "version", "value", "valid_from", "valid_to")
+      .collect().map(_.toString).sorted
+
+    // the open (current) version per user lives in streaming state —
+    // the batch twin's valid_to IS NULL rows
+    val expected = EventOps.scd2(graft.core.Tables.events(spark, dir), "purchase")
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("version"), col("value"),
+        unix_micros(col("valid_from")).as("valid_from"),
+        unix_micros(col("valid_to")).as("valid_to"))
+      .collect().map(_.toString).sorted
+
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(expected))
+  }
 }
