@@ -31,6 +31,41 @@ object Relational extends graft.QueryModule {
   private val DSUM = "CAST(CAST(sum(CAST(%s AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
   private def ds(expr: String): String = DSUM.format(expr)
 
+  /** Data-quality expectations sweep: one row per assertion with
+    * violation and population counts — the "expectations" pattern
+    * (null checks, referential integrity, key uniqueness, ranges) a
+    * pipeline gates a load on. Each check is a single partial+final
+    * aggregate (the orphan check an anti-join + aggregate), so the
+    * whole sweep costs a handful of scans at any scale and ships as
+    * one tiny summary frame.
+    */
+  def dqChecks(li: DataFrame, ord: DataFrame, cust: DataFrame): DataFrame = {
+    def check(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
+      violations.crossJoin(checked).select(
+        lit(name).as("check"), col("n_violations"), col("n_checked"))
+    val nV = count(lit(1)).as("n_violations")
+    Seq(
+      check("1_orphan_lineitems",
+        li.join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").agg(nV),
+        li.agg(count(lit(1)).as("n_checked"))),
+      check("2_dup_order_keys",
+        ord.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).agg(nV),
+        ord.agg(count(lit(1)).as("n_checked"))),
+      check("3_null_customer_name",
+        cust.filter(col("c_name").isNull || col("c_name") === "").agg(nV),
+        cust.agg(count(lit(1)).as("n_checked"))),
+      check("4_qty_out_of_range",
+        li.filter(col("l_quantity") < 1 || col("l_quantity") > 50).agg(nV),
+        li.agg(count(lit(1)).as("n_checked"))),
+      check("5_nonpositive_order_price",
+        ord.filter(col("o_totalprice") <= 0).agg(nV),
+        ord.agg(count(lit(1)).as("n_checked"))))
+      .reduce(_ union _)
+      .orderBy("check")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Shipping-priority join (TPC-H Q3 shape): the canonical 3-table
@@ -476,6 +511,12 @@ object Relational extends graft.QueryModule {
         .orderBy("c_custkey")
     },
 
+    // Data-quality expectations sweep over the TPC-H core tables.
+    "q_dq_checks" -> { (spark, dir) =>
+      dqChecks(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        Tables.customer(spark, dir))
+    },
+
     // Distinct aggregation: exact count(distinct) per group.
     "q_distinct_counts" -> { (spark, dir) =>
       Tables.orders(spark, dir)
@@ -774,6 +815,26 @@ object Relational extends graft.QueryModule {
       s"""SELECT c_custkey, c_name, c_acctbal FROM customer
          |WHERE c_acctbal > (SELECT ${ds("c_acctbal")} / count(*) FROM customer)
          |ORDER BY c_custkey""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT '1_orphan_lineitems' AS check,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_violations,
+        |  (SELECT count(*) FROM lineitem) AS n_checked
+        |UNION ALL SELECT '2_dup_order_keys',
+        |  (SELECT count(*) FROM (
+        |     SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL SELECT '3_null_customer_name',
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL OR c_name = ''),
+        |  (SELECT count(*) FROM customer)
+        |UNION ALL SELECT '4_qty_out_of_range',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL SELECT '5_nonpositive_order_price',
+        |  (SELECT count(*) FROM orders WHERE o_totalprice <= 0),
+        |  (SELECT count(*) FROM orders)
+        |ORDER BY "check"""".stripMargin,
     "q_distinct_counts" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

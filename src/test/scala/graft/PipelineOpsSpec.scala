@@ -63,6 +63,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(pc(0)) > 0.99, s"pc1 not along planted axis: ${pc.toSeq}")
   }
 
+  test("mergeUpsert: actions partition the key space and carry the right values") {
+    import spark.implicits._
+    val cutoff = "2024-01-21"
+    val merged = EventOps.mergeUpsert(events, cutoff, "purchase").collect()
+    val chg = events.filter(col("event_type") === "purchase")
+    val before = chg.filter(col("ts") < lit(cutoff).cast("timestamp"))
+      .select("user_id").distinct().as[Long].collect().toSet
+    val after = chg.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+      .select("user_id").distinct().as[Long].collect().toSet
+    assert(merged.map(_.getLong(0)).toSet === (before ++ after))
+    merged.foreach { r =>
+      val (u, action) = (r.getLong(0), r.getString(1))
+      val expected =
+        if (before(u) && after(u)) "update" else if (after(u)) "insert" else "keep"
+      assert(action === expected, s"user $u")
+      // updates must change state forward: new value comes from the batch
+      if (action == "update") assert(!r.isNullAt(2) && !r.isNullAt(3))
+      if (action == "insert") assert(r.isNullAt(2))
+      if (action == "keep") assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("dqChecks: clean data passes; planted violations are counted") {
+    import spark.implicits._
+    val clean = graft.ops.Relational.dqChecks(
+      graft.core.Tables.lineitem(spark, dir),
+      graft.core.Tables.orders(spark, dir),
+      graft.core.Tables.customer(spark, dir)).collect()
+    assert(clean.length === 5)
+    clean.foreach(r => assert(r.getLong(1) === 0L, s"${r.getString(0)} dirty"))
+    clean.foreach(r => assert(r.getLong(2) > 0L))
+    // planted: one orphan lineitem, one dup order key, one empty name,
+    // one bad quantity, one non-positive price
+    val li = Seq((1L, 1L, 5.0), (2L, 99L, 60.0))
+      .toDF("l_linenumber", "l_orderkey", "l_quantity")
+    val ord = Seq((1L, 10.0), (1L, 20.0), (3L, -5.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val cust = Seq((1L, "ok"), (2L, "")).toDF("c_custkey", "c_name")
+    val dirty = graft.ops.Relational.dqChecks(li, ord, cust)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dirty === Map(
+      "1_orphan_lineitems" -> 1L, "2_dup_order_keys" -> 1L,
+      "3_null_customer_name" -> 1L, "4_qty_out_of_range" -> 1L,
+      "5_nonpositive_order_price" -> 1L))
+  }
+
   test("abtt residuals: Pythagoras holds — loading² + resid² ≈ ‖y‖²") {
     import spark.implicits._
     val planted = Seq(
