@@ -139,6 +139,15 @@ object ScaleProbe {
     time("emb_banded_lsh") {
       graft.ops.Dedup.embeddingNearDupLsh(emb, 4, 4, 64, 20).count()
     }
+    // power-iteration principal direction: per-row folds + d-column
+    // aggregate — should scale linearly with rows, no shuffle growth
+    time("pca_power_2it") {
+      graft.ops.VectorOps.principalDirection(emb, 64, 2).count()
+    }
+    // reproducible global shuffle: two-phase distributed rank
+    time("shuffle_rank") {
+      graft.ops.TextOps.shuffleRank(docs).count()
+    }
     spark.stop()
   }
 }
