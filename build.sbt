@@ -35,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: at 8g the 104-query bench GC-churns (measured 59–74 s run
+  // totals vs a stable 51–54 s at 16g — codegen classes + broadcasts +
+  // 32-thread shuffle buffers accumulate heap pressure); the box has
+  // 128 GiB, and SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
