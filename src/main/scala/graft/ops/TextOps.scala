@@ -476,6 +476,40 @@ object TextOps extends graft.QueryModule {
         col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Vocabulary-id encoding — the actual tokenize-for-training step
+    * that [[oovRate]] measures and `packSequences` consumes: terms map
+    * to ids by frequency rank (1-based, ties lexicographic; 0 = unk),
+    * and each document becomes its id sequence in token order. The
+    * declared query emits the sequence as a fingerprint
+    * (md5 of the comma-joined ids) plus token/OOV counts, keeping the
+    * output row narrow while pinning every id and its position.
+    *
+    * Scale: the vocab is `vocabSize` rows (the only single-partition
+    * window), broadcast into the token stream; the per-doc reassembly
+    * is one hash aggregate collecting (pos, id) pairs — the same
+    * collect/sort/transform shape as the kmeans centroid rebuild, with
+    * per-group state bounded by document length.
+    */
+  def encodeTokens(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = TfIdf.tokens(docs).groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .select("term", "token_id")
+    Shingles.tokensWithPos(docs)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("token_id"), lit(0)).as("id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id")))).as("ids_md5"))
+  }
+
   /** Deterministic output sharding: every document lands in one of
     * `nShards` shards by content-independent key hash — the write-path
     * partitioner of a training-data pipeline (shard files must be
@@ -501,6 +535,12 @@ object TextOps extends graft.QueryModule {
     // top-20-term vocab (data-derived, tie-broken lexicographically).
     "q_oov_rate" -> { (spark, dir) =>
       oovRate(Tables.documents(spark, dir), 20).orderBy("doc_id")
+    },
+
+    // Vocab-id encoding: per-doc id-sequence fingerprint + OOV counts
+    // against the top-20 frequency-ranked vocabulary.
+    "q_encode_tokens" -> { (spark, dir) =>
+      encodeTokens(Tables.documents(spark, dir), 20).orderBy("doc_id")
     },
 
     // Deterministic 16-way output sharding balance sheet.
@@ -863,6 +903,26 @@ object TextOps extends graft.QueryModule {
            |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM documents d JOIN rates r ON d.source = r.source
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      // vocab ids by (count desc, term) rank; the sequence fingerprint
+      // is md5 over ids joined in token order — string_agg ORDER BY pos
+      // mirrors the Column tree's array_sort(collect_list(struct))
+      "q_encode_tokens" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z WHERE term <> ''),
+           |vocab AS (
+           |  SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS token_id
+           |  FROM (SELECT term, count(*) AS n FROM tok GROUP BY term
+           |        ORDER BY n DESC, term LIMIT 20)),
+           |enc AS (
+           |  SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS id
+           |  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // the oracle's single global window IS the semantics the
       // two-phase bucketed rank must reproduce exactly
       "q_shuffle_rank" -> {

@@ -63,6 +63,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(pc(0)) > 0.99, s"pc1 not along planted axis: ${pc.toSeq}")
   }
 
+  test("encodeTokens: OOV counts agree with oovRate; planted doc encodes exactly") {
+    import spark.implicits._
+    val enc = TextOps.encodeTokens(docs, 20)
+      .select("doc_id", "n_oov").as[(Long, Long)].collect().toMap
+    val oov = TextOps.oovRate(docs, 20)
+      .select("doc_id", "oov_tokens").as[(Long, Long)].collect().toMap
+    assert(enc === oov, "the encoder and the coverage metric must agree on OOV")
+    // planted: vocab ranks are count-desc then lexicographic; unk = 0
+    val tiny = Seq((1L, "b b a c zz"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextOps.encodeTokens(tiny, 3).orderBy("doc_id").collect()
+    // counts: b=3, a=2, c=1, zz=1 → vocab b→1 a→2 c→3; zz OOV
+    val expected = Seq("1,1,2,3,0", "1,2").map(s =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s))
+    assert(out.map(_.getString(3)).toSeq === expected)
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L))
+  }
+
   test("mergeUpsert: actions partition the key space and carry the right values") {
     import spark.implicits._
     val cutoff = "2024-01-21"
