@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   *   3. sketch ONCE       Dedup.minhashSignatures
   *   4. candidates        Dedup.candidatesFromSignatures (banded LSH)
   *   5. clusters          Dedup.clustersFromCandidates (star contraction)
-  *   6. emit corpus       Dedup.dedupedCorpus(docs, clusters)
-  *   7. split + write     hash split, parquet partitioned by split
+  *   6. emit corpus       Dedup.dedupedCorpus(docs, clusters), canonical
+  *                        chosen by QUALITY (Dedup.keepBestPerCluster)
+  *   7. shuffle + encode  TextOps.shuffleRank (reproducible epoch order)
+  *                        + TextOps.encodeTokens (vocab-id sequences)
+  *   8. split + write     hash split, parquet partitioned by split
   *
   * Scale notes: steps 1–2 are scan-shaped; 3–5 shuffle O(docs·bands)
   * ids, never text; 6 broadcasts the (tiny) drop set so the corpus
-  * never shuffles; 7 writes partition-pruned output. The only driver
-  * materializations are the printed summary counts.
+  * never shuffles; 7 is a two-phase rank (no global window) + one
+  * broadcast vocab join; 8 writes partition-pruned output. The only
+  * driver materializations are the printed summary counts.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.PipelineDemo [outDir]
   */
@@ -59,12 +63,25 @@ object PipelineDemo {
     val cand = graft.ops.Dedup.candidatesFromSignatures(sigs, 0.5)
     val clusters = graft.ops.Dedup.clustersFromCandidates(cand)
 
-    // 6. the deduplicated corpus, reusing the cluster decision table
-    val kept = graft.ops.Dedup.dedupedCorpus(clean, clusters)
+    // 6. the deduplicated corpus — canonical member per cluster chosen
+    // by QUALITY (not min id), reusing the cluster decision table and
+    // the step-1 scores
+    val best = graft.ops.Dedup.keepBestPerCluster(
+      clusters, graft.ops.TextOps.qualityScores(clean))
+    val drop = clusters.join(
+        best.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val kept = clean.join(broadcast(drop), Seq("doc_id"), "left_anti")
     val n3 = kept.count()
 
-    // 7. deterministic 80/10/10 split, written partition-pruned
-    val split = kept.withColumn("split",
+    // 7. reproducible epoch order + vocab-id encoding for the trainer
+    val ranked = kept.join(graft.ops.TextOps.shuffleRank(kept)
+      .select("doc_id", "shuffle_pos"), Seq("doc_id"))
+    val encoded = graft.ops.TextOps.encodeTokens(kept, 20)
+    val nOov = encoded.agg(sum(col("n_oov"))).head.getLong(0)
+
+    // 8. deterministic 80/10/10 split, written partition-pruned
+    val split = ranked.withColumn("split",
       when(graft.ops.TextOps.hashBucket(col("doc_id")) < 80, "train")
         .when(graft.ops.TextOps.hashBucket(col("doc_id")) < 90, "valid")
         .otherwise("test"))
@@ -74,7 +91,7 @@ object PipelineDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     gated.unpersist()
 
-    println(s"[pipeline] corpus=$n0 quality_gate=$n1 decontaminated=$n2 deduped=$n3")
+    println(s"[pipeline] corpus=$n0 quality_gate=$n1 decontaminated=$n2 deduped=$n3 oov_tokens=$nOov")
     println(s"[pipeline] written $out: $perSplit")
     spark.stop()
   }
