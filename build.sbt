@@ -40,4 +40,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32-thread shuffle buffers accumulate heap pressure); the box has
   // 128 GiB, and SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pre-size the heap: growing 512m → 16g mid-bench costs several
+  // stop-the-world resizes that land on random queries
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
