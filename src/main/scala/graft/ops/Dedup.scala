@@ -387,7 +387,11 @@ object Dedup extends graft.QueryModule {
     * min-id one — what production dedup actually ships, since the
     * canonical copy should be the cleanest, not the earliest-crawled.
     * `quality` is any (doc_id, quality: double) frame (the declared
-    * query feeds [[TextOps.qualityScores]]). The argmax is a
+    * query feeds [[TextOps.qualityScores]]); the join is INNER, so a
+    * cluster member with no quality row is excluded from both the
+    * argmax and n_members — score every corpus doc (qualityScores
+    * covers any doc with ≥1 token) or pre-coalesce a default before
+    * calling. The argmax is a
     * `min(struct(-quality, doc_id))` partial+final hash aggregate —
     * map-side combinable, no Window, no per-cluster sort — so at 100 TB
     * it costs one shuffle of (cluster_id, 2 doubles) after the
