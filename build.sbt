@@ -40,7 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32-thread shuffle buffers accumulate heap pressure); the box has
   // 128 GiB, and SPARK_DRIVER_MEM still overrides.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // pre-size the heap: growing 512m → 16g mid-bench costs several
-  // stop-the-world resizes that land on random queries
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pre-size the heap ONLY for harness-driven bench/verify runs (they
+  // export SPARK_GRAFT_SF_DIR) or when SPARK_DRIVER_XMS asks for it:
+  // growing 512m → 16g mid-bench costs several stop-the-world resizes
+  // that land on random queries, but an unconditional -Xms16g would
+  // fail every sbt fork on a host with <16 GiB free (r5 ADVICE).
+  s"-Xms${sys.env.get("SPARK_DRIVER_XMS")
+    .orElse(sys.env.get("SPARK_DRIVER_MEM"))
+    .getOrElse(if (sys.env.contains("SPARK_GRAFT_SF_DIR")) "16g" else "512m")}",
 )

@@ -15,6 +15,32 @@ import org.apache.spark.sql.SparkSession
   * queries × 2 passes accumulate executor storage and the run degrades
   * into GC churn (the r3 run-to-run variance).
   *
+  * Self-normalization against host throttling (r5): this sandbox's host
+  * CPU visibly slows under sustained load — the r5 driver run recorded
+  * 149 s where a fresh run of the same commit measures ~49 s, and
+  * PERF.md documents 3rd/4th consecutive runs at 136 s/161 s. Measured
+  * round 6: the throttle cuts PARALLEL bandwidth, not per-core speed —
+  * during a 326 s throttled run (uniform ~10× per-query inflation) a
+  * single-threaded fixed loop still clocked 0.41 s before AND after,
+  * while minutes later 32 concurrent copies of the same loop ran at
+  * full speed (0.48 s each). So the throttle is quota-shaped and only
+  * an all-cores probe can see it. Defenses, so a single bench JSON is
+  * interpretable without a re-run:
+  *   1. a fixed CPU-bound calibration loop is timed before and after
+  *      the suite BOTH single-threaded (`calib_1t_*`) and as
+  *      `calib_threads` concurrent copies (`calib_nt_*` = wall until
+  *      the slowest finishes). Clean host: nt ≈ 1t ≈ a small constant.
+  *      Quota throttle: nt inflates by the same factor the parallel
+  *      query times do while 1t stays flat — the reader normalizes by
+  *      nt, and the 1t/nt split fingerprints the throttle kind;
+  *   2. each query reports the MIN over 2 timed passes (`passes:2`)
+  *      run as two FULL sweeps of the suite, not back-to-back — a
+  *      throttle window lasts minutes, so consecutive passes of one
+  *      query share its fate while sweep-separated passes (~4 min
+  *      apart here) sample different host states; the max is kept
+  *      alongside in the full JSON (`queries_max`) so within-run
+  *      spread is visible too.
+  *
   * Output contract: the harness captures a bounded tail of stdout and
   * parses its LAST line, so the last line must be short. Per-query
   * detail goes out first (and to bench_results.json when the working
@@ -34,6 +60,48 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, err)
   }
 
+  // consumes the calibration loop's result so the JIT cannot elide it
+  @volatile private var calibSink: Long = 0L
+
+  private def xorshiftLoop(): Double = {
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    calibSink = x
+    dt
+  }
+
+  private[graft] val calibThreads: Int = Runtime.getRuntime.availableProcessors()
+
+  /** Time a FIXED amount of CPU-bound work (2×10⁸ xorshift64 steps per
+    * thread — no allocation, no memory traffic, no I/O), two ways:
+    * (single-threaded seconds, wall seconds for `calibThreads`
+    * concurrent copies). The work is constant across rounds and
+    * machines, so each reading is a pure measure of how fast this host
+    * runs that KIND of CPU work right now. The parallel reading is the
+    * one that matters for normalizing Spark query times: the sandbox's
+    * throttle cuts the parallel CPU quota while leaving single-core
+    * speed untouched (measured, see header), and a local[32] suite
+    * lives on parallel bandwidth.
+    */
+  private[graft] def calibrate(): (Double, Double) = {
+    val st = xorshiftLoop()
+    val times = new Array[Double](calibThreads)
+    val threads = (0 until calibThreads).map { j =>
+      new Thread(() => { times(j) = xorshiftLoop() })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    (st, wall)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,7 +109,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // static conf, default 100: the suite's ~76 queries × several
+      // static conf, default 100: the suite's ~105 queries × several
       // codegen stages each overflow that between the warmup and timed
       // passes, so every timed query would recompile its generated code
       // — the warmup only pays off if the cache can hold the suite
@@ -59,17 +127,35 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
+    val calibBefore = calibrate()
+
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       dropAllStorage()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val (dt, err) = timeOne(() => fn(spark, sfDir).count())
-      dropAllStorage()
-      (name, dt, err)
-    }.toSeq
+    // min over 2 timed passes per query, taken as two FULL sweeps of
+    // the suite rather than back-to-back: the host's throttle windows
+    // last minutes, so consecutive passes of one query would both land
+    // inside the same window — sweep-separated passes sample different
+    // host states and the min keeps the cleaner one. A query that fails
+    // in either sweep reports the error, never a fast-broken time.
+    def sweep(): Map[String, (Double, Option[String])] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val r = timeOne(() => fn(spark, sfDir).count())
+        dropAllStorage()
+        name -> r
+      }
+    val pass1 = sweep()
+    val pass2 = sweep()
+    val results = SparkEntry.queries.keys.toSeq.map { name =>
+      val (t1, e1) = pass1(name)
+      val (t2, e2) = pass2(name)
+      (name, math.min(t1, t2), math.max(t1, t2), e1.orElse(e2))
+    }
 
-    val (full, summary) = render(results, sfDir)
+    val calibAfter = calibrate()
+
+    val (full, summary) = render(results, sfDir, calibBefore, calibAfter)
     // full detail for humans/judges — file is best-effort, stdout first
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
     catch { case _: Throwable => () }
@@ -84,21 +170,34 @@ object Bench {
     * window regardless of suite size — BenchSpec pins both lines as
     * parseable JSON and the summary as bounded (the contract whose
     * violation recorded parsed:null for three rounds).
+    *
+    * `results` rows are (name, minSec, maxSec, err) over the 2 timed
+    * sweeps; the headline total and `queries` map use the min, the full
+    * JSON carries `queries_max` so within-run spread stays visible.
+    * `calibBefore`/`calibAfter` are (single-thread sec, all-cores wall
+    * sec) pairs from [[calibrate]].
     */
-  private[graft] def render(results: Seq[(String, Double, Option[String])],
-      sfDir: String): (String, String) = {
+  private[graft] def render(results: Seq[(String, Double, Double, Option[String])],
+      sfDir: String, calibBefore: (Double, Double),
+      calibAfter: (Double, Double)): (String, String) = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def r3(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val calib =
+      s""""passes":2,"calib_threads":$calibThreads""" +
+        s""","calib_1t_before_sec":${r3(calibBefore._1)},"calib_nt_before_sec":${r3(calibBefore._2)}""" +
+        s""","calib_1t_after_sec":${r3(calibAfter._1)},"calib_nt_after_sec":${r3(calibAfter._2)}"""
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)}"""
-    (s"""{$head,"queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""",
-      s"""{$head,"sf":${jstr(sfDir)}}""")
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)}"""
+    (s"""{$head,$calib,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"sf":${jstr(sfDir)}}""",
+      s"""{$head,$calib,"sf":${jstr(sfDir)}}""")
   }
 }

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *   3. sketch ONCE       Dedup.minhashSignatures
   *   4. candidates        Dedup.candidatesFromSignatures (banded LSH)
   *   5. clusters          Dedup.clustersFromCandidates (star contraction)
-  *   6. emit corpus       Dedup.dedupedCorpus(docs, clusters), canonical
-  *                        chosen by QUALITY (Dedup.keepBestPerCluster)
+  *   6. emit corpus       quality-canonical member per cluster
+  *                        (Dedup.keepBestPerCluster, reusing the step-1
+  *                        scores) + anti-join to drop the rest
   *   7. shuffle + encode  TextOps.shuffleRank (reproducible epoch order)
-  *                        + TextOps.encodeTokens (vocab-id sequences)
+  *                        + TextOps.encodeTokens (vocab-id sequences,
+  *                        joined into the written rows)
   *   8. split + write     hash split, parquet partitioned by split
   *
   * Scale notes: steps 1–2 are scan-shaped; 3–5 shuffle O(docs·bands)
@@ -74,11 +76,14 @@ object PipelineDemo {
     val kept = clean.join(broadcast(drop), Seq("doc_id"), "left_anti")
     val n3 = kept.count()
 
-    // 7. reproducible epoch order + vocab-id encoding for the trainer
-    val ranked = kept.join(graft.ops.TextOps.shuffleRank(kept)
-      .select("doc_id", "shuffle_pos"), Seq("doc_id"))
+    // 7. reproducible epoch order + vocab-id encoding, both JOINED into
+    // the rows the trainer reads — the encode pass is paid once and its
+    // output ships in the written parquet, not just in a printed scalar
     val encoded = graft.ops.TextOps.encodeTokens(kept, 20)
-    val nOov = encoded.agg(sum(col("n_oov"))).head.getLong(0)
+    val ranked = kept
+      .join(graft.ops.TextOps.shuffleRank(kept)
+        .select("doc_id", "shuffle_pos"), Seq("doc_id"))
+      .join(encoded.select("doc_id", "n_tokens", "n_oov", "ids_md5"), Seq("doc_id"))
 
     // 8. deterministic 80/10/10 split, written partition-pruned
     val split = ranked.withColumn("split",
@@ -86,9 +91,12 @@ object PipelineDemo {
         .when(graft.ops.TextOps.hashBucket(col("doc_id")) < 90, "valid")
         .otherwise("test"))
     split.write.mode("overwrite").partitionBy("split").parquet(out)
-    val perSplit = spark.read.parquet(out).groupBy("split").count()
+    val written = spark.read.parquet(out)
+    val perSplit = written.groupBy("split").count()
       .orderBy("split").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    // OOV coverage, read back from the WRITTEN rows (no extra encode pass)
+    val nOov = written.agg(sum(col("n_oov"))).head.getLong(0)
     gated.unpersist()
 
     println(s"[pipeline] corpus=$n0 quality_gate=$n1 decontaminated=$n2 deduped=$n3 oov_tokens=$nOov")

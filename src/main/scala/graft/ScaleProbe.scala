@@ -148,6 +148,36 @@ object ScaleProbe {
     time("shuffle_rank") {
       graft.ops.TextOps.shuffleRank(docs).count()
     }
+
+    // CDC family over a replicated event stream: shifted user_ids scale
+    // the ENTITY count (the partitioning key), so these measure the
+    // claimed "one entity-key exchange" shape, not one giant entity
+    val ev = replicate(
+      spark.read.parquet(s"$dir/events.parquet"),
+      Seq("user_id", "event_id"), 10000000L)
+    ev.persist()
+    println(s"[scale] events ${ev.count()} rows (${factor}x)")
+    // SCD2: both windows ride one user_id exchange
+    time("scd2") {
+      graft.ops.EventOps.scd2(ev, "purchase").count()
+    }
+    // MERGE upsert: min(struct) argmax both sides + co-partitioned
+    // full-outer join on the merge key
+    time("merge_upsert") {
+      graft.ops.EventOps.mergeUpsert(ev, "2024-01-21", "purchase").count()
+    }
+    // quality-canonical selection off the already-built candidate
+    // clusters: one (cluster_id, 2 doubles) shuffle after the left join
+    time("keep_best") {
+      graft.ops.Dedup.keepBestPerCluster(
+        graft.ops.Dedup.clustersFromCandidates(
+          cand.select(col("src").as("d1"), col("dst").as("d2"))),
+        graft.ops.TextOps.qualityScores(docs)).count()
+    }
+    // containment: same inverted-index Σdf² bound as Jaccard
+    time("containment") {
+      graft.ops.Dedup.containmentPairs(docs, 3, 0.8).count()
+    }
     spark.stop()
   }
 }

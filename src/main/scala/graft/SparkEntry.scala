@@ -14,12 +14,15 @@ import graft.sim.Semantic
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+  /** Flagship query; driver smoke-checks rows>0. Defaults to the
+    * driver's contract dir (/root/testdata/sf0.001) but honors
+    * SPARK_GRAFT_SF_DIR so other harnesses can point it elsewhere.
     * Top-20 terms most semantically similar to the corpus's highest-df
     * term — the reference's one query (app.py:145-179), Spark-native.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sfDir)
     val tf = graft.tfidf.TfIdf.tfidf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = Semantic.relatedTermsFrom(tf, Semantic.queryTermFrom(tf), k = 20)

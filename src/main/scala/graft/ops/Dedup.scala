@@ -387,11 +387,13 @@ object Dedup extends graft.QueryModule {
     * min-id one — what production dedup actually ships, since the
     * canonical copy should be the cleanest, not the earliest-crawled.
     * `quality` is any (doc_id, quality: double) frame (the declared
-    * query feeds [[TextOps.qualityScores]]); the join is INNER, so a
-    * cluster member with no quality row is excluded from both the
-    * argmax and n_members — score every corpus doc (qualityScores
-    * covers any doc with ≥1 token) or pre-coalesce a default before
-    * calling. The argmax is a
+    * query feeds [[TextOps.qualityScores]]); the join is LEFT, with an
+    * unscored member defaulting to quality -1.0 — below any real score
+    * (qualityScores is in [0,1]) — so it stays in n_members, loses the
+    * argmax to any scored sibling, and an ALL-unscored cluster falls
+    * back to min-doc_id with keep_quality = -1.0 as the loud "nothing
+    * was scored here" marker (the inner join used to silently drop the
+    * whole cluster — r5 ADVICE). The argmax is a
     * `min(struct(-quality, doc_id))` partial+final hash aggregate —
     * map-side combinable, no Window, no per-cluster sort — so at 100 TB
     * it costs one shuffle of (cluster_id, 2 doubles) after the
@@ -399,11 +401,12 @@ object Dedup extends graft.QueryModule {
     */
   def keepBestPerCluster(clusters: DataFrame, quality: DataFrame): DataFrame =
     clusters
-      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+      .join(quality.select(col("doc_id"), col("quality")), Seq("doc_id"), "left")
       .groupBy("cluster_id")
       .agg(
         count(lit(1)).as("n_members"),
-        min(struct(negate(col("quality")).as("nq"), col("doc_id"))).as("best"))
+        min(struct(negate(coalesce(col("quality"), lit(-1.0))).as("nq"),
+          col("doc_id"))).as("best"))
       .select(
         col("cluster_id"), col("n_members"),
         col("best.doc_id").as("keep_doc_id"),
@@ -893,11 +896,12 @@ object Dedup extends graft.QueryModule {
            |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
            |  FROM stats),
            |ranked AS (
-           |  SELECT l.cluster_id, l.doc_id, q.quality,
+           |  SELECT l.cluster_id, l.doc_id,
+           |    coalesce(q.quality, -1.0) AS quality,
            |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
            |    row_number() OVER (PARTITION BY l.cluster_id
-           |                       ORDER BY q.quality DESC, l.doc_id) AS rn
-           |  FROM labels l JOIN qual q ON l.doc_id = q.doc_id)
+           |                       ORDER BY coalesce(q.quality, -1.0) DESC, l.doc_id) AS rn
+           |  FROM labels l LEFT JOIN qual q ON l.doc_id = q.doc_id)
            |SELECT cluster_id, n_members, doc_id AS keep_doc_id, quality AS keep_quality
            |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
       "q_dedup_clusters" ->

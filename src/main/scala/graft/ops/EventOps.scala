@@ -99,6 +99,50 @@ object EventOps extends graft.QueryModule {
       .select(col("user_id"), col("event_type"),
         col("first.ts").as("ts"), col("first.event_id").as("event_id"))
 
+  /** Batch MERGE (upsert) — the CDC apply step: fold a change batch
+    * into the current dimension snapshot. Target = each entity's latest
+    * change BEFORE the cutoff, source = its latest change ON/AFTER the
+    * cutoff; matched keys update, unmatched source keys insert,
+    * untouched target keys carry forward — emitted with the action
+    * tag a MERGE INTO audit wants. Both sides reduce to one row per
+    * entity via a min(struct) argmax hash aggregate (no window), then
+    * meet in a single full-outer join co-partitioned on the merge key —
+    * exactly the shuffle plan a warehouse MERGE pays at scale, with
+    * the change batch typically far smaller than the snapshot (AQE
+    * broadcast-joins it when it fits).
+    *
+    * Row existence after the full-outer join is carried by an explicit
+    * `present` marker per side, NOT by value-nullness: a change event
+    * whose tracked value is legitimately NULL must still classify as
+    * update/insert and must null out new_value, which value-nullness
+    * branching would silently misread (r5 ADVICE).
+    */
+  def mergeUpsert(events: DataFrame, cutoff: String,
+      changeType: String = "purchase"): DataFrame = {
+    def latest(side: DataFrame): DataFrame = side
+      .groupBy("user_id")
+      .agg(min(struct(
+        negate(unix_micros(col("ts"))).as("nts"),
+        negate(col("event_id")).as("nid"),
+        col("value"), col("ts"))).as("last"))
+      .select(col("user_id"), col("last.value").as("value"), col("last.ts").as("ts"))
+      .withColumn("present", lit(true))
+    val changes = events.filter(col("event_type") === changeType)
+    val target = latest(changes.filter(col("ts") < lit(cutoff).cast("timestamp")))
+    val source = latest(changes.filter(col("ts") >= lit(cutoff).cast("timestamp")))
+    val sp = coalesce(col("s.present"), lit(false))
+    val tp = coalesce(col("t.present"), lit(false))
+    target.as("t").join(source.as("s"), Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(sp && tp, "update")
+          .when(sp, "insert")
+          .otherwise("keep").as("action"),
+        col("t.value").as("old_value"),
+        when(sp, col("s.value")).otherwise(col("t.value")).as("new_value"),
+        when(sp, col("s.ts")).otherwise(col("t.ts")).as("updated_ts"))
+  }
+
   /** SCD Type-2 dimension build: fold a change-event stream into
     * versioned validity intervals per entity — each change event of
     * `changeType` opens a version (valid_from = event ts, the tracked
@@ -114,41 +158,6 @@ object EventOps extends graft.QueryModule {
     * Ties on ts break by event_id, so versioning is deterministic
     * under any arrival order.
     */
-  /** Batch MERGE (upsert) — the CDC apply step: fold a change batch
-    * into the current dimension snapshot. Target = each entity's latest
-    * change BEFORE the cutoff, source = its latest change ON/AFTER the
-    * cutoff; matched keys update, unmatched source keys insert,
-    * untouched target keys carry forward — emitted with the action
-    * tag a MERGE INTO audit wants. Both sides reduce to one row per
-    * entity via a min(struct) argmax hash aggregate (no window), then
-    * meet in a single full-outer join co-partitioned on the merge key —
-    * exactly the shuffle plan a warehouse MERGE pays at scale, with
-    * the change batch typically far smaller than the snapshot (AQE
-    * broadcast-joins it when it fits).
-    */
-  def mergeUpsert(events: DataFrame, cutoff: String,
-      changeType: String = "purchase"): DataFrame = {
-    def latest(side: DataFrame): DataFrame = side
-      .groupBy("user_id")
-      .agg(min(struct(
-        negate(unix_micros(col("ts"))).as("nts"),
-        negate(col("event_id")).as("nid"),
-        col("value"), col("ts"))).as("last"))
-      .select(col("user_id"), col("last.value").as("value"), col("last.ts").as("ts"))
-    val changes = events.filter(col("event_type") === changeType)
-    val target = latest(changes.filter(col("ts") < lit(cutoff).cast("timestamp")))
-    val source = latest(changes.filter(col("ts") >= lit(cutoff).cast("timestamp")))
-    target.as("t").join(source.as("s"), Seq("user_id"), "full_outer")
-      .select(
-        col("user_id"),
-        when(col("s.value").isNotNull && col("t.value").isNotNull, "update")
-          .when(col("s.value").isNotNull, "insert")
-          .otherwise("keep").as("action"),
-        col("t.value").as("old_value"),
-        coalesce(col("s.value"), col("t.value")).as("new_value"),
-        coalesce(col("s.ts"), col("t.ts")).as("updated_ts"))
-  }
-
   def scd2(events: DataFrame, changeType: String = "purchase"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
@@ -371,24 +380,27 @@ object EventOps extends graft.QueryModule {
          |FROM events JOIN t ON value >= lo AND value < hi
          |GROUP BY tier ORDER BY tier""".stripMargin
     },
+    // presence markers (TRUE per side), not value-nullness, decide the
+    // action — mirrors mergeUpsert so a NULL tracked value still
+    // classifies correctly on both engines
     "q_merge_upsert" ->
       """WITH chg AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |t AS (
-        |  SELECT user_id, value, ts FROM (
+        |  SELECT user_id, value, ts, TRUE AS present FROM (
         |    SELECT user_id, value, ts,
         |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |    FROM chg WHERE ts < TIMESTAMP '2024-01-21') z WHERE rn = 1),
         |s AS (
-        |  SELECT user_id, value, ts FROM (
+        |  SELECT user_id, value, ts, TRUE AS present FROM (
         |    SELECT user_id, value, ts,
         |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |    FROM chg WHERE ts >= TIMESTAMP '2024-01-21') z WHERE rn = 1)
         |SELECT coalesce(t.user_id, s.user_id) AS user_id,
-        |  CASE WHEN s.value IS NOT NULL AND t.value IS NOT NULL THEN 'update'
-        |       WHEN s.value IS NOT NULL THEN 'insert' ELSE 'keep' END AS action,
+        |  CASE WHEN coalesce(s.present, FALSE) AND coalesce(t.present, FALSE) THEN 'update'
+        |       WHEN coalesce(s.present, FALSE) THEN 'insert' ELSE 'keep' END AS action,
         |  t.value AS old_value,
-        |  coalesce(s.value, t.value) AS new_value,
-        |  coalesce(s.ts, t.ts) AS updated_ts
+        |  CASE WHEN coalesce(s.present, FALSE) THEN s.value ELSE t.value END AS new_value,
+        |  CASE WHEN coalesce(s.present, FALSE) THEN s.ts ELSE t.ts END AS updated_ts
         |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
         |ORDER BY user_id""".stripMargin,
     "q_scd2" ->

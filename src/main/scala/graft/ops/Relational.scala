@@ -563,16 +563,34 @@ object Relational extends graft.QueryModule {
 
     // Correlated EXISTS with a pushed predicate: orders having any
     // high-quantity line item (semi join on the filtered fact).
-    // Approx mode for extreme scale: HyperLogLog distinct counts (~2%
-    // default error, constant memory). No SQL oracle — sketch internals
-    // are engine-specific; the driver records a rows-only check. The
-    // exact twin for recall measurement is q_distinct_counts.
+    // Approx mode for extreme scale: HyperLogLog distinct counts (~5%
+    // default rsd, constant memory). HLL register contents are
+    // engine-specific, so the raw estimates can't be hash-compared —
+    // instead the query EMITS THE BOUNDS CHECK: exact counts (cross-
+    // engine checkable) plus a boolean per column asserting the HLL
+    // estimate landed within 4×rsd of the exact count (rsd is one
+    // standard deviation; 4σ is a deterministic-given-the-data margin
+    // the sketch clears with overwhelming room). The oracle computes
+    // the same exact counts and asserts the booleans TRUE, so an HLL
+    // regression flips a boolean and fails the hash gate — r5 verdict
+    // item #3's "turn the one no_oracle row into a real check".
     "q_approx_distinct" -> { (spark, dir) =>
       Tables.lineitem(spark, dir)
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders_1pct"))
+          approx_count_distinct(col("l_partkey")).as("a_parts"),
+          approx_count_distinct(col("l_suppkey")).as("a_supps"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(
+          col("exact_parts"), col("exact_supps"), col("exact_orders"),
+          (abs(col("a_parts") - col("exact_parts"))
+            <= lit(4 * 0.05) * col("exact_parts")).as("parts_within_bound"),
+          (abs(col("a_supps") - col("exact_supps"))
+            <= lit(4 * 0.05) * col("exact_supps")).as("supps_within_bound"),
+          (abs(col("a_orders") - col("exact_orders"))
+            <= lit(4 * 0.01) * col("exact_orders")).as("orders_within_bound"))
     },
 
     "q_orders_with_bulk_items" -> { (spark, dir) =>
@@ -838,6 +856,19 @@ object Relational extends graft.QueryModule {
     "q_distinct_counts" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // The exact counts are recomputed independently; the booleans are
+    // the EXPECTATION the Spark side must meet — DuckDB can't rebuild
+    // Spark's HLL registers, so "estimate within 4×rsd of exact" is the
+    // strongest cross-engine check possible, and a drifting estimate
+    // flips a Spark-side boolean into a hash mismatch.
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_suppkey) AS exact_supps,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_bound,
+        |  TRUE AS supps_within_bound,
+        |  TRUE AS orders_within_bound
+        |FROM lineitem""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,

@@ -65,8 +65,16 @@ object Sketches extends graft.QueryModule {
     * the sketch and a candidate set.
     */
   def heavyHitters(tokens: DataFrame, minFrac: Double = 0.02): DataFrame = {
-    val sketch = countMinSketch(tokens)
-    val total = tokens.agg(count(lit(1)).as("n_total"))
+    // Build ONCE and checkpoint eagerly: the sketch is ≤ d·w rows but its
+    // subtree is a full corpus aggregate, and it feeds d broadcast probes
+    // below — unchecked, each probe re-executes the corpus pass. The
+    // stream length is the sum of any one hash row's counters (every
+    // token lands in exactly one bucket per row), so n_total needs no
+    // separate corpus scan either: 6 corpus passes → 2 (sketch build +
+    // candidate exact counts). Blocks are swept by the callers' existing
+    // getPersistentRDDs sweep (Bench/Verify/TimeProbe contract).
+    val sketch = countMinSketch(tokens).localCheckpoint(true)
+    val total = sketch.filter(col("r") === 0).agg(sum(col("cnt")).as("n_total"))
     // candidate terms: the distinct-term frame (bounded by vocabulary,
     // not stream length); each probes the broadcast sketch d times
     var est = tokens.groupBy("term").agg(count(lit(1)).as("exact_count"))
@@ -122,13 +130,18 @@ object Sketches extends graft.QueryModule {
     * zero shuffles on the probe side.
     */
   def bloomProbe(probe: DataFrame, keyCol: String, bloom: DataFrame): DataFrame = {
+    // The word table is ≤ 4096 rows but its subtree is the full build-side
+    // aggregate, and it feeds one broadcast join PER HASH — checkpoint so
+    // the build runs once, not BloomHashes times. Swept by the callers'
+    // getPersistentRDDs sweep like every other bounded checkpoint.
+    val words = bloom.localCheckpoint(true)
     var p = probe
     for (i <- 0 until BloomHashes)
       p = p
         .withColumn(s"_p$i", bloomPos(col(keyCol), i))
         .withColumn(s"_w$i", expr(s"_p$i DIV 32"))
         .withColumn(s"_m$i", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(_p$i % 32 AS INT))"))
-        .join(broadcast(bloom.select(col("w").as(s"_w$i"), col("word").as(s"_word$i"))),
+        .join(broadcast(words.select(col("w").as(s"_w$i"), col("word").as(s"_word$i"))),
           Seq(s"_w$i"), "left")
     val pass = (0 until BloomHashes).map { i =>
       coalesce(col(s"_word$i").bitwiseAND(col(s"_m$i")) === col(s"_m$i"), lit(false))

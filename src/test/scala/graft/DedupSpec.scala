@@ -110,4 +110,18 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
       === Seq((1L, 3L, 11L, 0.9), (2L, 2L, 20L, 0.7)))
   }
+
+  test("keepBestPerCluster: unscored members stay counted, all-unscored cluster " +
+      "falls back to min doc_id with the -1.0 marker (no silent cluster loss)") {
+    import spark.implicits._
+    val clusters = Seq(
+      (10L, 1L, 3L), (11L, 1L, 3L), (12L, 1L, 3L), // 12 has no quality row
+      (20L, 2L, 2L), (21L, 2L, 2L) // nobody scored
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq((10L, 0.5), (11L, 0.9)).toDF("doc_id", "quality")
+    val out = Dedup.keepBestPerCluster(clusters, quality)
+      .orderBy("cluster_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((1L, 3L, 11L, 0.9), (2L, 2L, 20L, -1.0)))
+  }
 }
