@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
   * (with shifted keys so cardinalities scale too) and times the
   * operator families that dominate the suite, to verify near-linear
   * scaling of the chosen plans before they ever see a cluster.
-  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor]
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
+  * `sections` = comma-separated subset of relational,dedup,emb,cdc
+  * (default all) — the emb section's exact all-pairs baseline is
+  * minutes at 8×, so targeted probes shouldn't have to pay for it.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val sections: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet
+      else Set("relational", "dedup", "emb", "cdc")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +32,12 @@ object ScaleProbe {
         keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * shift)))
       }.reduce(_ unionByName _)
 
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+
+    if (sections("relational")) {
     val li = replicate(
       spark.read.parquet(s"$dir/lineitem.parquet"),
       Seq("l_orderkey", "l_suppkey"), 10000000L)
@@ -34,11 +46,6 @@ object ScaleProbe {
       Seq("o_orderkey", "o_custkey"), 10000000L)
     li.persist(); ord.persist()
     println(s"[scale] lineitem ${li.count()} rows, orders ${ord.count()} rows (${factor}x)")
-
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
-    }
 
     // scan-heavy aggregate (q_pricing_summary shape)
     time("agg_pricing") {
@@ -61,6 +68,7 @@ object ScaleProbe {
     time("topk") {
       ord.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50).count()
     }
+    }
 
     // dedup/sketch family over a replicated corpus. Each replica gets a
     // Caesar-translated text (all shingles distinct across replicas) so
@@ -71,14 +79,27 @@ object ScaleProbe {
     // 26 distinct rotations exist; past that, replicas would repeat a
     // translation and collide as exact dups, inflating the pair join
     val dFactor = math.min(factor, 26)
-    val docs = (0 until dFactor).map { i =>
+    // lazy: shared by the dedup and cdc sections; built only if needed
+    lazy val docs = {
+    val d = (0 until dFactor).map { i =>
       val to = alpha.drop(i % 26) + alpha.take(i % 26)
       spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
         .withColumn("text", translate(col("text"), alpha, to))
     }.reduce(_ unionByName _)
-    docs.persist()
-    println(s"[scale] documents ${docs.count()} rows (${dFactor}x)")
+    d.persist()
+    println(s"[scale] documents ${d.count()} rows (${dFactor}x)")
+    d
+    }
+    lazy val cand = {
+    val c = graft.ops.Dedup.minhashCandidates(docs, 0.5)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .persist()
+    println(s"[scale] candidate edges ${c.count()} rows")
+    c
+    }
+
+    if (sections("dedup")) {
     time("dedup_minhash_lsh") {
       graft.ops.Dedup.minhashCandidates(docs, 0.5).count()
     }
@@ -90,10 +111,6 @@ object ScaleProbe {
     }
     // the full cluster path (LSH candidates → star contraction) and
     // both CC algorithms head-to-head on the same candidate edges
-    val cand = graft.ops.Dedup.minhashCandidates(docs, 0.5)
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .persist()
-    println(s"[scale] candidate edges ${cand.count()} rows")
     time("cc_star") {
       graft.ops.Graph.connectedComponentsStar(cand).count()
     }
@@ -116,7 +133,9 @@ object ScaleProbe {
       graft.ops.VectorOps.quantizedKnn(docs.sparkSession
         .read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 5, 10).count()
     }
+    }
 
+    if (sections("emb")) {
     // embedding near-dup: exact all-pairs vs banded sign-LSH as the
     // corpus grows. Replicas get a per-replica circular shift of the
     // vector (norm-preserving, angle-scrambling) so copies don't
@@ -144,16 +163,21 @@ object ScaleProbe {
     time("pca_power_2it") {
       graft.ops.VectorOps.principalDirection(emb, 64, 2).count()
     }
+    }
+
     // reproducible global shuffle: two-phase distributed rank
+    if (sections("dedup")) {
     time("shuffle_rank") {
       graft.ops.TextOps.shuffleRank(docs).count()
     }
+    }
 
+    if (sections("cdc")) {
     // CDC family over a replicated event stream: shifted user_ids scale
     // the ENTITY count (the partitioning key), so these measure the
     // claimed "one entity-key exchange" shape, not one giant entity
     val ev = replicate(
-      spark.read.parquet(s"$dir/events.parquet"),
+      graft.core.Tables.events(spark, dir),
       Seq("user_id", "event_id"), 10000000L)
     ev.persist()
     println(s"[scale] events ${ev.count()} rows (${factor}x)")
@@ -177,6 +201,7 @@ object ScaleProbe {
     // containment: same inverted-index Σdf² bound as Jaccard
     time("containment") {
       graft.ops.Dedup.containmentPairs(docs, 3, 0.8).count()
+    }
     }
     spark.stop()
   }
