@@ -539,6 +539,31 @@ object Relational extends graft.QueryModule {
         .orderBy("l_returnflag")
     },
 
+    // Approx mode for extreme-scale quantiles: the GK sketch behind
+    // percentile_approx holds O(accuracy) state per group where exact
+    // percentile buffers the whole group. Sketch internals are
+    // engine-specific, so — like q_approx_distinct — the query EMITS
+    // THE BOUNDS CHECK: exact p45/p50/p55 per group (cross-engine
+    // checkable) plus a boolean asserting the sketch median landed
+    // inside the [p45, p55] value window (rank error n/accuracy = 0.01%
+    // of the group, so a 5-percentile-point window is an enormous,
+    // deterministic-given-the-data margin). The oracle recomputes the
+    // exact quantiles and asserts the boolean TRUE.
+    "q_approx_quantile" -> { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.45)"), 9).as("p45_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 9).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.55)"), 9).as("p55_qty"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("am"))
+        .select(
+          col("l_returnflag"), col("p45_qty"), col("median_qty"), col("p55_qty"),
+          (col("am") >= col("p45_qty") && col("am") <= col("p55_qty"))
+            .as("approx_median_within_bound"))
+        .orderBy("l_returnflag")
+    },
+
     // Statistical aggregates built from exact decimal sums so partition
     // order cannot perturb them (built-in stddev/corr stream doubles in
     // shuffle order — not reproducible across engines or cluster sizes).
@@ -874,6 +899,15 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 9) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 9) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // exact quantiles recomputed; the boolean is the expectation the
+    // Spark-side GK sketch must meet (same pattern as q_approx_distinct)
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.45), 9) AS p45_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 9) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.55), 9) AS p55_qty,
+        |  TRUE AS approx_median_within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_stats_agg" -> {
       val n = "CAST(count(*) AS DOUBLE)"
