@@ -584,6 +584,56 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Content-defined chunk dedup — the shift-resistant sibling of
+    * [[chunkDupStats]]: a chunk boundary falls AFTER any token whose
+    * salted [[Shingles.hash32]] ≡ 0 (mod `mod`), so boundaries are a
+    * property of the CONTENT, not of token offsets (the LBFS idea,
+    * Muthitacharoen et al. 2001). Fixed-stride chunking loses every
+    * chunk downstream of a single inserted token — here only the
+    * boundary-local chunk changes, so a near-dup with one edit still
+    * shares all other chunks. Expected chunk length = `mod` tokens.
+    *
+    * Scale shape: one token shuffle for the per-doc boundary prefix sum
+    * (entity-keyed window, no global sort), one (doc, chunk) hash
+    * aggregate with per-group state bounded by chunk length, then the
+    * same duplicate-chunk join as the aligned variant. Never pairwise.
+    */
+  def cdcChunkStats(docs: DataFrame, mod: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // boundary indicator per token; chunk id = boundaries strictly before
+    val toks = Shingles.tokensWithPos(docs)
+      .withColumn("b",
+        when(Shingles.hash32(concat(lit("cdc:"), col("term"))) % mod === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(wPrev), lit(0L)))
+    // persisted: the chunk table feeds the dup aggregate, per-doc totals,
+    // and the coverage join (same hygiene as chunkDupStats)
+    val chunks = toks.groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("len"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            p => p.getField("term")))).as("chunk_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("chunk_hash")
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("len")).as("n_tokens"))
+    val dupPerDoc = chunks.join(dup, "chunk_hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_chunks"))
+    val out = perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_tokens"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+      .withColumn("dup_frac",
+        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      .localCheckpoint(true)
+    chunks.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_exact_dedup" -> { (spark, dir) =>
@@ -669,6 +719,13 @@ object Dedup extends graft.QueryModule {
     // coverage — span_dedup's cheaper fixed-stride sibling.
     "q_chunk_dedup" -> { (spark, dir) =>
       chunkDupStats(Tables.documents(spark, dir), 16).orderBy("doc_id")
+    },
+
+    // Content-defined chunking: boundaries from token-hash ≡ 0 (mod 16),
+    // so one inserted token invalidates one chunk, not every chunk after
+    // it — the shift-resistant dedup dial.
+    "q_cdc_chunks" -> { (spark, dir) =>
+      cdcChunkStats(Tables.documents(spark, dir), 16).orderBy("doc_id")
     },
 
     // Containment (overlap coefficient): doc-inside-doc pairs Jaccard
@@ -1054,6 +1111,38 @@ object Dedup extends graft.QueryModule {
            |  CAST(COALESCE(dp.dup_chunks, 0) AS DOUBLE) / p.n_chunks AS dup_frac
            |FROM per p LEFT JOIN dupper dp ON p.doc_id = dp.doc_id
            |ORDER BY p.doc_id""".stripMargin,
+      "q_cdc_chunks" -> {
+        val bexpr = s"CASE WHEN ${Shingles.hash32Sql("'cdc:' || term")} % 16 = 0 THEN 1 ELSE 0 END"
+        s"""WITH toks AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z WHERE term <> ''),
+           |b AS (SELECT doc_id, pos, term, $bexpr AS b FROM toks),
+           |ch0 AS (
+           |  SELECT doc_id, pos, term,
+           |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |  FROM b),
+           |chunks AS (
+           |  SELECT doc_id, chunk_id, count(*) AS len,
+           |    md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_hash
+           |  FROM ch0 GROUP BY doc_id, chunk_id),
+           |dup AS (
+           |  SELECT chunk_hash FROM chunks
+           |  GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1),
+           |per AS (
+           |  SELECT doc_id, count(*) AS n_chunks, CAST(sum(len) AS BIGINT) AS n_tokens
+           |  FROM chunks GROUP BY doc_id),
+           |dupper AS (
+           |  SELECT doc_id, count(*) AS dup_chunks
+           |  FROM chunks JOIN dup USING (chunk_hash) GROUP BY doc_id)
+           |SELECT p.doc_id, p.n_chunks, p.n_tokens,
+           |  COALESCE(dp.dup_chunks, 0) AS dup_chunks,
+           |  CAST(COALESCE(dp.dup_chunks, 0) AS DOUBLE) / p.n_chunks AS dup_frac
+           |FROM per p LEFT JOIN dupper dp ON p.doc_id = dp.doc_id
+           |ORDER BY p.doc_id""".stripMargin
+      },
       "q_embedding_neardup" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
           |SELECT a.vec_id AS v1, b.vec_id AS v2,

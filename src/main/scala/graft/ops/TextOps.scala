@@ -666,6 +666,28 @@ object TextOps extends graft.QueryModule {
       sourceMixTemperature(Tables.documents(spark, dir))
     },
 
+    // Per-source quality quota: keep at most 15 best-quality docs per
+    // source — the curation cap that stops one crawler/domain from
+    // drowning the mix. rank-≤-k under a per-group window plans as
+    // WindowGroupLimit (top-k per group pushed below the full sort),
+    // so at scale each source pays a bounded heap, not a group sort.
+    "q_source_cap" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs.select("doc_id", "source")
+        .join(qualityScores(docs).select("doc_id", "quality"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("quality")).as("kept_quality_floor"),
+          max(col("quality")).as("kept_quality_ceil"))
+        .orderBy("source")
+    },
+
     // Reproducible pre-training shuffle: stable pseudo-random global
     // position per document via the two-phase distributed rank.
     "q_shuffle_rank" -> { (spark, dir) =>
@@ -893,6 +915,30 @@ object TextOps extends graft.QueryModule {
            |UNION ALL SELECT '3_stopwords', s3 FROM agg
            |UNION ALL SELECT '4_exact_dedup', s4 FROM agg
            |ORDER BY stage""".stripMargin,
+      "q_source_cap" ->
+        s"""WITH $tokCte,
+           |stop AS ($topTermsSql),
+           |stats AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens, count(DISTINCT t.term) AS n_types,
+           |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+           |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+           |  GROUP BY t.doc_id),
+           |qual AS (
+           |  SELECT doc_id,
+           |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+           |      + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+           |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
+           |  FROM stats),
+           |ranked AS (
+           |  SELECT d.source, q.quality,
+           |    row_number() OVER (PARTITION BY d.source
+           |                       ORDER BY q.quality DESC, d.doc_id) AS rn
+           |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+           |SELECT source, count(*) AS n_kept,
+           |  min(quality) AS kept_quality_floor,
+           |  max(quality) AS kept_quality_ceil
+           |FROM ranked WHERE rn <= 15
+           |GROUP BY source ORDER BY source""".stripMargin,
       "q_source_mix" ->
         s"""WITH rates AS (
            |  SELECT source, count(*) AS n_docs,
