@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_source_cap gets the WindowGroupLimit pushdown for its per-source quota") {
+    // the claim in the query doc: rank <= 15 under a per-source window
+    // plans as a bounded per-group heap, not a full group sort
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_interval_join broadcasts the tiny tier table (nested-loop, stream side unshuffled)") {
     val p = plan("q_interval_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
