@@ -111,6 +111,33 @@ class DedupSpec extends AnyFunSuite {
       === Seq((1L, 3L, 11L, 0.9), (2L, 2L, 20L, 0.7)))
   }
 
+  test("cdc chunking is shift-resistant: one inserted token preserves most shared " +
+      "chunks where aligned chunking loses everything downstream of the edit") {
+    import spark.implicits._
+    // 200 distinct tokens; doc 2 = the same text with ONE token inserted
+    // near the front, shifting every later position by one
+    val toks = (1 to 200).map(i => s"w${i % 50}x$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, (toks.take(5) ++ Seq("zzz") ++ toks.drop(5)).mkString(" "))
+    ).toDF("doc_id", "text")
+
+    def dupFrac(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .head.getAs[Double]("dup_frac")
+
+    val cdcFrac = dupFrac(Dedup.cdcChunkStats(docs, 16))
+    val alignedFrac = dupFrac(Dedup.chunkDupStats(docs, 16))
+    // content-defined boundaries only change around the edit, so the
+    // original doc keeps most of its chunks shared with the edited copy;
+    // the aligned grid loses every chunk downstream of the insertion
+    assert(cdcFrac > 0.6, s"cdc dup_frac $cdcFrac should survive a 1-token insert")
+    assert(alignedFrac < cdcFrac,
+      s"aligned $alignedFrac must lose to content-defined $cdcFrac under a shift")
+    assert(alignedFrac < 0.35,
+      s"aligned chunking kept $alignedFrac after a front-of-doc insert — grid not aligned?")
+  }
+
   test("keepBestPerCluster: unscored members stay counted, all-unscored cluster " +
       "falls back to min doc_id with the -1.0 marker (no silent cluster loss)") {
     import spark.implicits._
