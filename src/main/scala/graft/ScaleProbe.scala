@@ -128,6 +128,11 @@ object ScaleProbe {
     time("pack_sequences") {
       graft.ops.TextOps.packSequences(docs, 256).count()
     }
+    // content-defined chunk dedup: prefix-sum window + chunk aggregate,
+    // same linear family as the aligned chunk pass
+    time("cdc_chunks") {
+      graft.ops.Dedup.cdcChunkStats(docs, 16).count()
+    }
     // int8-quantized MIPS scan (5 queries against the whole corpus)
     time("quantized_knn") {
       graft.ops.VectorOps.quantizedKnn(docs.sparkSession
