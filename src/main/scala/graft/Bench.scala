@@ -150,7 +150,17 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.map { name =>
       val (t1, e1) = pass1(name)
       val (t2, e2) = pass2(name)
-      (name, math.min(t1, t2), math.max(t1, t2), e1.orElse(e2))
+      // A failing sweep usually fails FAST, so its duration must never
+      // win the min (that would deflate the total while the error sits
+      // in a field nobody sums). One sweep errored → the successful
+      // sweep's time stands alone; both errored → times are meaningless
+      // anyway, keep min/max for the record.
+      val (tMin, tMax) = (e1, e2) match {
+        case (Some(_), None) => (t2, t2)
+        case (None, Some(_)) => (t1, t1)
+        case _               => (math.min(t1, t2), math.max(t1, t2))
+      }
+      (name, tMin, tMax, e1.orElse(e2))
     }
 
     val calibAfter = calibrate()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * operator families that dominate the suite, to verify near-linear
   * scaling of the chosen plans before they ever see a cluster.
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
-  * `sections` = comma-separated subset of relational,dedup,emb,cdc
+  * `sections` = comma-separated subset of relational,dedup,emb,cdc,quota
   * (default all) — the emb section's exact all-pairs baseline is
   * minutes at 8×, so targeted probes shouldn't have to pay for it.
   */
@@ -17,7 +17,7 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("relational", "dedup", "emb", "cdc")
+      else Set("relational", "dedup", "emb", "cdc", "quota")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -207,6 +207,59 @@ object ScaleProbe {
     time("containment") {
       graft.ops.Dedup.containmentPairs(docs, 3, 0.8).count()
     }
+    }
+
+    if (sections("quota")) {
+    import org.apache.spark.sql.expressions.Window
+    // --- q_source_cap's WindowGroupLimit bounded-heap claim. rank<=k
+    // under a per-group window plans as WindowGroupLimit: each group
+    // pays a k-row heap below the sort instead of a full group sort.
+    // If that holds, time must track ROW COUNT alone — growing rows
+    // per source N× and growing the source COUNT N× (same total rows)
+    // should cost the same. A full per-group sort would make the
+    // few-huge-sources shape blow up instead (n log n per group).
+    // Synthetic frame: the probe isolates the window shape; quality is
+    // a hash so no corpus pass rides the measurement.
+    def quotaFrame(nSources: Int, perSource: Long): DataFrame =
+      spark.range(nSources * perSource)
+        .select(col("id").as("doc_id"),
+          (col("id") % nSources).cast("string").as("source"),
+          (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 1e6).as("quality"))
+    def capCount(d: DataFrame): Long = {
+      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 15)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("quality")), max(col("quality")))
+        .count()
+    }
+    val baseRows = 1000000L
+    time("srccap_base") { capCount(quotaFrame(1000, baseRows / 1000)) }
+    time("srccap_deep") { // per-source cardinality × factor, sources fixed
+      capCount(quotaFrame(1000, baseRows * factor / 1000))
+    }
+    time("srccap_wide") { // source count × factor, same total rows as deep
+      capCount(quotaFrame(1000 * factor, baseRows / 1000))
+    }
+
+    // --- q_approx_quantile's GK-sketch claim: percentile_approx holds
+    // O(accuracy) state per group where exact percentile buffers the
+    // whole group — so as group size grows N×, the sketch pass should
+    // stay scan-bound (≈linear) while the exact pass pays the buffer.
+    val liq = replicate(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+      Seq("l_orderkey"), 10000000L)
+    liq.persist()
+    println(s"[scale] lineitem(q) ${liq.count()} rows in 3 groups (${factor}x)")
+    time("gk_approx_median") {
+      liq.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))).count()
+    }
+    time("exact_median") {
+      liq.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)")).count()
+    }
+    liq.unpersist()
     }
     spark.stop()
   }

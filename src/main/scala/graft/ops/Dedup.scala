@@ -48,6 +48,19 @@ object Dedup extends graft.QueryModule {
        |hashes AS (
        |  SELECT DISTINCT doc_id, ${Shingles.hash32Sql("shingle")} AS h FROM sh)""".stripMargin
 
+  /** Oracle fragments for cross-module composition ([[Curation]]'s
+    * end-to-end pipeline oracle reuses the exact minhash/LSH SQL the
+    * per-query oracles are generated from, so the two can never
+    * drift): (sig aggregate columns over `hashes(doc_id, h)`, band
+    * projections over `sigs`, signature-agreement count over s1/s2).
+    */
+  private[ops] def minhashOracleFragments: (String, String, String) = (
+    sigColsSql,
+    (0 until NBANDS).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, sig${2 * bnd} * $P + sig${2 * bnd + 1} AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL "),
+    (0 until 8).map(j => s"CASE WHEN s1.sig$j = s2.sig$j THEN 1 ELSE 0 END").mkString(" + "))
+
   private def shingleHashes(docs: DataFrame): DataFrame =
     shingleHashesAll(docs).distinct()
 
@@ -386,18 +399,23 @@ object Dedup extends graft.QueryModule {
     * HIGHEST-quality member (min doc_id breaks ties) instead of the
     * min-id one — what production dedup actually ships, since the
     * canonical copy should be the cleanest, not the earliest-crawled.
-    * `quality` is any (doc_id, quality: double) frame (the declared
-    * query feeds [[TextOps.qualityScores]]); the join is LEFT, with an
-    * unscored member defaulting to quality -1.0 — below any real score
-    * (qualityScores is in [0,1]) — so it stays in n_members, loses the
-    * argmax to any scored sibling, and an ALL-unscored cluster falls
-    * back to min-doc_id with keep_quality = -1.0 as the loud "nothing
-    * was scored here" marker (the inner join used to silently drop the
-    * whole cluster — r5 ADVICE). The argmax is a
-    * `min(struct(-quality, doc_id))` partial+final hash aggregate —
-    * map-side combinable, no Window, no per-cluster sort — so at 100 TB
-    * it costs one shuffle of (cluster_id, 2 doubles) after the
-    * clusters/quality join.
+    * `quality` is any (doc_id, quality: double) frame — ANY real
+    * double, negatives included (the declared query feeds
+    * [[TextOps.qualityScores]], which is in [0,1]); the join is LEFT,
+    * and an unscored member carries an explicit `unscored` rank in the
+    * argmax struct rather than a sentinel score, so it stays in
+    * n_members, loses the argmax to EVERY scored sibling (even one
+    * with a negative quality — the r6 ADVICE hole in the old -1.0
+    * sentinel), and an ALL-unscored cluster falls back to min-doc_id
+    * with keep_quality = -1.0 as the loud "nothing was scored here"
+    * marker (the inner join used to silently drop the whole cluster —
+    * r5 ADVICE). The marker rides the output only when the kept member
+    * is unscored; a caller whose real scores include -1.0 can still
+    * distinguish the cases by joining back on keep_doc_id. The argmax
+    * is a `min(struct(unscored, -quality, doc_id))` partial+final hash
+    * aggregate — map-side combinable, no Window, no per-cluster sort —
+    * so at 100 TB it costs one shuffle of (cluster_id, small struct)
+    * after the clusters/quality join.
     */
   def keepBestPerCluster(clusters: DataFrame, quality: DataFrame): DataFrame =
     clusters
@@ -405,12 +423,15 @@ object Dedup extends graft.QueryModule {
       .groupBy("cluster_id")
       .agg(
         count(lit(1)).as("n_members"),
-        min(struct(negate(coalesce(col("quality"), lit(-1.0))).as("nq"),
+        min(struct(
+          when(col("quality").isNull, 1).otherwise(0).as("unscored"),
+          negate(coalesce(col("quality"), lit(0.0))).as("nq"),
           col("doc_id"))).as("best"))
       .select(
         col("cluster_id"), col("n_members"),
         col("best.doc_id").as("keep_doc_id"),
-        negate(col("best.nq")).as("keep_quality"))
+        when(col("best.unscored") === 1, lit(-1.0))
+          .otherwise(negate(col("best.nq"))).as("keep_quality"))
 
   /** Embedding near-dup, exact baseline: all-pairs cosine top-k via
     * block-pair EQUI-joins rather than a `<` non-equi self-join —
@@ -593,19 +614,34 @@ object Dedup extends graft.QueryModule {
     * boundary-local chunk changes, so a near-dup with one edit still
     * shares all other chunks. Expected chunk length = `mod` tokens.
     *
+    * `kmax` is the forced-boundary cap every real CDC system carries
+    * (LBFS's max chunk size): content whose token hashes never hit the
+    * boundary residue — one token repeated for a million positions,
+    * tiny-vocabulary boilerplate — would otherwise emit a single chunk
+    * spanning the whole document and materialize its entire token list
+    * in ONE `collect_list` aggregation group, exactly the skewed-key
+    * blowup 100× scale punishes. A boundary is forced after every
+    * `kmax`-th token position, so no chunk exceeds `kmax` tokens no
+    * matter the content. Forced boundaries are position-aligned, so an
+    * edit can re-split at most the chunks touching one forced boundary
+    * per `kmax` window — shift resistance degrades by at most
+    * ~2·mod/kmax, not lost (the spec pins both properties).
+    *
     * Scale shape: one token shuffle for the per-doc boundary prefix sum
     * (entity-keyed window, no global sort), one (doc, chunk) hash
-    * aggregate with per-group state bounded by chunk length, then the
+    * aggregate with per-group state bounded by `kmax`, then the
     * same duplicate-chunk join as the aligned variant. Never pairwise.
     */
-  def cdcChunkStats(docs: DataFrame, mod: Int = 16): DataFrame = {
+  def cdcChunkStats(docs: DataFrame, mod: Int = 16, kmax: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(kmax > 0, s"kmax must be positive, got $kmax")
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     // boundary indicator per token; chunk id = boundaries strictly before
     val toks = Shingles.tokensWithPos(docs)
       .withColumn("b",
-        when(Shingles.hash32(concat(lit("cdc:"), col("term"))) % mod === 0, 1L)
+        when(Shingles.hash32(concat(lit("cdc:"), col("term"))) % mod === 0
+          || col("pos") % kmax === 0, 1L)
           .otherwise(0L))
       .withColumn("chunk_id", coalesce(sum(col("b")).over(wPrev), lit(0L)))
     // persisted: the chunk table feeds the dup aggregate, per-doc totals,
@@ -723,9 +759,11 @@ object Dedup extends graft.QueryModule {
 
     // Content-defined chunking: boundaries from token-hash ≡ 0 (mod 16),
     // so one inserted token invalidates one chunk, not every chunk after
-    // it — the shift-resistant dedup dial.
+    // it — the shift-resistant dedup dial. A forced boundary every 128
+    // tokens caps per-chunk aggregation state against degenerate
+    // content (see cdcChunkStats scaladoc).
     "q_cdc_chunks" -> { (spark, dir) =>
-      cdcChunkStats(Tables.documents(spark, dir), 16).orderBy("doc_id")
+      cdcChunkStats(Tables.documents(spark, dir), 16, 128).orderBy("doc_id")
     },
 
     // Containment (overlap coefficient): doc-inside-doc pairs Jaccard
@@ -1112,7 +1150,8 @@ object Dedup extends graft.QueryModule {
            |FROM per p LEFT JOIN dupper dp ON p.doc_id = dp.doc_id
            |ORDER BY p.doc_id""".stripMargin,
       "q_cdc_chunks" -> {
-        val bexpr = s"CASE WHEN ${Shingles.hash32Sql("'cdc:' || term")} % 16 = 0 THEN 1 ELSE 0 END"
+        val bexpr =
+          s"CASE WHEN ${Shingles.hash32Sql("'cdc:' || term")} % 16 = 0 OR pos % 128 = 0 THEN 1 ELSE 0 END"
         s"""WITH toks AS (
            |  SELECT doc_id, pos, term FROM (
            |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,

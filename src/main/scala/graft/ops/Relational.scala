@@ -330,10 +330,18 @@ object Relational extends graft.QueryModule {
         .orderBy("c_custkey")
     },
 
-    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    // Left-anti join (NOT EXISTS): dormant customers — no order since
+    // 2000-01-01. The build side is date-filtered so the result is
+    // non-empty at every test scale factor (14/135/1355 rows at
+    // sf0.001/0.01/0.1); an unfiltered build side matches every
+    // customer and the oracle would only ever hash an empty set.
+    // The filter lands below the join, shrinking the build side
+    // before the shuffle.
     "q_anti_join" -> { (spark, dir) =>
+      val recent = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
       Tables.customer(spark, dir)
-        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     },
@@ -780,7 +788,9 @@ object Relational extends graft.QueryModule {
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2000-01-01')
         |ORDER BY c_custkey""".stripMargin,
     "q_window_topn" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (

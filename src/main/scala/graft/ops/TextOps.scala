@@ -70,22 +70,42 @@ object TextOps extends graft.QueryModule {
   /** Quality score per document: length saturation, lexical diversity,
     * inverse stopword density, fixed weights. Stopwords are the top-k
     * global terms (data-derived, hash-stable across scale factors).
+    *
+    * `carry`: extra per-document columns (functionally dependent on
+    * doc_id — e.g. `source`) threaded through the token aggregate via
+    * `first()`, so a caller that needs (quality, source) pays ONE
+    * corpus scan instead of scanning documents again just to join the
+    * column back (the r6 q_source_cap nit — at 100 TB that second
+    * read is a full corpus pass for one projection). Each token
+    * shuffle row grows by the carried bytes, which is noise next to a
+    * saved scan. The stopword top-k inside remains its own scan — it
+    * is a global aggregate no per-doc pass can absorb, and it is
+    * shared by every qualityScores caller.
     */
-  def qualityScores(docs: DataFrame): DataFrame = {
-    val stats = TfIdf.tokens(docs)
+  def qualityScores(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val toks =
+      if (carry.isEmpty) TfIdf.tokens(docs)
+      else docs
+        .select(col("doc_id") +: carry.map(col) :+
+          explode(split(col("text"), " ")).as("term"): _*)
+        .filter(col("term") =!= "")
+    val aggs = Seq(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_types"),
+      sum(when(col("stop_term").isNotNull, 1L).otherwise(0L)).as("n_stop")) ++
+      carry.map(c => first(col(c)).as(c))
+    val stats = toks
       .join(broadcast(topTerms(docs)), col("term") === col("stop_term"), "left")
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("term")).as("n_types"),
-        sum(when(col("stop_term").isNotNull, 1L).otherwise(0L)).as("n_stop"))
+      .agg(aggs.head, aggs.tail: _*)
     stats.select(
-      col("doc_id"),
-      col("n_tokens"),
-      (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-      (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
-        + (col("n_types").cast("double") / col("n_tokens")) * lit(0.3)
-        + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * lit(0.4)).as("quality"))
+      col("doc_id") +: carry.map(col) :+
+        col("n_tokens") :+
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio") :+
+        (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+          + (col("n_types").cast("double") / col("n_tokens")) * lit(0.3)
+          + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * lit(0.4))
+          .as("quality"): _*)
   }
 
   /** Per-document language prediction by marker-stopword voting with
@@ -671,13 +691,15 @@ object TextOps extends graft.QueryModule {
     // drowning the mix. rank-≤-k under a per-group window plans as
     // WindowGroupLimit (top-k per group pushed below the full sort),
     // so at scale each source pays a bounded heap, not a group sort.
+    // `source` rides the quality aggregate (carry), not a second
+    // corpus scan + join-back.
     "q_source_cap" -> { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(spark, dir)
       val w = Window.partitionBy("source")
         .orderBy(col("quality").desc, col("doc_id"))
-      docs.select("doc_id", "source")
-        .join(qualityScores(docs).select("doc_id", "quality"), "doc_id")
+      qualityScores(docs, Seq("source"))
+        .select("doc_id", "source", "quality")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 15)
         .groupBy("source")

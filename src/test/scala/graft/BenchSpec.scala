@@ -62,8 +62,20 @@ newline""") else None))
     // the all-cores wall can never beat a single copy of the same work
     assert(nt1 >= st1 * 0.5, s"nt wall $nt1 implausibly under 1t $st1")
     // same fixed work back to back on the same host: within 4x covers
-    // JIT warmup of the loop itself plus scheduler noise
+    // JIT warmup of the loop itself plus scheduler noise. The 1t
+    // reading is immune to the host's quota throttle (that is its
+    // design), so it must always be stable…
     assert(math.max(st1, st2) / math.min(st1, st2) < 4.0, s"unstable 1t: $st1 vs $st2")
-    assert(math.max(nt1, nt2) / math.min(nt1, nt2) < 4.0, s"unstable nt: $nt1 vs $nt2")
+    // …but the nt reading is EXPECTED to move when a throttle window
+    // opens or closes between the two calls — that is the signal the
+    // probe exists to catch, not a bug. Retry once before failing so
+    // a window edge between nt1 and nt2 doesn't flake the suite; two
+    // consecutive unstable pairs would mean the probe itself is noise.
+    if (math.max(nt1, nt2) / math.min(nt1, nt2) >= 4.0) {
+      val (_, nt3) = Bench.calibrate()
+      val (_, nt4) = Bench.calibrate()
+      assert(math.max(nt3, nt4) / math.min(nt3, nt4) < 4.0,
+        s"nt unstable across both pairs: $nt1 vs $nt2, then $nt3 vs $nt4")
+    }
   }
 }

@@ -138,6 +138,32 @@ class DedupSpec extends AnyFunSuite {
       s"aligned chunking kept $alignedFrac after a front-of-doc insert — grid not aligned?")
   }
 
+  test("cdc chunking caps chunk length on degenerate content: a doc repeating one " +
+      "boundary-missing token never materializes its whole token list in one group") {
+    import spark.implicits._
+    // Find a token whose salted hash misses the mod-16 boundary residue,
+    // then repeat it: with no content boundaries, only the forced
+    // every-kmax boundary bounds the chunk — without the cap this doc
+    // is ONE collect_list group of 4000 tokens.
+    val probe = (1 to 64).map(i => s"t$i").toDF("term")
+      .withColumn("h", graft.text.Shingles.hash32(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("cdc:"),
+          org.apache.spark.sql.functions.col("term"))))
+      .filter(org.apache.spark.sql.functions.col("h") % 16 =!= 0)
+      .head.getString(0)
+    val docs = Seq((1L, Seq.fill(4000)(probe).mkString(" "))).toDF("doc_id", "text")
+
+    val kmax = 128
+    val stats = Dedup.cdcChunkStats(docs, 16, kmax).head
+    assert(stats.getAs[Long]("n_tokens") === 4000L)
+    // no content boundary fires, so the chunks are exactly the forced
+    // segments: boundaries after pos 128, 256, …, 3968 → 32 chunks of
+    // ≤ 128 tokens each (vs ONE 4000-token group without the cap)
+    assert(stats.getAs[Long]("n_chunks") === 32L,
+      s"expected 32 forced chunks, got ${stats.getAs[Long]("n_chunks")}")
+  }
+
   test("keepBestPerCluster: unscored members stay counted, all-unscored cluster " +
       "falls back to min doc_id with the -1.0 marker (no silent cluster loss)") {
     import spark.implicits._
@@ -150,5 +176,19 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("cluster_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
       === Seq((1L, 3L, 11L, 0.9), (2L, 2L, 20L, -1.0)))
+  }
+
+  test("keepBestPerCluster: negative qualities are real scores — a scored member " +
+      "beats an unscored one even below the old -1.0 sentinel") {
+    import spark.implicits._
+    val clusters = Seq(
+      (10L, 1L, 2L), (11L, 1L, 2L), // 11 unscored, 10 scored at -5.0
+      (20L, 2L, 2L), (21L, 2L, 2L)  // both scored, both negative
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val quality = Seq((10L, -5.0), (20L, -2.0), (21L, -0.5)).toDF("doc_id", "quality")
+    val out = Dedup.keepBestPerCluster(clusters, quality)
+      .orderBy("cluster_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((1L, 2L, 10L, -5.0), (2L, 2L, 21L, -0.5)))
   }
 }

@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Calibration-normalized comparison of two bench artifacts.
+
+Usage: python3 tools/benchdiff.py <old> <new> [--threshold 1.5]
+
+Accepts either artifact shape:
+  * bench_results.json — the full JSON graft.Bench writes (has
+    "queries" / "queries_max" / "calib_*" at top level);
+  * BENCH_rN.json — the driver's capture ({n, rc, sf, tail, parsed}).
+    The per-query map is recovered from the stdout tail; the tail is
+    bounded, so the map may be PARTIAL (head-truncated) — recovered
+    pairs are compared and the cut is reported, never papered over.
+
+Normalization (PERF.md "Environment caveat"): this host's throttle
+cuts parallel CPU bandwidth while single-core speed stays flat, so
+each run's all-cores calibration reading (calib_nt_*) inflates by the
+same factor its query times do. Per run we take
+    factor = mean(calib_nt) / mean(calib_1t)
+and report time / factor beside the raw number. A clean host reads
+factor ≈ 1; a mildly loaded one ~1.2–1.3; a throttled one 5–10×.
+Rounds before r6 carry no calibration fields — their numbers print
+raw with a loud [no-calib] marker, because no after-the-fact
+normalization is honest for them.
+
+Exit status: 0 if no per-query regression exceeds the threshold,
+1 if any does (so CI-ish loops can gate on it).
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def _parse_queries_blob(text, key):
+    """Extract the {"name":sec,...} map following `"key":{` in a stdout
+    tail. Returns (dict, partial) — partial=True when the map's head was
+    cut off by the tail window and only a suffix of pairs is present."""
+    marker = f'"{key}":{{'
+    i = text.find(marker)
+    if i >= 0:
+        j = text.index("}", i)
+        blob = text[i + len(marker) - 1 : j + 1]
+        return json.loads(blob), False
+    # head-truncated: the tail starts mid-map. Recover "name":float pairs
+    # up to the first closing brace (the end of the queries map), then
+    # only if they look like query timings (q_* keys).
+    head = text.split("}", 1)[0]
+    pairs = dict(
+        (m.group(1), float(m.group(2)))
+        for m in re.finditer(r'"(q_[A-Za-z0-9_]+)":([0-9.eE+-]+)', head)
+    )
+    return pairs, True
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:  # bench_results.json
+        meta = d
+        queries, partial = d["queries"], False
+    elif "tail" in d:  # driver BENCH_rN.json
+        meta = d.get("parsed") or {}
+        queries, partial = _parse_queries_blob(d["tail"], "queries")
+    else:
+        sys.exit(f"{path}: neither bench_results.json nor BENCH_rN.json shape")
+    calib = None
+    if "calib_nt_before_sec" in meta:
+        nt = (meta["calib_nt_before_sec"] + meta["calib_nt_after_sec"]) / 2
+        st = (meta["calib_1t_before_sec"] + meta["calib_1t_after_sec"]) / 2
+        calib = nt / st if st > 0 else None
+    return {
+        "path": path,
+        "total": meta.get("value"),
+        "n_queries": meta.get("n_queries"),
+        "n_errors": meta.get("n_errors"),
+        "queries": queries,
+        "partial": partial,
+        "factor": calib,
+    }
+
+
+def fmt_run(r):
+    tag = f"{r['path']}: total {r['total']:.1f}s raw, {r['n_queries']} queries, {r['n_errors']} errors"
+    if r["factor"] is None:
+        return tag + "  [no-calib: pre-r6 artifact, raw numbers only]"
+    return (
+        tag
+        + f", calib factor {r['factor']:.2f}"
+        + f" -> {r['total'] / r['factor']:.1f}s normalized"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+    a, b = load(args.old), load(args.new)
+    print(fmt_run(a))
+    print(fmt_run(b))
+    for r in (a, b):
+        if r["partial"]:
+            print(
+                f"note: {r['path']} tail was head-truncated — only "
+                f"{len(r['queries'])} of {r['n_queries']} per-query times recovered"
+            )
+
+    fa = a["factor"] or 1.0
+    fb = b["factor"] or 1.0
+    shared = sorted(set(a["queries"]) & set(b["queries"]))
+    only_a = sorted(set(a["queries"]) - set(b["queries"]))
+    only_b = sorted(set(b["queries"]) - set(a["queries"]))
+    if only_a:
+        print(f"removed in new ({len(only_a)}): {', '.join(only_a)}")
+    if only_b:
+        print(f"added in new ({len(only_b)}): {', '.join(only_b)}")
+
+    rows = []
+    for q in shared:
+        va, vb = a["queries"][q] / fa, b["queries"][q] / fb
+        # sub-100ms pairs are pure dispatch noise at any ratio
+        ratio = vb / va if va > 0 else float("inf")
+        rows.append((q, va, vb, ratio))
+    rows.sort(key=lambda r: -r[3])
+
+    regressions = [
+        r for r in rows if r[3] > args.threshold and max(r[1], r[2]) >= 0.1
+    ]
+    improved = [r for r in rows if r[3] < 1 / args.threshold and r[1] >= 0.1]
+    print(f"\nshared queries: {len(shared)}; normalized deltas over {args.threshold}x:")
+    if not regressions:
+        print("  (none)")
+    for q, va, vb, ratio in regressions:
+        print(f"  REGRESSED {q}: {va:.2f}s -> {vb:.2f}s ({ratio:.1f}x)")
+    if improved:
+        print(f"improved by >{args.threshold}x: {len(improved)}")
+        for q, va, vb, ratio in improved[-5:]:
+            print(f"  improved {q}: {va:.2f}s -> {vb:.2f}s ({ratio:.2f}x)")
+    tot_a = sum(r[1] for r in rows)
+    tot_b = sum(r[2] for r in rows)
+    print(
+        f"shared-query normalized totals: {tot_a:.1f}s -> {tot_b:.1f}s "
+        f"({tot_b / tot_a:.2f}x)"
+    )
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
