@@ -44,11 +44,15 @@ object PipelineDemo {
     val docs = graft.core.Tables.documents(spark, dir)
     val n0 = docs.count()
 
-    // 1. quality gate: drop the bottom of the quality distribution
-    val quality = graft.ops.TextOps.qualityScores(docs)
-      .filter(col("quality") >= 0.5)
-      .select("doc_id")
-    val gated = docs.join(quality, Seq("doc_id"), "left_semi")
+    // 1. quality gate: drop the bottom of the quality distribution.
+    // Scores persist because step 6 REUSES them for the keep-best
+    // argmax — one corpus quality pass, not two (the declared
+    // q_pipeline_e2e twin pins these semantics).
+    val qualityAll = graft.ops.TextOps.qualityScores(docs)
+      .select(col("doc_id"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = docs
+      .join(qualityAll.filter(col("quality") >= 0.5).select("doc_id"), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = gated.count()
 
@@ -68,8 +72,7 @@ object PipelineDemo {
     // 6. the deduplicated corpus — canonical member per cluster chosen
     // by QUALITY (not min id), reusing the cluster decision table and
     // the step-1 scores
-    val best = graft.ops.Dedup.keepBestPerCluster(
-      clusters, graft.ops.TextOps.qualityScores(clean))
+    val best = graft.ops.Dedup.keepBestPerCluster(clusters, qualityAll)
     val drop = clusters.join(
         best.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id")
@@ -97,7 +100,7 @@ object PipelineDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     // OOV coverage, read back from the WRITTEN rows (no extra encode pass)
     val nOov = written.agg(sum(col("n_oov"))).head.getLong(0)
-    gated.unpersist()
+    gated.unpersist(); qualityAll.unpersist()
 
     println(s"[pipeline] corpus=$n0 quality_gate=$n1 decontaminated=$n2 deduped=$n3 oov_tokens=$nOov")
     println(s"[pipeline] written $out: $perSplit")

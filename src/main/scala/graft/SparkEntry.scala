@@ -39,6 +39,7 @@ object SparkEntry {
     ops.Sketches,
     ops.VectorOps,
     ops.EventOps,
+    ops.Curation,
     multimodal.MultimodalQueries,
   )
 

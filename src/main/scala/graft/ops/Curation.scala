@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Shingles
+
+/** The end-to-end curation pipeline as ONE declared, oracle-checked
+  * query — so the driver's hash gate covers the COMPOSITION of the
+  * stages, not just each stage in isolation (stage queries can all be
+  * green while a pipeline wiring bug — wrong corpus fed to the vocab,
+  * drop set applied before decontamination — silently ships bad
+  * training data). Mirrors `graft.PipelineDemo`'s chain:
+  *
+  *   quality gate (>= 0.5) → decontaminate vs probe docs (doc_id < 3)
+  *   → minhash/LSH candidates → connected components → quality-argmax
+  *   canonical per cluster → reproducible shuffle rank → vocab-id
+  *   encoding → deterministic 80/10/10 split
+  *
+  * One deliberate divergence from the demo, documented here: the
+  * keep-best stage reuses the STEP-1 quality scores (one corpus pass)
+  * instead of recomputing quality — with its own stopword top-k — over
+  * the post-filter subset. At 100 TB a second full quality pass for
+  * the same decision is a wasted corpus scan; the demo's header
+  * already describes the reuse semantics, and the oracle pins them.
+  *
+  * Scale shape: every stage is the declared operator's own shape (scan
+  * aggregates, banded LSH shuffle, O(log d) CC rounds, two-phase rank,
+  * broadcast vocab); the composition adds only broadcast semi/anti
+  * joins of id sets, so the corpus text is never shuffled and nothing
+  * is materialized on the driver.
+  */
+object Curation extends graft.QueryModule {
+
+  /** (doc_id, split, shuffle_pos, n_tokens, n_oov, ids_md5) for every
+    * document that survives gate → decontaminate → dedup; the narrow,
+    * deterministic projection of the training set a trainer would read
+    * (ids_md5 pins every token id and its position).
+    */
+  def curatedTrainingSet(docs: DataFrame): DataFrame = {
+    // step-1 scores, computed once and reused by the keep-best argmax
+    val quality = TextOps.qualityScores(docs)
+      .select(col("doc_id"), col("quality"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = docs
+      .join(quality.filter(col("quality") >= 0.5).select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contaminated = TextOps
+      .contamination(gated.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
+      .filter(col("n_hits") >= 3)
+      .select("doc_id")
+    val clean = gated
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val clusters = Dedup.clustersFromCandidates(
+      Dedup.candidatesFromSignatures(Dedup.minhashSignatures(clean), 0.5))
+    val best = Dedup.keepBestPerCluster(clusters, quality)
+    val dropSet = clusters
+      .join(best.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val kept = clean
+      .join(broadcast(dropSet), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val out = kept.select("doc_id")
+      .join(TextOps.shuffleRank(kept).select("doc_id", "shuffle_pos"), Seq("doc_id"))
+      .join(TextOps.encodeTokens(kept, 20), Seq("doc_id"))
+      .withColumn("split",
+        when(TextOps.hashBucket(col("doc_id")) < 80, "train")
+          .when(TextOps.hashBucket(col("doc_id")) < 90, "valid")
+          .otherwise("test"))
+      .select("doc_id", "split", "shuffle_pos", "n_tokens", "n_oov", "ids_md5")
+      .localCheckpoint(true)
+    Seq(quality, gated, clean, kept).foreach(_.unpersist(false))
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> { (spark, dir) =>
+      curatedTrainingSet(Tables.documents(spark, dir)).orderBy("doc_id")
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val (sigColsSql, bandSelects, estExpr) = Dedup.minhashOracleFragments
+    val shuffleKey = Shingles.hash32Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")
+    val bucket = TextOps.hashBucketSql("k.doc_id")
+    Map(
+      "q_pipeline_e2e" ->
+        s"""WITH RECURSIVE
+           |tok AS (
+           |  SELECT doc_id, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) z
+           |  WHERE term <> ''),
+           |stop AS (
+           |  SELECT term AS stop_term FROM (
+           |    SELECT term, count(*) AS n FROM tok GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 10)),
+           |stats AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens, count(DISTINCT t.term) AS n_types,
+           |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+           |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+           |  GROUP BY t.doc_id),
+           |qual AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+           |      + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+           |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
+           |  FROM stats),
+           |gated AS MATERIALIZED (SELECT doc_id FROM qual WHERE quality >= 0.5),
+           |sh0 AS MATERIALIZED (${Shingles.shinglesSql(3)}),
+           |probe AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id < 3),
+           |hits AS (
+           |  SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+           |  FROM sh0 s JOIN probe p ON s.shingle = p.shingle
+           |  WHERE s.doc_id >= 3 AND s.doc_id IN (SELECT doc_id FROM gated)
+           |  GROUP BY s.doc_id),
+           |clean AS MATERIALIZED (
+           |  SELECT doc_id FROM gated
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n_hits >= 3)),
+           |hashes AS (
+           |  SELECT DISTINCT doc_id, ${Shingles.hash32Sql("shingle")} AS h
+           |  FROM sh0 WHERE doc_id IN (SELECT doc_id FROM clean)),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+           |labels AS MATERIALIZED (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+           |ranked AS MATERIALIZED (
+           |  SELECT l.cluster_id, l.doc_id,
+           |    row_number() OVER (PARTITION BY l.cluster_id
+           |                       ORDER BY coalesce(q.quality, -1.0) DESC, l.doc_id) AS rn
+           |  FROM labels l LEFT JOIN qual q ON l.doc_id = q.doc_id),
+           |kept AS MATERIALIZED (
+           |  SELECT doc_id FROM clean
+           |  WHERE doc_id NOT IN (
+           |    SELECT doc_id FROM labels
+           |    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn = 1))),
+           |sr AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (ORDER BY $shuffleKey, doc_id) AS shuffle_pos
+           |  FROM kept),
+           |tokp AS MATERIALIZED (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> '' AND doc_id IN (SELECT doc_id FROM kept)),
+           |vocab AS (
+           |  SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS token_id
+           |  FROM (SELECT term, count(*) AS n FROM tokp GROUP BY term
+           |        ORDER BY n DESC, term LIMIT 20)),
+           |enc AS (
+           |  SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS id
+           |  FROM tokp t LEFT JOIN vocab v ON t.term = v.term),
+           |encoded AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |    md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+           |  FROM enc GROUP BY doc_id)
+           |SELECT k.doc_id,
+           |  CASE WHEN $bucket < 80 THEN 'train'
+           |       WHEN $bucket < 90 THEN 'valid'
+           |       ELSE 'test' END AS split,
+           |  sr.shuffle_pos, e.n_tokens, e.n_oov, e.ids_md5
+           |FROM kept k
+           |JOIN sr ON k.doc_id = sr.doc_id
+           |JOIN encoded e ON k.doc_id = e.doc_id
+           |ORDER BY k.doc_id""".stripMargin
+    )
+  }
+}
