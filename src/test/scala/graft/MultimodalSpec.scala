@@ -81,4 +81,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getInt(2) > 0)                      // n_bytes
     assert(row.getString(3).matches("[0-9a-f]{32}")) // md5
   }
+
+  test("codec capability: ImageIO is detected, and the real decode path reads " +
+      "actual pixel dimensions from a genuine PNG while bad payloads fall back") {
+    import spark.implicits._
+    // this JVM ships ImageIO — the probe must see it
+    assert(Multimodal.imageCodecAvailable, "JDK ImageIO readers not found")
+
+    // a genuine 5x7 RGB PNG, built with the same codec family the
+    // decode path uses (pure JDK — no external libs)
+    val img = new java.awt.image.BufferedImage(5, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 3, 0xff00ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png),               // real image
+      Multimodal.MediaRecord(2L, "image", "not a png".getBytes("UTF-8")), // corrupt
+      Multimodal.MediaRecord(3L, "audio", png)                // wrong kind
+    ).toDF()
+
+    val real = Multimodal.decode(media, useCodec = true).collect()
+      .map(f => f.media_id -> f).toMap
+    // the genuine PNG reports its true dimensions, not stub arithmetic
+    assert(real(1L).width === 5 && real(1L).height === 7 && real(1L).channels === 3)
+    // corrupt/wrong-kind rows degrade to the stub, never throw
+    val stub = Multimodal.decodeStub(media).collect().map(f => f.media_id -> f).toMap
+    assert(real(2L) === stub(2L))
+    assert(real(3L) === stub(3L))
+    // checksum is the same payload fold on both paths (content identity)
+    assert(real(1L).checksum === stub(1L).checksum)
+
+    // flag off (the default and the oracle path): identical to the stub
+    val off = Multimodal.decode(media, useCodec = false).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(off === stub)
+  }
 }
