@@ -148,19 +148,8 @@ object Bench {
     val pass1 = sweep()
     val pass2 = sweep()
     val results = SparkEntry.queries.keys.toSeq.map { name =>
-      val (t1, e1) = pass1(name)
-      val (t2, e2) = pass2(name)
-      // A failing sweep usually fails FAST, so its duration must never
-      // win the min (that would deflate the total while the error sits
-      // in a field nobody sums). One sweep errored → the successful
-      // sweep's time stands alone; both errored → times are meaningless
-      // anyway, keep min/max for the record.
-      val (tMin, tMax) = (e1, e2) match {
-        case (Some(_), None) => (t2, t2)
-        case (None, Some(_)) => (t1, t1)
-        case _               => (math.min(t1, t2), math.max(t1, t2))
-      }
-      (name, tMin, tMax, e1.orElse(e2))
+      val (min, max, err) = combinePasses(pass1(name), pass2(name))
+      (name, min, max, err)
     }
 
     val calibAfter = calibrate()
@@ -173,6 +162,24 @@ object Bench {
     // the LAST line is the one the harness parses — keep it short
     println(summary)
     spark.stop()
+  }
+
+  /** Merge one query's two sweep passes into (min, max, error). A
+    * failing sweep usually fails FAST, so its duration must never win
+    * the min — that would deflate the headline total while the error
+    * sits in a field nobody sums. One sweep errored → the successful
+    * sweep's time stands alone for both min and max; both errored →
+    * times are meaningless anyway, keep min/max for the record.
+    */
+  private[graft] def combinePasses(p1: (Double, Option[String]),
+      p2: (Double, Option[String])): (Double, Double, Option[String]) = {
+    val ((t1, e1), (t2, e2)) = (p1, p2)
+    val (tMin, tMax) = (e1, e2) match {
+      case (Some(_), None) => (t2, t2)
+      case (None, Some(_)) => (t1, t1)
+      case _               => (math.min(t1, t2), math.max(t1, t2))
+    }
+    (tMin, tMax, e1.orElse(e2))
   }
 
   /** (full detail JSON, short summary JSON). The summary is printed

@@ -54,6 +54,17 @@ newline""") else None))
     assert(!summary.contains("\n"))
   }
 
+  test("a fast-failing sweep never wins the min over a healthy sweep") {
+    // error in pass 1 (fast abort) + success in pass 2: the healthy
+    // time stands alone — 0.2s must not deflate the reported min
+    assert(Bench.combinePasses((0.2, Some("boom")), (3.0, None)) === ((3.0, 3.0, Some("boom"))))
+    assert(Bench.combinePasses((3.0, None), (0.2, Some("boom"))) === ((3.0, 3.0, Some("boom"))))
+    // both healthy: plain min/max
+    assert(Bench.combinePasses((2.0, None), (3.0, None)) === ((2.0, 3.0, None)))
+    // both failed: keep min/max for the record, first error wins
+    assert(Bench.combinePasses((0.3, Some("a")), (0.1, Some("b"))) === ((0.1, 0.3, Some("a"))))
+  }
+
   test("calibration loop does constant CPU work and reports sane times") {
     val (st1, nt1) = Bench.calibrate()
     val (st2, nt2) = Bench.calibrate()
