@@ -56,16 +56,24 @@ object PipelineDemo {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = gated.count()
 
-    // 2. decontamination vs the held-out probe docs (doc_id < 3 stand in)
+    // 2. decontamination vs the held-out probe docs (doc_id < 3 stand
+    // in) — off a shingle pass materialized ONCE and shared with the
+    // step-3 sketch (the per-doc window pass is the dominant text cost;
+    // the declared q_pipeline_e2e twin pins the same reuse)
+    val gatedShingles = graft.text.Shingles.shingles(gated, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contaminated = graft.ops.TextOps
-      .contamination(gated.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
+      .contaminationFromShingles(
+        gatedShingles.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
       .filter(col("n_hits") >= 3)
       .select("doc_id")
     val clean = gated.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     val n2 = clean.count()
 
-    // 3–5. sketch ONCE, then candidates → clusters off the same table
-    val sigs = graft.ops.Dedup.minhashSignatures(clean)
+    // 3–5. sketch ONCE (off the same shingle pass), then candidates →
+    // clusters off the same table
+    val sigs = graft.ops.Dedup.minhashSignaturesFromShingles(
+      gatedShingles.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
     val cand = graft.ops.Dedup.candidatesFromSignatures(sigs, 0.5)
     val clusters = graft.ops.Dedup.clustersFromCandidates(cand)
 
@@ -100,7 +108,7 @@ object PipelineDemo {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     // OOV coverage, read back from the WRITTEN rows (no extra encode pass)
     val nOov = written.agg(sum(col("n_oov"))).head.getLong(0)
-    gated.unpersist(); qualityAll.unpersist()
+    gated.unpersist(); qualityAll.unpersist(); gatedShingles.unpersist()
 
     println(s"[pipeline] corpus=$n0 quality_gate=$n1 decontaminated=$n2 deduped=$n3 oov_tokens=$nOov")
     println(s"[pipeline] written $out: $perSplit")

@@ -29,7 +29,12 @@ import graft.text.Shingles
   * aggregates, banded LSH shuffle, O(log d) CC rounds, two-phase rank,
   * broadcast vocab); the composition adds only broadcast semi/anti
   * joins of id sets, so the corpus text is never shuffled and nothing
-  * is materialized on the driver.
+  * is materialized on the driver. The 3-shingle stream over the gated
+  * corpus is materialized ONCE and feeds both decontamination and the
+  * minhash sketch ([[TextOps.contaminationFromShingles]] /
+  * [[Dedup.minhashSignaturesFromShingles]]) — the per-doc lead-window
+  * shingle pass is the dominant text cost at 100 TB, and running it
+  * per-stage would double it.
   */
 object Curation extends graft.QueryModule {
 
@@ -46,16 +51,25 @@ object Curation extends graft.QueryModule {
     val gated = docs
       .join(quality.filter(col("quality") >= 0.5).select("doc_id"), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE shingle pass over the gated corpus (tokenize + per-doc lead
+    // window — the dominant text-pass cost at 100 TB) feeds BOTH the
+    // decontamination probe join and the minhash sketch; before this
+    // reuse each stage ran its own full pass over ~the same documents.
+    val gatedShingles = graft.text.Shingles.shingles(gated, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contaminated = TextOps
-      .contamination(gated.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
+      .contaminationFromShingles(
+        gatedShingles.filter(col("doc_id") >= 3), docs.filter(col("doc_id") < 3), 3)
       .filter(col("n_hits") >= 3)
       .select("doc_id")
     val clean = gated
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleanShingles = gatedShingles
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
 
     val clusters = Dedup.clustersFromCandidates(
-      Dedup.candidatesFromSignatures(Dedup.minhashSignatures(clean), 0.5))
+      Dedup.candidatesFromSignatures(Dedup.minhashSignaturesFromShingles(cleanShingles), 0.5))
     val best = Dedup.keepBestPerCluster(clusters, quality)
     val dropSet = clusters
       .join(best.select(col("keep_doc_id").as("doc_id")), Seq("doc_id"), "left_anti")
@@ -73,7 +87,7 @@ object Curation extends graft.QueryModule {
           .otherwise("test"))
       .select("doc_id", "split", "shuffle_pos", "n_tokens", "n_oov", "ids_md5")
       .localCheckpoint(true)
-    Seq(quality, gated, clean, kept).foreach(_.unpersist(false))
+    Seq(quality, gated, gatedShingles, clean, kept).foreach(_.unpersist(false))
     out
   }
 

@@ -192,7 +192,18 @@ object Dedup extends graft.QueryModule {
 
   /** Per-doc MinHash signature table (sig0..sig7). */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleHashesAll(docs).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    minhashSignaturesFromShingles(Shingles.shingles(docs, 3))
+
+  /** [[minhashSignatures]] over a PRECOMPUTED (doc_id, shingle) stream
+    * (duplicates fine — min() is duplicate-insensitive) — the
+    * pipeline-reuse entry point: one materialized shingle pass can feed
+    * this sketch AND decontamination
+    * ([[TextOps.contaminationFromShingles]]) instead of each paying its
+    * own full-corpus tokenize+window pass.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), Shingles.hash32(col("shingle")).as("h"))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
 
   /** Banded-LSH candidate pairs scored by signature agreement
     * (estimated Jaccard ≥ minEstJaccard). O(docs) signature pass +

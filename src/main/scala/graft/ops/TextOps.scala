@@ -202,11 +202,21 @@ object TextOps extends graft.QueryModule {
     * broadcast; this is the standard eval-contamination filter of a
     * training-data pipeline.
     */
-  def contamination(docs: DataFrame, probeDocs: DataFrame, n: Int = 3): DataFrame = {
-    val corpus = Shingles.shingles(docs, n)
+  def contamination(docs: DataFrame, probeDocs: DataFrame, n: Int = 3): DataFrame =
+    contaminationFromShingles(Shingles.shingles(docs, n), probeDocs, n)
+
+  /** [[contamination]] against a PRECOMPUTED corpus (doc_id, shingle)
+    * stream — the pipeline-reuse entry point: a curation run that
+    * already materialized the shingle pass for its dedup sketches feeds
+    * it here too, so decontamination costs one broadcast join instead
+    * of a second full-corpus tokenize+window pass (at 100 TB that pass
+    * IS the dominant cost; see [[graft.ops.Curation]]).
+    */
+  def contaminationFromShingles(corpusShingles: DataFrame, probeDocs: DataFrame,
+      n: Int = 3): DataFrame = {
     val probe = Shingles.shingles(probeDocs, n)
       .select(col("shingle")).distinct()
-    corpus
+    corpusShingles
       .join(broadcast(probe), "shingle")
       .groupBy("doc_id")
       .agg(countDistinct(col("shingle")).as("n_hits"))

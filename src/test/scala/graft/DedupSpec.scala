@@ -43,6 +43,27 @@ class DedupSpec extends AnyFunSuite {
     assert(keepReuse.size.toLong === docs.count() - dropped)
   }
 
+  test("shared-shingle entry points equal their doc-level originals") {
+    import org.apache.spark.sql.functions._
+    // a curation run materializes ONE shingle pass and feeds both the
+    // minhash sketch and decontamination from it — both must equal the
+    // per-stage APIs that shingle the docs themselves
+    val sh = graft.text.Shingles.shingles(docs, 3)
+    val fromSh = Dedup.minhashSignaturesFromShingles(sh)
+      .collect().map(_.toSeq).toSet
+    val fromDocs = Dedup.minhashSignatures(docs)
+      .collect().map(_.toSeq).toSet
+    assert(fromSh === fromDocs && fromSh.nonEmpty)
+    val probe = docs.filter(col("doc_id") < 3)
+    val contSh = graft.ops.TextOps
+      .contaminationFromShingles(sh.filter(col("doc_id") >= 3), probe, 3)
+      .collect().map(_.toSeq).toSet
+    val contDocs = graft.ops.TextOps
+      .contamination(docs.filter(col("doc_id") >= 3), probe, 3)
+      .collect().map(_.toSeq).toSet
+    assert(contSh === contDocs && contSh.nonEmpty)
+  }
+
   test("incrementalCandidates == full candidates restricted to the new batch") {
     import org.apache.spark.sql.functions._
     // signatures are per-document, so deduping the increment against
