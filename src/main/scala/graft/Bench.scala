@@ -39,7 +39,16 @@ import org.apache.spark.sql.SparkSession
   *      query share its fate while sweep-separated passes (~4 min
   *      apart here) sample different host states; the max is kept
   *      alongside in the full JSON (`queries_max`) so within-run
-  *      spread is visible too.
+  *      spread is visible too. The second sweep runs in REVERSE
+  *      order: sweeps take similar wall time, so same-order passes
+  *      put each query at the same offset from start and a throttle
+  *      window at a fixed wall-clock position covers the same
+  *      queries twice — the r7 run where q_containment's min was
+  *      4.1 s in both sweeps (clean: 1.8 s) while its max hit 22 s.
+  *      Reversal makes the two offsets anti-correlated (sum ≈ suite
+  *      length), so only mid-suite queries can be hit twice by one
+  *      window; a third calibration reading between the sweeps
+  *      (`calib_nt_mid_sec`) tells the reader which sweep was dirty.
   *
   * Output contract: the harness captures a bounded tail of stdout and
   * parses its LAST line, so the last line must be short. Per-query
@@ -129,8 +138,18 @@ object Bench {
 
     val calibBefore = calibrate()
 
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    // dev convenience: SPARK_GRAFT_ONLY=q_a,q_b times just those
+    // queries (unset → full suite; the driver never sets it)
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.filter(want)
+      case None => SparkEntry.queries.keys.toSeq
+    }
+
+    names.foreach { name =>
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
       dropAllStorage()
     }
     // min over 2 timed passes per query, taken as two FULL sweeps of
@@ -139,25 +158,33 @@ object Bench {
     // inside the same window — sweep-separated passes sample different
     // host states and the min keeps the cleaner one. A query that fails
     // in either sweep reports the error, never a fast-broken time.
-    def sweep(): Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val r = timeOne(() => fn(spark, sfDir).count())
+    // The second sweep is REVERSED (see header): equal-length sweeps
+    // put a query at the same wall-clock offset twice, so a throttle
+    // window at a fixed position from start would dirty both passes of
+    // the same queries; reversing anti-correlates the offsets.
+    def sweep(order: Seq[String]): Map[String, (Double, Option[String])] =
+      order.map { name =>
+        val r = timeOne(() => SparkEntry.queries(name)(spark, sfDir).count())
         dropAllStorage()
         name -> r
-      }
-    val pass1 = sweep()
-    val pass2 = sweep()
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
+      }.toMap
+    val pass1 = sweep(names)
+    val calibMid = calibrate()
+    val pass2 = sweep(names.reverse)
+    val results = names.map { name =>
       val (min, max, err) = combinePasses(pass1(name), pass2(name))
       (name, min, max, err)
     }
 
     val calibAfter = calibrate()
 
-    val (full, summary) = render(results, sfDir, calibBefore, calibAfter)
+    val (full, summary) = render(results, sfDir, calibBefore, calibMid, calibAfter)
     // full detail for humans/judges — file is best-effort, stdout first
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
-    catch { case _: Throwable => () }
+    // (skipped for SPARK_GRAFT_ONLY dev runs: a partial sweep must not
+    // clobber the round's full-suite artifact)
+    if (!sys.env.contains("SPARK_GRAFT_ONLY"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
+      catch { case _: Throwable => () }
     println(full)
     // the LAST line is the one the harness parses — keep it short
     println(summary)
@@ -191,11 +218,13 @@ object Bench {
     * `results` rows are (name, minSec, maxSec, err) over the 2 timed
     * sweeps; the headline total and `queries` map use the min, the full
     * JSON carries `queries_max` so within-run spread stays visible.
-    * `calibBefore`/`calibAfter` are (single-thread sec, all-cores wall
-    * sec) pairs from [[calibrate]].
+    * `calibBefore`/`calibMid`/`calibAfter` are (single-thread sec,
+    * all-cores wall sec) pairs from [[calibrate]] taken before the
+    * first sweep, between the sweeps, and after the second — the mid
+    * reading attributes a throttle window to one sweep or the other.
     */
   private[graft] def render(results: Seq[(String, Double, Double, Option[String])],
-      sfDir: String, calibBefore: (Double, Double),
+      sfDir: String, calibBefore: (Double, Double), calibMid: (Double, Double),
       calibAfter: (Double, Double)): (String, String) = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -211,6 +240,7 @@ object Bench {
     val calib =
       s""""passes":2,"calib_threads":$calibThreads""" +
         s""","calib_1t_before_sec":${r3(calibBefore._1)},"calib_nt_before_sec":${r3(calibBefore._2)}""" +
+        s""","calib_1t_mid_sec":${r3(calibMid._1)},"calib_nt_mid_sec":${r3(calibMid._2)}""" +
         s""","calib_1t_after_sec":${r3(calibAfter._1)},"calib_nt_after_sec":${r3(calibAfter._2)}"""
     val head =
       s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)}"""

@@ -28,7 +28,7 @@ class BenchSpec extends AnyFunSuite {
       if (i % 50 == 0) Some("""boom "quoted"
 newline""") else None))
     val (full, summary) = Bench.render(results, "/root/testdata/sf0.1",
-      (0.412, 0.455), (0.397, 3.126))
+      (0.412, 0.455), (0.405, 0.981), (0.397, 3.126))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = om.readTree(full)
     val s = om.readTree(summary)
@@ -48,6 +48,10 @@ newline""") else None))
     assert(s.get("calib_threads").asInt() === Bench.calibThreads)
     assert(s.get("calib_1t_before_sec").asDouble() === 0.412)
     assert(s.get("calib_nt_before_sec").asDouble() === 0.455)
+    // the mid reading (between the two sweeps) attributes a throttle
+    // window to one sweep or the other from the parsed tail alone
+    assert(s.get("calib_1t_mid_sec").asDouble() === 0.405)
+    assert(s.get("calib_nt_mid_sec").asDouble() === 0.981)
     assert(s.get("calib_1t_after_sec").asDouble() === 0.397)
     assert(s.get("calib_nt_after_sec").asDouble() === 3.126)
     assert(summary.length < 500, s"summary must fit the stdout tail: ${summary.length}")

@@ -65,8 +65,10 @@ def load(path):
         sys.exit(f"{path}: neither bench_results.json nor BENCH_rN.json shape")
     calib = None
     if "calib_nt_before_sec" in meta:
-        nt = (meta["calib_nt_before_sec"] + meta["calib_nt_after_sec"]) / 2
-        st = (meta["calib_1t_before_sec"] + meta["calib_1t_after_sec"]) / 2
+        # r7+ runs add a mid-sweep reading; include it when present
+        pts = ["before", "after"] + (["mid"] if "calib_nt_mid_sec" in meta else [])
+        nt = sum(meta[f"calib_nt_{p}_sec"] for p in pts) / len(pts)
+        st = sum(meta[f"calib_1t_{p}_sec"] for p in pts) / len(pts)
         calib = nt / st if st > 0 else None
     return {
         "path": path,
