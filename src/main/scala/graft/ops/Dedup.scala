@@ -154,6 +154,69 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Exact Jaccard-threshold pairs via PREFIX FILTERING — the lossless
+    * counterpart of [[jaccardPairs]]'s lossy `dfCeiling` knob (AllPairs
+    * / PPJoin family: Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07; Xiao et al., WWW'08). Under a global token order
+    * (ascending document frequency, rarest first, shingle as
+    * tie-break), any pair with J(A,B) ≥ τ shares a token among the
+    * first |A| − ⌈τ·|A|⌉ + 1 tokens of A and the first
+    * |B| − ⌈τ·|B|⌉ + 1 of B: J ≥ τ forces |A∩B| ≥ max(⌈τ|A|⌉,⌈τ|B|⌉),
+    * and an intersection that large cannot hide entirely in suffixes
+    * of size ⌈τ|A|⌉−1 / ⌈τ|B|⌉−1. So the inverted index posts ONLY
+    * prefix tokens: the self-join cost drops from Σ df² over all
+    * tokens to Σ df_p² over prefix postings — a ~(1−τ) fraction per
+    * document, and the RAREST tokens at that, which is why this is the
+    * standard exact set-similarity join at scale — while the result is
+    * IDENTICAL to the all-postings join. The declared query's oracle
+    * is the plain exact-Jaccard SQL, so the hash gate itself proves no
+    * pair was dropped. A length filter (τ·|B| ≤ |A| ≤ |B|/τ, a J ≥ τ
+    * necessity) prunes candidates before verification; verification
+    * re-joins the FULL shingle sets of candidate pairs only. The
+    * ε = 1e-9 nudges guard the float boundary: ⌈τ·n⌉ computed a hair
+    * high would shorten a prefix (a potential false negative), so the
+    * product is nudged down before ceil and the length filter is
+    * nudged loose — both can only admit an extra candidate, never drop
+    * a true pair.
+    */
+  def jaccardPrefixFilter(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val eps = 1e-9
+    val sh = Shingles.shingles(docs, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val wRank = wDoc.orderBy(col("df"), col("shingle"))
+    // per-doc windows: a document's shingle set is bounded (doc length),
+    // so the partition never skews — the same shape every text op uses
+    val prefix = sh.join(dfTbl, "shingle")
+      .withColumn("nsh", count(lit(1)).over(wDoc))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= col("nsh") - ceil(lit(threshold) * col("nsh") - lit(eps)) + 1)
+      .select("doc_id", "shingle", "nsh")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.nsh") * lit(threshold) <= col("a.nsh") + lit(eps) &&
+          col("a.nsh") * lit(threshold) <= col("b.nsh") + lit(eps))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val out = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter", "n1", "n2", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    out
+  }
+
   /** Containment pairs: overlap coefficient |A∩B| / min(|A|,|B|) over
     * n-gram shingle sets — the doc-inside-doc signal. Jaccard divides
     * by the UNION, so a short document quoted verbatim inside a long
@@ -698,6 +761,14 @@ object Dedup extends graft.QueryModule {
       jaccardPairs(Tables.documents(spark, dir), 3, 0.6, 4).orderBy("d1", "d2")
     },
 
+    // Prefix filtering: the LOSSLESS scale path for exact
+    // Jaccard-threshold joins — only each doc's (1−τ) rarest shingles
+    // enter the inverted index, yet the oracle is the plain
+    // exact-Jaccard SQL, so the hash gate proves nothing was dropped.
+    "q_jaccard_prefix" -> { (spark, dir) =>
+      jaccardPrefixFilter(Tables.documents(spark, dir), 3, 0.5).orderBy("d1", "d2")
+    },
+
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
@@ -848,6 +919,24 @@ object Dedup extends graft.QueryModule {
            |JOIN sizes s1 ON p.d1 = s1.doc_id
            |JOIN sizes s2 ON p.d2 = s2.doc_id
            |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.6
+           |ORDER BY p.d1, p.d2""".stripMargin,
+      // deliberately the PLAIN exact-Jaccard SQL (no prefix logic):
+      // hash equality against it is the losslessness proof for the
+      // Spark side's prefix-filtered index
+      "q_jaccard_prefix" ->
+        s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id)
+           |SELECT p.d1, p.d2, p.inter, s1.nsh AS n1, s2.nsh AS n2,
+           |  CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) AS jaccard
+           |FROM pairs p
+           |JOIN sizes s1 ON p.d1 = s1.doc_id
+           |JOIN sizes s2 ON p.d2 = s2.doc_id
+           |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.5
            |ORDER BY p.d1, p.d2""".stripMargin,
       "q_minhash_lsh" ->
         s"""WITH $shingleHashCte,

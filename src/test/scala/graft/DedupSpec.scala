@@ -22,6 +22,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall: exact=${exact.size} capped=${capped.size}")
   }
 
+  test("prefix filtering is lossless: equals the all-postings join at every threshold") {
+    // the entire point of q_jaccard_prefix: only each doc's rarest
+    // (1−τ) shingles enter the index, yet the result is IDENTICAL to
+    // the full inverted-index join — including τ=0.5 where the ceil()
+    // boundary lands exactly on integers (the float-nudge edge case)
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      val full = Dedup.jaccardPairs(docs, 3, t)
+        .collect().map(_.toSeq).toSet
+      val pref = Dedup.jaccardPrefixFilter(docs, 3, t)
+        .collect().map(_.toSeq).toSet
+      assert(pref === full, s"threshold $t: prefix-filtered != full join")
+      assert(full.nonEmpty || t > 0.5, s"threshold $t produced no pairs to compare")
+    }
+  }
+
   test("signature/cluster reuse entry points equal the one-shot chain") {
     import org.apache.spark.sql.functions._
     // a pipeline materializes the signature table once and feeds every
