@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * operator families that dominate the suite, to verify near-linear
   * scaling of the chosen plans before they ever see a cluster.
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
-  * `sections` = comma-separated subset of relational,dedup,emb,cdc,quota
+  * `sections` = comma-separated subset of
+  * relational,dedup,emb,cdc,quota,prefix,pipeline
   * (default all) — the emb section's exact all-pairs baseline is
   * minutes at 8×, so targeted probes shouldn't have to pay for it.
   */
@@ -17,7 +18,7 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("relational", "dedup", "emb", "cdc", "quota")
+      else Set("relational", "dedup", "emb", "cdc", "quota", "prefix", "pipeline")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -206,6 +207,75 @@ object ScaleProbe {
     // containment: same inverted-index Σdf² bound as Jaccard
     time("containment") {
       graft.ops.Dedup.containmentPairs(docs, 3, 0.8).count()
+    }
+    }
+
+    if (sections("prefix")) {
+    import org.apache.spark.sql.expressions.Window
+    // --- q_jaccard_prefix's cost claim: the inverted-index join pays
+    // Σ df² over its POSTINGS, so the measurable is (a) how many
+    // postings each variant indexes and (b) how the join time moves.
+    // Prefix filtering posts |d|−⌈τ|d|⌉+1 rarest shingles per doc —
+    // a fixed fraction, so both variants must grow linearly in docs,
+    // with the prefix join cheaper by roughly the postings ratio and
+    // LOSSLESS (equality is spec- and oracle-pinned, not re-checked
+    // here).
+    val shAll = graft.text.Shingles.shingles(docs, 3).distinct().persist()
+    val fullPostings = shAll.count()
+    // how many postings each τ actually indexes (the Σdf² driver):
+    // prefix posts |d|−⌈τ|d|⌉+1 per doc ≈ a (1−τ) fraction
+    for (t <- Seq(0.5, 0.8)) {
+      val wDocP = Window.partitionBy("doc_id")
+      val p = shAll
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("nsh", count(lit(1)).over(wDocP))
+        .withColumn("rank", row_number().over(wDocP.orderBy(col("df"), col("shingle"))))
+        .filter(col("rank") <= col("nsh") - ceil(lit(t) * col("nsh") - lit(1e-9)) + 1)
+        .count()
+      println(s"[scale] prefix postings t=$t: $p of $fullPostings (${p * 100 / fullPostings}%)")
+    }
+    time("jaccard_full_t05") {
+      graft.ops.Dedup.jaccardPairs(docs, 3, 0.5).count()
+    }
+    time("jaccard_prefix_t05") {
+      graft.ops.Dedup.jaccardPrefixFilter(docs, 3, 0.5).count()
+    }
+    time("jaccard_full_t08") {
+      graft.ops.Dedup.jaccardPairs(docs, 3, 0.8).count()
+    }
+    time("jaccard_prefix_t08") {
+      graft.ops.Dedup.jaccardPrefixFilter(docs, 3, 0.8).count()
+    }
+    shAll.unpersist()
+    // the case prefix filtering exists for: shared BOILERPLATE. Give
+    // every doc the same tail (license footer / ToS stop-phrases) and
+    // the full join pays df² ≈ |docs|² rows for EACH boilerplate
+    // shingle, while the prefix index never posts them (they are the
+    // commonest shingles, so they never make a doc's rare prefix).
+    // This is the Σdf² blowup the lossy dfCeiling knob also guards —
+    // prefix filtering gets the same protection losslessly.
+    val boiler = docs.withColumn("text",
+      concat(col("text"), lit(" all rights reserved terms of service apply")))
+      .persist()
+    println(s"[scale] boilerplate corpus ${boiler.count()} rows")
+    time("jaccard_full_boiler") {
+      graft.ops.Dedup.jaccardPairs(boiler, 3, 0.8).count()
+    }
+    time("jaccard_prefix_boiler") {
+      graft.ops.Dedup.jaccardPrefixFilter(boiler, 3, 0.8).count()
+    }
+    boiler.unpersist()
+    }
+
+    if (sections("pipeline")) {
+    // --- the q_pipeline_e2e integration query: gate → decontaminate →
+    // sketch-once → cluster → keep-best → shuffle → encode → split.
+    // Every stage is individually probed above; this measures the
+    // CHAIN — stage composition adds only broadcast id-set joins, so
+    // the chain must track corpus size like its slowest stage does,
+    // not multiply.
+    time("pipeline_e2e") {
+      graft.ops.Curation.curatedTrainingSet(docs).count()
     }
     }
 

@@ -178,22 +178,38 @@ object Dedup extends graft.QueryModule {
     * product is nudged down before ceil and the length filter is
     * nudged loose — both can only admit an extra candidate, never drop
     * a true pair.
+    *
+    * Measured trade (ScaleProbe `prefix` section, sf0.1): the prefix
+    * index holds 51% of postings at τ=0.5 and 21% at τ=0.8, but on
+    * THIS corpus — bounded dfs, no stop-phrases — the full join is
+    * locally faster: prefix pays a df window + rank cascade and a
+    * candidate-verify join that small Σdf² never repays. The regime
+    * where prefix wins is common-shingle growth (boilerplate/license
+    * footers shared corpus-wide), where the full join's Σdf² term is
+    * quadratic in matching docs while the prefix index never posts
+    * those shingles at all — the same blowup [[jaccardPairs]]'s
+    * `dfCeiling` cuts lossily, cut losslessly here.
     */
   def jaccardPrefixFilter(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     val eps = 1e-9
     val sh = Shingles.shingles(docs, n).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfTbl = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wRank = wDoc.orderBy(col("df"), col("shingle"))
-    // per-doc windows: a document's shingle set is bounded (doc length),
-    // so the partition never skews — the same shape every text op uses
-    val prefix = sh.join(dfTbl, "shingle")
+    // df via a window (one shingle-keyed exchange, no groupBy+join
+    // re-shuffle); the per-doc windows never skew — a document's
+    // shingle set is bounded by its length, the same shape every text
+    // op here relies on
+    // persisted: both sides of the candidate self-join read it, and
+    // without the persist the 3-window cascade runs twice
+    val prefix = sh.withColumn("df", count(lit(1)).over(wSh))
       .withColumn("nsh", count(lit(1)).over(wDoc))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= col("nsh") - ceil(lit(threshold) * col("nsh") - lit(eps)) + 1)
       .select("doc_id", "shingle", "nsh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           col("b.nsh") * lit(threshold) <= col("a.nsh") + lit(eps) &&
@@ -213,7 +229,7 @@ object Dedup extends graft.QueryModule {
       .filter(col("jaccard") >= threshold)
       .select("d1", "d2", "inter", "n1", "n2", "jaccard")
       .localCheckpoint(true)
-    sh.unpersist(false)
+    sh.unpersist(false); prefix.unpersist(false)
     out
   }
 
@@ -766,7 +782,7 @@ object Dedup extends graft.QueryModule {
     // enter the inverted index, yet the oracle is the plain
     // exact-Jaccard SQL, so the hash gate proves nothing was dropped.
     "q_jaccard_prefix" -> { (spark, dir) =>
-      jaccardPrefixFilter(Tables.documents(spark, dir), 3, 0.5).orderBy("d1", "d2")
+      jaccardPrefixFilter(Tables.documents(spark, dir), 3, 0.8).orderBy("d1", "d2")
     },
 
     "q_minhash_lsh" -> { (spark, dir) =>
@@ -936,7 +952,7 @@ object Dedup extends graft.QueryModule {
            |FROM pairs p
            |JOIN sizes s1 ON p.d1 = s1.doc_id
            |JOIN sizes s2 ON p.d2 = s2.doc_id
-           |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.5
+           |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.8
            |ORDER BY p.d1, p.d2""".stripMargin,
       "q_minhash_lsh" ->
         s"""WITH $shingleHashCte,
