@@ -91,9 +91,40 @@ object Curation extends graft.QueryModule {
     out
   }
 
+  /** Leakage-safe train/valid/test split: a near-dup CLUSTER is the
+    * unit of assignment, not the document — doc-hash splitting puts
+    * two near-identical documents in train and test with probability
+    * 2·p·(1−p) each, and the eval set silently overlaps the training
+    * data (the standard contamination bug cluster-aware splitting
+    * exists to prevent; same reason GroupKFold exists). The split key
+    * is the cluster label (min doc_id) for clustered docs and the
+    * doc's own id otherwise, pushed through the same engine-portable
+    * md5 bucket as q_train_split, so every member of a cluster lands
+    * in the same split BY CONSTRUCTION — spec-asserted, and the
+    * per-doc output (not a 3-row aggregate) keeps the oracle
+    * discriminating. Cost at 100 TB: the cluster chain (already the
+    * declared q_dedup_clusters path) + one doc_id-keyed equi-join of
+    * two id tables and a stateless hash — no hint, because on a
+    * dup-heavy web corpus the cluster table is a large FRACTION of
+    * the corpus, not a broadcastable dimension; AQE picks the join.
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(docs, 0.5).select("doc_id", "cluster_id")
+    val bucket = TextOps.hashBucket(col("split_key"))
+    docs.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .select("doc_id", "split_key", "split")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> { (spark, dir) =>
       curatedTrainingSet(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    "q_split_leakage_safe" -> { (spark, dir) =>
+      leakageSafeSplit(Tables.documents(spark, dir)).orderBy("doc_id")
     }
   )
 
@@ -101,7 +132,45 @@ object Curation extends graft.QueryModule {
     val (sigColsSql, bandSelects, estExpr) = Dedup.minhashOracleFragments
     val shuffleKey = Shingles.hash32Sql("concat('shuffle:', CAST(doc_id AS VARCHAR))")
     val bucket = TextOps.hashBucketSql("k.doc_id")
+    val splitKeyBucket = TextOps.hashBucketSql("coalesce(l.cluster_id, d.doc_id)")
     Map(
+      "q_split_leakage_safe" ->
+        s"""WITH RECURSIVE
+           |sh0 AS (${Shingles.shinglesSql(3)}),
+           |hashes AS (
+           |  SELECT DISTINCT doc_id, ${Shingles.hash32Sql("shingle")} AS h FROM sh0),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+           |labels AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+           |SELECT d.doc_id,
+           |  coalesce(l.cluster_id, d.doc_id) AS split_key,
+           |  CASE WHEN $splitKeyBucket < 80 THEN 'train'
+           |       WHEN $splitKeyBucket < 90 THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "q_pipeline_e2e" ->
         s"""WITH RECURSIVE
            |tok AS (

@@ -14,6 +14,34 @@ class PipelineOpsSpec extends AnyFunSuite {
   private def docs = graft.core.Tables.documents(spark, dir)
   private def events = graft.core.Tables.events(spark, dir)
 
+  test("leakage-safe split: clusters never straddle splits; doc-hash split does leak") {
+    import org.apache.spark.sql.functions._
+    val split = graft.ops.Curation.leakageSafeSplit(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every doc assigned exactly once
+    assert(split.count() === docs.count())
+    // the invariant the operator exists for: one split per cluster
+    val straddling = split.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling === 0L)
+    // and it's not vacuous: at least one real cluster (size > 1) exists
+    val clustered = split.groupBy("split_key").count().filter(col("count") > 1).count()
+    assert(clustered > 0L, "no multi-doc cluster in the fixture — invariant untested")
+    // contrast: the plain doc-hash split DOES separate at least one
+    // near-dup pair on this corpus (the leakage this operator prevents)
+    val docHash = docs.select(col("doc_id"),
+      when(graft.ops.TextOps.hashBucket(col("doc_id")) < 80, "train")
+        .when(graft.ops.TextOps.hashBucket(col("doc_id")) < 90, "valid")
+        .otherwise("test").as("split"))
+    val leaked = split.select("doc_id", "split_key")
+      .join(docHash, "doc_id")
+      .groupBy("split_key").agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(leaked > 0L, "doc-hash split never leaked here — contrast case is vacuous")
+    split.unpersist()
+  }
+
   test("scd2: versions tile the timeline, exactly one current row per user") {
     val dim = EventOps.scd2(events, "purchase").collect()
     val byUser = dim.groupBy(_.getLong(0))
