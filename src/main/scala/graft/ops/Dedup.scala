@@ -523,6 +523,43 @@ object Dedup extends graft.QueryModule {
         when(col("best.unscored") === 1, lit(-1.0))
           .otherwise(negate(col("best.nq"))).as("keep_quality"))
 
+  /** Soft dedup (cluster quota): keep the 1 + ⌊log₂ size⌋ best-quality
+    * members of each near-dup cluster instead of exactly one — the
+    * data-constrained regime's dedup (cf. repeated-epoch scaling
+    * studies): when tokens are scarce, a duplicate cluster is worth
+    * log-many copies, not one and not all. Quota is computed as an
+    * integer CASE over powers of two (capped at size ≥ 64 → 7), NOT
+    * floor(log2(n)) — log(n)/log(2) lands on 1.999… for exact powers
+    * in some engines and the floor flips, the classic cross-engine
+    * float trap. The rank-≤-64 literal filter sits directly on the
+    * window so Catalyst rewrites it to WindowGroupLimit (bounded
+    * per-cluster heap below the sort — a degenerate corpus collapsing
+    * into one giant cluster costs a 64-row heap, not a cluster-sized
+    * sort); the variable per-cluster quota then filters the survivors.
+    */
+  def softDedupQuota(clusters: DataFrame, quality: DataFrame,
+      maxKeep: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(coalesce(col("quality"), lit(-1.0)).desc, col("doc_id"))
+    val quota = when(col("cluster_size") >= 64, 7)
+      .when(col("cluster_size") >= 32, 6)
+      .when(col("cluster_size") >= 16, 5)
+      .when(col("cluster_size") >= 8, 4)
+      .when(col("cluster_size") >= 4, 3)
+      .when(col("cluster_size") >= 2, 2)
+      .otherwise(1)
+    clusters
+      .join(quality, Seq("doc_id"), "left")
+      // raw (uncast) rank under the literal filter: InferWindowGroupLimit
+      // matches rank-attr ≤ literal directly above the Window
+      .withColumn("rn0", row_number().over(w))
+      .filter(col("rn0") <= lit(maxKeep))
+      .withColumn("quota", quota)
+      .filter(col("rn0") <= col("quota"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quota"), col("rn0").cast("long").as("rn"))
+  }
+
   /** Embedding near-dup, exact baseline: all-pairs cosine top-k via
     * block-pair EQUI-joins rather than a `<` non-equi self-join —
     * BroadcastNestedLoopJoin would break whole-stage codegen and leave
@@ -878,6 +915,15 @@ object Dedup extends graft.QueryModule {
         .orderBy("cluster_id")
     },
 
+    // Soft dedup: per near-dup cluster keep the 1+⌊log₂ size⌋
+    // best-quality members (the data-constrained keep-some regime),
+    // WindowGroupLimit-bounded under a 64-row literal cap.
+    "q_soft_dedup" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      softDedupQuota(dupClusters(docs, 0.5), TextOps.qualityScores(docs))
+        .orderBy("doc_id")
+    },
+
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.
     // Exact all-pairs baseline at this SF (see embeddingNearDupExact).
     "q_embedding_neardup" -> { (spark, dir) =>
@@ -1115,6 +1161,73 @@ object Dedup extends graft.QueryModule {
            |  FROM labels l LEFT JOIN qual q ON l.doc_id = q.doc_id)
            |SELECT cluster_id, n_members, doc_id AS keep_doc_id, quality AS keep_quality
            |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+      // same cluster × quality chain as q_keep_best; the quota is an
+      // integer CASE (never floor(log2(n)) — exact powers of two land
+      // on 1.999… in some engines and the floor flips)
+      "q_soft_dedup" ->
+        s"""WITH RECURSIVE $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |edges0 AS (
+           |  SELECT d1, d2 FROM (
+           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+           |    FROM cand c
+           |    JOIN sigs s1 ON c.d1 = s1.doc_id
+           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+           |  WHERE ej >= 0.5),
+           |edges AS (
+           |  SELECT d1 AS src, d2 AS dst FROM edges0
+           |  UNION ALL SELECT d2, d1 FROM edges0),
+           |reach AS (
+           |  SELECT src AS node, src AS lab FROM edges
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+           |labels AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+           |tok AS (
+           |  SELECT doc_id, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term <> ''),
+           |stop AS (
+           |  SELECT term AS stop_term FROM (
+           |    SELECT term, count(*) AS n FROM tok GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 10)),
+           |stats AS (
+           |  SELECT t.doc_id, count(*) AS n_tokens, count(DISTINCT t.term) AS n_types,
+           |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+           |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+           |  GROUP BY t.doc_id),
+           |qual AS (
+           |  SELECT doc_id,
+           |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+           |      + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+           |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
+           |  FROM stats),
+           |ranked AS (
+           |  SELECT l.doc_id, l.cluster_id,
+           |    count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+           |    row_number() OVER (PARTITION BY l.cluster_id
+           |                       ORDER BY coalesce(q.quality, -1.0) DESC, l.doc_id) AS rn
+           |  FROM labels l LEFT JOIN qual q ON l.doc_id = q.doc_id),
+           |quota AS (
+           |  SELECT doc_id, cluster_id, cluster_size,
+           |    CASE WHEN cluster_size >= 64 THEN 7
+           |         WHEN cluster_size >= 32 THEN 6
+           |         WHEN cluster_size >= 16 THEN 5
+           |         WHEN cluster_size >= 8 THEN 4
+           |         WHEN cluster_size >= 4 THEN 3
+           |         WHEN cluster_size >= 2 THEN 2
+           |         ELSE 1 END AS quota, rn
+           |  FROM ranked WHERE rn <= 64)
+           |SELECT doc_id, cluster_id, cluster_size, quota, rn
+           |FROM quota WHERE rn <= quota ORDER BY doc_id""".stripMargin,
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE $shingleHashCte,
            |sigs AS (

@@ -69,6 +69,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_soft_dedup gets the WindowGroupLimit pushdown for its 64-row literal cap") {
+    // the variable per-cluster quota can't push down, so the operator
+    // stacks it above a LITERAL rank <= 64 filter that can — a one-
+    // giant-cluster corpus costs a 64-row heap, not a cluster-size sort
+    val p = plan("q_soft_dedup")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_interval_join broadcasts the tiny tier table (nested-loop, stream side unshuffled)") {
     val p = plan("q_interval_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
