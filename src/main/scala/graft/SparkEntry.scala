@@ -40,6 +40,7 @@ object SparkEntry {
     ops.VectorOps,
     ops.EventOps,
     ops.Curation,
+    ops.Bpe,
     multimodal.MultimodalQueries,
   )
 

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.Shingles
+
+/** Distributed BPE subword tokenizer: merge-table TRAINING and corpus
+  * ENCODING as declared, oracle-checked queries — the tokenizer-
+  * training step of a training-data pipeline, not just the chars/4
+  * token-count heuristic (`q_token_count` keeps that as the cheap
+  * estimate; this is the real thing).
+  *
+  * Algorithm (Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units"): start from characters, repeatedly
+  * merge the most frequent adjacent symbol pair. The scale shape is
+  * the textbook one:
+  *
+  *   - ONE corpus scan builds the distinct-word frequency table; all
+  *     k merge iterations run over that VOCAB table (bounded by
+  *     |vocab| × word length, millions of rows at 100 TB — not the
+  *     corpus), each iteration a map-side-combined pair count plus a
+  *     one-row argmax. The only driver-resident state is the k-row
+  *     merge table itself — the trained model, same pattern as the
+  *     kmeans centroids and the PCA direction.
+  *   - per-iteration `localCheckpoint` truncates the fold-expression
+  *     lineage so iteration i+1's pair count does not re-execute
+  *     iterations 1..i (the kmeans/pagerank iterative-lineage rule).
+  *   - ENCODING never re-folds the corpus: tokens broadcast-join the
+  *     final word→symbols table (vocab-sized), and the per-doc
+  *     fingerprint is one hash aggregate with state bounded by
+  *     document length (the `encodeTokens` collect/sort/transform
+  *     shape).
+  *
+  * Merge application is a greedy left-to-right single pass: scan the
+  * symbol list, replace each non-overlapping (left, right) adjacency
+  * with the merged symbol ("aaaa" + (a,a) → [aa, aa], not [aa, a]).
+  * Both the Spark fold (`functions.aggregate`) and the DuckDB oracle
+  * (`list_reduce` over a unit-separator-joined accumulator) implement
+  * the SAME pass, so the oracle re-derives the whole merge table —
+  * pair counts, argmax tie-breaks (count desc, then left, then right,
+  * both engines binary string order) and all — and the hash gate
+  * proves training AND encoding end-to-end.
+  *
+  * Determinism notes: pair counts are integer sums of integer word
+  * frequencies; symbols are drawn from the corpus's alnum alphabet, so
+  * the chr(31) accumulator separator and the ' ' fingerprint joiner
+  * can never collide with symbol content.
+  */
+object Bpe extends graft.QueryModule {
+
+  /** One learned merge: step is 1-based rank order. */
+  final case class Merge(step: Int, lft: String, rgt: String, merged: String, pair_count: Long)
+
+  /** Greedy left-to-right single-pass application of one merge rule to
+    * a symbol array. The `size(acc) > 0` guard runs FIRST and `And`
+    * short-circuits, so `element_at` never sees the empty accumulator's
+    * index 0 (which is an error even for `try_element_at` — index 0 is
+    * "invalid index", not out-of-bounds).
+    */
+  private[graft] def mergeFold(syms: Column, lft: String, rgt: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, size(acc)) === lit(lft) && s === lit(rgt),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lft + rgt))))
+        .otherwise(concat(acc, array(s))))
+
+  /** The distinct-word frequency table with each word split to its
+    * character symbols: (word, freq, syms).
+    */
+  private def symbolTable(docs: DataFrame): DataFrame =
+    Shingles.tokensWithPos(docs)
+      .groupBy(col("term").as("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
+  /** Train `k` merges; returns the merge table (driver-side — it IS
+    * the model) and the final word→symbols DataFrame for encoding.
+    */
+  private[graft] def train(docs: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    var syms = symbolTable(docs).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    for (step <- 1 to k) {
+      val top = syms
+        .select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (l, r) => struct(l.as("lft"), r.as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lft"), col("rgt"))
+        .limit(1)
+        .collect()
+      require(top.nonEmpty, s"corpus ran out of symbol pairs before merge $step of $k")
+      val (lft, rgt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += Merge(step, lft, rgt, lft + rgt, c)
+      syms = syms.withColumn("syms", mergeFold(col("syms"), lft, rgt)).localCheckpoint(true)
+    }
+    (merges.result(), syms)
+  }
+
+  /** The learned merge table as a DataFrame: (step, lft, rgt, merged,
+    * pair_count), `k` rows.
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, k)._1.toDF()
+  }
+
+  /** Corpus encoded with `k` trained merges: per document the token
+    * count, subword count, and an order-pinning md5 over the full
+    * subword sequence — (doc_id, n_tokens, n_subwords, subwords_md5).
+    * Every corpus token is in the vocab by construction (the vocab is
+    * trained on the same corpus), so the broadcast join is inner.
+    */
+  def bpeEncode(docs: DataFrame, k: Int = 8): DataFrame = {
+    val finalSyms = train(docs, k)._2
+    Shingles.tokensWithPos(docs)
+      .join(broadcast(finalSyms.select(col("word").as("term"), col("syms"))), Seq("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(size(col("syms"))).as("n_subwords"),
+        md5(concat_ws(" ",
+          flatten(transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
+            p => p.getField("syms"))))).as("subwords_md5"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> { (spark, dir) =>
+      bpeMerges(Tables.documents(spark, dir), 8).orderBy("step")
+    },
+    "q_bpe_encode" -> { (spark, dir) =>
+      bpeEncode(Tables.documents(spark, dir), 8).orderBy("doc_id")
+    }
+  )
+
+  // ------------------------------------------------------------------ //
+  // DuckDB oracle: mechanically generated CTE chain that re-derives    //
+  // the merge table itself — argmax, tie-breaks, greedy fold and all.  //
+  // ------------------------------------------------------------------ //
+
+  private val tokSql =
+    """SELECT doc_id, term, pos FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents) z WHERE term <> ''""".stripMargin
+
+  /** Top-pair CTE body for step i over symbol table s{i-1}. */
+  private def pairSql(prev: String): String =
+    s"""SELECT lft, rgt, lft || rgt AS merged, c AS pair_count FROM (
+       |    SELECT syms[u] AS lft, syms[u+1] AS rgt, CAST(sum(freq) AS BIGINT) AS c
+       |    FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS u FROM $prev) z
+       |    GROUP BY lft, rgt) t
+       |  ORDER BY c DESC, lft, rgt LIMIT 1""".stripMargin
+
+  /** Merge-applied symbol table CTE body: the SAME greedy left-to-right
+    * fold as [[mergeFold]], over a chr(31)-joined string accumulator
+    * (list_reduce seeds the accumulator with the first element, which
+    * is exactly the fold's state after one symbol).
+    */
+  private def foldSql(prev: String, p: String): String = {
+    val ss = "string_split(acc, chr(31))"
+    s"""SELECT w.word, w.freq,
+       |    string_split(list_reduce(w.syms, (acc, s) ->
+       |      CASE WHEN ($ss)[-1] = p.lft AND s = p.rgt
+       |           THEN CASE WHEN len($ss) = 1 THEN p.merged ELSE
+       |                array_to_string(list_slice($ss, 1, len($ss)-1), chr(31)) ||
+       |                chr(31) || p.merged END
+       |           ELSE acc || chr(31) || s END), chr(31)) AS syms
+       |  FROM $prev w CROSS JOIN $p p""".stripMargin
+  }
+
+  /** WITH-clause prefix training `k` merges: tok, s0, p1, s1 … pk, sk. */
+  private def trainSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  ${pairSql(s"s${i - 1}")}),
+         |s$i AS (
+         |  ${foldSql(s"s${i - 1}", s"p$i")})""".stripMargin
+    }
+    s"""tok AS ($tokSql),
+       |s0 AS (
+       |  SELECT word, freq, string_split(word, '') AS syms FROM (
+       |    SELECT term AS word, count(*) AS freq FROM tok GROUP BY term) wf),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = {
+    val k = 8
+    val mergeRows = (1 to k)
+      .map(i => s"SELECT $i AS step, lft, rgt, merged, pair_count FROM p$i")
+      .mkString("\n  UNION ALL ")
+    Map(
+      "q_bpe_merges" ->
+        s"""WITH ${trainSql(k)}
+           |$mergeRows
+           |ORDER BY step""".stripMargin,
+      "q_bpe_encode" ->
+        s"""WITH ${trainSql(k)},
+           |enc AS (
+           |  SELECT t.doc_id, t.pos, s.syms
+           |  FROM tok t JOIN s$k s ON t.term = s.word)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+           |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subwords_md5
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    )
+  }
+}

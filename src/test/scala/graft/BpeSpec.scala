@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+/** BPE training/encoding semantics on corpora with KNOWN merge
+  * behavior; cross-engine parity of the declared queries rides the
+  * DuckDB oracle gate.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("greedy fold merges non-overlapping occurrences left to right") {
+    val out = Seq(Tuple1(Seq("a", "a", "a", "a")))
+      .toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), "a", "a").as("m"))
+      .head().getSeq[String](0)
+    // "aaaa" + (a,a) → [aa, aa]: position 0-1 merges, the NEW symbol
+    // does not re-merge with position 2 in the same pass, 2-3 merges
+    assert(out == Seq("aa", "aa"))
+    val odd = Seq(Tuple1(Seq("a", "a", "a")))
+      .toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), "a", "a").as("m"))
+      .head().getSeq[String](0)
+    assert(odd == Seq("aa", "a"))
+  }
+
+  test("trains the classic most-frequent-pair sequence") {
+    // "ab" appears in every word, weighted by word frequency:
+    // abab×3 contributes 2·3=6, abc×2 contributes 2 → (a,b) count 8.
+    // After that merge: abab→[ab,ab] (pair (ab,ab) ×3), abc→[ab,c] ×2.
+    val d = docs("abab abab abab abc abc")
+    val (merges, finalSyms) = Bpe.train(d, 2)
+    assert(merges.map(m => (m.lft, m.rgt, m.pair_count)) ==
+      Seq(("a", "b", 8L), ("ab", "ab", 3L)))
+    val syms = finalSyms.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(syms("abab") == Seq("abab"))
+    assert(syms("abc") == Seq("ab", "c"))
+  }
+
+  test("tie-break is (count desc, left asc, right asc)") {
+    // "xy" and "ab" both appear exactly twice; (a,b) < (x,y) wins
+    val d = docs("xy xy ab ab")
+    val (merges, _) = Bpe.train(d, 1)
+    assert(merges.head.lft == "a" && merges.head.rgt == "b" && merges.head.pair_count == 2L)
+  }
+
+  test("encode: subword counts shrink as merges grow, fingerprint is order-pinned") {
+    val d = docs("abab abc", "abab abab")
+    val e1 = Bpe.bpeEncode(d, 1).orderBy("doc_id").collect()
+    val e2 = Bpe.bpeEncode(d, 2).orderBy("doc_id").collect()
+    // doc 0: "abab abc" = 7 chars; after (a,b): [ab,ab] + [ab,c] = 4 subwords
+    assert(e1(0).getLong(1) == 2L && e1(0).getLong(2) == 4L)
+    // more merges can only keep or shrink the subword count
+    assert(e2(0).getLong(2) <= e1(0).getLong(2))
+    assert(e2(1).getLong(2) <= e1(1).getLong(2))
+    // same doc text → same fingerprint across distinct doc rows? No —
+    // fingerprints pin content: distinct content differs
+    assert(e1(0).getString(3) != e1(1).getString(3))
+  }
+
+  test("declared queries run and agree on corpus shape at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = SparkEntry.queries("q_bpe_merges")(spark, dir).collect()
+    assert(merges.length == 8)
+    // merge table is a valid chain: every step's count is positive and
+    // counts are non-increasing is NOT guaranteed (later merges can
+    // count higher after symbol growth) — but steps must be 1..8
+    assert(merges.map(_.getInt(0)).toSeq == (1 to 8))
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, dir)
+    val row = enc.agg(
+      count(lit(1)), sum(col("n_tokens")), sum(col("n_subwords"))).head()
+    val docsN = graft.core.Tables.documents(spark, dir).count()
+    assert(row.getLong(0) == docsN, "every document encodes")
+    assert(row.getLong(2) >= row.getLong(1), "every token is at least one subword")
+  }
+}

@@ -191,4 +191,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     keyed.unpersist(false)
   }
+
+  test("q_bpe_encode broadcasts the vocab symbol table into the token stream") {
+    val p = plan("q_bpe_encode")
+    // the corpus side never shuffles for the join — only the per-doc
+    // fingerprint aggregate may exchange on doc_id
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
