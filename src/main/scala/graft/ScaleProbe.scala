@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * scaling of the chosen plans before they ever see a cluster.
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
   * `sections` = comma-separated subset of
-  * relational,dedup,emb,cdc,quota,prefix,pipeline
+  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe
   * (default all) — the emb section's exact all-pairs baseline is
   * minutes at 8×, so targeted probes shouldn't have to pay for it.
   */
@@ -18,7 +18,7 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("relational", "dedup", "emb", "cdc", "quota", "prefix", "pipeline")
+      else Set("relational", "dedup", "emb", "cdc", "quota", "prefix", "pipeline", "bpe")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -330,6 +330,29 @@ object ScaleProbe {
         .agg(expr("percentile(l_quantity, 0.5)")).count()
     }
     liq.unpersist()
+    }
+
+    if (sections("bpe")) {
+    // --- q_bpe_merges' cost claim: training is VOCAB-bound, not
+    // corpus-bound — after the one corpus scan that builds word
+    // frequencies, all k merge rounds run over the distinct-word
+    // table. Same-vocab replication (corpus ×N, vocabulary unchanged)
+    // must therefore cost ~the scan growth and nothing more; the
+    // rotated-alphabet corpus (vocab ×N too) is the worst case and
+    // bounds growth by vocabulary size, never corpus size.
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    // untimed warmup: the fold/argmax codegen classes compile once here
+    // so the 1× reading isn't JVM warmup wearing a bpe costume
+    graft.ops.Bpe.bpeMerges(base, 2).count()
+    time("bpe_train_1x") { graft.ops.Bpe.bpeMerges(base, 8).count() }
+    val sameVocab = (0 until factor).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _).persist()
+    println(s"[scale] documents ${sameVocab.count()} rows (${factor}x, same vocab)")
+    time("bpe_train_samevocab") { graft.ops.Bpe.bpeMerges(sameVocab, 8).count() }
+    time("bpe_train_growvocab") { graft.ops.Bpe.bpeMerges(docs, 8).count() }
+    time("bpe_encode_samevocab") { graft.ops.Bpe.bpeEncode(sameVocab, 8).count() }
+    sameVocab.unpersist()
     }
     spark.stop()
   }
