@@ -65,6 +65,29 @@ class BpeSpec extends AnyFunSuite {
     assert(e1(0).getString(3) != e1(1).getString(3))
   }
 
+  test("fold invariants on random symbol arrays: lossless and complete") {
+    // one DataFrame of 500 seeded-random arrays over a tiny alphabet
+    // (maximizing adjacent collisions), one Spark pass, all rows checked:
+    // (1) LOSSLESS — concatenating the output reproduces the input;
+    // (2) COMPLETE — no adjacent (lft, rgt) pair survives the pass
+    //     (the merged symbol is lft+rgt, never equal to lft alone, so a
+    //     surviving pair would mean the fold skipped a merge site)
+    val rng = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "ab", "ba")
+    val rows = Seq.tabulate(500) { _ =>
+      Tuple1(Seq.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.size))))
+    }
+    val out = rows.toDF("syms")
+      .select(col("syms"), Bpe.mergeFold(col("syms"), "a", "b").as("m"))
+      .collect()
+    out.foreach { r =>
+      val in = r.getSeq[String](0); val m = r.getSeq[String](1)
+      assert(m.mkString("") == in.mkString(""), s"lossy: $in -> $m")
+      assert(!m.init.lazyZip(m.tail).exists { case (x, y) => x == "a" && y == "b" },
+        s"unmerged adjacency survived: $in -> $m")
+    }
+  }
+
   test("declared queries run and agree on corpus shape at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val merges = SparkEntry.queries("q_bpe_merges")(spark, dir).collect()
@@ -79,5 +102,9 @@ class BpeSpec extends AnyFunSuite {
     val docsN = graft.core.Tables.documents(spark, dir).count()
     assert(row.getLong(0) == docsN, "every document encodes")
     assert(row.getLong(2) >= row.getLong(1), "every token is at least one subword")
+    // round-trip over the real vocab: 8 merges applied in sequence are
+    // still lossless for every distinct corpus word
+    val finalSyms = Bpe.train(graft.core.Tables.documents(spark, dir), 8)._2
+    assert(finalSyms.filter(concat_ws("", col("syms")) =!= col("word")).count() == 0)
   }
 }
