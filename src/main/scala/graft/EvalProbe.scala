@@ -104,6 +104,17 @@ object EvalProbe {
     val nDot = exactDot.count()
     val qHit = exactDot.join(quantTop, Seq("qid", "vid"), "left_semi").count()
     println(f"[eval] int8_top10_overlap   ${qHit.toDouble / nDot}%.3f  ($qHit/$nDot)")
+
+    // BPE compression ladder: corpus chars per subword as the merge
+    // count grows — the quality curve a tokenizer budget is chosen
+    // from (k=0 is the character baseline, ratio 1.0 by construction)
+    val totalChars = docs
+      .agg(sum(length(regexp_replace(col("text"), " ", "")))).head().getLong(0)
+    for (k <- Seq(4, 8, 16, 32)) {
+      val nSub = graft.ops.Bpe.bpeEncode(docs, k)
+        .agg(sum(col("n_subwords"))).head().getLong(0)
+      println(f"[eval] bpe_k$k%-3d chars/subword ${totalChars.toDouble / nSub}%.3f  ($nSub subwords)")
+    }
     spark.stop()
   }
 }

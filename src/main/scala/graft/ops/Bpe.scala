@@ -114,6 +114,15 @@ object Bpe extends graft.QueryModule {
     * subword sequence — (doc_id, n_tokens, n_subwords, subwords_md5).
     * Every corpus token is in the vocab by construction (the vocab is
     * trained on the same corpus), so the broadcast join is inner.
+    *
+    * The broadcast is the deliberate scale choice: a trained tokenizer
+    * vocabulary is MB-scale (even a web-corpus lexicon truncated to
+    * the training cut is millions of short rows), which every executor
+    * wants resident once — the alternative is shuffling the full
+    * corpus token stream by word, a corpus-sized exchange for a
+    * dimension-sized table. If the vocab ever outgrew the broadcast
+    * budget, dropping the `broadcast` hint degrades to that shuffle
+    * join without a semantic change.
     */
   def bpeEncode(docs: DataFrame, k: Int = 8): DataFrame = {
     val finalSyms = train(docs, k)._2
