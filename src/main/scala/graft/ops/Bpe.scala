@@ -47,6 +47,17 @@ import graft.text.Shingles
   * frequencies; symbols are drawn from the corpus's alnum alphabet, so
   * the chr(31) accumulator separator and the ' ' fingerprint joiner
   * can never collide with symbol content.
+  *
+  * Merge-count honesty: the declared queries train k=8 — enough to put
+  * argmax, tie-breaks, and the fold behind the hash gate. A production
+  * k≈30k would not loop 30k full pair-counts: after a merge only pairs
+  * ADJACENT to the new symbol change count, so real trainers maintain
+  * the pair-count table incrementally (subtract consumed (l,r) /
+  * neighbor pairs, add the new symbol's neighbor pairs — each round a
+  * delta aggregate over the words containing the merged pair, found by
+  * an inverted pair→word index). Same shuffle shape, vocab-bound like
+  * the full recount, ~k× less work; the full recount here keeps the
+  * oracle SQL mechanical.
   */
 object Bpe extends graft.QueryModule {
 
