@@ -352,6 +352,24 @@ object ScaleProbe {
     time("bpe_train_samevocab") { graft.ops.Bpe.bpeMerges(sameVocab, 8).count() }
     time("bpe_train_growvocab") { graft.ops.Bpe.bpeMerges(docs, 8).count() }
     time("bpe_encode_samevocab") { graft.ops.Bpe.bpeEncode(sameVocab, 8).count() }
+    // full recount vs incremental delta maintenance at a deeper merge
+    // budget — the shuffled bytes per round are the difference (the
+    // per-round vocab scan is shared); the gap widens with k
+    time("bpe_full_k32") { graft.ops.Bpe.train(base, 32)._1.size.toLong }
+    time("bpe_incr_k32") { graft.ops.Bpe.trainIncremental(base, 32).size.toLong }
+    // the incremental trainer's win regime: a LEXICON-scale vocabulary
+    // (1M distinct 8-char words), where the full recount explodes ~7M
+    // adjacency rows into the shuffle every round while the delta
+    // touches only words containing the merged pair
+    val bigVocab = spark.range(200000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 5).map(j =>
+          substring(md5(concat(col("id"), lit(j))), 1, 8)): _*).as("text"))
+      .persist()
+    println(s"[scale] big-vocab corpus ${bigVocab.count()} docs (1M distinct words)")
+    time("bpe_full_bigvocab_k8") { graft.ops.Bpe.train(bigVocab, 8)._1.size.toLong }
+    time("bpe_incr_bigvocab_k8") { graft.ops.Bpe.trainIncremental(bigVocab, 8).size.toLong }
+    bigVocab.unpersist()
     sameVocab.unpersist()
     }
     spark.stop()

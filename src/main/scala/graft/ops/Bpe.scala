@@ -111,6 +111,64 @@ object Bpe extends graft.QueryModule {
     (merges.result(), syms)
   }
 
+  /** Adjacent symbol pairs of a symbol array as (lft, rgt) structs. */
+  private def adjPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (l, r) => struct(l.as("lft"), r.as("rgt")))
+
+  /** [[train]]'s production-shaped sibling: the INCREMENTAL pair-count
+    * trainer — spec-pinned to produce the identical merge sequence
+    * (argmax, counts, tie-breaks) as the full recount.
+    *
+    * The full recount pays an all-pairs explode + shuffle + aggregate
+    * over the whole vocab EVERY round; but a merge only changes counts
+    * of pairs adjacent to the new symbol, so this maintains the pair
+    * table by delta: each round explodes old/new adjacencies of the
+    * AFFECTED words only (±freq), folds them into the running counts,
+    * and drops pairs at zero. Affected words are found by comparing
+    * the fold output to the input — still one vocab-table scan per
+    * round, but the shuffled delta is tiny; at a production k≈30k the
+    * next rung is an inverted pair→word index so even the scan is
+    * restricted to postings of the merged pair.
+    */
+  private[graft] def trainIncremental(docs: DataFrame, k: Int): Seq[Merge] = {
+    var words = symbolTable(docs).localCheckpoint(true)
+    var pc = words
+      .select(col("freq"), explode(adjPairs(col("syms"))).as("p"))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum(col("freq")).as("c"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    for (step <- 1 to k) {
+      val top = pc.orderBy(col("c").desc, col("lft"), col("rgt")).limit(1).collect()
+      require(top.nonEmpty, s"corpus ran out of symbol pairs before merge $step of $k")
+      val (lft, rgt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += Merge(step, lft, rgt, lft + rgt, c)
+      val updated = words
+        .withColumn("new_syms", mergeFold(col("syms"), lft, rgt))
+        .localCheckpoint(true)
+      val delta = updated
+        .filter(col("new_syms") =!= col("syms"))
+        .select(explode(concat(
+          transform(adjPairs(col("new_syms")),
+            p => struct(p.getField("lft").as("lft"), p.getField("rgt").as("rgt"),
+              col("freq").as("c"))),
+          transform(adjPairs(col("syms")),
+            p => struct(p.getField("lft").as("lft"), p.getField("rgt").as("rgt"),
+              (-col("freq")).as("c"))))).as("d"))
+        .select(col("d.lft").as("lft"), col("d.rgt").as("rgt"), col("d.c").as("c"))
+      pc = pc.unionByName(delta)
+        .groupBy("lft", "rgt").agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0)
+        .localCheckpoint(true)
+      words = updated
+        .select(col("word"), col("freq"), col("new_syms").as("syms"))
+    }
+    merges.result()
+  }
+
   /** The learned merge table as a DataFrame: (step, lft, rgt, merged,
     * pair_count), `k` rows.
     */

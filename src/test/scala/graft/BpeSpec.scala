@@ -88,6 +88,15 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental pair-count trainer equals the full recount, merge for merge") {
+    // counts drive the argmax, so equality of the full Merge rows
+    // (symbols AND counts, all k steps) pins the delta maintenance
+    val tiny = docs("abab abab abab abc abc", "xy xy ab ba baba")
+    assert(Bpe.trainIncremental(tiny, 6) == Bpe.train(tiny, 6)._1)
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Bpe.trainIncremental(corpus, 16) == Bpe.train(corpus, 16)._1)
+  }
+
   test("declared queries run and agree on corpus shape at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val merges = SparkEntry.queries("q_bpe_merges")(spark, dir).collect()
