@@ -93,11 +93,7 @@ object Bpe extends graft.QueryModule {
     val merges = Seq.newBuilder[Merge]
     for (step <- 1 to k) {
       val top = syms
-        .select(col("freq"),
-          explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (l, r) => struct(l.as("lft"), r.as("rgt")))).as("p"))
+        .select(col("freq"), explode(adjPairs(col("syms"))).as("p"))
         .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("lft"), col("rgt"))
