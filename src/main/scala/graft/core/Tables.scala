@@ -13,16 +13,28 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read nanos as long (legacy conf)
-    * and rebuild a microsecond timestamp with exact integer division —
-    * the data has no sub-microsecond components (verified at every SF),
-    * so this is lossless and matches DuckDB's nanosecond view.
+  /** events.parquet has carried two physical `ts` encodings across
+    * driver data generations: TIMESTAMP(NANOS) — which Spark's parquet
+    * reader rejects outright, readable only as a nanos-since-epoch
+    * long under the legacy conf — and plain TIMESTAMP(MICROS), which
+    * surfaces as TIMESTAMP_NTZ. Map either to a session-zone (UTC)
+    * TimestampType with identical instants: the nanos data has no
+    * sub-microsecond components (verified at every SF) so the integer
+    * division is lossless, and the NTZ cast under a UTC session is the
+    * identity on the instant. Every consumer reads through here, so
+    * the rest of the engine sees exactly one schema.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(table(spark, sfDir, "events"))
   }
   /** Register every testdata table as a temp view so the whole engine
     * surface is reachable from plain `spark.sql(...)` — the SQL layer

@@ -16,25 +16,22 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet raw schema with ts as nanos-since-epoch long (the
-    * file's TIMESTAMP(NANOS) read under nanosAsLong — see Tables.events).
+  /** Stream the events table. FileStreamSource needs an explicit
+    * schema, and the file's physical `ts` encoding varies by driver
+    * data generation (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS) —
+    * see [[graft.core.Tables.normalizeTs]]), so the schema comes from
+    * a metadata-only batch read of the same files and the stream is
+    * normalized through the shared path.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      // glob, not a bare file path: FileStreamSource requires basePath
-      // to be a directory, which the glob's parent satisfies
-      .parquet(s"$sfDir/events.*")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSchema = spark.read.parquet(s"$sfDir/events.*").schema
+    graft.core.Tables.normalizeTs(
+      spark.readStream
+        .schema(fileSchema)
+        // glob, not a bare file path: FileStreamSource requires basePath
+        // to be a directory, which the glob's parent satisfies
+        .parquet(s"$sfDir/events.*"))
   }
 
   /** Tumbling 1-hour windows per event type with a 1-hour watermark —

@@ -33,14 +33,16 @@ class StreamReplaySpec extends AnyFunSuite {
     val outDir = s"$root/out"
     val ckptDir = s"$root/ckpt"
 
-    // 5 time-ordered slices of the raw events (ts kept as the file's
-    // nanos-long so the slice files carry EventStream.rawSchema). Slice
-    // boundaries are data-determined, so the micro-batch boundaries are
-    // reproducible run to run — the "deterministic replay" part. The
-    // single-partition window is fine here: sf0.001 is 1k rows and this
-    // is a test fixture builder, not an operator.
+    // 5 time-ordered slices of the raw events (ts kept in the file's
+    // own physical encoding so the slice files round-trip it — see
+    // Tables.normalizeTs). Slice boundaries are data-determined, so the
+    // micro-batch boundaries are reproducible run to run — the
+    // "deterministic replay" part. The single-partition window is fine
+    // here: sf0.001 is 1k rows and this is a test fixture builder, not
+    // an operator.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStream.rawSchema).parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val rawSchema = raw.schema
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
     val sliced = raw.withColumn("slice", ntile(5).over(w)).persist()
     def appendSlice(i: Int): Unit =
@@ -51,11 +53,11 @@ class StreamReplaySpec extends AnyFunSuite {
     // log is ordered; that contract is what slicing by ts reproduces)
     def scd2Closed(): DataFrame =
       EventStream.scd2Stream(
-        spark.readStream
-          .schema(EventStream.rawSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(srcDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))),
+        graft.core.Tables.normalizeTs(
+          spark.readStream
+            .schema(rawSchema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir)),
         "purchase").toDF()
 
     // the DocStream.writeCurated sink contract: each batch overwrites
