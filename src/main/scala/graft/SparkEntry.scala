@@ -41,6 +41,7 @@ object SparkEntry {
     ops.EventOps,
     ops.Curation,
     ops.Bpe,
+    ops.Classify,
     multimodal.MultimodalQueries,
   )
 

@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.text.Shingles
+
+/** Learned data-selection operators for pretraining curation — the
+  * counting side of "train a filter on the data you have": DSIR
+  * importance weights (Xie et al., "Data Selection for Language Models
+  * via Importance Resampling", NeurIPS 2023) and a multinomial Naive
+  * Bayes domain classifier (the hashed-n-gram fastText-style filter of
+  * the CCNet / LLaMA / palm-era pipelines, reduced to its count-based
+  * core). The reference (app.py:1-187) has no learned selection at all;
+  * these extend the same token-count machinery its TF-IDF core runs on
+  * (SURVEY.md §7 north star).
+  *
+  * Both operators hash tokens into `B` fixed feature buckets
+  * ([[Shingles.hash32]] mod B) — the standard hashing trick: model
+  * state is O(B·classes), independent of vocabulary, so the fitted
+  * tables stay broadcastable at any corpus size.
+  *
+  * Cross-engine exactness follows the q_unigram_nll pattern: every
+  * per-bucket log term is quantized to DECIMAL(28,6) BEFORE the
+  * weighted sums, sums run exact in decimal, and only the final
+  * per-doc value is cast back to double — so Spark and the DuckDB
+  * oracle agree bit-for-bit regardless of partitioning or summation
+  * order.
+  *
+  * 100 TB shape (both ops): one token pass reduced to per-(doc,bucket)
+  * counts (≤ min(n_tokens, B) rows per doc — the fan-in happens BEFORE
+  * any join), a broadcast join against the O(B·C) model table, and one
+  * doc-keyed aggregate. No driver state beyond one-row totals; the
+  * model tables are the only broadcast and are constant-size by
+  * construction.
+  */
+object Classify extends graft.QueryModule {
+
+  /** Feature-bucket count: hashed vocabulary size. */
+  val B = 256
+
+  private val Dec = DecimalType(28, 6)
+
+  /** (doc_id, source, bucket) — one row per token occurrence, token
+    * hashed into its feature bucket.
+    */
+  private def bucketedTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("doc_id"), col("source"),
+        (Shingles.hash32(col("term")) % B).as("bucket"))
+
+  /** ln((cnt + 1) / (tot + B)) — add-one-smoothed log probability,
+    * quantized for cross-engine exactness.
+    */
+  private def smoothedLogP(cnt: Column, tot: Column): Column =
+    log((cnt.cast("double") + lit(1.0)) / (tot.cast("double") + lit(B.toDouble)))
+      .cast(Dec)
+
+  /** DSIR importance weights: per document, the hashed-unigram
+    * log-likelihood ratio of a TARGET domain (the lexicographically
+    * first source — derived from data, never hard-coded, so the query
+    * is stable across scale factors) against the RAW corpus:
+    *
+    *   w(d) = Σ_tokens [ ln p_target(bucket) − ln p_raw(bucket) ]
+    *
+    * with add-one smoothing on both distributions. Docs whose token
+    * distribution looks like the target get positive weights; DSIR
+    * resamples the raw corpus proportionally to exp(w) to shift the
+    * pretraining mix toward the target domain. Output: per-doc token
+    * count, total and per-token weight, and the target flag — the
+    * exact frame a resampler consumes.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val tok = bucketedTokens(docs)
+    val target = docs.agg(min(col("source"))).head.getString(0)
+    val raw = tok.groupBy("bucket").agg(count(lit(1)).as("raw_cnt"))
+    val tgt = tok.filter(col("source") === lit(target))
+      .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
+    val totals = tok.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("source") === lit(target), 1L).otherwise(0L)).as("n_tgt"))
+    // model table: ≤ B rows joined to the one-row totals — broadcast
+    val lam = raw
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tgt_cnt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (smoothedLogP(col("tgt_cnt"), col("n_tgt")) -
+          smoothedLogP(col("raw_cnt"), col("n_raw"))).as("lam"))
+    tok
+      .groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lam), "bucket")
+      .groupBy("doc_id", "source")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lam")).as("wsum"))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens"),
+        (col("source") === lit(target)).cast("int").as("is_target"),
+        col("wsum").cast("double").as("weight"),
+        (col("wsum").cast("double") / col("n_tokens").cast("double"))
+          .as("weight_per_token"))
+  }
+
+  /** Multinomial Naive Bayes domain classifier with a real held-out
+    * evaluation: train on even doc_ids, classify odd doc_ids, report
+    * the per-(true source, predicted source) confusion counts. Priors
+    * are document-frequency log priors; likelihoods are add-one-
+    * smoothed hashed-unigram log probabilities per class. The argmax
+    * is a hash-aggregate min(struct(-score, class)) — exact because
+    * scores are decimal sums, deterministic because ties break to the
+    * lexicographically first class on both engines.
+    */
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val tok = bucketedTokens(docs)
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val test = tok.filter(col("doc_id") % 2 === 1)
+
+    val clsTok = train.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("source", "cls")
+    val clsTot = clsTok.groupBy("cls").agg(sum(col("cnt")).as("tot"))
+    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumnRenamed("source", "cls")
+    val priors = trainDocs
+      .crossJoin(broadcast(docs.filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_train"))))
+      .select(col("cls"),
+        log(col("n_docs").cast("double") / col("n_train").cast("double"))
+          .cast(Dec).as("prior"))
+
+    // model grid: every test bucket × every class, zero-filled — the
+    // smoothing term must exist even where a class never saw a bucket
+    val grid = test.select("bucket").distinct()
+      .crossJoin(broadcast(clsTot))
+      .join(clsTok, Seq("bucket", "cls"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(col("bucket"), col("cls"),
+        smoothedLogP(col("cnt"), col("tot")).as("lam"))
+
+    val scores = test
+      .groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(grid), "bucket")
+      .groupBy("doc_id", "source", "cls")
+      .agg(sum(col("n") * col("lam")).as("ll"))
+      .join(broadcast(priors), "cls")
+      .select(col("doc_id"), col("source"), col("cls"),
+        (col("ll") + col("prior")).as("score"))
+
+    scores
+      .groupBy("doc_id", "source")
+      .agg(min(struct((col("score") * lit(-1)).as("neg"), col("cls"))).as("best"))
+      .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))
+      .groupBy("source", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "predicted")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR hashed-unigram importance weights against the min(source)
+    // target domain; all docs, doc_id order.
+    "q_dsir_weights" -> { (spark, dir) =>
+      dsirWeights(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+    // Naive Bayes source classifier: even-id train, odd-id test,
+    // confusion counts.
+    "q_nb_classify" -> { (spark, dir) =>
+      nbConfusion(Tables.documents(spark, dir))
+    }
+  )
+
+  private def tokCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, source, ${Shingles.hash32Sql("term")} % $B AS bucket
+       |  FROM (
+       |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) z
+       |  WHERE term <> '')""".stripMargin
+
+  private def logp(cnt: String, tot: String): String =
+    s"CAST(ln((CAST($cnt AS DOUBLE) + 1.0) / (CAST($tot AS DOUBLE) + $B.0)) AS DECIMAL(28,6))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH $tokCte,
+         |tgt_src AS (SELECT min(source) AS s FROM documents),
+         |raw AS (SELECT bucket, count(*) AS raw_cnt FROM tok GROUP BY bucket),
+         |tgt AS (
+         |  SELECT bucket, count(*) AS tgt_cnt FROM tok
+         |  WHERE source = (SELECT s FROM tgt_src) GROUP BY bucket),
+         |tot AS (
+         |  SELECT count(*) AS n_raw,
+         |    sum(CASE WHEN source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END) AS n_tgt
+         |  FROM tok),
+         |lam AS (
+         |  SELECT r.bucket,
+         |    ${logp("coalesce(t.tgt_cnt, 0)", "(SELECT n_tgt FROM tot)")}
+         |    - ${logp("r.raw_cnt", "(SELECT n_raw FROM tot)")} AS lam
+         |  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket),
+         |per AS (
+         |  SELECT doc_id, source, bucket, count(*) AS cnt
+         |  FROM tok GROUP BY doc_id, source, bucket)
+         |SELECT p.doc_id, p.source,
+         |  CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN p.source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END AS INT)
+         |    AS is_target,
+         |  CAST(CAST(sum(p.cnt * l.lam) AS VARCHAR) AS DOUBLE) AS weight,
+         |  CAST(CAST(sum(p.cnt * l.lam) AS VARCHAR) AS DOUBLE)
+         |    / CAST(sum(p.cnt) AS DOUBLE) AS weight_per_token
+         |FROM per p JOIN lam l ON p.bucket = l.bucket
+         |GROUP BY p.doc_id, p.source
+         |ORDER BY p.doc_id""".stripMargin,
+    "q_nb_classify" ->
+      s"""WITH $tokCte,
+         |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+         |test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+         |cls_tok AS (
+         |  SELECT source AS cls, bucket, count(*) AS cnt FROM train GROUP BY source, bucket),
+         |cls_tot AS (SELECT cls, sum(cnt) AS tot FROM cls_tok GROUP BY cls),
+         |n_train AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+         |priors AS (
+         |  SELECT source AS cls,
+         |    CAST(ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM n_train))
+         |      AS DECIMAL(28,6)) AS prior
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+         |grid AS (
+         |  SELECT b.bucket, ct.cls,
+         |    ${logp("coalesce(k.cnt, 0)", "ct.tot")} AS lam
+         |  FROM (SELECT DISTINCT bucket FROM test) b
+         |  CROSS JOIN cls_tot ct
+         |  LEFT JOIN cls_tok k ON k.bucket = b.bucket AND k.cls = ct.cls),
+         |per AS (
+         |  SELECT doc_id, source, bucket, count(*) AS n
+         |  FROM test GROUP BY doc_id, source, bucket),
+         |scores AS (
+         |  SELECT p.doc_id, p.source, g.cls,
+         |    sum(p.n * g.lam) + any_value(pr.prior) AS score
+         |  FROM per p
+         |  JOIN grid g ON p.bucket = g.bucket
+         |  JOIN priors pr ON g.cls = pr.cls
+         |  GROUP BY p.doc_id, p.source, g.cls),
+         |pred AS (
+         |  SELECT doc_id, source, cls AS predicted FROM (
+         |    SELECT doc_id, source, cls,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+         |    FROM scores) r WHERE rn = 1)
+         |SELECT source, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY source, predicted
+         |ORDER BY source, predicted""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Classify
+
+/** Behavior tests for the learned-selection operators (DSIR weights,
+  * Naive Bayes confusion) beyond what the DuckDB oracle hash pins.
+  */
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("dsirWeights: one row per document, exact token totals") {
+    val w = Classify.dsirWeights(docs)
+    val n = docs.count()
+    assert(w.count() === n)
+    val totalTokens = w.agg(sum("n_tokens")).head.getLong(0)
+    val expected = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(totalTokens === expected)
+  }
+
+  test("dsirWeights: target docs average strictly above non-target docs") {
+    // the whole point of the importance weight: documents drawn from
+    // the target domain must look more target-like than the rest ON
+    // AVERAGE (their own tokens shaped the target distribution)
+    val w = Classify.dsirWeights(docs)
+    val Array(tgtAvg, restAvg) = w
+      .groupBy("is_target").agg(avg("weight_per_token").as("a"))
+      .orderBy(col("is_target").desc)
+      .collect().map(_.getDouble(1))
+    assert(tgtAvg > restAvg,
+      s"target avg $tgtAvg not above non-target avg $restAvg")
+  }
+
+  test("dsirWeights: degenerate target=corpus gives weight exactly 0") {
+    // if every doc is the target, p_target == p_raw bucket-for-bucket
+    // and every lambda is identically zero — a strong end-to-end check
+    // of the smoothing arithmetic (same counts on both sides)
+    val one = docs.withColumn("source", lit("only"))
+    val w = Classify.dsirWeights(one)
+    val mx = w.agg(max(abs(col("weight")))).head.getDouble(0)
+    assert(mx === 0.0, s"uniform corpus should weight 0, got max |w| = $mx")
+  }
+
+  test("nbConfusion: counts cover every odd test doc exactly once") {
+    val conf = Classify.nbConfusion(docs)
+    val total = conf.agg(sum("n_docs")).head.getLong(0)
+    val nTest = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(total === nTest)
+  }
+
+  test("nbConfusion: separable corpus classifies perfectly") {
+    // two sources with disjoint vocabularies: NB must recover the
+    // labels exactly — confusion matrix is diagonal
+    import spark.implicits._
+    val sep = (0L until 40L).map { i =>
+      val src = if (i % 4 < 2) "a" else "b"
+      val word = if (src == "a") "alpha" else "beta"
+      (i, s"$word $word$i $word", src)
+    }.toDF("doc_id", "text", "source")
+    val conf = Classify.nbConfusion(sep).collect()
+    assert(conf.forall(r => r.getString(0) === r.getString(1)),
+      s"off-diagonal predictions: ${conf.mkString(", ")}")
+  }
+}
