@@ -241,6 +241,86 @@ object VectorOps extends graft.QueryModule {
       .select("qid", "rank", "vid", "qdot", "score")
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", IEEE TPAMI 2011): split the d-dim space
+    * into `m` orthogonal subspaces, quantize each subvector to its
+    * nearest of `ksub` codewords, and answer queries by Asymmetric
+    * Distance Computation — per query, an m×ksub lookup table of
+    * query-to-codeword dot products; a candidate's score is the sum of
+    * m table entries selected by its code, never a touch of the
+    * original floats. Codewords are the `ksub` lowest-id vectors'
+    * subvectors (deterministic stand-ins for per-subspace k-means
+    * centers, the same convention as [[ivfSearch]]; [[kmeans]] run per
+    * subspace is the trainer a deployment would use).
+    *
+    * Why this is a 100 TB shape: the stored index is m small codes per
+    * vector (m=8, ksub=16 → 8 nibbles = 4 bytes vs 256 float bytes, a
+    * 64× scan reduction), the per-query LUT (m·ksub entries) rides a
+    * broadcast, and scoring is one zero-join, zero-shuffle fold per
+    * (candidate, query) row followed by a rank<=k filter that Spark 4
+    * plans as WindowGroupLimit — a bounded per-query heap below the
+    * sort. The only shuffles anywhere are the two one-time vid-keyed
+    * aggregations that build the code index; a real ingest fuses
+    * encoding into the write path and stores the packed codes.
+    *
+    * Exactness: every per-element product/square is quantized onto the
+    * shared 1e12 integer grid before its sum (the [[qsum]] pattern),
+    * so encode argmins, LUT entries, and ADC scores are bit-identical
+    * across engines and partition orders — an "approximate" index with
+    * exactly reproducible answers.
+    */
+  def pqSearch(embeddings: DataFrame, queryPred: Column, m: Int = 8,
+      ksub: Int = 16, k: Int = 10, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
+    val e = castVec(embeddings, "vid")
+    // codebook: (j, cid, cw) — the j-th subvector of the ksub lowest ids
+    val cb = e.filter(col("vid") < ksub)
+      .select(col("vid").cast("int").as("cid"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col("vid_v"))
+      .select(col("j"), col("cid"),
+        slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)).as("cw"))
+    def gridFold(terms: Column): Column =
+      aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
+    // encode: nearest codeword per (vector, subspace) — a hash-aggregate
+    // argmin over the ×ksub fanout (partial+final), then one vid-keyed
+    // pack into the m-code array the scan reads
+    val codes = e
+      .join(broadcast(cb), lit(true))
+      .select(col("vid"), col("j"), col("cid"),
+        gridFold(zip_with(
+          slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
+          (x, c) => (x - c) * (x - c))).as("d2q"))
+      .groupBy("vid", "j")
+      .agg(min(struct(col("d2q"), col("cid"))).as("best"))
+      .select(col("vid"), col("j"), col("best.cid").as("code"))
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    // per-query LUT, packed to one array in (j, cid) order so the ADC
+    // fold reads entry j*ksub+code with one element_at
+    val lut = castVec(embeddings.filter(queryPred), "qid")
+      .join(broadcast(cb), lit(true))
+      .select(col("qid"), col("j"), col("cid"),
+        gridFold(zip_with(
+          slice(col("qid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
+          (x, c) => x * c)).as("lamq"))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cid"), col("lamq")))),
+        s => s.getField("lamq")).as("lut"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    codes
+      .join(broadcast(lut), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, j) => acc + element_at(col("lut"),
+            (j * lit(ksub) + element_at(col("codes"), j + lit(1)) + lit(1)).cast("int")))
+          .cast("double") / lit(GRID)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "score")
+  }
+
   /** Spherical Lloyd's k-means over the embedding column — the trainer
     * for real IVF coarse centroids (the declared q_ann_ivf keeps
     * deterministic lowest-id stand-ins so its oracle stays
@@ -473,6 +553,15 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // Product-quantization ADC search: 4-byte codes + a broadcast
+    // per-query LUT — the 64× scan-compression tier of the ANN ladder
+    // (float knn → int8 → PQ), exactly reproducible via the integer
+    // grid.
+    "q_pq_ann" -> { (spark, dir) =>
+      pqSearch(Tables.embeddings(spark, dir), col("vec_id") < 5, 8, 16, 10, 64)
+        .orderBy("qid", "rank")
+    },
+
     // Embedding post-processing statistics: the mean vector and the
     // top principal direction (2 power-iteration rounds), per ABTT.
     "q_pca_power" -> { (spark, dir) =>
@@ -566,6 +655,36 @@ object VectorOps extends graft.QueryModule {
          |  FROM scored)
          |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
+    "q_pq_ann" -> {
+      val (m, ksub, sub, k) = (8, 16, 8, 10)
+      // per-element grid quantization then integer sums — order-free,
+      // so the oracle needs no fold-order coupling with Spark
+      def gsum(term: String) =
+        s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |js AS (SELECT unnest(range(0, $m)) AS j),
+         |cb AS (SELECT js.j, e.vec_id AS cid, e.v AS cw FROM e, js WHERE e.vec_id < $ksub),
+         |enc AS (
+         |  SELECT a.vec_id AS vid, c.j, c.cid,
+         |    ${gsum("(a.v[c.j*" + sub + "+i] - c.cw[c.j*" + sub + "+i]) * (a.v[c.j*" + sub + "+i] - c.cw[c.j*" + sub + "+i])")} AS d2q
+         |  FROM e a, cb c),
+         |codes AS (
+         |  SELECT vid, j, cid AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid, j ORDER BY d2q, cid) AS rn
+         |    FROM enc) t WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS qid, c.j, c.cid,
+         |    ${gsum("q.v[c.j*" + sub + "+i] * c.cw[c.j*" + sub + "+i]")} AS lamq
+         |  FROM e q, cb c WHERE q.vec_id < 5),
+         |sc AS (
+         |  SELECT l.qid, kd.vid, sum(l.lamq) AS sq
+         |  FROM codes kd JOIN lut l ON kd.j = l.j AND kd.code = l.cid
+         |  WHERE l.qid <> kd.vid GROUP BY l.qid, kd.vid)
+         |SELECT qid, rank, vid, score FROM (
+         |  SELECT qid, vid, CAST(sq AS DOUBLE) / 1e12 AS score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rank
+         |  FROM sc) z WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+    },
     "q_quantized_knn" -> {
       val dims = 64
       val maxabs = (1 to dims).map(i => s"abs(v[$i])").mkString("greatest(", ", ", ")")

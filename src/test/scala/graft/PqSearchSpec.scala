@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.VectorOps
+
+/** Behavior tests for the product-quantization ADC search beyond the
+  * oracle hash: codebook self-encoding exactness and measured recall
+  * against the exact dot-product ranking.
+  */
+class PqSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("a codebook constituent's ADC score equals its exact quantized dot") {
+    // vectors 0..15 ARE the codewords, so each encodes to itself in
+    // every subspace, its PQ reconstruction is itself, and ADC against
+    // any query must equal the grid-quantized exact dot product — the
+    // zero-quantization-error corner pins the whole encode+LUT+fold
+    // path
+    val adc = VectorOps.pqSearch(emb, col("vec_id") < 5, 8, 16, 500, 64)
+      .filter(col("vid") < 16)
+      .select("qid", "vid", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (q <- 0L until 5L; v <- 0L until 16L if q != v) {
+      val exact = vecs(q).zip(vecs(v))
+        .map { case (a, b) => math.floor(a * b * 1e12 + 0.5).toLong }.sum / 1e12
+      assert(adc((q, v)) === exact, s"ADC(q=$q, v=$v) != exact quantized dot")
+    }
+  }
+
+  test("ADC top-10 keeps useful overlap with the exact dot-product top-10") {
+    // 16 codewords x 8 subspaces on isotropic random vectors is the
+    // WORST case for PQ (no cluster structure to quantize onto), like
+    // the LSH overlap measurements in PERF.md — the assertion pins a
+    // non-collapsing floor, not production recall
+    val exact = emb.as("q").filter(col("q.vec_id") < 5)
+      .crossJoin(emb.as("c")).filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("vid"),
+        aggregate(zip_with(col("q.embedding").cast("array<double>"),
+            col("c.embedding").cast("array<double>"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dot").desc, col("vid"))
+    val exactTop = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcTop = VectorOps.pqSearch(emb, col("vec_id") < 5, 8, 16, 10, 64)
+      .select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exactTop intersect adcTop).size.toDouble / exactTop.size
+    info(f"PQ top-10 overlap vs exact dot: $overlap%.2f")
+    assert(overlap >= 0.1, s"PQ recall collapsed: $overlap")
+  }
+}
