@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * scaling of the chosen plans before they ever see a cluster.
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
   * `sections` = comma-separated subset of
-  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe
+  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq
   * (default all) — the emb section's exact all-pairs baseline is
   * minutes at 8×, so targeted probes shouldn't have to pay for it.
   */
@@ -18,7 +18,8 @@ object ScaleProbe {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("relational", "dedup", "emb", "cdc", "quota", "prefix", "pipeline", "bpe")
+      else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
+        "pipeline", "bpe", "classify", "pq")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -330,6 +331,41 @@ object ScaleProbe {
         .agg(expr("percentile(l_quantity, 0.5)")).count()
     }
     liq.unpersist()
+    }
+
+    if (sections("classify")) {
+    // learned selection: one token pass reduced to (doc, bucket)
+    // counts + a broadcast O(B)/(B·C) model join — the claim is the
+    // same linear-in-corpus family as quality scoring, with no new
+    // shuffle class as docs (and with them, classes' token mass) grow
+    time("dsir_weights") {
+      graft.ops.Classify.dsirWeights(docs).count()
+    }
+    time("nb_confusion") {
+      graft.ops.Classify.nbConfusion(docs).count()
+    }
+    }
+
+    if (sections("pq")) {
+    // PQ: the two one-time code-build aggregates + the zero-shuffle
+    // ADC scan. Rotated replicas (norm-preserving) grow the corpus
+    // without colliding codes; the scan should scale linearly and the
+    // LUT build not at all (it reads only the ksub codewords).
+    val eFactor = math.min(factor, 8)
+    val emb = (0 until eFactor).map { i =>
+      val k = i % 64
+      val rot = if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", rot)
+    }.reduce(_ unionByName _).persist()
+    println(s"[scale] embeddings ${emb.count()} rows (${eFactor}x, for pq)")
+    time("pq_adc_search") {
+      graft.ops.VectorOps.pqSearch(emb, col("vec_id") < 5, 8, 16, 10, 64).count()
+    }
+    emb.unpersist()
     }
 
     if (sections("bpe")) {

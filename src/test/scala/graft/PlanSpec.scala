@@ -199,4 +199,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_dsir_weights broadcasts the O(B) model table into the doc-bucket stream") {
+    // the token pass reduces to (doc, bucket) counts BEFORE any join;
+    // the lambda table (<= 256 rows) must ride a broadcast, never a
+    // shuffled join against the corpus
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_nb_classify broadcasts the bucket-class grid and priors; argmax is a hash aggregate") {
+    val p = plan("q_nb_classify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-doc argmax is min(struct(...)) — partial+final aggregate,
+    // not a per-doc window sort
+    assert(!p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_pq_ann: ADC scoring never shuffles — LUT rides a broadcast, top-k is WindowGroupLimit") {
+    val p = plan("q_pq_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
