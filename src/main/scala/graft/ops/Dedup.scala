@@ -415,6 +415,60 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Intra-document span dedup — the WITHIN-doc sibling of
+    * [[spanDupStats]] and the removal form of q_repetition's signals:
+    * any k-token span that already occurred earlier in the SAME
+    * document marks its whole occurrence for removal (keep-first), and
+    * the surviving token sequence is fingerprinted in position order —
+    * the C4/Gopher-style cleaner for template-heavy pages (repeated
+    * nav/footer furniture), run before corpus-level dedup so in-page
+    * repetition cannot dominate a document's shingle set. The
+    * reference's pipeline has no notion of this (app.py:1-187 counts
+    * every occurrence); it is north-star curation surface.
+    *
+    * Rule: position p is dropped iff SOME span occurrence covering p
+    * is a repeat (its span's first in-doc start is strictly earlier).
+    * Pure set logic over (doc_id, pos) — no floats, no ordering
+    * hazard, so the oracle needs no quantization at all.
+    *
+    * Scale shape: ONE corpus tokenization feeds both the span stream
+    * and the survivor pass (persisted (doc,pos,term) frame); first
+    * occurrences are a (doc_id, span)-keyed hash aggregate (span keys
+    * spread template-heavy corpora better than doc keys), repeats
+    * explode to ≤ k positions each, and the survivor anti-join plus
+    * fingerprint are doc-keyed. Everything O(corpus tokens × k); at
+    * 100 TB the span key would be [[Shingles.hash32]]'d before the
+    * shuffle (elided so the oracle stays string-exact).
+    */
+  def intraDocDedup(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = graft.text.Shingles.tokensWithPos(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sp = graft.text.Shingles.spansFromTokens(tok, k)
+    val first = sp.groupBy("doc_id", "span").agg(min(col("pos")).as("first_pos"))
+    val dropped = sp.join(first, Seq("doc_id", "span"))
+      .filter(col("pos") > col("first_pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = tok
+      .join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            p => p.getField("term")))).as("kept_md5"))
+    val out = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_tokens").cast("double"))
+          .as("kept_frac"),
+        col("kept_md5"))
+      .localCheckpoint(true)
+    tok.unpersist(false)
+    out
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame = simhash(docs)
 
@@ -843,6 +897,14 @@ object Dedup extends graft.QueryModule {
       spanDupStats(Tables.documents(spark, dir), 8).orderBy("doc_id")
     },
 
+    // Intra-doc keep-first span removal (k=3, the Gopher duplicate
+    // n-gram granularity — this data has real 3-token repeats at every
+    // SF, so the kept fingerprints discriminate; k=8 would be vacuous
+    // here). Emits the cleaned sequence's md5, not just a fraction.
+    "q_intradoc_dedup" -> { (spark, dir) =>
+      intraDocDedup(Tables.documents(spark, dir), 3).orderBy("doc_id")
+    },
+
     "q_semantic_dedup" -> { (spark, dir) =>
       semanticDedup(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
         0.5, 0.9).orderBy("d1", "d2")
@@ -1058,6 +1120,35 @@ object Dedup extends graft.QueryModule {
            |  CAST(c.dup_tokens AS DOUBLE) / t.n_tokens AS dup_frac
            |FROM cov c JOIN tot t ON c.doc_id = t.doc_id
            |ORDER BY c.doc_id""".stripMargin,
+      "q_intradoc_dedup" ->
+        s"""WITH tokp AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |sp AS (${Shingles.spansWithPosSql(3)}),
+           |firsts AS (
+           |  SELECT doc_id, span, min(pos) AS first_pos
+           |  FROM sp GROUP BY doc_id, span),
+           |dropped AS (
+           |  SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT sp.doc_id, unnest(generate_series(sp.pos, sp.pos + 2)) AS pos
+           |    FROM sp JOIN firsts f
+           |      ON sp.doc_id = f.doc_id AND sp.span = f.span
+           |    WHERE sp.pos > f.first_pos) z),
+           |kept AS (
+           |  SELECT t.doc_id, count(*) AS n_kept,
+           |    md5(string_agg(t.term, ' ' ORDER BY t.pos)) AS kept_md5
+           |  FROM tokp t LEFT JOIN dropped d
+           |    ON t.doc_id = d.doc_id AND t.pos = d.pos
+           |  WHERE d.doc_id IS NULL GROUP BY t.doc_id),
+           |tot AS (
+           |  SELECT doc_id, count(*) AS n_tokens FROM tokp GROUP BY doc_id)
+           |SELECT tot.doc_id, tot.n_tokens, k.n_kept,
+           |  CAST(k.n_kept AS DOUBLE) / tot.n_tokens AS kept_frac, k.kept_md5
+           |FROM tot JOIN kept k ON tot.doc_id = k.doc_id
+           |ORDER BY tot.doc_id""".stripMargin,
       "q_semantic_dedup" ->
         s"""WITH $shingleHashCte,
            |sigs AS (

@@ -32,13 +32,20 @@ object Shingles {
     * 1-based split positions ([[tokensWithPos]]); with no empty tokens
     * in the text they are dense token indexes.
     */
-  def spansWithPos(docs: DataFrame, n: Int): DataFrame = {
+  def spansWithPos(docs: DataFrame, n: Int): DataFrame =
+    spansFromTokens(tokensWithPos(docs), n)
+
+  /** [[spansWithPos]] over an already-materialized (doc_id, pos, term)
+    * frame — lets a caller that needs BOTH the token stream and its
+    * spans pay for one corpus tokenization instead of two.
+    */
+  def spansFromTokens(tok: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts: Seq[Column] = (0 until n).flatMap { i =>
       val t = if (i == 0) col("term") else lead(col("term"), i).over(w)
       if (i == 0) Seq(t) else Seq(lit(" "), t)
     }
-    tokensWithPos(docs)
+    tok
       .withColumn("span", concat(parts: _*))
       .filter(col("span").isNotNull)
       .select("doc_id", "pos", "span")

@@ -227,4 +227,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
       === Seq((1L, 2L, 10L, -5.0), (2L, 2L, 21L, -0.5)))
   }
+
+  test("intraDocDedup keeps the first span occurrence and drops the repeat") {
+    import spark.implicits._
+    // "a b c X a b c": the second 'a b c' (positions 5-7) is a repeat
+    // of the span first seen at position 1 -> keep-first leaves
+    // 'a b c X'; a doc with no repeats survives untouched
+    val d = Seq((1L, "a b c X a b c"), (2L, "p q r s")).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(d, 3).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 7L && out(0).getLong(2) === 4L)
+    val cleanMd5 = Dedup.intraDocDedup(
+      Seq((9L, "a b c X")).toDF("doc_id", "text"), 3)
+      .select("kept_md5").head.getString(0)
+    assert(out(0).getString(4) === cleanMd5,
+      "kept fingerprint must equal the fingerprint of the cleaned text")
+    assert(out(1).getLong(1) === 4L && out(1).getLong(2) === 4L)
+    assert(out(1).getDouble(3) === 1.0)
+  }
+
+  test("intraDocDedup is non-vacuous on the testdata: some doc loses tokens at k=3") {
+    // the declared query runs k=3 BECAUSE the corpus has real 3-token
+    // in-doc repeats at every sf (k=8 has none) — guard that stays true
+    val out = Dedup.intraDocDedup(docs, 3)
+    assert(out.filter(org.apache.spark.sql.functions.col("n_kept") <
+      org.apache.spark.sql.functions.col("n_tokens")).count() > 0)
+  }
 }
