@@ -75,7 +75,11 @@ object Classify extends graft.QueryModule {
     * count, total and per-token weight, and the target flag — the
     * exact frame a resampler consumes.
     */
-  def dsirWeights(docs: DataFrame): DataFrame = {
+  /** The fitted DSIR model: (target source, (bucket, lam) table).
+    * lam is the smoothed log-ratio, already DECIMAL(28,6)-quantized —
+    * ≤ B rows, broadcastable anywhere.
+    */
+  def dsirLambda(docs: DataFrame): (String, DataFrame) = {
     val tok = bucketedTokens(docs)
     val target = docs.agg(min(col("source"))).head.getString(0)
     val raw = tok.groupBy("bucket").agg(count(lit(1)).as("raw_cnt"))
@@ -92,6 +96,27 @@ object Classify extends graft.QueryModule {
       .select(col("bucket"),
         (smoothedLogP(col("tgt_cnt"), col("n_tgt")) -
           smoothedLogP(col("raw_cnt"), col("n_raw"))).as("lam"))
+    (target, lam)
+  }
+
+  /** The DSIR model packed for serving: ONE row carrying the target
+    * label and the whole lambda table as a bucket→micro-lambda map
+    * (lam·1e6 as long — exact, since lam is decimal at 6dp). A scorer
+    * cross-joins this row and folds tokens against the map per row:
+    * zero shuffles, which is what lets [[graft.streaming.DocStream
+    * .scoreOnIngest]] apply the model to a document STREAM statelessly.
+    */
+  def dsirModel(docs: DataFrame): DataFrame = {
+    val (target, lam) = dsirLambda(docs)
+    lam
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        (col("lam") * lit(1000000)).cast("long")))).as("lam_micro"))
+      .withColumn("target_source", lit(target))
+  }
+
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val tok = bucketedTokens(docs)
+    val (target, lam) = dsirLambda(docs)
     tok
       .groupBy("doc_id", "source", "bucket")
       .agg(count(lit(1)).as("cnt"))

@@ -92,6 +92,39 @@ object DocStream {
       }
       .start()
 
+  /** Model scoring on ingest: apply a batch-fitted DSIR model
+    * ([[graft.ops.Classify.dsirModel]] — one row: target label +
+    * bucket→micro-lambda map) to arriving documents. The model row
+    * rides a broadcast stream-static cross join and each document is
+    * scored by a per-row fold over its own tokens against the map —
+    * stateless, zero shuffles, so the stream scales with partition
+    * count alone and the SAME transform serves batch backfill
+    * (DocStreamSpec asserts stream == batch == the declared
+    * q_dsir_weights, exactly: micro-lambda longs sum to the identical
+    * decimal total the batch join-aggregate produces).
+    *
+    * Serving-time divergence, by design: a token bucket the model
+    * never saw (possible on live data, impossible in the batch query
+    * that trains and scores on the same corpus) contributes a neutral
+    * 0 instead of failing the lookup.
+    */
+  def scoreOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs.crossJoin(broadcast(model))
+      .withColumn("toks", toks)
+      .withColumn("w_micro", aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + coalesce(
+          element_at(col("lam_micro"),
+            graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)),
+          lit(0L))))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (col("source") === col("target_source")).cast("int").as("is_target"),
+        (col("w_micro").cast("double") / lit(1e6)).as("weight"),
+        (col("w_micro").cast("double") / lit(1e6) /
+          size(col("toks")).cast("double")).as("weight_per_token"))
+  }
+
   /** Streaming near-dup detection on ingest: every micro-batch of new
     * documents is deduped against the STATIC historical signature index
     * via [[graft.ops.Dedup.incrementalCandidates]] — the streaming face

@@ -44,6 +44,30 @@ class DocStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == b.count())
   }
 
+  test("streaming DSIR scoring == batch scoring == the declared q_dsir_weights") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    // a real deployment reads the fitted model from a table; pin it so
+    // the stream doesn't re-fit per micro-batch
+    val model = graft.ops.Classify.dsirModel(docs).localCheckpoint(true)
+    val q = DocStream.scoreOnIngest(DocStream.readDocs(spark, dir), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_scored")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    val streamed = canon(spark.table("dsir_scored").collect())
+    val batchScored = canon(DocStream.scoreOnIngest(docs, model).collect())
+    val declared = canon(graft.ops.Classify.dsirWeights(docs)
+      .select("doc_id", "source", "n_tokens", "is_target", "weight", "weight_per_token")
+      .collect())
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batchScored), "stream != batch for the same transform")
+    assert(streamed.sameElements(declared),
+      "per-row fold scoring != the declared join-aggregate weights")
+  }
+
   test("streaming dedup-on-ingest == batch incremental dedup against the same index") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
