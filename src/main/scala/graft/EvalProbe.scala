@@ -105,6 +105,30 @@ object EvalProbe {
     val qHit = exactDot.join(quantTop, Seq("qid", "vid"), "left_semi").count()
     println(f"[eval] int8_top10_overlap   ${qHit.toDouble / nDot}%.3f  ($qHit/$nDot)")
 
+    // PQ ADC fidelity ladder: top-10 overlap vs the exact dot ranking
+    // as the subspace count grows — the compression/recall dial (m
+    // subspaces × 16 codewords = m/2 bytes of codes per vector; more,
+    // shorter subspaces quantize finer). Same worst-case isotropic
+    // caveat as the LSH numbers above.
+    val pqTruth = {
+      val q = e.select(col("vec_id").as("qid"), col("v").as("qv")).filter(col("qid") < 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dot").desc, col("vid"))
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (s, x) -> s + x)").as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vid")
+    }
+    val nPqTruth = pqTruth.count()
+    for (m <- Seq(4, 8, 16)) {
+      val g = graft.ops.VectorOps.pqSearch(emb, col("vec_id") < 5, m, 16, 10, 64)
+        .select("qid", "vid")
+      val h = pqTruth.join(g, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] pq_m$m%-2d_top10_overlap ${h.toDouble / nPqTruth}%.3f  ($h/$nPqTruth)")
+    }
+
     // BPE compression ladder: corpus chars per subword as the merge
     // count grows — the quality curve a tokenizer budget is chosen
     // from (k=0 is the character baseline, ratio 1.0 by construction)
