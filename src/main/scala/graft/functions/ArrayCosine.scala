@@ -93,5 +93,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "array_dot_long", exprs => ArrayDotLong(exprs(0), exprs(1)), "built-in")
     }
+    val adcId = org.apache.spark.sql.catalyst.FunctionIdentifier("adc_score_long")
+    if (!reg.functionExists(adcId)) {
+      reg.createOrReplaceTempFunction(
+        "adc_score_long", exprs => AdcScoreLong(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

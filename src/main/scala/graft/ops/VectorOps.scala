@@ -271,6 +271,7 @@ object VectorOps extends graft.QueryModule {
     */
   def pqSearch(embeddings: DataFrame, queryPred: Column, m: Int = 8,
       ksub: Int = 16, k: Int = 10, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
     val e = castVec(embeddings, "vid")
@@ -304,17 +305,17 @@ object VectorOps extends graft.QueryModule {
       .select(col("qid"), col("j"), col("cid"),
         gridFold(zip_with(
           slice(col("qid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
-          (x, c) => x * c)).as("lamq"))
+          (x, c) => x * c)).cast("long").as("lamq"))
       .groupBy("qid")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cid"), col("lamq")))),
         s => s.getField("lamq")).as("lut"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    // per-candidate score via the codegen'd ADC kernel — the scan's
+    // entire per-row work is this one fused m-lookup loop
     codes
       .join(broadcast(lut), col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"),
-        (aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-          (acc, j) => acc + element_at(col("lut"),
-            (j * lit(ksub) + element_at(col("codes"), j + lit(1)) + lit(1)).cast("int")))
+        (call_function("adc_score_long", col("codes"), col("lut"))
           .cast("double") / lit(GRID)).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
