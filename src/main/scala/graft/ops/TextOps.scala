@@ -236,6 +236,45 @@ object TextOps extends graft.QueryModule {
     * engines); the final mean is one double division, identical on
     * both.
     */
+  /** Bigram-LM perplexity proxy — the CCNet direction one order up
+    * from [[unigramNll]]: per-doc mean −ln p(term | prev) under the
+    * corpus's add-one-smoothed bigram model (p = (c₂+1)/(c₁+V), V =
+    * corpus type count). Context-aware NLL separates locally-fluent
+    * text from bag-of-frequent-words spam that the unigram score
+    * cannot tell apart (same tokens, scrambled order — spec-pinned).
+    * Per-token −ln p quantizes to DECIMAL(28,6) before the exact
+    * per-doc sum, the shared cross-engine determinism pattern.
+    *
+    * Scale shape: one doc-keyed lag window builds the bigram stream;
+    * the model tables derive from the SAME stream (two grouped
+    * aggregates) and join back on their own keys — token-stream-sized
+    * equi-joins on (prev, term) / (prev), the shape AQE re-plans
+    * freely; only the one-row V total touches the driver. At 100 TB
+    * the bigram key would be hash32'd before the shuffles.
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = graft.text.Shingles.tokensWithPos(docs)
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val v = TfIdf.tokens(docs).select("term").distinct().count().toDouble
+    val c2 = big.groupBy("prev", "term").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("prev").agg(count(lit(1)).as("c1"))
+    big
+      .join(c2, Seq("prev", "term"))
+      .join(c1, Seq("prev"))
+      .select(col("doc_id"),
+        (-log((col("c2").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + lit(v))))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("nll"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("nll")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_nll"))
+  }
+
   def unigramNll(docs: DataFrame): DataFrame = {
     val tok = TfIdf.tokens(docs)
     val total = tok.count().toDouble
@@ -647,6 +686,12 @@ object TextOps extends graft.QueryModule {
       unigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // The context-aware step up: per-doc mean bigram NLL under the
+    // corpus add-one bigram LM — order-sensitive where unigram is not.
+    "q_bigram_nll" -> { (spark, dir) =>
+      bigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
     // Concatenate-and-chunk sequence packing into 256-token training
     // windows, via the distributed two-phase prefix sum.
     "q_pack_sequences" -> { (spark, dir) =>
@@ -840,6 +885,32 @@ object TextOps extends graft.QueryModule {
            |    CAST(-ln(CAST(cnt AS DOUBLE) / (SELECT n FROM tot)) AS DECIMAL(28,6)) AS nll
            |  FROM tok JOIN uni USING (term))
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+           |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_bigram_nll" ->
+        s"""WITH tokp AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |big AS (
+           |  SELECT doc_id, prev, term FROM (
+           |    SELECT doc_id, term,
+           |      lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |    FROM tokp) b WHERE prev IS NOT NULL),
+           |c2 AS (SELECT prev, term, count(*) AS c2 FROM big GROUP BY prev, term),
+           |c1 AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev),
+           |v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tokp),
+           |per AS (
+           |  SELECT b.doc_id,
+           |    CAST(-ln((CAST(c2.c2 AS DOUBLE) + 1.0) /
+           |             (CAST(c1.c1 AS DOUBLE) + (SELECT v FROM v)))
+           |      AS DECIMAL(28,6)) AS nll
+           |  FROM big b
+           |  JOIN c2 ON b.prev = c2.prev AND b.term = c2.term
+           |  JOIN c1 ON b.prev = c1.prev)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // oracle states the SPEC (one global-window cumsum); the engine's
