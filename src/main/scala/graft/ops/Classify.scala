@@ -114,10 +114,16 @@ object Classify extends graft.QueryModule {
       .withColumn("target_source", lit(target))
   }
 
-  def dsirWeights(docs: DataFrame): DataFrame = {
+  /** Per-doc weights with the sum kept EXACT (decimal wsum) — the
+    * shared core of [[dsirWeights]] (display form) and
+    * [[dsirResample]] (integer-micro ranking form; a double→decimal
+    * round-trip between the two would reopen the cross-engine
+    * shortest-repr cast hazard PERF.md documents).
+    */
+  private def dsirWsum(docs: DataFrame): (String, DataFrame) = {
     val tok = bucketedTokens(docs)
     val (target, lam) = dsirLambda(docs)
-    tok
+    val w = tok
       .groupBy("doc_id", "source", "bucket")
       .agg(count(lit(1)).as("cnt"))
       .join(broadcast(lam), "bucket")
@@ -125,12 +131,49 @@ object Classify extends graft.QueryModule {
       .agg(
         sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("lam")).as("wsum"))
+    (target, w)
+  }
+
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val (target, w) = dsirWsum(docs)
+    w.select(col("doc_id"), col("source"),
+      col("n_tokens"),
+      (col("source") === lit(target)).cast("int").as("is_target"),
+      col("wsum").cast("double").as("weight"),
+      (col("wsum").cast("double") / col("n_tokens").cast("double"))
+        .as("weight_per_token"))
+  }
+
+  /** The DSIR selection step itself: Gumbel-top-k importance
+    * resampling (sample-without-replacement ∝ exp(w), Xie et al. §2 /
+    * Vieira 2014) made fully deterministic — the Gumbel noise comes
+    * from the doc's own salted hash (u = (hash+0.5)/2³², g =
+    * −ln(−ln u)) instead of an RNG, so the selected set is a pure
+    * function of the corpus, reproducible across engines, cluster
+    * sizes, and reruns (the property a resumable curation job needs;
+    * same rationale as q_weighted_sample and q_shuffle_rank).
+    *
+    * Ranking is exact: the weight rides as integer micro-units
+    * (decimal·1e6 → long) and the Gumbel term is floor-quantized onto
+    * the same grid — pure IEEE ops, so both engines rank the identical
+    * longs and doc_id breaks ties. Selection is orderBy+limit →
+    * TakeOrderedAndProject: no global window, any corpus size.
+    */
+  def dsirResample(docs: DataFrame, n: Int = 50): DataFrame = {
+    val (target, w) = dsirWsum(docs)
+    val u = (Shingles.hash32(concat(lit("dsir:"), col("doc_id"))) + lit(0.5)) /
+      lit(4294967296.0)
+    w
+      .withColumn("w_micro", (col("wsum") * lit(1000000)).cast("long"))
+      .withColumn("g_micro",
+        floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("key_micro", col("w_micro") + col("g_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(n)
       .select(col("doc_id"), col("source"),
-        col("n_tokens"),
         (col("source") === lit(target)).cast("int").as("is_target"),
-        col("wsum").cast("double").as("weight"),
-        (col("wsum").cast("double") / col("n_tokens").cast("double"))
-          .as("weight_per_token"))
+        (col("w_micro").cast("double") / lit(1e6)).as("weight"),
+        (col("key_micro").cast("double") / lit(1e6)).as("sel_key"))
   }
 
   /** Multinomial Naive Bayes domain classifier with a real held-out
@@ -198,6 +241,11 @@ object Classify extends graft.QueryModule {
     // confusion counts.
     "q_nb_classify" -> { (spark, dir) =>
       nbConfusion(Tables.documents(spark, dir))
+    },
+    // The DSIR selection step: deterministic Gumbel-top-50 importance
+    // resample, ranked on exact integer micro-keys.
+    "q_dsir_resample" -> { (spark, dir) =>
+      dsirResample(Tables.documents(spark, dir), 50).orderBy("doc_id")
     }
   )
 
@@ -242,6 +290,44 @@ object Classify extends graft.QueryModule {
          |FROM per p JOIN lam l ON p.bucket = l.bucket
          |GROUP BY p.doc_id, p.source
          |ORDER BY p.doc_id""".stripMargin,
+    "q_dsir_resample" -> {
+      val u = s"((${Shingles.hash32Sql("'dsir:' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0"
+      s"""WITH $tokCte,
+         |tgt_src AS (SELECT min(source) AS s FROM documents),
+         |raw AS (SELECT bucket, count(*) AS raw_cnt FROM tok GROUP BY bucket),
+         |tgt AS (
+         |  SELECT bucket, count(*) AS tgt_cnt FROM tok
+         |  WHERE source = (SELECT s FROM tgt_src) GROUP BY bucket),
+         |tot AS (
+         |  SELECT count(*) AS n_raw,
+         |    sum(CASE WHEN source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END) AS n_tgt
+         |  FROM tok),
+         |lam AS (
+         |  SELECT r.bucket,
+         |    ${logp("coalesce(t.tgt_cnt, 0)", "(SELECT n_tgt FROM tot)")}
+         |    - ${logp("r.raw_cnt", "(SELECT n_raw FROM tot)")} AS lam
+         |  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket),
+         |per AS (
+         |  SELECT doc_id, source, bucket, count(*) AS cnt
+         |  FROM tok GROUP BY doc_id, source, bucket),
+         |w AS (
+         |  SELECT p.doc_id, p.source,
+         |    CAST(sum(p.cnt * l.lam) * 1000000 AS BIGINT) AS w_micro
+         |  FROM per p JOIN lam l ON p.bucket = l.bucket
+         |  GROUP BY p.doc_id, p.source),
+         |keyed AS (
+         |  SELECT doc_id, source, w_micro,
+         |    w_micro + CAST(floor(-ln(-ln($u)) * 1e6 + 0.5) AS BIGINT) AS key_micro
+         |  FROM w),
+         |sel AS (
+         |  SELECT * FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 50)
+         |SELECT doc_id, source,
+         |  CAST(CASE WHEN source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END AS INT)
+         |    AS is_target,
+         |  CAST(w_micro AS DOUBLE) / 1e6 AS weight,
+         |  CAST(key_micro AS DOUBLE) / 1e6 AS sel_key
+         |FROM sel ORDER BY doc_id""".stripMargin
+    },
     "q_nb_classify" ->
       s"""WITH $tokCte,
          |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),

@@ -46,6 +46,17 @@ class ClassifySpec extends AnyFunSuite {
     assert(mx === 0.0, s"uniform corpus should weight 0, got max |w| = $mx")
   }
 
+  test("dsirResample: selection shifts the mix toward the target domain") {
+    // the corpus is 1/20 target; Gumbel-top-k ∝ exp(w) must over-select
+    // target docs (their weights are positive by the avg-separation
+    // property above) — the whole point of importance resampling
+    val sel = Classify.dsirResample(docs, 50)
+    val nTgt = sel.filter(col("is_target") === 1).count()
+    assert(sel.count() === 50L)
+    assert(nTgt.toDouble / 50.0 > 1.0 / 20.0,
+      s"selected target fraction ${nTgt / 50.0} not above the corpus rate 0.05")
+  }
+
   test("nbConfusion: counts cover every odd test doc exactly once") {
     val conf = Classify.nbConfusion(docs)
     val total = conf.agg(sum("n_docs")).head.getLong(0)
