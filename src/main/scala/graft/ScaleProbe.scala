@@ -344,6 +344,14 @@ object ScaleProbe {
     time("nb_confusion") {
       graft.ops.Classify.nbConfusion(docs).count()
     }
+    // the two r7-late text passes: doc-keyed lag window + model joins
+    // (bigram) and span-keyed argmin + doc-keyed anti join (intradoc)
+    time("bigram_nll") {
+      graft.ops.TextOps.bigramNll(docs).count()
+    }
+    time("intradoc_dedup") {
+      graft.ops.Dedup.intraDocDedup(docs, 3).count()
+    }
     }
 
     if (sections("pq")) {

@@ -80,8 +80,11 @@ object Classify extends graft.QueryModule {
     * ≤ B rows, broadcastable anywhere.
     */
   def dsirLambda(docs: DataFrame): (String, DataFrame) = {
-    val tok = bucketedTokens(docs)
     val target = docs.agg(min(col("source"))).head.getString(0)
+    (target, lambdaFrom(bucketedTokens(docs), target))
+  }
+
+  private def lambdaFrom(tok: DataFrame, target: String): DataFrame = {
     val raw = tok.groupBy("bucket").agg(count(lit(1)).as("raw_cnt"))
     val tgt = tok.filter(col("source") === lit(target))
       .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
@@ -89,14 +92,13 @@ object Classify extends graft.QueryModule {
       count(lit(1)).as("n_raw"),
       sum(when(col("source") === lit(target), 1L).otherwise(0L)).as("n_tgt"))
     // model table: ≤ B rows joined to the one-row totals — broadcast
-    val lam = raw
+    raw
       .join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("tgt_cnt"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         (smoothedLogP(col("tgt_cnt"), col("n_tgt")) -
           smoothedLogP(col("raw_cnt"), col("n_raw"))).as("lam"))
-    (target, lam)
   }
 
   /** The DSIR model packed for serving: ONE row carrying the target
@@ -121,16 +123,22 @@ object Classify extends graft.QueryModule {
     * shortest-repr cast hazard PERF.md documents).
     */
   private def dsirWsum(docs: DataFrame): (String, DataFrame) = {
+    // ONE materialized tokenize+hash pass feeds all four aggregates
+    // (raw counts, target counts, totals, per-doc) — unpersisted, the
+    // corpus scan runs once per subtree (measured ~4× at 10× corpus)
     val tok = bucketedTokens(docs)
-    val (target, lam) = dsirLambda(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = docs.agg(min(col("source"))).head.getString(0)
     val w = tok
       .groupBy("doc_id", "source", "bucket")
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(lam), "bucket")
+      .join(broadcast(lambdaFrom(tok, target)), "bucket")
       .groupBy("doc_id", "source")
       .agg(
         sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("lam")).as("wsum"))
+      .localCheckpoint(true)
+    tok.unpersist(false)
     (target, w)
   }
 
