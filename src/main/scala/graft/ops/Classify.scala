@@ -122,7 +122,12 @@ object Classify extends graft.QueryModule {
     * round-trip between the two would reopen the cross-engine
     * shortest-repr cast hazard PERF.md documents).
     */
-  private def dsirWsum(docs: DataFrame): (String, DataFrame) = {
+  /** The weight pipeline, lazily: (target, plan, persisted token
+    * frame). PlanSpec asserts the broadcast shape here, BEFORE
+    * localCheckpoint truncates the executed plan to an ExistingRDD
+    * scan (the ivfSearchLazy convention).
+    */
+  private[graft] def dsirWsumLazy(docs: DataFrame): (String, DataFrame, DataFrame) = {
     // ONE materialized tokenize+hash pass feeds all four aggregates
     // (raw counts, target counts, totals, per-doc) — unpersisted, the
     // corpus scan runs once per subtree (measured ~4× at 10× corpus)
@@ -137,7 +142,12 @@ object Classify extends graft.QueryModule {
       .agg(
         sum(col("cnt")).as("n_tokens"),
         sum(col("cnt") * col("lam")).as("wsum"))
-      .localCheckpoint(true)
+    (target, w, tok)
+  }
+
+  private def dsirWsum(docs: DataFrame): (String, DataFrame) = {
+    val (target, wLazy, tok) = dsirWsumLazy(docs)
+    val w = wLazy.localCheckpoint(true)
     tok.unpersist(false)
     (target, w)
   }

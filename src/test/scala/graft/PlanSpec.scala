@@ -200,11 +200,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q_dsir_weights broadcasts the O(B) model table into the doc-bucket stream") {
+  test("dsir weights broadcast the O(B) model table into the doc-bucket stream") {
     // the token pass reduces to (doc, bucket) counts BEFORE any join;
     // the lambda table (<= 256 rows) must ride a broadcast, never a
-    // shuffled join against the corpus
-    val p = plan("q_dsir_weights")
+    // shuffled join against the corpus. Asserted on the lazy pipeline —
+    // the declared query localCheckpoints, truncating its shown plan
+    // to an ExistingRDD scan (the ivfSearchLazy convention)
+    val docs = graft.core.Tables.documents(spark, dir)
+    val (_, wLazy, tok) = graft.ops.Classify.dsirWsumLazy(docs)
+    val p = wLazy.queryExecution.executedPlan.toString
+    tok.unpersist(false)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -223,5 +228,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_dsir_resample selects via TakeOrderedAndProject — no global sort or window") {
+    val p = plan("q_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_bigram_nll and q_intradoc_dedup never go cartesian") {
+    for (q <- Seq("q_bigram_nll", "q_intradoc_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
   }
 }
