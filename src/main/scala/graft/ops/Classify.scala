@@ -249,6 +249,49 @@ object Classify extends graft.QueryModule {
       .orderBy("source", "predicted")
   }
 
+  /** The fitted NB model packed for serving, one row (same convention
+    * as [[dsirModel]]): sorted class names, aligned per-class log
+    * priors and unseen-bucket smoothing defaults (both micro-longs —
+    * 6dp decimals ·1e6, exact), and the (bucket·C + classIdx) →
+    * micro-log-likelihood map. Everything a per-row argmax scorer
+    * needs rides one broadcast; size is O(B·C) by the hashing trick.
+    */
+  def nbModel(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def micro(c: Column): Column = (c * lit(1000000)).cast("long")
+    val train = bucketedTokens(docs).filter(col("doc_id") % 2 === 0)
+    val clsTok = train.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("source", "cls")
+    val clsTot = clsTok.groupBy("cls").agg(sum(col("cnt")).as("tot"))
+    val nTrain = docs.filter(col("doc_id") % 2 === 0).agg(count(lit(1)).as("n_train"))
+    val clsIdx = clsTot
+      .withColumn("ci", row_number().over(Window.orderBy("cls")) - 1)
+    val meta = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumnRenamed("source", "cls")
+      .join(clsIdx, "cls")
+      .crossJoin(broadcast(nTrain))
+      .select(col("ci"), col("cls"),
+        micro(log(col("n_docs").cast("double") / col("n_train").cast("double"))
+          .cast(Dec)).as("prior_micro"),
+        micro(smoothedLogP(lit(0L), col("tot"))).as("default_micro"))
+      .agg(sort_array(collect_list(struct(
+        col("ci"), col("cls"), col("prior_micro"), col("default_micro")))).as("m"))
+      .select(
+        transform(col("m"), s => s.getField("cls")).as("classes"),
+        transform(col("m"), s => s.getField("prior_micro")).as("priors"),
+        transform(col("m"), s => s.getField("default_micro")).as("defaults"),
+        size(col("m")).as("n_classes"))
+    val lamMap = clsTok
+      .join(clsIdx.select("cls", "ci", "tot"), "cls")
+      .crossJoin(broadcast(clsIdx.agg(count(lit(1)).cast("int").as("nc"))))
+      .select((col("bucket") * col("nc") + col("ci")).as("key"),
+        micro(smoothedLogP(col("cnt"), col("tot"))).as("lam_micro"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("lam_micro"))))
+        .as("lam"))
+    meta.crossJoin(lamMap)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSIR hashed-unigram importance weights against the min(source)
     // target domain; all docs, doc_id order.

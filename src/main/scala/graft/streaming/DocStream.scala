@@ -125,6 +125,37 @@ object DocStream {
           size(col("toks")).cast("double")).as("weight_per_token"))
   }
 
+  /** NB domain classification on ingest — [[scoreOnIngest]]'s argmax
+    * sibling: the batch-fitted [[graft.ops.Classify.nbModel]] row
+    * (classes, priors, unseen-bucket defaults, (bucket·C+idx)→lam map)
+    * rides one broadcast, and each arriving document is classified by
+    * a per-row fold per class + array_min argmax — stateless,
+    * zero-shuffle, exactly the plumbing of the DSIR scorer.
+    * DocStreamSpec pins that the streamed predictions aggregate to the
+    * declared q_nb_classify confusion matrix bit-for-bit (micro-longs
+    * and 6dp decimals order identically). One serving-time divergence:
+    * a tokenless document still classifies (by priors alone) instead
+    * of being absent like in the batch query, whose token stream never
+    * sees it.
+    */
+  def classifyOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs.crossJoin(broadcast(model))
+      .withColumn("toks", toks)
+      .withColumn("best",
+        array_min(transform(sequence(lit(0), col("n_classes") - 1), i =>
+          struct(
+            (element_at(col("priors"), i + 1) * lit(-1) -
+              aggregate(col("toks"), lit(0L), (acc, t) => acc +
+                coalesce(
+                  element_at(col("lam"),
+                    (graft.text.Shingles.hash32(t) %
+                      lit(graft.ops.Classify.B.toLong)) * col("n_classes") + i),
+                  element_at(col("defaults"), i + 1)))).as("neg"),
+            element_at(col("classes"), i + 1).as("cls")))))
+      .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))
+  }
+
   /** Streaming near-dup detection on ingest: every micro-batch of new
     * documents is deduped against the STATIC historical signature index
     * via [[graft.ops.Dedup.incrementalCandidates]] — the streaming face

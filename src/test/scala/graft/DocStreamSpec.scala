@@ -68,6 +68,28 @@ class DocStreamSpec extends AnyFunSuite {
       "per-row fold scoring != the declared join-aggregate weights")
   }
 
+  test("streaming NB classification aggregates to the declared confusion matrix") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val model = graft.ops.Classify.nbModel(docs).localCheckpoint(true)
+    val q = DocStream.classifyOnIngest(
+        DocStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nb_scored")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def conf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    val streamed = conf(spark.table("nb_scored")
+      .groupBy("source", "predicted")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs")))
+    val declared = conf(graft.ops.Classify.nbConfusion(docs))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(declared),
+      "per-row argmax serving != the declared batch confusion")
+  }
+
   test("streaming dedup-on-ingest == batch incremental dedup against the same index") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
