@@ -444,8 +444,12 @@ object Dedup extends graft.QueryModule {
     val tok = graft.text.Shingles.tokensWithPos(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sp = graft.text.Shingles.spansFromTokens(tok, k)
-    val first = sp.groupBy("doc_id", "span").agg(min(col("pos")).as("first_pos"))
-    val dropped = sp.join(first, Seq("doc_id", "span"))
+    // first-occurrence detection as a whole-partition window min on
+    // (doc_id, span): ONE exchange of the span stream, where a
+    // groupBy + join-back would shuffle it twice on the same key
+    val wSpan = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "span")
+    val dropped = sp
+      .withColumn("first_pos", min(col("pos")).over(wSpan))
       .filter(col("pos") > col("first_pos"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
