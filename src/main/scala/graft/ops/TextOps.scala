@@ -236,6 +236,51 @@ object TextOps extends graft.QueryModule {
     * engines); the final mean is one double division, identical on
     * both.
     */
+  /** Sliding-window context chunking with overlap — the long-document
+    * splitter of RAG indexing and max-context pretraining prep: chunk
+    * i covers token positions [i·stride+1, i·stride+size] (stride =
+    * size − overlap), so consecutive chunks share `overlap` tokens and
+    * no boundary sentence is ever seen without context. Contrast with
+    * [[packSequences]] (concatenate-and-chunk ACROSS docs, zero
+    * overlap) and Dedup.cdcChunkStats (content-defined boundaries):
+    * this is the fixed-geometry, overlap-preserving cut. Emits one row
+    * per (doc, chunk) with the chunk's position span and an
+    * order-pinned fingerprint, so the oracle checks the actual token
+    * assignment, not just counts.
+    *
+    * Scale shape: each token computes its own chunk-membership range
+    * arithmetically and explodes into ≤ ⌈size/stride⌉ = 2 rows (no
+    * range join, no per-doc loop); one (doc, chunk) aggregate builds
+    * the outputs. The only window is the per-doc token count riding
+    * the same doc-keyed exchange the aggregate needs anyway.
+    */
+  def chunkWithOverlap(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < size, s"overlap $overlap must be < size $size")
+    import org.apache.spark.sql.expressions.Window
+    val t = size - overlap
+    val n = count(lit(1)).over(Window.partitionBy("doc_id"))
+    // floor(a/b) on small longs is IEEE-exact and matches DuckDB's //
+    // (the one negative-operand case is clamped to 0 on both engines)
+    val nChunks =
+      when(col("n") <= size, lit(1L))
+        .otherwise(floor((col("n") - size + t - 1) / lit(t.toDouble)) + 1)
+    val ciLo = greatest(lit(0L), floor((col("pos") - size + t - 1) / lit(t.toDouble)))
+    val ciHi = least(floor((col("pos") - 1) / lit(t.toDouble)), col("n_chunks") - 1)
+    graft.text.Shingles.tokensWithPos(docs)
+      .withColumn("n", n)
+      .withColumn("n_chunks", nChunks)
+      .select(col("doc_id"), col("pos"), col("term"),
+        explode(sequence(ciLo, ciHi)).as("chunk_idx"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(
+        count(lit(1)).as("n_chunk_tokens"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            p => p.getField("term")))).as("chunk_md5"))
+  }
+
   /** Bigram-LM perplexity proxy — the CCNet direction one order up
     * from [[unigramNll]]: per-doc mean −ln p(term | prev) under the
     * corpus's add-one-smoothed bigram model (p = (c₂+1)/(c₁+V), V =
@@ -692,6 +737,13 @@ object TextOps extends graft.QueryModule {
       bigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Sliding-window chunking, 64-token windows with 16-token overlap:
+    // one row per (doc, chunk) with the span and token fingerprint.
+    "q_chunk_overlap" -> { (spark, dir) =>
+      chunkWithOverlap(Tables.documents(spark, dir), 64, 16)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Concatenate-and-chunk sequence packing into 256-token training
     // windows, via the distributed two-phase prefix sum.
     "q_pack_sequences" -> { (spark, dir) =>
@@ -887,6 +939,37 @@ object TextOps extends graft.QueryModule {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_chunk_overlap" -> {
+        val (s, t) = (64, 48)
+        s"""WITH tokp AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |counted AS (
+           |  SELECT doc_id, pos, term,
+           |    count(*) OVER (PARTITION BY doc_id) AS n
+           |  FROM tokp),
+           |ranged AS (
+           |  SELECT doc_id, pos, term,
+           |    CASE WHEN n <= $s THEN 1 ELSE (n - $s + $t - 1) // $t + 1 END AS n_chunks,
+           |    greatest(0, (pos - $s + $t - 1) // $t) AS ci_lo,
+           |    least((pos - 1) // $t,
+           |      (CASE WHEN n <= $s THEN 1 ELSE (n - $s + $t - 1) // $t + 1 END) - 1)
+           |      AS ci_hi
+           |  FROM counted),
+           |member AS (
+           |  SELECT doc_id, pos, term,
+           |    unnest(generate_series(ci_lo, ci_hi)) AS chunk_idx
+           |  FROM ranged)
+           |SELECT doc_id, chunk_idx,
+           |  CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+           |  min(pos) AS first_pos, max(pos) AS last_pos,
+           |  md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+           |FROM member GROUP BY doc_id, chunk_idx
+           |ORDER BY doc_id, chunk_idx""".stripMargin
+      },
       "q_bigram_nll" ->
         s"""WITH tokp AS (
            |  SELECT doc_id, pos, term FROM (

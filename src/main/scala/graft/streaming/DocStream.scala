@@ -121,8 +121,11 @@ object DocStream {
         size(col("toks")).cast("long").as("n_tokens"),
         (col("source") === col("target_source")).cast("int").as("is_target"),
         (col("w_micro").cast("double") / lit(1e6)).as("weight"),
-        (col("w_micro").cast("double") / lit(1e6) /
-          size(col("toks")).cast("double")).as("weight_per_token"))
+        // a tokenless live doc scores null, not 0/0 = NaN (the batch
+        // query never sees one — its token stream drops empty docs)
+        when(size(col("toks")) > 0,
+          col("w_micro").cast("double") / lit(1e6) /
+            size(col("toks")).cast("double")).as("weight_per_token"))
   }
 
   /** NB domain classification on ingest — [[scoreOnIngest]]'s argmax

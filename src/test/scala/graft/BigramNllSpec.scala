@@ -37,6 +37,40 @@ class BigramNllSpec extends AnyFunSuite {
       s"fluent doc must score below its scrambled twin: ${big(4L)} vs ${big(5L)}")
   }
 
+  test("chunkWithOverlap: exact geometry on a hand-checked doc") {
+    import spark.implicits._
+    // 10 tokens, size 4, overlap 2 (stride 2): chunks cover positions
+    // [1-4], [3-6], [5-8], [7-10] — 4 chunks, adjacent ones sharing 2
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.chunkWithOverlap(d, 4, 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "first_pos", "last_pos", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 1L, 4L, 4L), (1L, 3L, 6L, 4L),
+      (2L, 5L, 8L, 4L), (3L, 7L, 10L, 4L)))
+    // a doc shorter than one window is exactly one whole chunk
+    val short = TextOps.chunkWithOverlap(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), 4, 2).collect()
+    assert(short.length === 1 && short(0).getLong(2) === 3L && short(0).getLong(4) === 3L)
+  }
+
+  test("chunkWithOverlap: every token of every corpus doc lands in >= 1 chunk") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val chunks = TextOps.chunkWithOverlap(docs, 64, 16)
+    val tokTotal = TextOps.tokenStats(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    // Σ chunk tokens ≥ corpus tokens (overlap double-counts), and the
+    // per-doc max last_pos equals the doc's token count (full coverage)
+    val chunkTotal = chunks.agg(
+      org.apache.spark.sql.functions.sum("n_chunk_tokens")).head.getLong(0)
+    assert(chunkTotal >= tokTotal)
+    val bad = chunks.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max("last_pos").as("mx"))
+      .join(TextOps.tokenStats(docs).select("doc_id", "n_tokens"), "doc_id")
+      .filter(col("mx") =!= col("n_tokens"))
+    assert(bad.count() === 0L, "some doc's tail tokens fell outside every chunk")
+  }
+
   test("every multi-token document gets a row; bigram count = tokens - 1") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextOps.bigramNll(docs)
