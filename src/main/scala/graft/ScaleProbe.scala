@@ -352,6 +352,9 @@ object ScaleProbe {
     time("intradoc_dedup") {
       graft.ops.Dedup.intraDocDedup(docs, 3).count()
     }
+    time("chunk_overlap") {
+      graft.ops.TextOps.chunkWithOverlap(docs, 64, 16).count()
+    }
     }
 
     if (sections("pq")) {
