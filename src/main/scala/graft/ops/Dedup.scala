@@ -473,6 +473,58 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003, the
+    * MOSS algorithm): hash every k-gram, slide a w-hash window, and
+    * record each window's minimal hash (rightmost on ties). Guarantees
+    * the two properties fixed-stride and mod-p selection lack
+    * TOGETHER: any shared substring of length ≥ w+k−1 yields a shared
+    * fingerprint (detection guarantee), and gaps between fingerprints
+    * are ≤ w (density guarantee) — the position-shift-robust
+    * fingerprint family, complementing [[cdcChunkStats]] (content-
+    * defined CHUNKS) and mod-p [[docFingerprint]]-style selection.
+    *
+    * Scale shape: one doc-keyed window pass computes each window's
+    * argmin as a frame min over struct(hash, −pos) (rightmost tie),
+    * then a per-doc distinct + aggregate — O(corpus tokens), no joins,
+    * no pairwise term. Selected-set md5 is position-ordered so the
+    * oracle pins WHICH grams were chosen, not how many.
+    */
+  /** The selected (position, hash) fingerprint set itself — the frame
+    * a MOSS-style index stores; [[winnowFingerprints]] is its declared
+    * per-doc summary and DedupSpec asserts the two paper guarantees on
+    * it directly.
+    */
+  private[graft] def winnowSelections(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Shingles.spansWithPos(docs, k)
+      .select(col("doc_id"), col("pos"),
+        Shingles.hash32(concat(lit("win:"), col("span"))).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    // rightmost minimal hash of each w-window; windows shorter than w
+    // (the doc tail) drop out so every selection has a full window
+    val nGrams = Window.partitionBy("doc_id")
+    hashed
+      .withColumn("n_grams", count(lit(1)).over(nGrams))
+      .withColumn("best", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("pos") <= col("n_grams") - w + 1)
+      .select(col("doc_id"), col("n_grams"),
+        (-col("best.np")).as("sel_pos"), col("best.h").as("sel_h"))
+      .distinct()
+  }
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    winnowSelections(docs, k, w)
+      .groupBy("doc_id")
+      .agg(
+        first(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_fingerprints"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("sel_pos"), col("sel_h")))),
+            p => concat_ws(":", p.getField("sel_pos"), p.getField("sel_h")))))
+          .as("fp_md5"))
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame = simhash(docs)
 
@@ -909,6 +961,12 @@ object Dedup extends graft.QueryModule {
       intraDocDedup(Tables.documents(spark, dir), 3).orderBy("doc_id")
     },
 
+    // Winnowing (MOSS) fingerprints: 3-gram hashes, w=4 windows,
+    // rightmost-min selection — detection + density guarantees.
+    "q_winnowing" -> { (spark, dir) =>
+      winnowFingerprints(Tables.documents(spark, dir), 3, 4).orderBy("doc_id")
+    },
+
     "q_semantic_dedup" -> { (spark, dir) =>
       semanticDedup(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
         0.5, 0.9).orderBy("d1", "d2")
@@ -1124,6 +1182,33 @@ object Dedup extends graft.QueryModule {
            |  CAST(c.dup_tokens AS DOUBLE) / t.n_tokens AS dup_frac
            |FROM cov c JOIN tot t ON c.doc_id = t.doc_id
            |ORDER BY c.doc_id""".stripMargin,
+      "q_winnowing" -> {
+        val (w) = 4
+        s"""WITH sp AS (${Shingles.spansWithPosSql(3)}),
+           |h AS (
+           |  SELECT doc_id, pos,
+           |    ${Shingles.hash32Sql("'win:' || span")} AS hh,
+           |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+           |  FROM sp),
+           |wins AS (
+           |  SELECT doc_id, pos AS wstart, n_grams FROM h
+           |  WHERE pos <= n_grams - $w + 1),
+           |ranked AS (
+           |  SELECT wd.doc_id, wd.wstart, wd.n_grams, g.pos, g.hh,
+           |    row_number() OVER (PARTITION BY wd.doc_id, wd.wstart
+           |                       ORDER BY g.hh ASC, g.pos DESC) AS rn
+           |  FROM wins wd JOIN h g
+           |    ON g.doc_id = wd.doc_id
+           |   AND g.pos BETWEEN wd.wstart AND wd.wstart + ${w - 1}),
+           |sel AS (
+           |  SELECT DISTINCT doc_id, n_grams, pos AS sel_pos, hh AS sel_h
+           |  FROM ranked WHERE rn = 1)
+           |SELECT doc_id, CAST(any_value(n_grams) AS BIGINT) AS n_grams,
+           |  CAST(count(*) AS BIGINT) AS n_fingerprints,
+           |  md5(string_agg(CAST(sel_pos AS VARCHAR) || ':' || CAST(sel_h AS VARCHAR),
+           |      ',' ORDER BY sel_pos, sel_h)) AS fp_md5
+           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
       "q_intradoc_dedup" ->
         s"""WITH tokp AS (
            |  SELECT doc_id, pos, term FROM (

@@ -245,6 +245,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) === 1.0)
   }
 
+  test("winnowing honors the paper's density and detection guarantees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (k, w) = (3, 4)
+    // density: consecutive selected positions gap <= w on real docs
+    val sel = Dedup.winnowSelections(docs, k, w)
+      .select("doc_id", "sel_pos")
+      .collect().groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.map(_.getInt(1)).sorted.toSeq
+      }
+    assert(sel.nonEmpty)
+    for (ps <- sel; Seq(a, b) <- ps.sliding(2) if ps.size > 1)
+      assert(b - a <= w, s"fingerprint gap ${b - a} > w=$w")
+    // detection: a substring of length >= w+k-1 shared between two
+    // docs must produce at least one shared fingerprint HASH
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 tokens = w+k-1
+    val two = Seq(
+      (1L, s"xx yy $shared zz ww qq rr"),
+      (2L, s"aa bb cc dd $shared ee ff")).toDF("doc_id", "text")
+    val hs = Dedup.winnowSelections(two, k, w)
+      .select("doc_id", "sel_h").collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((hs(1L) intersect hs(2L)).nonEmpty,
+      "shared >= w+k-1 substring produced no shared fingerprint")
+  }
+
   test("intraDocDedup is non-vacuous on the testdata: some doc loses tokens at k=3") {
     // the declared query runs k=3 BECAUSE the corpus has real 3-token
     // in-doc repeats at every sf (k=8 has none) — guard that stays true
