@@ -517,7 +517,9 @@ object Dedup extends graft.QueryModule {
     winnowSelections(docs, k, w)
       .groupBy("doc_id")
       .agg(
-        first(col("n_grams")).as("n_grams"),
+        // n_grams is constant per doc; max() makes the determinism
+        // structural instead of relying on first()'s pick
+        max(col("n_grams")).as("n_grams"),
         count(lit(1)).as("n_fingerprints"),
         md5(concat_ws(",",
           transform(array_sort(collect_list(struct(col("sel_pos"), col("sel_h")))),
