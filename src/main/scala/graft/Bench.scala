@@ -118,6 +118,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // instant-preserving TIMESTAMP_NTZ normalization (Tables.normalizeTs)
+      // requires a UTC session zone — pin it in EVERY entry point, not
+      // just Verify, so a non-UTC host cannot shift event instants
+      .config("spark.sql.session.timeZone", "UTC")
       // static conf, default 100: the suite's ~105 queries × several
       // codegen stages each overflow that between the warmup and timed
       // passes, so every timed query would recompile its generated code

@@ -16,6 +16,10 @@ object EvalProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // instant-preserving TIMESTAMP_NTZ normalization (Tables.normalizeTs)
+      // requires a UTC session zone — pin it in EVERY entry point, not
+      // just Verify, so a non-UTC host cannot shift event instants
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,6 +132,24 @@ object EvalProbe {
       val h = pqTruth.join(g, Seq("qid", "vid"), "left_semi").count()
       println(f"[eval] pq_m$m%-2d_top10_overlap ${h.toDouble / nPqTruth}%.3f  ($h/$nPqTruth)")
     }
+
+    // trained codebook (per-subspace k-means) and the deployment-shaped
+    // shortlist→exact-re-rank: the two rungs that turn raw ADC fidelity
+    // into a recall story (re-rank truth is exact COSINE, its ranking
+    // metric)
+    val trainedCb = graft.ops.VectorOps.pqTrain(emb, 8, 16, 2, 64)
+    val pqT = graft.ops.VectorOps
+      .pqSearch(emb, col("vec_id") < 5, 8, 16, 10, 64, Some(trainedCb))
+      .select("qid", "vid")
+    val hT = pqTruth.join(pqT, Seq("qid", "vid"), "left_semi").count()
+    println(f"[eval] pq_trained_top10     ${hT.toDouble / nPqTruth}%.3f  ($hT/$nPqTruth)")
+    val cosTruth = graft.ops.VectorOps.knn(emb, col("vec_id") < 5, 10).select("qid", "vid")
+    val nCos = cosTruth.count()
+    val rr = graft.ops.VectorOps
+      .pqSearchRerank(emb, col("vec_id") < 5, 8, 16, 100, 10, 64, Some(trainedCb))
+      .select("qid", "vid")
+    val hR = cosTruth.join(rr, Seq("qid", "vid"), "left_semi").count()
+    println(f"[eval] pq_rerank_top10      ${hR.toDouble / nCos}%.3f  ($hR/$nCos)")
 
     // BPE compression ladder: corpus chars per subword as the merge
     // count grows — the quality curve a tokenizer budget is chosen

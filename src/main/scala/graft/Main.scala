@@ -32,6 +32,10 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
       .config("spark.ui.enabled", "false")
+      // instant-preserving TIMESTAMP_NTZ normalization (Tables.normalizeTs)
+      // requires a UTC session zone — pin it in EVERY entry point, not
+      // just Verify, so a non-UTC host cannot shift event instants
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -12,6 +12,10 @@ object PerfProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // instant-preserving TIMESTAMP_NTZ normalization (Tables.normalizeTs)
+      // requires a UTC session zone — pin it in EVERY entry point, not
+      // just Verify, so a non-UTC host cannot shift event instants
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -11,6 +11,10 @@ object Smoke {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // instant-preserving TIMESTAMP_NTZ normalization (Tables.normalizeTs)
+      // requires a UTC session zone — pin it in EVERY entry point, not
+      // just Verify, so a non-UTC host cannot shift event instants
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

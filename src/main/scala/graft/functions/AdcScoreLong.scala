@@ -49,10 +49,13 @@ case class AdcScoreLong(left: Expression, right: Expression)
     var s = 0L
     var j = 0
     while (j < m) {
+      // the range guard is per-subspace (0 <= code < ksub), not just a
+      // global array-bounds check: a code in [ksub, …) must contribute
+      // 0, never read an adjacent subspace's LUT entry
       if (!codes.isNullAt(j)) {
-        val idx = j * ksub + codes.getInt(j)
-        if (idx >= 0 && idx < lut.numElements() && !lut.isNullAt(idx)) {
-          s += lut.getLong(idx)
+        val code = codes.getInt(j)
+        if (code >= 0 && code < ksub && !lut.isNullAt(j * ksub + code)) {
+          s += lut.getLong(j * ksub + code)
         }
       }
       j += 1
@@ -65,8 +68,9 @@ case class AdcScoreLong(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val ksub = ctx.freshName("ksub")
       val j = ctx.freshName("j")
-      val idx = ctx.freshName("idx")
+      val code = ctx.freshName("code")
       val s = ctx.freshName("s")
+      // same per-subspace guard as nullSafeEval: 0 <= code < ksub
       s"""
          |int $m = $codes.numElements();
          |long $s = 0L;
@@ -74,9 +78,9 @@ case class AdcScoreLong(left: Expression, right: Expression)
          |  int $ksub = $lut.numElements() / $m;
          |  for (int $j = 0; $j < $m; $j++) {
          |    if (!$codes.isNullAt($j)) {
-         |      int $idx = $j * $ksub + $codes.getInt($j);
-         |      if ($idx >= 0 && $idx < $lut.numElements() && !$lut.isNullAt($idx)) {
-         |        $s += $lut.getLong($idx);
+         |      int $code = $codes.getInt($j);
+         |      if ($code >= 0 && $code < $ksub && !$lut.isNullAt($j * $ksub + $code)) {
+         |        $s += $lut.getLong($j * $ksub + $code);
          |      }
          |    }
          |  }

@@ -165,14 +165,99 @@ object Bpe extends graft.QueryModule {
     merges.result()
   }
 
-  /** The learned merge table as a DataFrame: (step, lft, rgt, merged,
-    * pair_count), `k` rows.
+  /** Distinct adjacent pairs of a word's symbols — its postings keys. */
+  private def postingsOf(words: DataFrame): DataFrame =
+    words.select(col("word"), explode(array_distinct(adjPairs(col("syms")))).as("p"))
+      .select(col("p.lft").as("lft"), col("p.rgt").as("rgt"), col("word"))
+
+  /** The production rung above [[trainIncremental]]: an inverted
+    * pair→word POSTINGS index finds round i's affected words, so the
+    * greedy merge fold — the expensive per-word work — runs ONLY on
+    * postings of the merged pair, never on the full vocab. Spec-pinned
+    * ([[BpeSpec]]) to the identical merge sequence as [[train]].
+    *
+    * Per-round work, by table:
+    *   - affected-word set = the (lft,rgt) postings list — exact (the
+    *     index stores every word's current distinct adjacencies), tiny
+    *     (words containing the argmax pair), and broadcast everywhere
+    *     it is used;
+    *   - fold + old/new adjacency delta: affected words only;
+    *   - pair-count and postings maintenance: delta-sized shuffles
+    *     (the delta aggregate), plus a broadcast-pruned columnar
+    *     rewrite of the vocab/postings tables (NO fold, NO explode,
+    *     NO exchange — a narrow map-side pass). At production scale
+    *     the vocab and postings tables live bucketed-by-key in a
+    *     table store, turning those rewrites into in-place pruned
+    *     writes; the merge-round SHUFFLE is postings-bound either
+    *     way, which is what the k≈30k round count multiplies.
     */
-  def bpeMerges(docs: DataFrame, k: Int = 8): DataFrame = {
+  private[graft] def trainPostings(docs: DataFrame, k: Int): Seq[Merge] = {
+    var words = symbolTable(docs).localCheckpoint(true)
+    var pc = words
+      .select(col("freq"), explode(adjPairs(col("syms"))).as("p"))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum(col("freq")).as("c"))
+      .localCheckpoint(true)
+    var post = postingsOf(words).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    for (step <- 1 to k) {
+      val top = pc.orderBy(col("c").desc, col("lft"), col("rgt")).limit(1).collect()
+      require(top.nonEmpty, s"corpus ran out of symbol pairs before merge $step of $k")
+      val (lft, rgt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += Merge(step, lft, rgt, lft + rgt, c)
+      // the postings lookup: exactly the words whose CURRENT symbols
+      // contain (lft, rgt) adjacently — the only words the fold touches
+      val cand = post.filter(col("lft") === lit(lft) && col("rgt") === lit(rgt))
+        .select("word")
+      val affected = words.join(broadcast(cand), Seq("word"), "left_semi")
+        .withColumn("new_syms", mergeFold(col("syms"), lft, rgt))
+        .localCheckpoint(true)
+      val delta = affected
+        .select(explode(concat(
+          transform(adjPairs(col("new_syms")),
+            p => struct(p.getField("lft").as("lft"), p.getField("rgt").as("rgt"),
+              col("freq").as("c"))),
+          transform(adjPairs(col("syms")),
+            p => struct(p.getField("lft").as("lft"), p.getField("rgt").as("rgt"),
+              (-col("freq")).as("c"))))).as("d"))
+        .select(col("d.lft").as("lft"), col("d.rgt").as("rgt"), col("d.c").as("c"))
+      pc = pc.unionByName(delta)
+        .groupBy("lft", "rgt").agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0)
+        .localCheckpoint(true)
+      val newWords = affected.select(col("word"), col("freq"), col("new_syms").as("syms"))
+      post = post.join(broadcast(cand), Seq("word"), "left_anti")
+        .unionByName(postingsOf(newWords))
+        .localCheckpoint(true)
+      words = words.join(broadcast(cand), Seq("word"), "left_anti")
+        .unionByName(newWords)
+        .localCheckpoint(true)
+    }
+    merges.result()
+  }
+
+  /** The learned merge table as a DataFrame: (step, lft, rgt, merged,
+    * pair_count), `k` rows. `samplePct` < 100 trains on a DETERMINISTIC
+    * doc_id hash-sample of the corpus ([[TextOps.hashBucket]], the
+    * engine's shared sampling rule) — how production tokenizers are
+    * actually trained at 100 TB: pair statistics concentrate fast, so
+    * a few-percent sample reproduces the head of the merge sequence at
+    * a fraction of the per-round scan (BpeSpec measures the overlap on
+    * testdata; counts then reflect the sample, so the declared query
+    * keeps samplePct = 100 and its oracle unchanged).
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 8, samplePct: Int = 100): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, k)._1.toDF()
+    train(sampled(docs, samplePct), k)._1.toDF()
   }
+
+  /** Deterministic corpus hash-sample: keep doc_ids in the first
+    * `samplePct` of 100 md5 buckets.
+    */
+  private def sampled(docs: DataFrame, samplePct: Int): DataFrame =
+    if (samplePct >= 100) docs
+    else docs.filter(TextOps.hashBucket(col("doc_id")) < samplePct)
 
   /** Corpus encoded with `k` trained merges: per document the token
     * count, subword count, and an order-pinning md5 over the full

@@ -44,13 +44,13 @@ object Classify extends graft.QueryModule {
   private val Dec = DecimalType(28, 6)
 
   /** (doc_id, source, bucket) — one row per token occurrence, token
-    * hashed into its feature bucket.
+    * hashed into its feature bucket. Tokenization is the shared
+    * [[Shingles.tokensWithPos]] (with `source` carried through), NOT a
+    * local split — the classifier must tokenize exactly like the corpus
+    * machinery it curates.
     */
   private def bucketedTokens(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
+    Shingles.tokensWithPos(docs, carry = Seq("source"))
       .select(col("doc_id"), col("source"),
         (Shingles.hash32(col("term")) % B).as("bucket"))
 

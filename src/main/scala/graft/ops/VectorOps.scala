@@ -270,17 +270,19 @@ object VectorOps extends graft.QueryModule {
     * exactly reproducible answers.
     */
   def pqSearch(embeddings: DataFrame, queryPred: Column, m: Int = 8,
-      ksub: Int = 16, k: Int = 10, dims: Int = 64): DataFrame = {
+      ksub: Int = 16, k: Int = 10, dims: Int = 64,
+      codebook: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
     val e = castVec(embeddings, "vid")
-    // codebook: (j, cid, cw) — the j-th subvector of the ksub lowest ids
-    val cb = e.filter(col("vid") < ksub)
-      .select(col("vid").cast("int").as("cid"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"), col("vid_v"))
-      .select(col("j"), col("cid"),
-        slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)).as("cw"))
+    // codebook: (j, cid, cw) with cid DENSE 0..ksub-1 — the flattened
+    // LUT layout (entry j·ksub+code) requires exactly that id space, so
+    // both paths derive cid by rank, never from raw vec_ids (which a
+    // testdata regeneration could shift to 1-based). Trained path: a
+    // [[pqTrain]] codebook; default: the ksub lowest-id vectors'
+    // subvectors (the no-training stand-in whose oracle is mechanical).
+    val cb = codebook.getOrElse(standInCodebook(e, m, ksub, sub))
     def gridFold(terms: Column): Column =
       aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
     // encode: nearest codeword per (vector, subspace) — a hash-aggregate
@@ -320,6 +322,144 @@ object VectorOps extends graft.QueryModule {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vid", "score")
+  }
+
+  /** The no-training PQ codebook: the ksub lowest-id vectors'
+    * subvectors, cid = dense 0-based rank (TakeOrdered over the corpus,
+    * then a window over only those ksub rows — never a global window).
+    */
+  private def standInCodebook(e: DataFrame, m: Int, ksub: Int, sub: Int): DataFrame =
+    e.orderBy("vid").limit(ksub)
+      .withColumn("cid", row_number().over(Window.orderBy("vid")).cast("int") - 1)
+      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("vid_v"))
+      .select(col("j"), col("cid"),
+        slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)).as("cw"))
+
+  /** The PQ training grid: codebook coordinates live on a 1e6 integer
+    * grid during training so every assignment distance is an EXACT
+    * integer sum (order-free) and every centroid-mean update is one
+    * IEEE-identical double divide + floor — the iterate, and hence the
+    * trained codebook, is bit-stable across partitionings AND across
+    * engines (the oracle unrolls the same iterations in SQL). 1e6 is
+    * deliberately coarser than [[GRID]]: squared grid distances must
+    * fit a long (diff² ≈ (2·|x|·1e6)² ≈ 1e13 per dim at unit-scale
+    * coordinates; 1e12 would overflow at ~1e24).
+    */
+  private val PQGRID = 1e6
+
+  /** Per-subspace Lloyd's k-means — the REAL PQ codebook trainer
+    * (Jégou et al. 2011 §II-C train their subquantizers exactly so;
+    * the declared q_pq_ann/q_pq_rerank run on this, not on stand-in
+    * codewords). Returns (j, cid, cw: array<double>) with cid dense
+    * 0..ksub-1, directly pluggable into [[pqSearch]].
+    *
+    * All m subspaces train SIMULTANEOUSLY in one keyed pipeline — the
+    * subspace id j is just another grouping key — so an iteration is
+    * ONE distributed job: a broadcast join (codebook ≪ corpus: m·ksub
+    * rows riding a LocalTableScan) + a fused argmin/mean aggregate over
+    * the (corpus × ksub) assignment fanout, not m separate k-means
+    * jobs. The codebook itself is driver-side MODEL state between
+    * iterations (m·ksub·sub grid longs — the BPE-merge-table/PCA
+    * pattern), so nothing corpus-sized is ever checkpointed. At 100 TB
+    * you train on a deterministic hash-sample and encode the full
+    * corpus once with the final codebook — encoding, not training, is
+    * the corpus-sized pass.
+    *
+    * Determinism: init = the ksub lowest-vec_id vectors' subvectors
+    * (dense-ranked, regeneration-proof); assignment argmin ties break
+    * by cid; a cluster that loses all members keeps its previous
+    * centroid, so exactly m·ksub codewords always come out.
+    */
+  def pqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, dims: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sub = dims / m
+    require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
+    val e = castVec(embeddings, "vid")
+    def gridSub(v: Column): Column =
+      transform(slice(v, col("j") * lit(sub) + lit(1), lit(sub)),
+        x => floor(x * lit(PQGRID) + lit(0.5)).cast("long"))
+    // per-(vector, subspace) grid subvector — the training working set,
+    // persisted once and scanned by every iteration
+    val xg = e
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("vid_v"))
+      .select(col("vid"), col("j"), gridSub(col("vid_v")).as("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the codebook is MODEL state — m·ksub·sub grid longs — so like the
+    // BPE merge table and the PCA iterate it lives on the DRIVER between
+    // iterations: each iteration is ONE distributed job (assignment +
+    // per-dimension mean, collected k·m rows), the broadcast side is a
+    // LocalTableScan, and nothing vocab-sized is ever checkpointed
+    var cbLocal: Seq[(Int, Int, Seq[Long])] = e.orderBy("vid").limit(ksub)
+      .withColumn("cid", row_number().over(Window.orderBy("vid")).cast("int") - 1)
+      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("j"), col("vid_v"))
+      .select(col("j"), col("cid"), gridSub(col("vid_v")).as("cg"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+    for (_ <- 0 until iters) {
+      val cb = cbLocal.toDF("j", "cid", "cg")
+      // one fused job: exact integer L2 argmin (ties to the lowest
+      // cid), then the per-dimension grid mean — exact long sum, ONE
+      // IEEE double divide + floor(+0.5) back onto the grid
+      val means = xg.join(broadcast(cb), Seq("j"))
+        .select(col("vid"), col("j"), col("xs"), col("cid"),
+          aggregate(zip_with(col("xs"), col("cg"), (x, c) => (x - c) * (x - c)),
+            lit(0L), (a, t) => a + t).as("d2"))
+        .groupBy("vid", "j")
+        .agg(min(struct(col("d2"), col("cid"))).as("b"), first(col("xs")).as("xs"))
+        .select(col("j"), col("b.cid").as("cid"), posexplode(col("xs")).as(Seq("d", "x")))
+        .groupBy("j", "cid", "d")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("cgd"))
+        .groupBy("j", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cgd")))),
+          s => s.getField("cgd")).as("cg"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2))).toSeq
+      // emptied clusters keep their previous codeword
+      val got = means.map(t => (t._1, t._2)).toSet
+      cbLocal = (means ++ cbLocal.filter(t => !got((t._1, t._2)))).sortBy(t => (t._1, t._2))
+    }
+    xg.unpersist(false)
+    cbLocal.toDF("j", "cid", "cg")
+      .select(col("j"), col("cid"),
+        transform(col("cg"), c => c.cast("double") / lit(PQGRID)).as("cw"))
+  }
+
+  /** The deployment-shaped two-stage ANN: PQ ADC shortlist (top
+    * `shortlist` per query, 4-byte codes, zero-shuffle scoring) →
+    * exact float cosine re-rank of the shortlist → top `k`. This is
+    * how PQ is actually served (Jégou et al. 2011 §V "IVFADC with
+    * re-ranking"): the compressed scan does the corpus-sized work and
+    * the exact pass touches only shortlist·|queries| vectors — so the
+    * recall story no longer ends at raw ADC fidelity.
+    *
+    * Scale shape: the shortlist (queries × shortlist ids, KBs) rides a
+    * broadcast back onto the corpus scan, so candidate-vector fetch is
+    * one broadcast-pruned pass — no shuffle anywhere after the code
+    * index is built.
+    */
+  def pqSearchRerank(embeddings: DataFrame, queryPred: Column, m: Int = 8,
+      ksub: Int = 16, shortlist: Int = 100, k: Int = 10, dims: Int = 64,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    // materialize the shortlist (queries × shortlist rows, KBs) BEFORE
+    // broadcasting: computing the whole ADC pipeline inside the
+    // broadcast-exchange thread measured erratic multi-second stalls
+    // (the ivfSearchCentroids convention — eager localCheckpoint, swept
+    // by the callers' storage cleanup)
+    val cand = pqSearch(embeddings, queryPred, m, ksub, shortlist, dims, codebook)
+      .select("qid", "vid")
+      .localCheckpoint(true)
+    val e = castVec(embeddings, "vid")
+    val q = castVec(embeddings.filter(queryPred), "qid")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    // self-pairs are already excluded by the shortlist (pqSearch joins
+    // on qid <> vid), so both joins here are plain equi-joins
+    e.join(broadcast(cand), Seq("vid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
   }
 
   /** Spherical Lloyd's k-means over the embedding column — the trainer
@@ -557,9 +697,25 @@ object VectorOps extends graft.QueryModule {
     // Product-quantization ADC search: 4-byte codes + a broadcast
     // per-query LUT — the 64× scan-compression tier of the ANN ladder
     // (float knn → int8 → PQ), exactly reproducible via the integer
-    // grid.
+    // grid. Codewords are TRAINED (per-subspace k-means, 2 Lloyd
+    // iterations on the integer grid) — the oracle re-derives the
+    // training loop itself, so the hash gate covers trainer + encoder
+    // + ADC end-to-end.
     "q_pq_ann" -> { (spark, dir) =>
-      pqSearch(Tables.embeddings(spark, dir), col("vec_id") < 5, 8, 16, 10, 64)
+      val emb = Tables.embeddings(spark, dir)
+      pqSearch(emb, col("vec_id") < 5, 8, 16, 10, 64,
+        Some(pqTrain(emb, 8, 16, 2, 64)))
+        .orderBy("qid", "rank")
+    },
+
+    // PQ with exact re-rank — the deployment-shaped two-stage plan:
+    // trained-codebook ADC shortlist (top-100) → exact float cosine
+    // re-rank → top-10. The compressed scan pays the corpus-sized
+    // cost; the exact pass touches only |queries|×100 vectors.
+    "q_pq_rerank" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      pqSearchRerank(emb, col("vec_id") < 5, 8, 16, 100, 10, 64,
+        Some(pqTrain(emb, 8, 16, 2, 64)))
         .orderBy("qid", "rank")
     },
 
@@ -593,6 +749,74 @@ object VectorOps extends graft.QueryModule {
   /** SQL mirror of [[qsum]]: grid-quantized terms, exact BIGINT sum. */
   private def qsumSql(term: String) =
     s"CAST(sum(CAST(floor(($term) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
+
+  /** WITH-clause body that re-derives the WHOLE trained-PQ ADC chain in
+    * DuckDB — [[pqTrain]]'s per-subspace grid k-means unrolled
+    * iteration by iteration (the pcaCtes/BPE-oracle pattern: the model
+    * fit itself sits behind the hash gate), then encode, per-query LUT
+    * and the grouped ADC sum. Ends at `sc(qid, vid, sq)`; `e` stays in
+    * scope for re-rank stages. Every arithmetic step mirrors the
+    * Column tree exactly: grid quantization floor(x·1e6+0.5), exact
+    * BIGINT L2 argmin with (d2, cid) tie-break, mean = floor(BIGINT
+    * sum → double ÷ count + 0.5), codeword = grid/1e6 double, and the
+    * 1e12-grid product sums of the scoring pass.
+    */
+  private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int): String = {
+    def gsum(term: String) =
+      s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
+    val d2 = s"list_sum([(x.xs[i] - c.cg[i]) * (x.xs[i] - c.cg[i]) FOR i IN range(1, ${sub + 1})])"
+    val iterCtes = (1 to iters).map { it =>
+      s"""asg$it AS (
+         |  SELECT vid, j, cid FROM (
+         |    SELECT x.vid, x.j, c.cid,
+         |      row_number() OVER (PARTITION BY x.vid, x.j ORDER BY $d2, c.cid) AS rn
+         |    FROM xg x JOIN cb${it - 1} c ON x.j = c.j) z WHERE rn = 1),
+         |mn$it AS (
+         |  SELECT b.j, b.cid, dd.d,
+         |    CAST(floor(CAST(sum(x.xs[dd.d]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cgd
+         |  FROM asg$it b JOIN xg x ON b.vid = x.vid AND b.j = x.j
+         |  CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS d) dd
+         |  GROUP BY b.j, b.cid, dd.d),
+         |nc$it AS (SELECT j, cid, list(cgd ORDER BY d) AS cg FROM mn$it GROUP BY j, cid),
+         |cb$it AS (
+         |  SELECT * FROM nc$it
+         |  UNION ALL
+         |  SELECT p.* FROM cb${it - 1} p WHERE NOT EXISTS (
+         |    SELECT 1 FROM nc$it n WHERE n.j = p.j AND n.cid = p.cid))""".stripMargin
+    }
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |js AS (SELECT unnest(range(0, $m)) AS j),
+       |xg AS (
+       |  SELECT e.vec_id AS vid, js.j,
+       |    [CAST(floor(e.v[js.j*$sub + i] * 1e6 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})] AS xs
+       |  FROM e, js),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM e ORDER BY vec_id LIMIT $ksub),
+       |cb0 AS (SELECT x.j, CAST(s.cid AS INT) AS cid, x.xs AS cg
+       |        FROM xg x JOIN seeds s ON x.vid = s.vec_id),
+       |${iterCtes.mkString(",\n")},
+       |cbf AS (
+       |  SELECT j, cid,
+       |    [CAST(cg[i] AS DOUBLE) / 1e6 FOR i IN range(1, ${sub + 1})] AS cw
+       |  FROM cb$iters),
+       |enc AS (
+       |  SELECT a.vec_id AS vid, c.j, c.cid,
+       |    ${gsum("(a.v[c.j*" + sub + "+i] - c.cw[i]) * (a.v[c.j*" + sub + "+i] - c.cw[i])")} AS d2q
+       |  FROM e a, cbf c),
+       |codes AS (
+       |  SELECT vid, j, cid AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vid, j ORDER BY d2q, cid) AS rn
+       |    FROM enc) t WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, c.j, c.cid,
+       |    ${gsum("q.v[c.j*" + sub + "+i] * c.cw[i]")} AS lamq
+       |  FROM e q, cbf c WHERE q.vec_id < 5),
+       |sc AS (
+       |  SELECT l.qid, kd.vid, sum(l.lamq) AS sq
+       |  FROM codes kd JOIN lut l ON kd.j = l.j AND kd.code = l.cid
+       |  WHERE l.qid <> kd.vid GROUP BY l.qid, kd.vid)""".stripMargin
+  }
 
   /** The shared CTE chain of the q_pca_power fit (through iterate v2). */
   private def pcaCtes: String = {
@@ -656,36 +880,30 @@ object VectorOps extends graft.QueryModule {
          |  FROM scored)
          |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
-    "q_pq_ann" -> {
-      val (m, ksub, sub, k) = (8, 16, 8, 10)
-      // per-element grid quantization then integer sums — order-free,
-      // so the oracle needs no fold-order coupling with Spark
-      def gsum(term: String) =
-        s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |js AS (SELECT unnest(range(0, $m)) AS j),
-         |cb AS (SELECT js.j, e.vec_id AS cid, e.v AS cw FROM e, js WHERE e.vec_id < $ksub),
-         |enc AS (
-         |  SELECT a.vec_id AS vid, c.j, c.cid,
-         |    ${gsum("(a.v[c.j*" + sub + "+i] - c.cw[c.j*" + sub + "+i]) * (a.v[c.j*" + sub + "+i] - c.cw[c.j*" + sub + "+i])")} AS d2q
-         |  FROM e a, cb c),
-         |codes AS (
-         |  SELECT vid, j, cid AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vid, j ORDER BY d2q, cid) AS rn
-         |    FROM enc) t WHERE rn = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS qid, c.j, c.cid,
-         |    ${gsum("q.v[c.j*" + sub + "+i] * c.cw[c.j*" + sub + "+i]")} AS lamq
-         |  FROM e q, cb c WHERE q.vec_id < 5),
-         |sc AS (
-         |  SELECT l.qid, kd.vid, sum(l.lamq) AS sq
-         |  FROM codes kd JOIN lut l ON kd.j = l.j AND kd.code = l.cid
-         |  WHERE l.qid <> kd.vid GROUP BY l.qid, kd.vid)
+    "q_pq_ann" ->
+      s"""WITH ${pqAdcCtes(8, 16, 8, 2)}
          |SELECT qid, rank, vid, score FROM (
          |  SELECT qid, vid, CAST(sq AS DOUBLE) / 1e12 AS score,
          |    row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rank
-         |  FROM sc) z WHERE rank <= $k ORDER BY qid, rank""".stripMargin
-    },
+         |  FROM sc) z WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // shortlist → exact re-rank: the same trained-ADC chain, top-100
+    // shortlist per query, then true cosine over only those candidates
+    "q_pq_rerank" ->
+      s"""WITH ${pqAdcCtes(8, 16, 8, 2)},
+         |short AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rn
+         |    FROM sc) z WHERE rn <= 100),
+         |rr AS (
+         |  SELECT s.qid, s.vid, ${cosSql("q.v", "c.v")} AS cos
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.qid
+         |  JOIN e c ON c.vec_id = s.vid)
+         |SELECT qid, rank, vid, cos FROM (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM rr) z WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "q_quantized_knn" -> {
       val dims = 64
       val maxabs = (1 to dims).map(i => s"abs(v[$i])").mkString("greatest(", ", ", ")")

@@ -145,15 +145,19 @@ object DocStream {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
+      // hash every token ONCE: the md5-based bucket expression is the
+      // expensive part of the fold, and it is class-independent — the
+      // per-class folds below walk this precomputed long array, so the
+      // serving path runs n_tokens (not n_classes × n_tokens) hashes
+      .withColumn("bks", transform(col("toks"), t =>
+        graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)))
       .withColumn("best",
         array_min(transform(sequence(lit(0), col("n_classes") - 1), i =>
           struct(
             (element_at(col("priors"), i + 1) * lit(-1) -
-              aggregate(col("toks"), lit(0L), (acc, t) => acc +
+              aggregate(col("bks"), lit(0L), (acc, bk) => acc +
                 coalesce(
-                  element_at(col("lam"),
-                    (graft.text.Shingles.hash32(t) %
-                      lit(graft.ops.Classify.B.toLong)) * col("n_classes") + i),
+                  element_at(col("lam"), bk * col("n_classes") + i),
                   element_at(col("defaults"), i + 1)))).as("neg"),
             element_at(col("classes"), i + 1).as("cls")))))
       .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))

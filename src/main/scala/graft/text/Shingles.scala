@@ -16,14 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** (doc_id, pos, term) — one row per token occurrence, position 1-based
-    * to match DuckDB's generate_subscripts.
+  /** (doc_id, [carry…,] pos, term) — one row per token occurrence,
+    * position 1-based to match DuckDB's generate_subscripts. `carry`
+    * columns ride along unchanged (e.g. `source` for the classifiers),
+    * so EVERY consumer — corpus stats, shingles, BPE, DSIR/NB — shares
+    * this one tokenization rule and can never silently diverge from the
+    * corpus it curates.
     */
-  def tokensWithPos(docs: DataFrame, docId: String = "doc_id", text: String = "text"): DataFrame =
+  def tokensWithPos(docs: DataFrame, docId: String = "doc_id", text: String = "text",
+      carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(docId).as("doc_id"), posexplode(split(col(text), " ")).as(Seq("pos0", "term")))
+      .select(col(docId).as("doc_id") +: carry.map(col) :+
+        posexplode(split(col(text), " ")).as(Seq("pos0", "term")): _*)
       .filter(col("term") =!= "")
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+      .select(col("doc_id") +: carry.map(col) :+
+        (col("pos0") + 1).as("pos") :+ col("term"): _*)
 
   /** (doc_id, pos, span) — positioned token n-grams: the n-token span
     * starting at token position pos, via lead windows (null-propagating

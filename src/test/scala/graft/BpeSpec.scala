@@ -97,6 +97,28 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainIncremental(corpus, 16) == Bpe.train(corpus, 16)._1)
   }
 
+  test("postings-index trainer equals the full recount, merge for merge") {
+    // the production rung: affected words come from the pair→word
+    // postings lookup, the fold runs only on them — and the merge
+    // sequence (symbols AND counts, every step) must be unchanged
+    val tiny = docs("abab abab abab abc abc", "xy xy ab ba baba")
+    assert(Bpe.trainPostings(tiny, 6) == Bpe.train(tiny, 6)._1)
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Bpe.trainPostings(corpus, 16) == Bpe.train(corpus, 16)._1)
+  }
+
+  test("sampled-corpus training reproduces most of the full merge sequence") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Bpe.bpeMerges(corpus, 16).select("merged").collect().map(_.getString(0)).toSet
+    val samp = Bpe.bpeMerges(corpus, 16, samplePct = 30)
+      .select("merged").collect().map(_.getString(0)).toSet
+    // pair statistics concentrate: a 30% deterministic sample must
+    // recover well over half of the k=16 merge symbols (the exact
+    // sequence may reorder — counts differ — but the learned vocab
+    // overlaps heavily)
+    assert((full & samp).size >= 10, s"overlap ${(full & samp).size}: $full vs $samp")
+  }
+
   test("declared queries run and agree on corpus shape at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val merges = SparkEntry.queries("q_bpe_merges")(spark, dir).collect()

@@ -230,6 +230,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_pq_rerank: shortlist and queries ride broadcasts back onto the corpus scan") {
+    val p = plan("q_pq_rerank")
+    // candidate fetch + query fetch are both broadcast equi-joins; the
+    // exact pass must never sort-merge the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_dsir_resample selects via TakeOrderedAndProject — no global sort or window") {
     val p = plan("q_dsir_resample")
     assert(p.contains("TakeOrderedAndProject"), p)
