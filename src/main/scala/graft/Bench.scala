@@ -87,6 +87,23 @@ object Bench {
 
   private[graft] val calibThreads: Int = Runtime.getRuntime.availableProcessors()
 
+  /** Cheap corpus fingerprint: md5 over every parquet's name|size|mtime
+    * under the SF dir. The driver regenerates /root/testdata between
+    * (and sometimes mid-) rounds, which shifts data-shaped query costs
+    * (Σdf² of the shingle distribution, ts encodings); two r7
+    * regenerations produced spurious cross-round regression flags that
+    * took hand-adjudication. Stamping every artifact lets benchdiff
+    * tell data-shifted deltas from host- and code-shaped ones.
+    */
+  private[graft] def dataFingerprint(sfDir: String): String = {
+    val files = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}|${f.length}|${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(files.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Time a FIXED amount of CPU-bound work (2×10⁸ xorshift64 steps per
     * thread — no allocation, no memory traffic, no I/O), two ways:
     * (single-threaded seconds, wall seconds for `calibThreads`
@@ -248,7 +265,8 @@ object Bench {
         s""","calib_1t_after_sec":${r3(calibAfter._1)},"calib_nt_after_sec":${r3(calibAfter._2)}"""
     val head =
       s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)}"""
-    (s"""{$head,$calib,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"sf":${jstr(sfDir)}}""",
-      s"""{$head,$calib,"sf":${jstr(sfDir)}}""")
+    val fp = s""""data_fp":${jstr(dataFingerprint(sfDir))}"""
+    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"sf":${jstr(sfDir)}}""",
+      s"""{$head,$calib,$fp,"sf":${jstr(sfDir)}}""")
   }
 }

@@ -32,6 +32,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // corpus fingerprint first: the driver regenerates testdata between
+    // rounds, and scale numbers are only comparable at equal fingerprints
+    println(s"[scale] data_fp=${Bench.dataFingerprint(dir)} dir=$dir factor=$factor")
 
     def replicate(df: DataFrame, keyCols: Seq[String], shift: Long): DataFrame =
       (0 until factor).map { i =>
@@ -420,6 +423,24 @@ object ScaleProbe {
     println(s"[scale] big-vocab corpus ${bigVocab.count()} docs (1M distinct words)")
     time("bpe_full_bigvocab_k8") { graft.ops.Bpe.train(bigVocab, 8)._1.size.toLong }
     time("bpe_incr_bigvocab_k8") { graft.ops.Bpe.trainIncremental(bigVocab, 8).size.toLong }
+    // the postings rung: per-round FOLD work is bound by postings of
+    // the merged pair, not the vocab. On the pure hex lexicon every
+    // digram's postings list is a sizable fraction of the vocab
+    // (16-char alphabet), so the three trainers converge — the honest
+    // null case
+    time("bpe_post_bigvocab_k8") { graft.ops.Bpe.trainPostings(bigVocab, 8).size.toLong }
+    // …the win regime is a hot pair CONCENTRATED in few distinct words
+    // (what merges look like at production k, where the argmax pair is
+    // long and rare): 1M-word lexicon + one dominant word whose pairs
+    // win the first rounds. The postings lookup folds ~1 word per such
+    // round; the incremental trainer still folds all 1M.
+    val hot = spark.range(40000).select(
+      (col("id") + 2000000L).as("doc_id"), lit("qzqzqzqzqzqzqzqz").as("text"))
+    val hotCorpus = bigVocab.unionByName(hot).persist()
+    println(s"[scale] hot-pair corpus ${hotCorpus.count()} docs")
+    time("bpe_incr_hotpair_k4") { graft.ops.Bpe.trainIncremental(hotCorpus, 4).size.toLong }
+    time("bpe_post_hotpair_k4") { graft.ops.Bpe.trainPostings(hotCorpus, 4).size.toLong }
+    hotCorpus.unpersist()
     bigVocab.unpersist()
     sameVocab.unpersist()
     }

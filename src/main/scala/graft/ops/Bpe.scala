@@ -173,44 +173,69 @@ object Bpe extends graft.QueryModule {
   /** The production rung above [[trainIncremental]]: an inverted
     * pair→word POSTINGS index finds round i's affected words, so the
     * greedy merge fold — the expensive per-word work — runs ONLY on
-    * postings of the merged pair, never on the full vocab. Spec-pinned
-    * ([[BpeSpec]]) to the identical merge sequence as [[train]].
+    * words that (may) contain the merged pair, never on the full
+    * vocab. Spec-pinned ([[BpeSpec]]) to the identical merge sequence
+    * as [[train]].
     *
-    * Per-round work, by table:
-    *   - affected-word set = the (lft,rgt) postings list — exact (the
-    *     index stores every word's current distinct adjacencies), tiny
-    *     (words containing the argmax pair), and broadcast everywhere
-    *     it is used;
-    *   - fold + old/new adjacency delta: affected words only;
-    *   - pair-count and postings maintenance: delta-sized shuffles
-    *     (the delta aggregate), plus a broadcast-pruned columnar
-    *     rewrite of the vocab/postings tables (NO fold, NO explode,
-    *     NO exchange — a narrow map-side pass). At production scale
-    *     the vocab and postings tables live bucketed-by-key in a
-    *     table store, turning those rewrites into in-place pruned
-    *     writes; the merge-round SHUFFLE is postings-bound either
-    *     way, which is what the k≈30k round count multiplies.
+    * The state design is APPEND-ONLY — a first version that rewrote
+    * the vocab and postings tables every round measured SLOWER than
+    * [[trainIncremental]] (the 7·|vocab|-row postings rewrite dwarfed
+    * the fold savings), so nothing vocab-sized is ever written after
+    * init:
+    *   - `wordsBase` + `postBase`: checkpointed ONCE at init, never
+    *     touched again;
+    *   - `overrides` (word → current syms, only words some merge has
+    *     changed) and `postAdds` (adjacencies created by merges):
+    *     small delta tables, re-checkpointed per round, bounded by
+    *     cumulative churn — not by vocab;
+    *   - a round's candidate words = (postBase ∪ postAdds) postings of
+    *     the argmax pair. Entries are never deleted, so this is a
+    *     SUPERSET (a word may have lost the pair to an earlier merge);
+    *     the fold itself is the verifier — unchanged candidates drop
+    *     out exactly like trainIncremental's changed-filter, just over
+    *     candidates instead of the whole vocab;
+    *   - current syms for candidates = broadcast-pruned fetch from
+    *     wordsBase overridden by `overrides` (coalesce) — a narrow
+    *     no-shuffle scan, the piece a bucketed vocab store would turn
+    *     into a pruned read.
+    * Per-round SHUFFLED and WRITTEN bytes are postings/churn-bound;
+    * the broadcast of a pair's postings is safe precisely because
+    * argmax pairs get rare as k grows (the dense early merges are few
+    * and bounded by the alphabet²).
     */
   private[graft] def trainPostings(docs: DataFrame, k: Int): Seq[Merge] = {
-    var words = symbolTable(docs).localCheckpoint(true)
-    var pc = words
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordsBase = symbolTable(docs).localCheckpoint(true)
+    var pc = wordsBase
       .select(col("freq"), explode(adjPairs(col("syms"))).as("p"))
       .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
       .agg(sum(col("freq")).as("c"))
       .localCheckpoint(true)
-    var post = postingsOf(words).localCheckpoint(true)
+    val postBase = postingsOf(wordsBase).localCheckpoint(true)
+    var overrides = Seq.empty[(String, Seq[String])].toDF("word", "osyms")
+    var postAdds = Seq.empty[(String, String, String)].toDF("lft", "rgt", "word")
     val merges = Seq.newBuilder[Merge]
     for (step <- 1 to k) {
       val top = pc.orderBy(col("c").desc, col("lft"), col("rgt")).limit(1).collect()
       require(top.nonEmpty, s"corpus ran out of symbol pairs before merge $step of $k")
       val (lft, rgt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += Merge(step, lft, rgt, lft + rgt, c)
-      // the postings lookup: exactly the words whose CURRENT symbols
-      // contain (lft, rgt) adjacently — the only words the fold touches
-      val cand = post.filter(col("lft") === lit(lft) && col("rgt") === lit(rgt))
-        .select("word")
-      val affected = words.join(broadcast(cand), Seq("word"), "left_semi")
+      // postings lookup (superset: entries are never deleted)
+      val pairPred = col("lft") === lit(lft) && col("rgt") === lit(rgt)
+      val cand = postBase.filter(pairPred).select("word")
+        .unionByName(postAdds.filter(pairPred).select("word"))
+        .distinct()
+      // current symbols of the candidates only: base overridden by the
+      // latest merge result, both fetches broadcast-pruned
+      val cur = wordsBase.join(broadcast(cand), Seq("word"), "left_semi")
+        .join(overrides, Seq("word"), "left")
+        .select(col("word"), col("freq"), coalesce(col("osyms"), col("syms")).as("syms"))
+      // the fold verifies: stale candidates (pair already consumed by
+      // an earlier merge) come out unchanged and drop here
+      val affected = cur
         .withColumn("new_syms", mergeFold(col("syms"), lft, rgt))
+        .filter(col("new_syms") =!= col("syms"))
         .localCheckpoint(true)
       val delta = affected
         .select(explode(concat(
@@ -226,12 +251,10 @@ object Bpe extends graft.QueryModule {
         .filter(col("c") > 0)
         .localCheckpoint(true)
       val newWords = affected.select(col("word"), col("freq"), col("new_syms").as("syms"))
-      post = post.join(broadcast(cand), Seq("word"), "left_anti")
-        .unionByName(postingsOf(newWords))
+      overrides = overrides.join(affected.select("word"), Seq("word"), "left_anti")
+        .unionByName(newWords.select(col("word"), col("syms").as("osyms")))
         .localCheckpoint(true)
-      words = words.join(broadcast(cand), Seq("word"), "left_anti")
-        .unionByName(newWords)
-        .localCheckpoint(true)
+      postAdds = postAdds.unionByName(postingsOf(newWords)).localCheckpoint(true)
     }
     merges.result()
   }

@@ -527,6 +527,63 @@ object Dedup extends graft.QueryModule {
           .as("fp_md5"))
   }
 
+  /** SQL mirror of [[winnowSelections]] as a WITH-clause prefix ending
+    * at `sel(doc_id, n_grams, sel_pos, sel_h)` — shared by the
+    * q_winnowing summary and the q_winnow_overlap join oracles.
+    */
+  private def winnowSelCtes(k: Int, w: Int): String =
+    s"""sp AS (${Shingles.spansWithPosSql(k)}),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    ${Shingles.hash32Sql("'win:' || span")} AS hh,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+       |  FROM sp),
+       |wins AS (
+       |  SELECT doc_id, pos AS wstart, n_grams FROM h
+       |  WHERE pos <= n_grams - $w + 1),
+       |ranked AS (
+       |  SELECT wd.doc_id, wd.wstart, wd.n_grams, g.pos, g.hh,
+       |    row_number() OVER (PARTITION BY wd.doc_id, wd.wstart
+       |                       ORDER BY g.hh ASC, g.pos DESC) AS rn
+       |  FROM wins wd JOIN h g
+       |    ON g.doc_id = wd.doc_id
+       |   AND g.pos BETWEEN wd.wstart AND wd.wstart + ${w - 1}),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, n_grams, pos AS sel_pos, hh AS sel_h
+       |  FROM ranked WHERE rn = 1)""".stripMargin
+
+  /** The MOSS detection step itself: fingerprint-keyed self-join over
+    * the winnowed selections, reporting how many fingerprints each doc
+    * pair shares. By the detection guarantee, any shared substring of
+    * length ≥ w+k−1 tokens forces n_shared ≥ 1 for that pair
+    * (DedupSpec plants one and asserts it arrives via THIS join), so
+    * ranking pairs by n_shared is the plagiarism/boilerplate report
+    * MOSS serves.
+    *
+    * Bounded like the span join: a fingerprint appearing in more than
+    * `maxDf` docs is boilerplate (the df² blow-up key) and is dropped
+    * from the join — same df-cap defense as q_ngram_jaccard_capped,
+    * with the winnowing density guarantee ensuring a genuinely shared
+    * PASSAGE still surfaces through its rarer fingerprints.
+    */
+  def winnowOverlap(docs: DataFrame, k: Int = 3, w: Int = 4,
+      maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val sel = winnowSelections(docs, k, w)
+      .select("doc_id", "sel_h").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfh = sel.groupBy("sel_h").agg(count(lit(1)).as("df"))
+    val pruned = sel.join(dfh.filter(col("df") <= maxDf), Seq("sel_h"))
+      .select("doc_id", "sel_h")
+    val out = pruned.as("a").join(pruned.as("b"),
+        col("a.sel_h") === col("b.sel_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    sel.unpersist(false)
+    out
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. */
   def simhashFingerprints(docs: DataFrame): DataFrame = simhash(docs)
 
@@ -969,6 +1026,13 @@ object Dedup extends graft.QueryModule {
       winnowFingerprints(Tables.documents(spark, dir), 3, 4).orderBy("doc_id")
     },
 
+    // The MOSS detection join: doc pairs ranked by shared winnowed
+    // fingerprints (df-capped so boilerplate hashes can't go df²).
+    "q_winnow_overlap" -> { (spark, dir) =>
+      winnowOverlap(Tables.documents(spark, dir), 3, 4, 64, 2)
+        .orderBy("d1", "d2")
+    },
+
     "q_semantic_dedup" -> { (spark, dir) =>
       semanticDedup(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
         0.5, 0.9).orderBy("d1", "d2")
@@ -1184,33 +1248,23 @@ object Dedup extends graft.QueryModule {
            |  CAST(c.dup_tokens AS DOUBLE) / t.n_tokens AS dup_frac
            |FROM cov c JOIN tot t ON c.doc_id = t.doc_id
            |ORDER BY c.doc_id""".stripMargin,
-      "q_winnowing" -> {
-        val (w) = 4
-        s"""WITH sp AS (${Shingles.spansWithPosSql(3)}),
-           |h AS (
-           |  SELECT doc_id, pos,
-           |    ${Shingles.hash32Sql("'win:' || span")} AS hh,
-           |    count(*) OVER (PARTITION BY doc_id) AS n_grams
-           |  FROM sp),
-           |wins AS (
-           |  SELECT doc_id, pos AS wstart, n_grams FROM h
-           |  WHERE pos <= n_grams - $w + 1),
-           |ranked AS (
-           |  SELECT wd.doc_id, wd.wstart, wd.n_grams, g.pos, g.hh,
-           |    row_number() OVER (PARTITION BY wd.doc_id, wd.wstart
-           |                       ORDER BY g.hh ASC, g.pos DESC) AS rn
-           |  FROM wins wd JOIN h g
-           |    ON g.doc_id = wd.doc_id
-           |   AND g.pos BETWEEN wd.wstart AND wd.wstart + ${w - 1}),
-           |sel AS (
-           |  SELECT DISTINCT doc_id, n_grams, pos AS sel_pos, hh AS sel_h
-           |  FROM ranked WHERE rn = 1)
+      "q_winnowing" ->
+        s"""WITH ${winnowSelCtes(3, 4)}
            |SELECT doc_id, CAST(any_value(n_grams) AS BIGINT) AS n_grams,
            |  CAST(count(*) AS BIGINT) AS n_fingerprints,
            |  md5(string_agg(CAST(sel_pos AS VARCHAR) || ':' || CAST(sel_h AS VARCHAR),
            |      ',' ORDER BY sel_pos, sel_h)) AS fp_md5
-           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      },
+           |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_winnow_overlap" ->
+        s"""WITH ${winnowSelCtes(3, 4)},
+           |dsel AS (SELECT DISTINCT doc_id, sel_h FROM sel),
+           |dfh AS (
+           |  SELECT sel_h FROM dsel GROUP BY sel_h HAVING count(*) <= 64),
+           |pr AS (SELECT d.doc_id, d.sel_h FROM dsel d JOIN dfh f ON d.sel_h = f.sel_h)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM pr a JOIN pr b ON a.sel_h = b.sel_h AND a.doc_id < b.doc_id
+           |GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+           |ORDER BY d1, d2""".stripMargin,
       "q_intradoc_dedup" ->
         s"""WITH tokp AS (
            |  SELECT doc_id, pos, term FROM (

@@ -271,6 +271,27 @@ class DedupSpec extends AnyFunSuite {
       "shared >= w+k-1 substring produced no shared fingerprint")
   }
 
+  test("winnowOverlap surfaces a planted shared passage through the detection join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (k, w) = (3, 4)
+    // a 12-token shared passage (≥ w+k−1 = 6) between docs 1 and 2,
+    // unrelated filler elsewhere — the JOIN path itself must report
+    // the pair, not just the fingerprint sets intersect
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine ten $shared eleven twelve"),
+      (3L, "completely unrelated text with nothing in common at all here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlap(corpus, k, w, maxDf = 64, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (d1, d2, n) => d1 == 1L && d2 == 2L && n >= 1 },
+      s"planted pair not detected: ${pairs.toSeq}")
+    assert(!pairs.exists { case (d1, d2, _) => d2 == 3L || d1 == 3L },
+      s"unrelated doc matched: ${pairs.toSeq}")
+  }
+
   test("intraDocDedup is non-vacuous on the testdata: some doc loses tokens at k=3") {
     // the declared query runs k=3 BECAUSE the corpus has real 3-token
     // in-doc repeats at every sf (k=8 has none) — guard that stays true

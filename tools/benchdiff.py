@@ -22,8 +22,16 @@ Rounds before r6 carry no calibration fields — their numbers print
 raw with a loud [no-calib] marker, because no after-the-fact
 normalization is honest for them.
 
+Delta attribution (r8): each artifact carries a corpus fingerprint
+("data_fp", md5 over parquet name|size|mtime). Equal fingerprints +
+clean calibration + >threshold ratio = CODE-shaped delta (gates).
+Different fingerprints = DATA-shaped (the driver regenerated
+testdata; flagged loudly, never gates). High calibration factor =
+HOST-shaped (normalized away before the ratio).
+
 Exit status: 0 if no per-query regression exceeds the threshold,
-1 if any does (so CI-ish loops can gate on it).
+1 if any does (so CI-ish loops can gate on it). Data-shifted runs
+always exit 0.
 """
 import argparse
 import json
@@ -72,6 +80,7 @@ def load(path):
         calib = nt / st if st > 0 else None
     return {
         "path": path,
+        "data_fp": meta.get("data_fp"),
         "total": meta.get("value"),
         "n_queries": meta.get("n_queries"),
         "n_errors": meta.get("n_errors"),
@@ -108,6 +117,25 @@ def main():
                 f"{len(r['queries'])} of {r['n_queries']} per-query times recovered"
             )
 
+    # r8+: artifacts carry a corpus fingerprint (md5 over parquet
+    # name|size|mtime). Different fingerprints mean the driver
+    # regenerated testdata between the runs — per-query deltas are then
+    # DATA-shaped, not code regressions, and must not gate.
+    data_shifted = (
+        a["data_fp"] is not None
+        and b["data_fp"] is not None
+        and a["data_fp"] != b["data_fp"]
+    )
+    if data_shifted:
+        print(
+            f"DATA-SHIFTED: corpus fingerprints differ "
+            f"({a['data_fp']} -> {b['data_fp']}) — deltas below reflect "
+            f"regenerated testdata, not code; not gating on them"
+        )
+    elif a["data_fp"] is None or b["data_fp"] is None:
+        print("note: no corpus fingerprint in one or both artifacts (pre-r8) — "
+              "data shifts are invisible here")
+
     fa = a["factor"] or 1.0
     fb = b["factor"] or 1.0
     shared = sorted(set(a["queries"]) & set(b["queries"]))
@@ -133,8 +161,9 @@ def main():
     print(f"\nshared queries: {len(shared)}; normalized deltas over {args.threshold}x:")
     if not regressions:
         print("  (none)")
+    tag = " [data-shifted]" if data_shifted else ""
     for q, va, vb, ratio in regressions:
-        print(f"  REGRESSED {q}: {va:.2f}s -> {vb:.2f}s ({ratio:.1f}x)")
+        print(f"  REGRESSED {q}: {va:.2f}s -> {vb:.2f}s ({ratio:.1f}x){tag}")
     if improved:
         print(f"improved by >{args.threshold}x: {len(improved)}")
         for q, va, vb, ratio in improved[-5:]:
@@ -145,7 +174,7 @@ def main():
         f"shared-query normalized totals: {tot_a:.1f}s -> {tot_b:.1f}s "
         f"({tot_b / tot_a:.2f}x)"
     )
-    sys.exit(1 if regressions else 0)
+    sys.exit(1 if regressions and not data_shifted else 0)
 
 
 if __name__ == "__main__":
