@@ -149,4 +149,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(expected))
   }
+
+  test("a single hot key (100k events, one user) keeps state bounded and the batch moving") {
+    // the streaming sibling of the salted-batch skew path: state is
+    // keyed by user, so a hot user must cost O(1) STATE (one
+    // SessionState) no matter how many events it floods in — the
+    // skew lands on one task's in-batch sort, never in the store.
+    // 100k events for user 0 (alternating inside/outside the session
+    // gap, so sessions actually close and emit) + 50 normal users.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gap = EventStream.gapMicros
+    val hot = (0 until 100000).map { i =>
+      // every event lands gap+1s after the previous one, so each closes
+      // the prior singleton session — maximal emission pressure
+      EventStream.Ev(i.toLong, i.toLong * (gap + 1000000L), 0L, 1.0)
+    }
+    val normal = for (u <- 1L to 50L; i <- 0 until 10)
+      yield EventStream.Ev(1000000L + u * 100 + i, i.toLong * 1000000L, u, 1.0)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev]
+    ms.addData(hot ++ normal)
+    val q = ms.toDF()
+      .select(col("event_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("user_id"), col("value"))
+      .transform(EventStream.sessionize(_).toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hotkey_sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // bounded state: one row per DISTINCT user — 51 — not per event
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == 51L, s"state rows $stateRows != 51 distinct keys")
+    // the hot user's sessions all emitted (every event > gap from the
+    // previous closes a session; the final one stays open in state)
+    val hotSessions = spark.table("hotkey_sessions")
+      .filter(col("user_id") === 0L).count()
+    assert(hotSessions == 99999L, s"hot-user sessions $hotSessions")
+  }
 }
