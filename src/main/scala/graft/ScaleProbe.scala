@@ -383,6 +383,21 @@ object ScaleProbe {
     time("pq_adc_search") {
       graft.ops.VectorOps.pqSearch(emb, col("vec_id") < 5, 8, 16, 10, 64).count()
     }
+    // the r8 trained tier: k-means codebook training (corpus×ksub
+    // assignment fanout per iteration — the term that grows) and the
+    // full two-stage rerank query on the grown corpus
+    time("pq_train") {
+      graft.ops.VectorOps.pqTrain(emb, 8, 16, 2, 64).count()
+    }
+    // training on a 25% deterministic hash-sample — the 100 TB mode:
+    // assignment fanout shrinks 4×, the full corpus is still encoded
+    time("pq_train_sample25") {
+      graft.ops.VectorOps.pqTrain(emb, 8, 16, 2, 64, samplePct = 25).count()
+    }
+    time("pq_rerank") {
+      graft.ops.VectorOps.pqSearchRerank(emb, col("vec_id") < 5, 8, 16, 100, 10, 64,
+        Some(graft.ops.VectorOps.pqTrain(emb, 8, 16, 2, 64))).count()
+    }
     emb.unpersist()
     }
 

@@ -297,8 +297,38 @@ object Bpe extends graft.QueryModule {
     * budget, dropping the `broadcast` hint degrades to that shuffle
     * join without a semantic change.
     */
-  def bpeEncode(docs: DataFrame, k: Int = 8): DataFrame = {
-    val finalSyms = train(docs, k)._2
+  def bpeEncode(docs: DataFrame, k: Int = 8): DataFrame =
+    encodeFrom(docs, train(docs, k)._2)
+
+  /** Corpus encoded with a FIXED, already-trained merge table — the
+    * SERVING path: a production tokenizer is trained once and then
+    * applied to every new corpus/stream, so encoding must not retrain.
+    * The k merges (driver-side model, like the centroid/codebook
+    * tables) are applied to THIS corpus's distinct-word vocab by
+    * chaining the greedy fold in step order — one vocab-bound pass,
+    * checkpointed every 16 merges so expression depth (and codegen
+    * method size) stays bounded at any k — then the same broadcast
+    * encode join as [[bpeEncode]]. Words the training corpus never saw
+    * fall through to whatever symbols the merges produce (ultimately
+    * characters), exactly like a real subword tokenizer on fresh text.
+    * BpeSpec pins self-application equal to [[bpeEncode]] and drives a
+    * cross-corpus apply.
+    */
+  def bpeEncodeWith(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val finalSyms = merges.sortBy(_.step).grouped(16)
+      .foldLeft(symbolTable(docs)) { (df, grp) =>
+        grp.foldLeft(df)((d, mg) =>
+          d.withColumn("syms", mergeFold(col("syms"), mg.lft, mg.rgt)))
+          .localCheckpoint(true)
+      }
+    encodeFrom(docs, finalSyms)
+  }
+
+  /** The shared encode tail: broadcast the word→symbols table, join
+    * the token stream, aggregate per-doc counts + the order-pinned
+    * subword fingerprint.
+    */
+  private def encodeFrom(docs: DataFrame, finalSyms: DataFrame): DataFrame =
     Shingles.tokensWithPos(docs)
       .join(broadcast(finalSyms.select(col("word").as("term"), col("syms"))), Seq("term"))
       .groupBy("doc_id")
@@ -308,7 +338,6 @@ object Bpe extends graft.QueryModule {
         md5(concat_ws(" ",
           flatten(transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
             p => p.getField("syms"))))).as("subwords_md5"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> { (spark, dir) =>

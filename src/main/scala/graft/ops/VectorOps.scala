@@ -371,12 +371,22 @@ object VectorOps extends graft.QueryModule {
     * centroid, so exactly m·ksub codewords always come out.
     */
   def pqTrain(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2, dims: Int = 64): DataFrame = {
+      iters: Int = 2, dims: Int = 64, samplePct: Int = 100): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
-    val e = castVec(embeddings, "vid")
+    // samplePct < 100: train on a DETERMINISTIC vec_id hash-sample (the
+    // engine's shared sampling rule) — the 100 TB mode the scaladoc
+    // names: codebook quality needs statistics, not the whole corpus,
+    // and the corpus-sized pass is encoding, which always runs in full.
+    // Seeds still come from the FULL corpus's lowest ids so the trained
+    // codebook is comparable (and ksub never outruns a small sample).
+    val trainSet =
+      if (samplePct >= 100) embeddings
+      else embeddings.filter(
+        TextOps.hashBucket(col("vec_id")) < samplePct || col("vec_id") < ksub)
+    val e = castVec(trainSet, "vid")
     def gridSub(v: Column): Column =
       transform(slice(v, col("j") * lit(sub) + lit(1), lit(sub)),
         x => floor(x * lit(PQGRID) + lit(0.5)).cast("long"))

@@ -107,6 +107,24 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainPostings(corpus, 16) == Bpe.train(corpus, 16)._1)
   }
 
+  test("bpeEncodeWith: a pretrained merge table serves without retraining") {
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.bpeMerges(corpus, 8).collect().map(r =>
+      Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // self-application == the train-and-encode query, row for row
+    val viaModel = Bpe.bpeEncodeWith(corpus, merges)
+      .collect().map(_.toString).sorted
+    val viaTrain = Bpe.bpeEncode(corpus, 8)
+      .collect().map(_.toString).sorted
+    assert(viaModel.sameElements(viaTrain))
+    // cross-corpus: fresh text with unseen words still encodes (unseen
+    // words fall through to characters), and every token is covered
+    val fresh = docs("brandnew wordsx the of", "qqq zzz the")
+    val out = Bpe.bpeEncodeWith(fresh, merges).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).sum == 7, "every token of the fresh corpus encodes")
+  }
+
   test("sampled-corpus training reproduces most of the full merge sequence") {
     val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val full = Bpe.bpeMerges(corpus, 16).select("merged").collect().map(_.getString(0)).toSet

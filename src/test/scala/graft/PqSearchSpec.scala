@@ -84,4 +84,22 @@ class PqSearchSpec extends AnyFunSuite {
     info(f"re-ranked top-10 overlap vs exact cosine: $overlap%.2f")
     assert(overlap >= 0.9, s"re-ranked recall below the done-gate: $overlap")
   }
+
+  test("hash-sampled codebook training preserves the re-rank recall story") {
+    // the 100 TB training mode: fit the codebook on a 30% deterministic
+    // sample, encode and search the FULL corpus — recall must stay in
+    // the same band as full-corpus training (codebooks need statistics,
+    // not the whole corpus)
+    val truth = VectorOps.knn(emb, col("vec_id") < 5, 10)
+      .select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = VectorOps
+      .pqSearchRerank(emb, col("vec_id") < 5, 8, 16, 100, 10, 64,
+        Some(VectorOps.pqTrain(emb, 8, 16, 2, 64, samplePct = 30)))
+      .select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (truth intersect rr).size.toDouble / truth.size
+    info(f"sampled-codebook re-ranked overlap: $overlap%.2f")
+    assert(overlap >= 0.8, s"sampled-codebook recall collapsed: $overlap")
+  }
 }
