@@ -345,6 +345,20 @@ object Bpe extends graft.QueryModule {
     },
     "q_bpe_encode" -> { (spark, dir) =>
       bpeEncode(Tables.documents(spark, dir), 8).orderBy("doc_id")
+    },
+    // The SERVING split: train the tokenizer on the even-doc_id half,
+    // apply the fixed merge table corpus-wide via bpeEncodeWith — the
+    // real deployment shape (train once, encode everything), with
+    // odd-half-only words exercising the unseen-word fallthrough. The
+    // oracle re-derives the half-corpus training chain AND the
+    // corpus-wide application. k=16: measured on all three SFs, the
+    // even-half merge sequence diverges from full-corpus training by
+    // step 11/2/4 — so this output provably differs from q_bpe_encode's
+    // (a k=8 apply was byte-identical at sf0.001).
+    "q_bpe_apply" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val merges = train(docs.filter(col("doc_id") % 2 === 0), 16)._1
+      bpeEncodeWith(docs, merges).orderBy("doc_id")
     }
   )
 
@@ -384,18 +398,21 @@ object Bpe extends graft.QueryModule {
        |  FROM $prev w CROSS JOIN $p p""".stripMargin
   }
 
-  /** WITH-clause prefix training `k` merges: tok, s0, p1, s1 … pk, sk. */
-  private def trainSql(k: Int): String = {
+  /** WITH-clause prefix training `k` merges: tok, s0, p1, s1 … pk, sk.
+    * `vocabFilter` restricts the TRAINING vocab's token stream (e.g. a
+    * doc_id split) while `tok` itself stays corpus-wide for encoding.
+    */
+  private def trainSql(k: Int, vocabFilter: String = ""): String = {
     val steps = (1 to k).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  ${pairSql(s"s${i - 1}")}),
-         |s$i AS (
+         |s$i AS MATERIALIZED (
          |  ${foldSql(s"s${i - 1}", s"p$i")})""".stripMargin
     }
-    s"""tok AS ($tokSql),
-       |s0 AS (
+    s"""tok AS MATERIALIZED ($tokSql),
+       |s0 AS MATERIALIZED (
        |  SELECT word, freq, string_split(word, '') AS syms FROM (
-       |    SELECT term AS word, count(*) AS freq FROM tok GROUP BY term) wf),
+       |    SELECT term AS word, count(*) AS freq FROM tok $vocabFilter GROUP BY term) wf),
        |${steps.mkString(",\n")}""".stripMargin
   }
 
@@ -417,7 +434,27 @@ object Bpe extends graft.QueryModule {
            |SELECT doc_id, count(*) AS n_tokens,
            |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
            |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subwords_md5
+           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // train on the even half (s0..s16 chain over the filtered vocab),
+      // then apply p1..p16 to the FULL corpus vocab (v0..v16 fold
+      // chain) and encode every document — bpeEncodeWith's SQL twin
+      "q_bpe_apply" -> {
+        val ka = 16
+        val applies = (1 to ka).map(i =>
+          s"v$i AS MATERIALIZED (\n  ${foldSql(s"v${i - 1}", s"p$i")})").mkString(",\n")
+        s"""WITH ${trainSql(ka, "WHERE doc_id % 2 = 0")},
+           |v0 AS MATERIALIZED (
+           |  SELECT word, freq, string_split(word, '') AS syms FROM (
+           |    SELECT term AS word, count(*) AS freq FROM tok GROUP BY term) wf),
+           |$applies,
+           |enc AS (
+           |  SELECT t.doc_id, t.pos, v.syms
+           |  FROM tok t JOIN v$ka v ON t.term = v.word)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+           |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subwords_md5
            |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }
     )
   }
 }
