@@ -71,10 +71,34 @@ object Bpe extends graft.QueryModule {
     * "invalid index", not out-of-bounds).
     */
   private[graft] def mergeFold(syms: Column, lft: String, rgt: String): Column =
+    mergeFoldDyn(syms, lit(lft), lit(rgt))
+
+  /** [[mergeFold]] with the merge pair as COLUMNS — the serving form:
+    * a broadcast model row carries the merge table as data, so the pair
+    * is not known at plan-build time (see
+    * [[graft.streaming.DocStream.tokenizeOnIngest]]).
+    */
+  private[graft] def mergeFoldDyn(syms: Column, lft: Column, rgt: Column): Column =
     aggregate(syms, typedLit(Seq.empty[String]), (acc, s) =>
-      when(size(acc) > 0 && element_at(acc, size(acc)) === lit(lft) && s === lit(rgt),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lft + rgt))))
+      when(size(acc) > 0 && element_at(acc, size(acc)) === lft && s === rgt,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(lft, rgt))))
         .otherwise(concat(acc, array(s))))
+
+  /** The trained tokenizer packed for SERVING: one row whose `merges`
+    * column is the step-ordered array of (lft, rgt) rules — the same
+    * one-row broadcast-model convention as [[Classify.dsirModel]] /
+    * [[Classify.nbModel]], so a scorer (batch or stream) cross-joins
+    * it and applies the rules per row with zero shuffles.
+    */
+  def bpeModel(merges: Seq[Merge]): DataFrame = {
+    // no SparkSession at hand from the merges alone; callers pass docs'
+    // session implicitly via the active session
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq(Tuple1(merges.sortBy(_.step).map(m => (m.lft, m.rgt)))).toDF("raw")
+      .select(expr(
+        "transform(raw, r -> named_struct('lft', r._1, 'rgt', r._2))").as("merges"))
+  }
 
   /** The distinct-word frequency table with each word split to its
     * character symbols: (word, freq, syms).

@@ -163,6 +163,37 @@ object DocStream {
       .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))
   }
 
+  /** Subword tokenization on ingest — the serving half of the BPE
+    * tier: a batch-trained merge table ([[graft.ops.Bpe.bpeModel]],
+    * one row, step-ordered rules) rides a broadcast, and each arriving
+    * document is encoded by a per-row double fold — per token, fold
+    * the rule array over its character symbols (each rule application
+    * is the same greedy left-to-right pass as training's
+    * [[graft.ops.Bpe.mergeFold]]) — stateless, zero shuffles, the
+    * scoreOnIngest/classifyOnIngest plumbing exactly. DocStreamSpec
+    * pins stream == [[graft.ops.Bpe.bpeEncodeWith]] on the same
+    * corpus, fingerprints included.
+    *
+    * Serving-time divergence, by design: a tokenless document still
+    * emits a row (n_tokens 0) instead of being absent like in the
+    * batch query, whose vocab join never sees it.
+    */
+  def tokenizeOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs.crossJoin(broadcast(model))
+      .withColumn("toks", toks)
+      .withColumn("subs", transform(col("toks"), t =>
+        aggregate(col("merges"),
+          transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))),
+          (syms, mg) =>
+            graft.ops.Bpe.mergeFoldDyn(syms, mg.getField("lft"), mg.getField("rgt")))))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("subs"), lit(0L), (a, s) => a + size(s).cast("long"))
+          .as("n_subwords"),
+        md5(concat_ws(" ", flatten(col("subs")))).as("subwords_md5"))
+  }
+
   /** Streaming near-dup detection on ingest: every micro-batch of new
     * documents is deduped against the STATIC historical signature index
     * via [[graft.ops.Dedup.incrementalCandidates]] — the streaming face

@@ -90,6 +90,29 @@ class DocStreamSpec extends AnyFunSuite {
       "per-row argmax serving != the declared batch confusion")
   }
 
+  test("streaming tokenization serves the batch-trained merge table bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val merges = graft.ops.Bpe.bpeMerges(docs, 8).collect().map(r =>
+      graft.ops.Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val model = graft.ops.Bpe.bpeModel(merges).localCheckpoint(true)
+    val q = DocStream.tokenizeOnIngest(DocStream.readDocs(spark, dir), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_served")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    val streamed = canon(spark.table("bpe_served")
+      .select("doc_id", "n_tokens", "n_subwords", "subwords_md5").collect())
+    val batch = canon(graft.ops.Bpe.bpeEncodeWith(docs, merges)
+      .select("doc_id", "n_tokens", "n_subwords", "subwords_md5").collect())
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      "per-row serving fold != the batch vocab-join encode")
+  }
+
   test("streaming dedup-on-ingest == batch incremental dedup against the same index") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
