@@ -150,6 +150,12 @@ object EvalProbe {
       .select("qid", "vid")
     val hR = cosTruth.join(rr, Seq("qid", "vid"), "left_semi").count()
     println(f"[eval] pq_rerank_top10      ${hR.toDouble / nCos}%.3f  ($hR/$nCos)")
+    // IVFADC: recall is bounded by the coarse cell hit (the ivf rows
+    // above) times residual-ADC fidelity — the compose-the-dials view
+    val ivfpq = graft.ops.VectorOps.ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64)
+      .select("qid", "vid")
+    val hI = pqTruth.join(ivfpq, Seq("qid", "vid"), "left_semi").count()
+    println(f"[eval] ivfpq_top10          ${hI.toDouble / nPqTruth}%.3f  ($hI/$nPqTruth)")
 
     // BPE compression ladder: corpus chars per subword as the merge
     // count grows — the quality curve a tokenizer budget is chosen

@@ -472,6 +472,112 @@ object VectorOps extends graft.QueryModule {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** IVFADC (Jégou et al. 2011 §IV — the FAISS IVF+PQ default): coarse
+    * IVF assignment, then product quantization of the RESIDUAL v − c,
+    * scored by ADC within the query's cell only. The composition is
+    * what actually runs at billion scale: the coarse index prunes the
+    * scan to 1/C of the corpus, the 4-byte residual codes shrink what
+    * remains 64×, and the residual distribution (centered, small) is
+    * exactly what a 16-codeword-per-subspace book quantizes well.
+    *
+    * score(q, v) = q·c + ADC(q, codes(v − c)) ≈ q·v, exact in grid
+    * arithmetic: q·c is a 1e12-grid long, the LUT entries are the same
+    * grid, and their sum ranks identically across engines. Within one
+    * cell q·c is constant, so the ranking equals the ADC ranking — the
+    * term is kept so the reported score approximates the true dot.
+    *
+    * Scale shape: one broadcast coarse-assignment pass (C centroids),
+    * residual PQ training on the driver-side-model path ([[pqTrain]]),
+    * then a zero-shuffle ADC scan of the query's cell. Deterministic
+    * stand-in coarse centroids (dense-ranked lowest ids, the
+    * [[ivfSearch]] convention) keep the oracle mechanical; the
+    * codebook itself is genuinely TRAINED on the residuals.
+    */
+  def ivfPqSearch(embeddings: DataFrame, queryPred: Column, nCentroids: Int = 8,
+      m: Int = 8, ksub: Int = 16, k: Int = 10, dims: Int = 64): DataFrame = {
+    val (result, assigned) =
+      ivfPqSearchLazy(embeddings, queryPred, nCentroids, m, ksub, k, dims)
+    // materialize the (tiny) top-k so the persisted assignment can be
+    // dropped before returning (the ivfSearchCentroids convention)
+    val out = result.localCheckpoint(true)
+    assigned.unpersist(false)
+    out
+  }
+
+  /** The IVFADC pipeline, lazily: (result, persisted assignment) —
+    * PlanSpec asserts the broadcast/WindowGroupLimit shape here, before
+    * localCheckpoint truncates the plan (the ivfSearchLazy convention).
+    */
+  private[graft] def ivfPqSearchLazy(embeddings: DataFrame, queryPred: Column,
+      nCentroids: Int, m: Int, ksub: Int, k: Int, dims: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val sub = dims / m
+    require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
+    val e = castVec(embeddings, "vid")
+    val cent = e.orderBy("vid").limit(nCentroids)
+      .withColumn("ccid", row_number().over(Window.orderBy("vid")).cast("int") - 1)
+      .select(col("ccid"), col("vid_v").as("c_v"))
+    val wA = Window.partitionBy("vid").orderBy(col("ccos").desc, col("ccid"))
+    // coarse assignment (cosine, ties to the lowest cell id) — one
+    // broadcast pass; persisted because residual training, encoding,
+    // the query side and the q·c term all read it
+    val assigned = e.join(broadcast(cent), lit(true))
+      .select(col("vid"), col("vid_v"), col("ccid"), col("c_v"),
+        round(call_function("array_cosine", col("vid_v"), col("c_v")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("vid_v"), col("ccid").as("cell"), col("c_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val resid = assigned.select(col("vid").as("vec_id"),
+      zip_with(col("vid_v"), col("c_v"), (a, b) => a - b).as("embedding"))
+    val cb = pqTrain(resid, m, ksub, 2, dims)
+    def gridFold(terms: Column): Column =
+      aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
+    val rv = castVec(resid, "vid")
+    // residual codes, exactly the pqSearch encode shape
+    val codes = rv
+      .join(broadcast(cb), lit(true))
+      .select(col("vid"), col("j"), col("cid"),
+        gridFold(zip_with(
+          slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
+          (x, c) => (x - c) * (x - c))).as("d2q"))
+      .groupBy("vid", "j")
+      .agg(min(struct(col("d2q"), col("cid"))).as("best"))
+      .select(col("vid"), col("j"), col("best.cid").as("code"))
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(assigned.select(col("vid"), col("cell")), Seq("vid"))
+    // query side: RAW query subvectors against the residual codewords
+    // (q·r = Σ_j q_j·cw_j), plus the per-query q·c cell offset
+    val q = assigned.filter(queryPred)
+      .select(col("vid").as("qid"), col("vid_v").as("qid_v"),
+        col("cell"), col("c_v"))
+    val lut = q
+      .join(broadcast(cb), lit(true))
+      .select(col("qid"), col("j"), col("cid"),
+        gridFold(zip_with(
+          slice(col("qid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
+          (x, c) => x * c)).cast("long").as("lamq"))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cid"), col("lamq")))),
+        s => s.getField("lamq")).as("lut"))
+      .join(q.select(col("qid"), col("cell"),
+        gridFold(zip_with(col("qid_v"), col("c_v"), (a, b) => a * b)).as("qcq")),
+        Seq("qid"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
+    val out = codes
+      .join(broadcast(lut),
+        col("qid") =!= col("vid") && codes("cell") === lut("cell"))
+      .select(col("qid"), codes("cell").as("cell"), col("vid"),
+        ((call_function("adc_score_long", col("codes"), col("lut")) + col("qcq"))
+          .cast("double") / lit(GRID)).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cell", "rank", "vid", "score")
+    (out, assigned)
+  }
+
   /** Spherical Lloyd's k-means over the embedding column — the trainer
     * for real IVF coarse centroids (the declared q_ann_ivf keeps
     * deterministic lowest-id stand-ins so its oracle stays
@@ -729,6 +835,14 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // IVFADC — the billion-scale composition (FAISS IVF+PQ): coarse
+    // cells prune the scan to 1/C, trained residual codes shrink the
+    // rest 64×, ADC scores within the query's cell only.
+    "q_ivfpq" -> { (spark, dir) =>
+      ivfPqSearch(Tables.embeddings(spark, dir), col("vid") < 5, 8, 8, 16, 10, 64)
+        .orderBy("qid", "rank")
+    },
+
     // Embedding post-processing statistics: the mean vector and the
     // top principal direction (2 power-iteration rounds), per ABTT.
     "q_pca_power" -> { (spark, dir) =>
@@ -771,7 +885,8 @@ object VectorOps extends graft.QueryModule {
     * sum → double ÷ count + 0.5), codeword = grid/1e6 double, and the
     * 1e12-grid product sums of the scoring pass.
     */
-  private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int): String = {
+  private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int,
+      preCtes: String = "", vecSrc: String = "e", scCellJoin: String = ""): String = {
     def gsum(term: String) =
       s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
     val d2 = s"list_sum([(x.xs[i] - c.cg[i]) * (x.xs[i] - c.cg[i]) FOR i IN range(1, ${sub + 1})])"
@@ -794,15 +909,16 @@ object VectorOps extends graft.QueryModule {
          |  SELECT p.* FROM cb${it - 1} p WHERE NOT EXISTS (
          |    SELECT 1 FROM nc$it n WHERE n.j = p.j AND n.cid = p.cid))""".stripMargin
     }
+    val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |js AS (SELECT unnest(range(0, $m)) AS j),
-       |xg AS (
-       |  SELECT e.vec_id AS vid, js.j,
-       |    [CAST(floor(e.v[js.j*$sub + i] * 1e6 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})] AS xs
-       |  FROM e, js),
+       |${pre}xg AS (
+       |  SELECT s.vec_id AS vid, js.j,
+       |    [CAST(floor(s.v[js.j*$sub + i] * 1e6 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})] AS xs
+       |  FROM $vecSrc s, js),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |  FROM e ORDER BY vec_id LIMIT $ksub),
+       |  FROM $vecSrc ORDER BY vec_id LIMIT $ksub),
        |cb0 AS (SELECT x.j, CAST(s.cid AS INT) AS cid, x.xs AS cg
        |        FROM xg x JOIN seeds s ON x.vid = s.vec_id),
        |${iterCtes.mkString(",\n")},
@@ -813,7 +929,7 @@ object VectorOps extends graft.QueryModule {
        |enc AS (
        |  SELECT a.vec_id AS vid, c.j, c.cid,
        |    ${gsum("(a.v[c.j*" + sub + "+i] - c.cw[i]) * (a.v[c.j*" + sub + "+i] - c.cw[i])")} AS d2q
-       |  FROM e a, cbf c),
+       |  FROM $vecSrc a, cbf c),
        |codes AS (
        |  SELECT vid, j, cid AS code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vid, j ORDER BY d2q, cid) AS rn
@@ -825,6 +941,7 @@ object VectorOps extends graft.QueryModule {
        |sc AS (
        |  SELECT l.qid, kd.vid, sum(l.lamq) AS sq
        |  FROM codes kd JOIN lut l ON kd.j = l.j AND kd.code = l.cid
+       |  $scCellJoin
        |  WHERE l.qid <> kd.vid GROUP BY l.qid, kd.vid)""".stripMargin
   }
 
@@ -896,6 +1013,42 @@ object VectorOps extends graft.QueryModule {
          |  SELECT qid, vid, CAST(sq AS DOUBLE) / 1e12 AS score,
          |    row_number() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rank
          |  FROM sc) z WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // IVFADC: coarse-assign (cosine, dense cell ids), PQ-train on the
+    // residuals (the same unrolled iteration chain, reading the rv
+    // CTE), ADC within the query's cell, score = q·c + ADC
+    "q_ivfpq" -> {
+      val (cn, k) = (8, 10)
+      val pre =
+        s"""cc AS (
+           |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS ccid
+           |  FROM e ORDER BY vec_id LIMIT $cn),
+           |asgc AS (
+           |  SELECT vid, cell, c_v FROM (
+           |    SELECT a.vec_id AS vid, c.ccid AS cell, c.v AS c_v,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${cosSql("a.v", "c.v")} DESC, c.ccid) AS rn
+           |    FROM e a CROSS JOIN cc c) z WHERE rn = 1),
+           |rv AS (
+           |  SELECT g.vid AS vec_id,
+           |    [a.v[i] - g.c_v[i] FOR i IN range(1, 65)] AS v
+           |  FROM asgc g JOIN e a ON a.vec_id = g.vid)""".stripMargin
+      val cellJoin =
+        """JOIN asgc kv ON kv.vid = kd.vid
+          |  JOIN asgc kq ON kq.vid = l.qid AND kq.cell = kv.cell""".stripMargin
+      s"""WITH ${pqAdcCtes(8, 16, 8, 2, pre, "rv", cellJoin)},
+         |qc AS (
+         |  SELECT g.vid AS qid, g.cell,
+         |    CAST(list_sum([CAST(floor(a.v[i] * g.c_v[i] * 1e12 + 0.5) AS BIGINT)
+         |      FOR i IN range(1, 65)]) AS BIGINT) AS qcq
+         |  FROM asgc g JOIN e a ON a.vec_id = g.vid WHERE g.vid < 5)
+         |SELECT qid, cell, rank, vid, score FROM (
+         |  SELECT s.qid, qc.cell, s.vid,
+         |    CAST(s.sq + qc.qcq AS DOUBLE) / 1e12 AS score,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
+         |  FROM sc s JOIN qc ON qc.qid = s.qid) z
+         |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+    },
     // shortlist → exact re-rank: the same trained-ADC chain, top-100
     // shortlist per query, then true cosine over only those candidates
     "q_pq_rerank" ->

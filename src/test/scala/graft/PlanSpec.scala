@@ -230,6 +230,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q_ivfpq: cell-restricted ADC joins broadcast, top-k is WindowGroupLimit") {
+    val (lazyPlan, assigned) = graft.ops.VectorOps.ivfPqSearchLazy(
+      graft.core.Tables.embeddings(spark, dir),
+      org.apache.spark.sql.functions.col("vid") < 5, 8, 8, 16, 10, 64)
+    val p = lazyPlan.queryExecution.executedPlan.toString
+    assigned.unpersist(false)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_pq_rerank: shortlist and queries ride broadcasts back onto the corpus scan") {
     val p = plan("q_pq_rerank")
     // candidate fetch + query fetch are both broadcast equi-joins; the

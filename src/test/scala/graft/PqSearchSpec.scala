@@ -85,6 +85,24 @@ class PqSearchSpec extends AnyFunSuite {
     assert(overlap >= 0.9, s"re-ranked recall below the done-gate: $overlap")
   }
 
+  test("ivfPqSearch: results stay in the query's cell with descending scores") {
+    val out = VectorOps.ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // one cell per query, ranks dense from 1, scores non-increasing —
+    // the invariants the composition must keep regardless of data
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, s"query $q spans cells")
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length), s"ranks not dense for $q")
+      sorted.map(_._5).toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0) >= pair(1), s"scores not descending for $q")
+      }
+      rows.foreach(r => assert(r._4 != q, s"self-pair for $q"))
+    }
+  }
+
   test("hash-sampled codebook training preserves the re-rank recall story") {
     // the 100 TB training mode: fit the codebook on a 30% deterministic
     // sample, encode and search the FULL corpus — recall must stay in
