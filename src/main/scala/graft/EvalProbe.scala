@@ -47,6 +47,19 @@ object EvalProbe {
       println(f"[eval] ivf_kmeans_p$nprobe%d_recall@5 ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
     }
 
+    // the DECLARED trained-IVF query's trainer (integer-grid L2
+    // k-means via pqTrain at m=1) — beside the spherical-kmeans rows
+    // above so the two trainers' recall is directly comparable
+    val gridCent = graft.ops.VectorOps.pqTrain(emb, 1, 8, 2, 64)
+      .select(col("cid"), col("cw").as("cid_v"))
+    for (nprobe <- Seq(1, 2)) {
+      val g = graft.ops.VectorOps
+        .ivfSearchCentroids(emb, col("vid") >= 490, gridCent, 5, nprobe)
+        .select(col("qid"), col("vid"))
+      val h = truth.join(g, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] ivf_grid_p$nprobe%d_recall@5   ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
+    }
+
     // sign-projection LSH ANN: the no-training bucketing alternative —
     // fewer planes = bigger buckets = more recall for more scan
     for (planes <- Seq(4, 6, 8)) {

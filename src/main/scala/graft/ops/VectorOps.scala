@@ -795,6 +795,18 @@ object VectorOps extends graft.QueryModule {
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
 
+    // IVF with TRAINED coarse centroids — pqTrain at m=1 is full-vector
+    // integer-grid k-means, and its SQL training chain makes the
+    // trained index oracle-checkable (q_ann_ivf keeps the stand-in
+    // centroids as the no-training baseline; EvalProbe measures the
+    // recall gap between the two).
+    "q_ann_ivf_trained" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val cent = pqTrain(emb, 1, 8, 2, 64)
+        .select(col("cid"), col("cw").as("cid_v"))
+      ivfSearchCentroids(emb, col("vid") >= 490, cent, 5, 1).orderBy("qid", "rank")
+    },
+
     // Sign-projection LSH ANN — the no-training bucketed path; fully
     // deterministic planes make even this sketch oracle-checkable.
     "q_lsh_search" -> { (spark, dir) =>
@@ -885,10 +897,14 @@ object VectorOps extends graft.QueryModule {
     * sum → double ÷ count + 0.5), codeword = grid/1e6 double, and the
     * 1e12-grid product sums of the scoring pass.
     */
-  private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int,
-      preCtes: String = "", vecSrc: String = "e", scCellJoin: String = ""): String = {
-    def gsum(term: String) =
-      s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
+  /** WITH-clause body ending at `cbf(j, cid, cw)` — the unrolled
+    * integer-grid k-means trainer alone ([[pqTrain]]'s SQL twin).
+    * Shared by the ADC oracles (via [[pqAdcCtes]]) and by
+    * q_ann_ivf_trained, whose coarse centroids are the m=1 "subspace"
+    * codebook (sub = dims: one subspace IS full-vector k-means).
+    */
+  private def pqTrainCtes(m: Int, ksub: Int, sub: Int, iters: Int,
+      preCtes: String = "", vecSrc: String = "e"): String = {
     val d2 = s"list_sum([(x.xs[i] - c.cg[i]) * (x.xs[i] - c.cg[i]) FOR i IN range(1, ${sub + 1})])"
     val iterCtes = (1 to iters).map { it =>
       s"""asg$it AS (
@@ -925,7 +941,14 @@ object VectorOps extends graft.QueryModule {
        |cbf AS (
        |  SELECT j, cid,
        |    [CAST(cg[i] AS DOUBLE) / 1e6 FOR i IN range(1, ${sub + 1})] AS cw
-       |  FROM cb$iters),
+       |  FROM cb$iters)""".stripMargin
+  }
+
+  private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int,
+      preCtes: String = "", vecSrc: String = "e", scCellJoin: String = ""): String = {
+    def gsum(term: String) =
+      s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
+    s"""${pqTrainCtes(m, ksub, sub, iters, preCtes, vecSrc)},
        |enc AS (
        |  SELECT a.vec_id AS vid, c.j, c.cid,
        |    ${gsum("(a.v[c.j*" + sub + "+i] - c.cw[i]) * (a.v[c.j*" + sub + "+i] - c.cw[i])")} AS d2q
@@ -985,6 +1008,29 @@ object VectorOps extends graft.QueryModule {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
          |  FROM scored)
          |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    // trained coarse centroids: the m=1 full-vector grid-k-means chain
+    // (pqTrainCtes) supplies cbf; the search mirrors q_ann_ivf
+    "q_ann_ivf_trained" ->
+      s"""WITH ${pqTrainCtes(1, 8, 64, 2)},
+         |cent AS (SELECT cid, cw AS cv FROM cbf),
+         |assign0 AS (
+         |  SELECT a.vec_id AS vid, a.v, c.cid,
+         |    ${cosSql("a.v", "c.cv")} AS ccos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e a CROSS JOIN cent c),
+         |assign AS (SELECT vid, v, cid AS cell FROM assign0 WHERE rn = 1),
+         |q AS (SELECT vid AS qid, v AS qv, cell FROM assign WHERE vid >= 490),
+         |scored AS (
+         |  SELECT q.qid, q.cell, a.vid,
+         |    ${cosSql("q.qv", "a.v")} AS cos
+         |  FROM q JOIN assign a ON q.cell = a.cell AND q.qid <> a.vid),
+         |ranked AS (
+         |  SELECT qid, cell, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
