@@ -164,11 +164,20 @@ object EvalProbe {
     val hR = cosTruth.join(rr, Seq("qid", "vid"), "left_semi").count()
     println(f"[eval] pq_rerank_top10      ${hR.toDouble / nCos}%.3f  ($hR/$nCos)")
     // IVFADC: recall is bounded by the coarse cell hit (the ivf rows
-    // above) times residual-ADC fidelity — the compose-the-dials view
-    val ivfpq = graft.ops.VectorOps.ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64)
-      .select("qid", "vid")
-    val hI = pqTruth.join(ivfpq, Seq("qid", "vid"), "left_semi").count()
-    println(f"[eval] ivfpq_top10          ${hI.toDouble / nPqTruth}%.3f  ($hI/$nPqTruth)")
+    // above) times residual-ADC fidelity. nprobe measurably grows the
+    // CANDIDATE pool (298→628→1227 rows at p1/2/4, sf0.01) but on this
+    // isotropic data the top-10 plateaus: score = q·c + ADC decomposes
+    // the true dot exactly, so secondary-cell candidates rank below the
+    // primary cell's honestly — residual quantization error, not probe
+    // count, is the binding constraint (flat trained PQ's 0.34 is the
+    // ADC ceiling; the answer is the q_pq_rerank-style exact re-rank)
+    for (nprobe <- Seq(1, 2, 4)) {
+      val ivfpq = graft.ops.VectorOps
+        .ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64, nprobe)
+        .select("qid", "vid")
+      val hI = pqTruth.join(ivfpq, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] ivfpq_p$nprobe%d_top10       ${hI.toDouble / nPqTruth}%.3f  ($hI/$nPqTruth)")
+    }
 
     // BPE compression ladder: corpus chars per subword as the merge
     // count grows — the quality curve a tokenizer budget is chosen

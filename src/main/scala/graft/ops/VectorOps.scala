@@ -494,9 +494,10 @@ object VectorOps extends graft.QueryModule {
     * codebook itself is genuinely TRAINED on the residuals.
     */
   def ivfPqSearch(embeddings: DataFrame, queryPred: Column, nCentroids: Int = 8,
-      m: Int = 8, ksub: Int = 16, k: Int = 10, dims: Int = 64): DataFrame = {
+      m: Int = 8, ksub: Int = 16, k: Int = 10, dims: Int = 64,
+      nprobe: Int = 1): DataFrame = {
     val (result, assigned) =
-      ivfPqSearchLazy(embeddings, queryPred, nCentroids, m, ksub, k, dims)
+      ivfPqSearchLazy(embeddings, queryPred, nCentroids, m, ksub, k, dims, nprobe)
     // materialize the (tiny) top-k so the persisted assignment can be
     // dropped before returning (the ivfSearchCentroids convention)
     val out = result.localCheckpoint(true)
@@ -507,9 +508,13 @@ object VectorOps extends graft.QueryModule {
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —
     * PlanSpec asserts the broadcast/WindowGroupLimit shape here, before
     * localCheckpoint truncates the plan (the ivfSearchLazy convention).
+    * `nprobe` > 1 is the recall dial: a query probes its nprobe closest
+    * cells, each contributing its own q·c offset; the corpus side still
+    * lives in exactly one cell so index size is unchanged.
     */
   private[graft] def ivfPqSearchLazy(embeddings: DataFrame, queryPred: Column,
-      nCentroids: Int, m: Int, ksub: Int, k: Int, dims: Int): (DataFrame, DataFrame) = {
+      nCentroids: Int, m: Int, ksub: Int, k: Int, dims: Int,
+      nprobe: Int = 1): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
@@ -520,14 +525,16 @@ object VectorOps extends graft.QueryModule {
     val wA = Window.partitionBy("vid").orderBy(col("ccos").desc, col("ccid"))
     // coarse assignment (cosine, ties to the lowest cell id) — one
     // broadcast pass; persisted because residual training, encoding,
-    // the query side and the q·c term all read it
-    val assigned = e.join(broadcast(cent), lit(true))
+    // the query side and the q·c term all read it. rn kept so the
+    // query side can probe its nprobe closest cells.
+    val scoredCells = e.join(broadcast(cent), lit(true))
       .select(col("vid"), col("vid_v"), col("ccid"), col("c_v"),
         round(call_function("array_cosine", col("vid_v"), col("c_v")), 6).as("ccos"))
       .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("vid_v"), col("ccid").as("cell"), col("c_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every corpus vector lives in exactly ONE cell
+    val assigned = scoredCells.filter(col("rn") === 1)
+      .select(col("vid"), col("vid_v"), col("ccid").as("cell"), col("c_v"))
     val resid = assigned.select(col("vid").as("vec_id"),
       zip_with(col("vid_v"), col("c_v"), (a, b) => a - b).as("embedding"))
     val cb = pqTrain(resid, m, ksub, 2, dims)
@@ -548,12 +555,14 @@ object VectorOps extends graft.QueryModule {
       .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         s => s.getField("code")).as("codes"))
       .join(assigned.select(col("vid"), col("cell")), Seq("vid"))
-    // query side: RAW query subvectors against the residual codewords
-    // (q·r = Σ_j q_j·cw_j), plus the per-query q·c cell offset
-    val q = assigned.filter(queryPred)
+    // query side: one probe row per (query, probed cell) with that
+    // cell's q·c offset; the LUT itself is cell-independent (the
+    // residual codewords are global) so it is built once per query
+    val probes = scoredCells.filter(queryPred && col("rn") <= nprobe)
       .select(col("vid").as("qid"), col("vid_v").as("qid_v"),
-        col("cell"), col("c_v"))
-    val lut = q
+        col("ccid").as("cell"), col("c_v"))
+    val lut = scoredCells.filter(queryPred && col("rn") === 1)
+      .select(col("vid").as("qid"), col("vid_v").as("qid_v"))
       .join(broadcast(cb), lit(true))
       .select(col("qid"), col("j"), col("cid"),
         gridFold(zip_with(
@@ -562,7 +571,7 @@ object VectorOps extends graft.QueryModule {
       .groupBy("qid")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("cid"), col("lamq")))),
         s => s.getField("lamq")).as("lut"))
-      .join(q.select(col("qid"), col("cell"),
+      .join(probes.select(col("qid"), col("cell"),
         gridFold(zip_with(col("qid_v"), col("c_v"), (a, b) => a * b)).as("qcq")),
         Seq("qid"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
@@ -575,7 +584,7 @@ object VectorOps extends graft.QueryModule {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cell", "rank", "vid", "score")
-    (out, assigned)
+    (out, scoredCells)
   }
 
   /** Spherical Lloyd's k-means over the embedding column — the trainer
