@@ -178,6 +178,15 @@ object EvalProbe {
       val hI = pqTruth.join(ivfpq, Seq("qid", "vid"), "left_semi").count()
       println(f"[eval] ivfpq_p$nprobe%d_top10       ${hI.toDouble / nPqTruth}%.3f  ($hI/$nPqTruth)")
     }
+    // …and the recovery: IVFADC shortlist (wider with nprobe) → exact
+    // cosine re-rank, vs the exact cosine truth
+    for (nprobe <- Seq(1, 4)) {
+      val rrI = graft.ops.VectorOps
+        .ivfPqRerank(emb, col("vid") < 5, 8, 8, 16, 100, 10, 64, nprobe)
+        .select("qid", "vid")
+      val hRI = cosTruth.join(rrI, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] ivfpq_p$nprobe%d_rerank      ${hRI.toDouble / nCos}%.3f  ($hRI/$nCos)")
+    }
 
     // BPE compression ladder: corpus chars per subword as the merge
     // count grows — the quality curve a tokenizer budget is chosen

@@ -459,17 +459,43 @@ object VectorOps extends graft.QueryModule {
     val cand = pqSearch(embeddings, queryPred, m, ksub, shortlist, dims, codebook)
       .select("qid", "vid")
       .localCheckpoint(true)
+    rerankExact(embeddings, cand, k)
+  }
+
+  /** The shared exact-cosine re-rank tail: fetch the shortlist's float
+    * vectors (broadcast-pruned corpus scan), score true cosine, top-k.
+    * The query set is derived from the shortlist itself (its distinct
+    * qids ride a broadcast semi-join), so any shortlist builder plugs
+    * in regardless of how it names its predicate column. Self-pairs
+    * are already excluded upstream (every builder joins on qid <>
+    * vid), so all joins are plain equi-joins.
+    */
+  private def rerankExact(embeddings: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val e = castVec(embeddings, "vid")
-    val q = castVec(embeddings.filter(queryPred), "qid")
+    val q = castVec(embeddings, "qid")
+      .join(broadcast(cand.select("qid").distinct()), Seq("qid"), "left_semi")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    // self-pairs are already excluded by the shortlist (pqSearch joins
-    // on qid <> vid), so both joins here are plain equi-joins
     e.join(broadcast(cand), Seq("vid"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vid", "cos")
+  }
+
+  /** IVFADC shortlist → exact re-rank — the full billion-scale serving
+    * stack: coarse cells (× nprobe) prune, residual ADC compresses,
+    * and the exact pass recovers the recall the quantized score loses
+    * (EvalProbe measures the recovery; the ADC-only plateau is
+    * documented in PERF.md). Same two-broadcast tail as
+    * [[pqSearchRerank]].
+    */
+  def ivfPqRerank(embeddings: DataFrame, queryPred: Column, nCentroids: Int = 8,
+      m: Int = 8, ksub: Int = 16, shortlist: Int = 100, k: Int = 10,
+      dims: Int = 64, nprobe: Int = 1): DataFrame = {
+    val cand = ivfPqSearch(embeddings, queryPred, nCentroids, m, ksub,
+      shortlist, dims, nprobe).select("qid", "vid")
+    rerankExact(embeddings, cand, k)
   }
 
   /** IVFADC (Jégou et al. 2011 §IV — the FAISS IVF+PQ default): coarse
