@@ -119,7 +119,56 @@ object Curation extends graft.QueryModule {
       .select("doc_id", "split_key", "split")
   }
 
+  /** Per-source dataset card — the corpus report a curation run
+    * publishes with a release (cf. "Datasheets for Datasets", Gebru et
+    * al. 2021): doc/token/char volumes, exact-duplicate counts,
+    * language diversity (count, mode, Shannon entropy in nats). One
+    * row per source.
+    *
+    * Scale shape: two doc-keyed aggregates (token counts, md5 copy
+    * counts) joined back on their own keys, then per-(source,lang)
+    * counts — a table bounded by sources × languages, on which the
+    * entropy window and mode argmax are free at any corpus size. The
+    * entropy terms quantize to DECIMAL(28,6) before the exact sum (the
+    * cross-engine pattern); the mode breaks ties toward the
+    * lexicographically smallest language.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokPerDoc = graft.tfidf.TfIdf.tokens(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val copies = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    val docAgg = docs.withColumn("h", md5(col("text")))
+      .join(copies, "h")
+      .join(tokPerDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_toks"), lit(0L))).as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val perLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("nl"))
+    val p = col("nl").cast("double") / col("tot").cast("double")
+    val langAgg = perLang
+      .withColumn("tot", sum(col("nl")).over(Window.partitionBy("source")))
+      .withColumn("hterm",
+        (-(p * log(p))).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("nl")).as("neg"), col("lang").as("lang"))).as("top"),
+        sum(col("hterm")).as("hsum"))
+      .select(col("source"), col("n_langs"), col("top.lang").as("top_lang"),
+        col("hsum").cast("double").as("lang_entropy"))
+    docAgg.join(langAgg, "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_card" -> { (spark, dir) =>
+      datasetCard(Tables.documents(spark, dir)).orderBy("source")
+    },
+
     "q_pipeline_e2e" -> { (spark, dir) =>
       curatedTrainingSet(Tables.documents(spark, dir)).orderBy("doc_id")
     },
@@ -134,6 +183,47 @@ object Curation extends graft.QueryModule {
     val bucket = TextOps.hashBucketSql("k.doc_id")
     val splitKeyBucket = TextOps.hashBucketSql("coalesce(l.cluster_id, d.doc_id)")
     Map(
+      "q_dataset_card" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           |  WHERE term <> ''),
+           |tpd AS (SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id),
+           |copies AS (
+           |  SELECT md5(text) AS h, count(*) AS n_copies
+           |  FROM documents GROUP BY md5(text)),
+           |docagg AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(coalesce(t.n_toks, 0)) AS BIGINT) AS n_tokens,
+           |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |    CAST(sum(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_dup_docs
+           |  FROM documents d
+           |  JOIN copies c ON md5(d.text) = c.h
+           |  LEFT JOIN tpd t ON d.doc_id = t.doc_id
+           |  GROUP BY source),
+           |pl AS (SELECT source, lang, count(*) AS nl
+           |       FROM documents GROUP BY source, lang),
+           |pl2 AS (SELECT source, lang, nl,
+           |          sum(nl) OVER (PARTITION BY source) AS tot FROM pl),
+           |lmax AS (SELECT source, max(nl) AS mx FROM pl GROUP BY source),
+           |ltop AS (
+           |  SELECT p.source, min(p.lang) AS top_lang
+           |  FROM pl p JOIN lmax m ON p.source = m.source AND p.nl = m.mx
+           |  GROUP BY p.source),
+           |hent AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+           |    CAST(CAST(sum(CAST(
+           |      -((CAST(nl AS DOUBLE) / CAST(tot AS DOUBLE))
+           |        * ln(CAST(nl AS DOUBLE) / CAST(tot AS DOUBLE)))
+           |      AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS lang_entropy
+           |  FROM pl2 GROUP BY source)
+           |SELECT a.source, a.n_docs, a.n_tokens, a.total_chars, a.n_dup_docs,
+           |  h.n_langs, t.top_lang, h.lang_entropy
+           |FROM docagg a
+           |JOIN hent h ON a.source = h.source
+           |JOIN ltop t ON a.source = t.source
+           |ORDER BY a.source""".stripMargin,
       "q_split_leakage_safe" ->
         s"""WITH RECURSIVE
            |sh0 AS (${Shingles.shinglesSql(3)}),

@@ -376,6 +376,53 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Fuzzy benchmark decontamination — the MinHash sibling of
+    * [[TextOps.contamination]]'s exact n-gram filter (the GPT-3 /
+    * Llama-style eval-overlap sweep: paraphrased or partially-edited
+    * benchmark text defeats exact 13-gram matching; estimated-Jaccard
+    * overlap does not care). Per corpus document: how many probe
+    * (eval-set) documents its signature collides with at est-Jaccard ≥
+    * minAgree/8, the best agreement, and the lowest-id probe achieving
+    * it (the evidence row a curation audit wants).
+    *
+    * Scale shape: the corpus side pays the one signature pass every
+    * dedup sketch already pays (and can SHARE via
+    * [[minhashSignaturesFromShingles]]); the probe side — all public
+    * benchmarks, even at millions of documents — is a broadcast at both
+    * the band join and the scoring join. No corpus self-join anywhere:
+    * cost is O(corpus · bands) + collisions.
+    */
+  def fuzzyDecontamination(docs: DataFrame, probeDocs: DataFrame,
+      minAgree: Int = 4): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpusSigs = minhashSignatures(docs).persist(lvl)
+    val probeSigs = minhashSignatures(probeDocs).localCheckpoint(true)
+    val cand = bandProjection(corpusSigs).as("x")
+      .join(broadcast(bandProjection(probeSigs)).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("probe_id"))
+      .distinct()
+    val agree = (0 until 8).map(j =>
+      when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
+    val out = cand.as("c")
+      .join(corpusSigs.as("s1"), col("c.doc_id") === col("s1.doc_id"))
+      .join(broadcast(probeSigs.as("s2")), col("c.probe_id") === col("s2.doc_id"))
+      .select(col("c.doc_id").as("doc_id"), col("c.probe_id").as("probe_id"),
+        agree.cast("long").as("agree"))
+      .filter(col("agree") >= minAgree)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_probes_hit"),
+        // argmax via struct ordering: best agreement, ties → lowest id
+        max(struct(col("agree").as("agree"), (-col("probe_id")).as("nprobe"))).as("best"))
+      .select(col("doc_id"), col("n_probes_hit"),
+        col("best.agree").as("best_agree"),
+        (-col("best.nprobe")).as("best_probe"))
+      .localCheckpoint(true)
+    corpusSigs.unpersist(false)
+    out
+  }
+
   /** Span-level duplicate coverage (cf. Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): find k-token spans
     * occurring in more than one document and report, per document, how
@@ -1006,6 +1053,17 @@ object Dedup extends graft.QueryModule {
         0.5).orderBy("d1", "d2")
     },
 
+    // Fuzzy decontamination: corpus docs whose MinHash signature
+    // collides with a probe (eval-set) doc at est-Jaccard >= 0.5 —
+    // the paraphrase-robust sibling of q_contamination's exact
+    // trigram sweep. Probe = doc_id < 50 stand in for benchmarks.
+    "q_decontam_fuzzy" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      fuzzyDecontamination(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50), 4)
+        .orderBy("doc_id")
+    },
+
     // Span-level duplicate coverage: per-doc fraction of token
     // positions inside an 8-token span shared with another document.
     "q_span_dedup" -> { (spark, dir) =>
@@ -1229,6 +1287,38 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      // same signature pipeline; the probe restriction is one-sided
+      // (corpus x probe, never corpus x corpus) and the result is the
+      // per-corpus-doc hit aggregate with a deterministic argmax
+      "q_decontam_fuzzy" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT cb.doc_id AS doc_id, pb.doc_id AS probe_id
+           |  FROM bands cb JOIN bands pb
+           |    ON cb.band = pb.band AND cb.bkey = pb.bkey
+           |  WHERE cb.doc_id >= 50 AND pb.doc_id < 50),
+           |hit AS (
+           |  SELECT c.doc_id, c.probe_id, CAST($estExpr AS BIGINT) AS agree
+           |  FROM cand c
+           |  JOIN sigs s1 ON c.doc_id = s1.doc_id
+           |  JOIN sigs s2 ON c.probe_id = s2.doc_id
+           |  WHERE $estExpr >= 4),
+           |agg AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_probes_hit,
+           |    max(agree) AS best_agree
+           |  FROM hit GROUP BY doc_id)
+           |SELECT a.doc_id, a.n_probes_hit, a.best_agree,
+           |  min(h.probe_id) AS best_probe
+           |FROM agg a JOIN hit h
+           |  ON a.doc_id = h.doc_id AND h.agree = a.best_agree
+           |GROUP BY a.doc_id, a.n_probes_hit, a.best_agree
+           |ORDER BY a.doc_id""".stripMargin,
       "q_span_dedup" ->
         s"""WITH sp AS (${Shingles.spansWithPosSql(8)}),
            |dup AS (

@@ -320,6 +320,63 @@ object TextOps extends graft.QueryModule {
           .as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram NLL — the real LM smoothing one
+    * rung above [[bigramNll]]'s add-one (Kneser & Ney 1995; Chen &
+    * Goodman 1998 eq. 4.25). Per bigram:
+    * p(w|v) = max(c(v,w)−D, 0)/c(v) + D·N₁₊(v,·)/c(v) · p_cont(w),
+    * p_cont(w) = N₁₊(·,w)/N₁₊(··), D = 0.75. The continuation
+    * distribution is what add-one cannot express: a word seen after
+    * MANY distinct contexts ("the", function words) gets more of the
+    * discounted mass than a same-frequency word welded to one context
+    * ("Francisco") — the distinction that makes KN the standard n-gram
+    * smoother for quality filtering.
+    *
+    * Scale shape: identical to [[bigramNll]] — one doc-keyed lag
+    * window builds the bigram stream, and EVERY count table (c2, then
+    * c1/N₁₊fwd/N₁₊bwd derived from c2, types-total scalar) comes from
+    * grouped aggregates of that one stream; scoring is three
+    * bigram-type-keyed equi-joins back onto it. Only the one-row types
+    * total touches the driver. Per-token −ln p quantizes to
+    * DECIMAL(28,6) before the exact per-doc sum (the cross-engine
+    * determinism pattern).
+    */
+  def knBigramNll(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = graft.text.Shingles.tokensWithPos(docs)
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select("doc_id", "prev", "term")
+    val c2 = big.groupBy("prev", "term").agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // c1 and the left-diversity N₁₊(v,·) fall out of ONE aggregate of
+    // c2 (vocab²-bounded, tiny next to the token stream); same for the
+    // continuation counts N₁₊(·,w).
+    val c1 = c2.groupBy("prev")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val cont = c2.groupBy("term").agg(count(lit(1)).as("n1p_bwd"))
+    val t = c2.count().toDouble // total distinct bigram types (scalar)
+    val d = lit(discount)
+    val out = big
+      .join(c2, Seq("prev", "term"))
+      .join(c1, Seq("prev"))
+      .join(cont, Seq("term"))
+      .select(col("doc_id"),
+        (-log(
+          greatest(col("c2").cast("double") - d, lit(0.0)) / col("c1").cast("double")
+            + d * col("n1p_fwd").cast("double") / col("c1").cast("double")
+              * (col("n1p_bwd").cast("double") / lit(t))))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("nll"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("nll")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_nll"))
+    val ck = out.localCheckpoint(true)
+    c2.unpersist(false)
+    ck
+  }
+
   def unigramNll(docs: DataFrame): DataFrame = {
     val tok = TfIdf.tokens(docs)
     val total = tok.count().toDouble
@@ -737,6 +794,12 @@ object TextOps extends graft.QueryModule {
       bigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Interpolated Kneser–Ney (D=0.75): the production n-gram smoother
+    // whose continuation distribution add-one cannot express.
+    "q_kn_bigram_nll" -> { (spark, dir) =>
+      knBigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
     // Sliding-window chunking, 64-token windows with 16-token overlap:
     // one row per (doc, chunk) with the span and token fingerprint.
     "q_chunk_overlap" -> { (spark, dir) =>
@@ -993,6 +1056,37 @@ object TextOps extends graft.QueryModule {
            |  FROM big b
            |  JOIN c2 ON b.prev = c2.prev AND b.term = c2.term
            |  JOIN c1 ON b.prev = c1.prev)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+           |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q_kn_bigram_nll" ->
+        s"""WITH tokp AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |big AS (
+           |  SELECT doc_id, prev, term FROM (
+           |    SELECT doc_id, term,
+           |      lag(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |    FROM tokp) b WHERE prev IS NOT NULL),
+           |c2 AS (SELECT prev, term, count(*) AS c2 FROM big GROUP BY prev, term),
+           |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+           |              count(*) AS n1p_fwd FROM c2 GROUP BY prev),
+           |cont AS (SELECT term, count(*) AS n1p_bwd FROM c2 GROUP BY term),
+           |t AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM c2),
+           |per AS (
+           |  SELECT b.doc_id,
+           |    CAST(-ln(
+           |      greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+           |      + 0.75 * CAST(c1.n1p_fwd AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+           |        * (CAST(cont.n1p_bwd AS DOUBLE) / (SELECT t FROM t)))
+           |      AS DECIMAL(28,6)) AS nll
+           |  FROM big b
+           |  JOIN c2 ON b.prev = c2.prev AND b.term = c2.term
+           |  JOIN c1 ON b.prev = c1.prev
+           |  JOIN cont ON b.term = cont.term)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -71,6 +71,48 @@ class BigramNllSpec extends AnyFunSuite {
     assert(bad.count() === 0L, "some doc's tail tokens fell outside every chunk")
   }
 
+  test("Kneser-Ney: hand-computed probabilities on a 5-doc corpus") {
+    import spark.implicits._
+    // bigram types: (a,b) c2=2, (a,c) 1, (b,a) 1, (c,a) 1 → T=4,
+    // c1(a)=3, N1+fwd(a)=2, N1+bwd(b)=1.
+    // p(b|a) = (2−.75)/3 + .75·2/3·(1/4) = 0.5416667
+    // p(c|a) = (1−.75)/3 + .75·2/3·(1/4) = 0.2083333
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b a"), (5L, "c a"))
+      .toDF("doc_id", "text")
+    val nll = TextOps.knBigramNll(docs)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(math.exp(-nll(1L)) - 0.5416667) < 1e-5)
+    assert(math.abs(math.exp(-nll(3L)) - 0.2083333) < 1e-5)
+    // discounting leaves probability mass for unseen continuations:
+    // observed mass after "a" sums strictly below 1
+    assert(math.exp(-nll(1L)) + math.exp(-nll(3L)) < 1.0)
+  }
+
+  test("Kneser-Ney separates context diversity where add-one cannot") {
+    import spark.implicits._
+    // docs 1/2 score the SAME count shape — c2(q,·)=1, same prev q —
+    // so add-one gives them identical NLL; KN sees that alpha follows
+    // 4 distinct contexts while beta follows 2, and scores doc 1 as
+    // the more plausible continuation.
+    val docs = Seq(
+      (1L, "q alpha"),
+      (2L, "q beta"),
+      (3L, "x alpha y alpha z alpha"),
+      (4L, "w beta w beta w beta")
+    ).toDF("doc_id", "text")
+    val addOne = TextOps.bigramNll(docs)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(addOne(1L) === addOne(2L),
+      "add-one is blind to continuation diversity: same counts, same score")
+    val kn = TextOps.knBigramNll(docs)
+      .select("doc_id", "avg_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kn(1L) < kn(2L),
+      s"KN must favor the diverse continuation: ${kn(1L)} vs ${kn(2L)}")
+  }
+
   test("every multi-token document gets a row; bigram count = tokens - 1") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextOps.bigramNll(docs)

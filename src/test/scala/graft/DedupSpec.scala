@@ -292,6 +292,25 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated doc matched: ${pairs.toSeq}")
   }
 
+  test("fuzzyDecontamination flags probe near-copies, never corpus-corpus pairs") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (10L, base + " extra"),          // near-copy of probe 0
+      (11L, "totally different text about unrelated things entirely here now"),
+      (12L, "totally different text about unrelated things entirely here now")
+    ).toDF("doc_id", "text")           // 11/12 are an exact corpus-corpus dup
+    val probes = Seq((0L, base), (1L, "another held out benchmark prompt goes here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontamination(corpus, probes, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet === Set(10L),
+      s"only the probe near-copy is contaminated (corpus-corpus dup 11/12 must not appear): ${out.toSeq}")
+    val hit = out.head
+    assert(hit._2 === 1L && hit._4 === 0L, s"one probe hit, best_probe = 0: $hit")
+    assert(hit._3 >= 4L && hit._3 <= 8L)
+  }
+
   test("intraDocDedup is non-vacuous on the testdata: some doc loses tokens at k=3") {
     // the declared query runs k=3 BECAUSE the corpus has real 3-token
     // in-doc repeats at every sf (k=8 has none) — guard that stays true
