@@ -158,6 +158,75 @@ object Multimodal {
         md5(substring(col("payload"), (col("frame_idx") * frameBytes + 1).cast("int"),
           lit(frameBytes))).as("frame_md5"))
 
+  /** 64-bit difference hash (dHash) per image — the perceptual
+    * fingerprint of production image dedup (aHash/dHash/pHash family;
+    * used by the LAION-style pipelines to drop re-encoded/near-identical
+    * images that byte-level md5 cannot see). Canonical dHash resizes to
+    * a 9×8 grayscale grid and emits one bit per horizontally-adjacent
+    * pixel pair; here the "pixels" are the STUB decode's byte
+    * arithmetic (grid cell (r,c) = payload byte (r·9+c) mod n — a real
+    * deployment swaps in [[decodeImage]] pixels), which keeps the whole
+    * stage native-function codegen and DuckDB-oracle-checkable.
+    *
+    * The 64 bits are packed as two nonnegative 32-bit halves (h_hi =
+    * rows 0–3, h_lo = rows 4–7) so neither engine touches the sign bit.
+    * State per image: 16 bytes — constant, like SimHash.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    // fully-qualified: `decode` alone resolves to Multimodal.decode
+    val s = org.apache.spark.sql.functions.decode(col("payload"), "UTF-8")
+    def px(i: Int) =
+      ascii(col("s").substr(((lit(i.toLong) % col("n")) + 1).cast("int"), lit(1)))
+    def half(rows: Range) =
+      rows.flatMap { r =>
+        (0 until 8).map { c =>
+          when(px(r * 9 + c + 1) > px(r * 9 + c),
+            lit(1L << ((r % 4) * 8 + c))).otherwise(lit(0L))
+        }
+      }.reduce(_ + _)
+    media.filter(col("kind") === "image" && length(col("payload")) > 0)
+      .withColumn("s", s)
+      .withColumn("n", length(col("s")).cast("long"))
+      .select(col("media_id"), half(0 until 4).as("h_hi"), half(4 until 8).as("h_lo"))
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ maxHamming over
+    * [[imageDHash]] fingerprints. Candidates come from an 8-band
+    * byte-bucket join (one band per hash byte): with maxHamming < 8
+    * bands, pigeonhole guarantees every qualifying pair collides in at
+    * least one band — the join is LOSSLESS, and the oracle is the plain
+    * all-pairs SQL, so the hash gate proves it. Cost at scale:
+    * O(images · 8) bucket shuffle + collisions, never |images|² — the
+    * SimHash prefix-bucket shape with a tighter guarantee.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < 8, "losslessness needs maxHamming < number of bands (8)")
+    val h = imageDHash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until 8).map { b =>
+      val src = if (b < 4) col("h_hi") else col("h_lo")
+      h.select(col("media_id"), lit(b).as("band"),
+        shiftright(src, 8 * (b % 4)).bitwiseAND(lit(255L)).as("bval"))
+    }.reduce(_ union _)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("d1"), col("y.media_id").as("d2"))
+      .distinct()
+    val ham =
+      bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+        bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))
+    val out = cand
+      .join(h.as("a"), col("d1") === col("a.media_id"))
+      .join(h.as("b"), col("d2") === col("b.media_id"))
+      .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    h.unpersist(false)
+    out
+  }
+
   /** Resize stage, partition-parallel like [[decodeStub]].
     *
     * STUB: a real implementation would decode, scale with an image
@@ -203,8 +272,47 @@ object MultimodalQueries extends graft.QueryModule {
     "q_frame_sample" -> { (spark, dir) =>
       Multimodal.frameSample(Multimodal.mediaTable(spark, dir), 64, 4)
         .orderBy("media_id", "frame_idx")
+    },
+    // Perceptual-hash image dedup: dHash near-dup pairs at Hamming <= 7
+    // via the lossless 8-band byte-bucket join; the oracle is the plain
+    // all-pairs SQL, so the hash gate proves losslessness.
+    "q_phash_pairs" -> { (spark, dir) =>
+      Multimodal.phashPairs(Multimodal.mediaTable(spark, dir), 7)
+        .orderBy("d1", "d2")
     })
+
+  // dHash oracle fragments: pixel (r,c) = byte (r*9+c) mod n of the
+  // ASCII text (= the stub payload), one bit per adjacent-pixel pair.
+  private def dhashPxSql(i: Int): String =
+    s"ascii(substr(text, CAST((($i % n) + 1) AS INT), 1))"
+  private def dhashHalfSql(rlo: Int): String = {
+    val terms = (rlo until rlo + 4).flatMap { r =>
+      (0 until 8).map { c =>
+        val shift = (r % 4) * 8 + c
+        s"CASE WHEN ${dhashPxSql(r * 9 + c + 1)} > ${dhashPxSql(r * 9 + c)}" +
+          s" THEN ${1L << shift} ELSE 0 END"
+      }
+    }
+    "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // kind = 'image' ⇔ doc_id % 3 = 0; the engine must equal the
+    // BRUTE-FORCE pair join (its banded candidate pass is lossless)
+    "q_phash_pairs" ->
+      s"""WITH img AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+         |h AS (
+         |  SELECT doc_id, ${dhashHalfSql(0)} AS h_hi, ${dhashHalfSql(4)} AS h_lo
+         |  FROM img)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.h_hi, b.h_hi))
+         |     + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h_hi, b.h_hi))
+         |    + bit_count(xor(a.h_lo, b.h_lo)) <= 7
+         |ORDER BY d1, d2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

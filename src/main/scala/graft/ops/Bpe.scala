@@ -383,6 +383,30 @@ object Bpe extends graft.QueryModule {
       val docs = Tables.documents(spark, dir)
       val merges = train(docs.filter(col("doc_id") % 2 === 0), 16)._1
       bpeEncodeWith(docs, merges).orderBy("doc_id")
+    },
+
+    // Tokenizer fertility report: per-source subwords-per-word and
+    // chars-per-subword under the SERVING tokenizer (q_bpe_apply's
+    // even-half-trained merges) — the standard tokenizer-eval table
+    // (fertility by domain/language) that decides whether a tokenizer
+    // under-serves part of the mix. One tiny aggregate over the
+    // already-declared encode output; ratios are single IEEE divisions
+    // of exact integer sums, so the doubles are cross-engine identical.
+    "q_tokenizer_fertility" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val merges = train(docs.filter(col("doc_id") % 2 === 0), 16)._1
+      bpeEncodeWith(docs, merges)
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"),
+          (sum(col("n_subwords")).cast("double") /
+            sum(col("n_tokens")).cast("double")).as("fertility"),
+          (sum(col("n_chars")).cast("double") /
+            sum(col("n_subwords")).cast("double")).as("chars_per_subword"))
+        .orderBy("source")
     }
   )
 
@@ -478,6 +502,32 @@ object Bpe extends graft.QueryModule {
            |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
            |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subwords_md5
            |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      // q_bpe_apply's chain, aggregated per source instead of per doc
+      "q_tokenizer_fertility" -> {
+        val ka = 16
+        val applies = (1 to ka).map(i =>
+          s"v$i AS MATERIALIZED (\n  ${foldSql(s"v${i - 1}", s"p$i")})").mkString(",\n")
+        s"""WITH ${trainSql(ka, "WHERE doc_id % 2 = 0")},
+           |v0 AS MATERIALIZED (
+           |  SELECT word, freq, string_split(word, '') AS syms FROM (
+           |    SELECT term AS word, count(*) AS freq FROM tok GROUP BY term) wf),
+           |$applies,
+           |enc AS (
+           |  SELECT t.doc_id, t.pos, len(v.syms) AS ns
+           |  FROM tok t JOIN v$ka v ON t.term = v.word),
+           |per_doc AS (
+           |  SELECT doc_id, count(*) AS n_tokens, sum(ns) AS n_subwords
+           |  FROM enc GROUP BY doc_id)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(p.n_tokens) AS BIGINT) AS n_words,
+           |  CAST(sum(p.n_subwords) AS BIGINT) AS n_subwords,
+           |  CAST(sum(p.n_subwords) AS DOUBLE) / CAST(sum(p.n_tokens) AS DOUBLE)
+           |    AS fertility,
+           |  CAST(sum(d.n_chars) AS DOUBLE) / CAST(sum(p.n_subwords) AS DOUBLE)
+           |    AS chars_per_subword
+           |FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin
       }
     )
   }

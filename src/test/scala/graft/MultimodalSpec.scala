@@ -82,6 +82,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getString(3).matches("[0-9a-f]{32}")) // md5
   }
 
+  test("phashPairs: banded join is lossless vs brute force; planted near-dup detected") {
+    import spark.implicits._
+    // base "image" and a copy with ONE byte inside the 9x8 grid changed:
+    // one grid cell touches two adjacent-pixel comparisons → Hamming <= 2,
+    // the re-encoded-image regime byte-exact dedup cannot see.
+    val base = (1 to 24).map(i => f"w$i%02d").mkString(" ") // 24 tokens, >72 chars
+    val nearCopy = base.updated(40, '!')
+    val media = Seq(
+      (0L, base), (3L, nearCopy), (6L, "something else entirely " * 4))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val pairs = Multimodal.phashPairs(media, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 >= 1L && p._3 <= 2L),
+      s"one-byte-edited copy must land at Hamming 1-2: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 6L && p._3 == 0L), "unrelated doc at distance 0")
+
+    // losslessness on the corpus: banded candidates == all-pairs filter
+    val m = Multimodal.mediaTable(spark, dir)
+    val banded = Multimodal.phashPairs(m, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = Multimodal.imageDHash(m)
+    val brute = h.as("a").join(h.as("b"), col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"),
+        (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+          bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).cast("long").as("d"))
+      .filter(col("d") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "corpus has no planted image near-dups to exercise the join")
+  }
+
   test("codec capability: ImageIO is detected, and the real decode path reads " +
       "actual pixel dimensions from a genuine PNG while bad payloads fall back") {
     import spark.implicits._
