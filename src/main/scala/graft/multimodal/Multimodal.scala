@@ -200,6 +200,16 @@ object Multimodal {
     * SimHash prefix-bucket shape with a tighter guarantee.
     */
   def phashPairs(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val (out, h) = phashPairsLazy(media, maxHamming)
+    val ck = out.localCheckpoint(true)
+    h.unpersist(false)
+    ck
+  }
+
+  /** [[phashPairs]] before its eager checkpoint — (lazy result,
+    * persisted hash table) — the PlanSpec pinning hook.
+    */
+  private[graft] def phashPairsLazy(media: DataFrame, maxHamming: Int): (DataFrame, DataFrame) = {
     require(maxHamming < 8, "losslessness needs maxHamming < number of bands (8)")
     val h = imageDHash(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -222,9 +232,7 @@ object Multimodal {
       .join(h.as("b"), col("d2") === col("b.media_id"))
       .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .localCheckpoint(true)
-    h.unpersist(false)
-    out
+    (out, h)
   }
 
   /** Resize stage, partition-parallel like [[decodeStub]].

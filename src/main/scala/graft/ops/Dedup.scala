@@ -394,6 +394,18 @@ object Dedup extends graft.QueryModule {
     */
   def fuzzyDecontamination(docs: DataFrame, probeDocs: DataFrame,
       minAgree: Int = 4): DataFrame = {
+    val (out, corpusSigs) = fuzzyDecontaminationLazy(docs, probeDocs, minAgree)
+    val ck = out.localCheckpoint(true)
+    corpusSigs.unpersist(false)
+    ck
+  }
+
+  /** [[fuzzyDecontamination]] before its eager checkpoint — (lazy
+    * result, persisted corpus signature table) — so PlanSpec can pin
+    * the broadcast shape (the checkpoint truncates the shown plan).
+    */
+  private[graft] def fuzzyDecontaminationLazy(docs: DataFrame, probeDocs: DataFrame,
+      minAgree: Int): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpusSigs = minhashSignatures(docs).persist(lvl)
     val probeSigs = minhashSignatures(probeDocs).localCheckpoint(true)
@@ -418,9 +430,7 @@ object Dedup extends graft.QueryModule {
       .select(col("doc_id"), col("n_probes_hit"),
         col("best.agree").as("best_agree"),
         (-col("best.nprobe")).as("best_probe"))
-      .localCheckpoint(true)
-    corpusSigs.unpersist(false)
-    out
+    (out, corpusSigs)
   }
 
   /** Span-level duplicate coverage (cf. Lee et al. 2022, "Deduplicating

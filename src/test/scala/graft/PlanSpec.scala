@@ -263,4 +263,34 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
     }
   }
+
+  test("fuzzy decontamination: the probe side rides broadcasts, never a corpus self-join") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val (lazyOut, sigs) = graft.ops.Dedup.fuzzyDecontaminationLazy(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 50),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50), 4)
+    val p = lazyOut.queryExecution.executedPlan.toString
+    sigs.unpersist(false)
+    // band join + probe-signature scoring join are both broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("phash pairs: banded candidates join on byte buckets — never cartesian") {
+    val media = graft.multimodal.Multimodal.mediaTable(spark, dir)
+    val (lazyOut, h) = graft.multimodal.Multimodal.phashPairsLazy(media, 7)
+    val p = lazyOut.queryExecution.executedPlan.toString
+    h.unpersist(false)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dataset_card: stream-keyed equi-joins only, no cartesian") {
+    // (q_kn_bigram_nll checkpoints eagerly — its joins are the same
+    // (prev,term)-keyed shapes as q_bigram_nll, pinned above)
+    val p = plan("q_dataset_card")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
