@@ -393,22 +393,33 @@ object Dedup extends graft.QueryModule {
     * cost is O(corpus · bands) + collisions.
     */
   def fuzzyDecontamination(docs: DataFrame, probeDocs: DataFrame,
+      minAgree: Int = 4): DataFrame =
+    fuzzyDecontaminationAgainst(docs,
+      minhashSignatures(probeDocs).localCheckpoint(true), minAgree)
+
+  /** [[fuzzyDecontamination]] against a PRECOMPUTED probe signature
+    * table — the serving/streaming entry point: the benchmark set is
+    * sketched ONCE and every batch (or micro-batch — see
+    * [[graft.streaming.DocStream.decontamOnIngest]]) joins against the
+    * same materialized signatures instead of re-sketching the probes.
+    * `probeSigs` must have columns (doc_id, sig0..sig7).
+    */
+  def fuzzyDecontaminationAgainst(docs: DataFrame, probeSigs: DataFrame,
       minAgree: Int = 4): DataFrame = {
-    val (out, corpusSigs) = fuzzyDecontaminationLazy(docs, probeDocs, minAgree)
+    val (out, corpusSigs) = fuzzyDecontaminationLazy(docs, probeSigs, minAgree)
     val ck = out.localCheckpoint(true)
     corpusSigs.unpersist(false)
     ck
   }
 
-  /** [[fuzzyDecontamination]] before its eager checkpoint — (lazy
-    * result, persisted corpus signature table) — so PlanSpec can pin
-    * the broadcast shape (the checkpoint truncates the shown plan).
+  /** [[fuzzyDecontaminationAgainst]] before its eager checkpoint —
+    * (lazy result, persisted corpus signature table) — so PlanSpec can
+    * pin the broadcast shape (the checkpoint truncates the shown plan).
     */
-  private[graft] def fuzzyDecontaminationLazy(docs: DataFrame, probeDocs: DataFrame,
+  private[graft] def fuzzyDecontaminationLazy(docs: DataFrame, probeSigs: DataFrame,
       minAgree: Int): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpusSigs = minhashSignatures(docs).persist(lvl)
-    val probeSigs = minhashSignatures(probeDocs).localCheckpoint(true)
     val cand = bandProjection(corpusSigs).as("x")
       .join(broadcast(bandProjection(probeSigs)).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))

@@ -219,4 +219,28 @@ object DocStream {
           .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$id")
       }
       .start()
+
+  /** Fuzzy benchmark decontamination on ingest — [[dedupOnIngest]]'s
+    * eval-overlap sibling: every micro-batch of arriving documents is
+    * sketched and joined against the STATIC probe (benchmark)
+    * signature index via
+    * [[graft.ops.Dedup.fuzzyDecontaminationAgainst]], so contaminated
+    * documents are flagged before they ever land in the training
+    * corpus rather than in a post-hoc sweep. The probe set is sketched
+    * once (all public benchmarks stay broadcast-sized); per-batch cost
+    * scales with the batch. Same idempotent-replay contract as
+    * [[writeCurated]]: each batch overwrites its own directory with a
+    * deterministic result.
+    */
+  def decontamOnIngest(newDocs: DataFrame, probeSigs: DataFrame,
+      outDir: String, checkpointDir: String,
+      minAgree: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Dedup.fuzzyDecontaminationAgainst(batch, probeSigs, minAgree)
+          .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$id")
+      }
+      .start()
 }

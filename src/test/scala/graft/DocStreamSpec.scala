@@ -132,6 +132,25 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streaming decontam-on-ingest == the declared batch sweep against the same probes") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val probeSigs = graft.ops.Dedup.minhashSignatures(docs.filter(col("doc_id") < 50))
+      .localCheckpoint(true) // the benchmark set, sketched once
+    val out = java.nio.file.Files.createTempDirectory("decontam-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("decontam-ingest-ckpt").toString
+    val q = DocStream.decontamOnIngest(
+      DocStream.readDocs(spark, dir).filter(col("doc_id") >= 50),
+      probeSigs, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = canon(spark.read.parquet(out).collect())
+    val batch = canon(graft.ops.Dedup.fuzzyDecontaminationAgainst(
+      docs.filter(col("doc_id") >= 50), probeSigs).collect())
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch sink lands a split-partitioned parquet table") {
     val out = java.nio.file.Files.createTempDirectory("curated-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("curated-ckpt").toString

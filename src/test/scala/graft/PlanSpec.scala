@@ -268,7 +268,9 @@ class PlanSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, dir)
     val (lazyOut, sigs) = graft.ops.Dedup.fuzzyDecontaminationLazy(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 50),
-      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50), 4)
+      graft.ops.Dedup.minhashSignatures(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50))
+        .localCheckpoint(true), 4)
     val p = lazyOut.queryExecution.executedPlan.toString
     sigs.unpersist(false)
     // band join + probe-signature scoring join are both broadcasts
