@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * scaling of the chosen plans before they ever see a cluster.
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
   * `sections` = comma-separated subset of
-  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq
+  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq,audit
   * (default all) — the emb section's exact all-pairs baseline is
   * minutes at 8×, so targeted probes shouldn't have to pay for it.
   */
@@ -19,7 +19,7 @@ object ScaleProbe {
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
-        "pipeline", "bpe", "classify", "pq")
+        "pipeline", "bpe", "classify", "pq", "audit")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -146,6 +146,56 @@ object ScaleProbe {
     time("quantized_knn") {
       graft.ops.VectorOps.quantizedKnn(docs.sparkSession
         .read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 5, 10).count()
+    }
+    }
+
+    // round-8 curation-audit family, separately probe-able
+    if (sections("audit")) {
+    // fuzzy decontamination: the corpus side grows, the probe set does
+    // not — cost must scale with the corpus signature pass alone
+    time("decontam_fuzzy") {
+      val probes = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 50)
+      graft.ops.Dedup.fuzzyDecontamination(docs, probes, 4).count()
+    }
+    // perceptual-hash image dedup: constant 16-byte state per image,
+    // 8-band bucket join. Replicas get a NON-monotonic alphabet
+    // permutation: the shared Caesar-rotated corpus preserves byte
+    // ORDER, and dHash is order-based, so rotated replicas collide as
+    // near-identical hashes — an artifact no real image corpus has.
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val scrambled = (0 until dFactor).map { i =>
+      val to =
+        if (i == 0) alpha
+        else alpha.zipWithIndex
+          .sortBy { case (c, j) => ((j * 7 + i * 11) % 26, c) }
+          .map(_._1).mkString
+      base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", translate(col("text"), alpha, to))
+    }.reduce(_ unionByName _)
+    val media = scrambled.select(col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload")).persist()
+    media.count()
+    // unbounded (lossless) vs df-capped candidates: this corpus's tiny
+    // word vocabulary gives the hashes LOW entropy, so heavy byte
+    // buckets dominate the unbounded join — exactly the regime the
+    // ceiling knob exists for (uniform backgrounds at 100 TB)
+    time("phash_pairs") {
+      graft.multimodal.Multimodal.phashPairs(media, 7).count()
+    }
+    time("phash_capped_128") {
+      graft.multimodal.Multimodal.phashPairs(media, 7, 128).count()
+    }
+    media.unpersist(false)
+    // Kneser-Ney scoring: token-stream aggregates + type-keyed joins
+    time("kn_bigram_nll") {
+      graft.ops.TextOps.knBigramNll(docs).count()
+    }
+    // the per-source dataset card (release report)
+    time("dataset_card") {
+      graft.ops.Curation.datasetCard(docs).count()
     }
     }
 

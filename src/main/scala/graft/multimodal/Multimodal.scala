@@ -199,8 +199,9 @@ object Multimodal {
     * O(images · 8) bucket shuffle + collisions, never |images|² — the
     * SimHash prefix-bucket shape with a tighter guarantee.
     */
-  def phashPairs(media: DataFrame, maxHamming: Int = 7): DataFrame = {
-    val (out, h) = phashPairsLazy(media, maxHamming)
+  def phashPairs(media: DataFrame, maxHamming: Int = 7,
+      bucketCeiling: Int = Int.MaxValue): DataFrame = {
+    val (out, h) = phashPairsLazy(media, maxHamming, bucketCeiling)
     val ck = out.localCheckpoint(true)
     h.unpersist(false)
     ck
@@ -208,16 +209,38 @@ object Multimodal {
 
   /** [[phashPairs]] before its eager checkpoint — (lazy result,
     * persisted hash table) — the PlanSpec pinning hook.
+    *
+    * `bucketCeiling` is the 100 TB cost knob, the byte-bucket analogue
+    * of [[graft.ops.Dedup]]'s shingle dfCeiling: the candidate join's
+    * cost is Σ df² over band buckets, and a low-entropy byte (uniform
+    * backgrounds, letterboxing bars — or this synthetic corpus's tiny
+    * vocabulary) can put a large fraction of the corpus into one
+    * bucket. Buckets with more than `bucketCeiling` members are
+    * dropped from candidate generation. At the default (unbounded) the
+    * join is LOSSLESS by pigeonhole; with a ceiling, a qualifying pair
+    * is lost only if EVERY band both images agree on is heavy — the
+    * standard recall-for-cost trade, measured in ScaleProbe.
     */
-  private[graft] def phashPairsLazy(media: DataFrame, maxHamming: Int): (DataFrame, DataFrame) = {
+  private[graft] def phashPairsLazy(media: DataFrame, maxHamming: Int,
+      bucketCeiling: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     require(maxHamming < 8, "losslessness needs maxHamming < number of bands (8)")
     val h = imageDHash(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until 8).map { b =>
+    val allBands = (0 until 8).map { b =>
       val src = if (b < 4) col("h_hi") else col("h_lo")
       h.select(col("media_id"), lit(b).as("band"),
         shiftright(src, 8 * (b % 4)).bitwiseAND(lit(255L)).as("bval"))
     }.reduce(_ union _)
+    val bands =
+      if (bucketCeiling == Int.MaxValue) allBands
+      else {
+        // heavy buckets are FEW by construction (each holds > ceiling
+        // members), so the prune rides a broadcast anti-join
+        val heavy = allBands.groupBy("band", "bval")
+          .agg(count(lit(1)).as("df")).filter(col("df") > bucketCeiling)
+          .select("band", "bval")
+        allBands.join(broadcast(heavy), Seq("band", "bval"), "left_anti")
+      }
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&

@@ -113,6 +113,15 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded === brute, s"banded=${banded.size} brute=${brute.size}")
     assert(brute.nonEmpty, "corpus has no planted image near-dups to exercise the join")
+
+    // the bucketCeiling knob: a ceiling above every bucket's df changes
+    // nothing; a tiny ceiling only ever REMOVES pairs (never invents)
+    val roomy = Multimodal.phashPairs(m, 7, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(roomy === brute, "a non-binding ceiling must stay lossless")
+    val capped = Multimodal.phashPairs(m, 7, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.subsetOf(brute), "capping may drop pairs but never add them")
   }
 
   test("codec capability: ImageIO is detected, and the real decode path reads " +
