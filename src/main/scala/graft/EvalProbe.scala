@@ -122,6 +122,24 @@ object EvalProbe {
     val qHit = exactDot.join(quantTop, Seq("qid", "vid"), "left_semi").count()
     println(f"[eval] int8_top10_overlap   ${qHit.toDouble / nDot}%.3f  ($qHit/$nDot)")
 
+    // JL random-projection fidelity: top-10 COSINE overlap vs exact
+    // cosine, as the projected dimension shrinks — the data-oblivious
+    // dial (no training pass; contrast pq_m*/ivf_* above)
+    val rpTruth = graft.ops.VectorOps.knn(emb, col("vec_id") >= 490, 10)
+      .select("qid", "vid")
+    val nRpT = rpTruth.count()
+    for (dims <- Seq(32, 16, 8)) {
+      val g = graft.ops.VectorOps.rpKnn(emb, col("vec_id") >= 490, dims, 10)
+        .select("qid", "vid")
+      val h = rpTruth.join(g, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] rp_d$dims%-2d_top10_overlap ${h.toDouble / nRpT}%.3f  ($h/$nRpT)")
+    }
+    // shortlist -> exact re-rank: the recall the deployment shape recovers
+    val rpR = graft.ops.VectorOps.rpRerank(emb, col("vec_id") >= 490, 16, 100, 10)
+      .select("qid", "vid")
+    val hRp = rpTruth.join(rpR, Seq("qid", "vid"), "left_semi").count()
+    println(f"[eval] rp_d16_rerank_top10  ${hRp.toDouble / nRpT}%.3f  ($hRp/$nRpT)")
+
     // PQ ADC fidelity ladder: top-10 overlap vs the exact dot ranking
     // as the subspace count grows — the compression/recall dial (m
     // subspaces × 16 codewords = m/2 bytes of codes per vector; more,

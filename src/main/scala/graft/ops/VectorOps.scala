@@ -59,6 +59,79 @@ object VectorOps extends graft.QueryModule {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Deterministic ±1 sign for the JL projection matrix: parity of the
+    * md5-derived 32-bit hash of "rp:j:k" (the [[graft.text.Shingles.hash32]]
+    * recipe) — Achlioptas 2003's database-friendly random projections,
+    * reproducible in any engine. Generated DRIVER-side (the matrix is
+    * dims×d ≤ a few KB) and inlined as literals into both the Column
+    * tree and the SQL oracle, so neither engine hashes per row.
+    */
+  private def rpSign(j: Int, k: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection of the embedding column to
+    * `dims` dimensions: r_k = Σ_j v_j · s(j,k), s = [[rpSign]]. The
+    * data-OBLIVIOUS dimension-reduction rung of the ANN ladder — no
+    * training pass at all (vs PCA's power iteration and PQ's k-means),
+    * which is what makes it the right first cut on a corpus too large
+    * or too fresh to train on. Each output coordinate is one in-row
+    * left-to-right fold in fixed j order (never a groupBy over exploded
+    * elements, whose accumulation order would be nondeterministic), so
+    * the doubles are bit-identical across engines.
+    */
+  def randomProjection(embeddings: DataFrame, dims: Int = 16, d: Int = 64): DataFrame =
+    embeddings
+      // cast ONCE per row — 1024 per-term casts of the whole array
+      // would each pay the O(d) array conversion
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        array((0 until dims).map { k =>
+          (0 until d).map { j =>
+            element_at(col("v"), j + 1) * lit(rpSign(j, k).toDouble)
+          }.reduce(_ + _)
+        }: _*).as("rp_v"))
+
+  /** Exact cosine top-k in the `dims`-dimensional projected space —
+    * [[knn]] after [[randomProjection]]: the same O(queries × corpus)
+    * scan shape but each dot product pays dims (16) multiplies instead
+    * of d (64), the classic JL trade of a little recall for a 4× scan.
+    * EvalProbe reports recall@10 vs the exact ladder baseline.
+    */
+  def rpKnn(embeddings: DataFrame, queryPred: Column,
+      dims: Int = 16, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val p = randomProjection(embeddings, dims)
+    val q = p.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("rp_v").as("qid_v"))
+    val c = p.select(col("vec_id").as("vid"), col("rp_v").as("vid_v"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    broadcast(q).join(c, col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
+  /** JL shortlist → exact re-rank: the deployment shape of the
+    * projection rung (identical tail to [[ivfPqRerank]]): the cheap
+    * 16-dim scan nominates `shortlist` candidates, the exact 64-dim
+    * cosine pass re-ranks them — recovering the recall the projected
+    * ranking loses on isotropic data (EvalProbe measures both).
+    */
+  def rpRerank(embeddings: DataFrame, queryPred: Column, dims: Int = 16,
+      shortlist: Int = 100, k: Int = 10): DataFrame = {
+    // materialize the shortlist BEFORE it rides a broadcast — planning
+    // the projection pipeline inside the broadcast thread stalls
+    // (PERF.md finding on q_pq_rerank)
+    val cand = rpKnn(embeddings, queryPred, dims, shortlist)
+      .select("qid", "vid").localCheckpoint(true)
+    rerankExact(embeddings, cand, k)
+  }
+
   /** IVF search: assign every vector to its nearest of nCentroids
     * coarse centroids (one broadcast join over the corpus), then answer
     * each query from its own cell only — each probe touches ~1/C of the
@@ -826,6 +899,20 @@ object VectorOps extends graft.QueryModule {
       knn(Tables.embeddings(spark, dir), col("vec_id") < 5, 10).orderBy("qid", "rank")
     },
 
+    // JL random projection 64 -> 16 dims, then exact top-10 in the
+    // projected space: the training-free dimension-reduction ANN rung.
+    "q_rp_knn" -> { (spark, dir) =>
+      rpKnn(Tables.embeddings(spark, dir), col("vec_id") < 5, 16, 10)
+        .orderBy("qid", "rank")
+    },
+
+    // The rung's deployment shape: JL top-100 shortlist -> exact
+    // cosine re-rank -> top-10 (the pq_rerank two-stage pattern).
+    "q_rp_rerank" -> { (spark, dir) =>
+      rpRerank(Tables.embeddings(spark, dir), col("vec_id") < 5, 16, 100, 10)
+        .orderBy("qid", "rank")
+    },
+
     "q_ann_ivf" -> { (spark, dir) =>
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
@@ -1083,6 +1170,64 @@ object VectorOps extends graft.QueryModule {
          |  FROM scored)
          |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    // the JL sign matrix is inlined as literals (generated from the
+    // same driver-side rpSign), so the projection arithmetic — a fixed
+    // left-to-right fold per output coordinate — is engine-identical
+    "q_rp_knn" -> {
+      val projCols = (0 until 16).map { k =>
+        (0 until 64).map { j =>
+          val s = if (rpSign(j, k) == 1) "" else "-"
+          s"${s}CAST(embedding[${j + 1}] AS DOUBLE)"
+        }.mkString(" + ").replace("+ -", "- ")
+      }.map(e => s"($e)").mkString(",\n    ")
+      s"""WITH proj AS (
+         |  SELECT vec_id, [
+         |    $projCols] AS rp FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    ${cosSql("q.rp", "c.rp")} AS cos
+         |  FROM proj q JOIN proj c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    },
+    // same projection chain, shortlist <= 100 in projected space, then
+    // the exact-cosine re-rank over the shortlist only
+    "q_rp_rerank" -> {
+      val projCols = (0 until 16).map { k =>
+        (0 until 64).map { j =>
+          val s = if (rpSign(j, k) == 1) "" else "-"
+          s"${s}CAST(embedding[${j + 1}] AS DOUBLE)"
+        }.mkString(" + ").replace("+ -", "- ")
+      }.map(e => s"($e)").mkString(",\n    ")
+      s"""WITH proj AS (
+         |  SELECT vec_id, [
+         |    $projCols] AS rp FROM embeddings),
+         |pscored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    ${cosSql("q.rp", "c.rp")} AS pcos
+         |  FROM proj q JOIN proj c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |short AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, vid) AS rn
+         |    FROM pscored) z WHERE rn <= 100),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |rescored AS (
+         |  SELECT s.qid, s.vid, ${cosSql("q.v", "c.v")} AS cos
+         |  FROM short s
+         |  JOIN e q ON s.qid = q.vec_id
+         |  JOIN e c ON s.vid = c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM rescored)
+         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    },
     // trained coarse centroids: the m=1 full-vector grid-k-means chain
     // (pqTrainCtes) supplies cbf; the search mirrors q_ann_ivf
     "q_ann_ivf_trained" ->
