@@ -310,6 +310,14 @@ object MultimodalQueries extends graft.QueryModule {
     "q_phash_pairs" -> { (spark, dir) =>
       Multimodal.phashPairs(Multimodal.mediaTable(spark, dir), 7)
         .orderBy("d1", "d2")
+    },
+    // The df-capped sibling (bucketCeiling = 8): heavy byte buckets are
+    // dropped from candidate generation — the declared cost knob for
+    // low-entropy-byte corpora, with its own banded-semantics oracle
+    // (capping breaks the pigeonhole, so all-pairs SQL would be wrong).
+    "q_phash_capped" -> { (spark, dir) =>
+      Multimodal.phashPairs(Multimodal.mediaTable(spark, dir), 7, 8)
+        .orderBy("d1", "d2")
     })
 
   // dHash oracle fragments: pixel (r,c) = byte (r*9+c) mod n of the
@@ -327,7 +335,44 @@ object MultimodalQueries extends graft.QueryModule {
     "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
   }
 
+  private def dhashBandsSql: String =
+    (0 until 8).map { b =>
+      val src = if (b < 4) "h_hi" else "h_lo"
+      s"SELECT doc_id, $b AS band, ($src >> ${8 * (b % 4)}) & 255 AS bval FROM h"
+    }.mkString("\n  UNION ALL ")
+
   def oracleSql: Map[String, String] = Map(
+    // the capped variant's oracle mirrors the BANDED semantics (heavy
+    // buckets pruned before candidate generation) — all-pairs SQL
+    // would be wrong once the pigeonhole guarantee is given up
+    "q_phash_capped" ->
+      s"""WITH img AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+         |h AS (
+         |  SELECT doc_id, ${dhashHalfSql(0)} AS h_hi, ${dhashHalfSql(4)} AS h_lo
+         |  FROM img),
+         |bands AS (
+         |  $dhashBandsSql),
+         |heavy AS (
+         |  SELECT band, bval FROM bands GROUP BY band, bval HAVING count(*) > 8),
+         |pruned AS (
+         |  SELECT b.* FROM bands b
+         |  LEFT JOIN heavy hv ON b.band = hv.band AND b.bval = hv.bval
+         |  WHERE hv.band IS NULL),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM pruned x JOIN pruned y
+         |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+         |SELECT c.d1, c.d2,
+         |  CAST(bit_count(xor(a.h_hi, b.h_hi))
+         |     + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN h a ON c.d1 = a.doc_id
+         |JOIN h b ON c.d2 = b.doc_id
+         |WHERE bit_count(xor(a.h_hi, b.h_hi))
+         |    + bit_count(xor(a.h_lo, b.h_lo)) <= 7
+         |ORDER BY c.d1, c.d2""".stripMargin,
     // kind = 'image' ⇔ doc_id % 3 = 0; the engine must equal the
     // BRUTE-FORCE pair join (its banded candidate pass is lossless)
     "q_phash_pairs" ->

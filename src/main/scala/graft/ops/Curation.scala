@@ -164,9 +164,48 @@ object Curation extends graft.QueryModule {
     docAgg.join(langAgg, "source")
   }
 
+  /** Snapshot diff between two corpus versions — the ingest regression
+    * detector a daily pipeline runs before promoting a new crawl:
+    * per-source added / removed / changed / unchanged document counts,
+    * change detected by content hash. One full-outer join on doc_id
+    * carrying only (source, md5) — the corpus text itself never
+    * shuffles, so the diff costs two narrow scans at any corpus size.
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("src1"),
+      md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), col("source").as("src2"),
+      md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src2"), col("src1")).as("source"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dataset_card" -> { (spark, dir) =>
       datasetCard(Tables.documents(spark, dir)).orderBy("source")
+    },
+
+    // Snapshot diff: v1 = yesterday's crawl (every 17th doc missing),
+    // v2 = today's (every 13th doc re-crawled with edits) — the
+    // deterministic splits other incremental queries use.
+    "q_corpus_diff" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+      val v2 = docs.withColumn("text",
+        when(col("doc_id") % 13 === 1, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      corpusDiff(v1, v2).orderBy("source")
     },
 
     "q_pipeline_e2e" -> { (spark, dir) =>
@@ -183,6 +222,28 @@ object Curation extends graft.QueryModule {
     val bucket = TextOps.hashBucketSql("k.doc_id")
     val splitKeyBucket = TextOps.hashBucketSql("coalesce(l.cluster_id, d.doc_id)")
     Map(
+      "q_corpus_diff" ->
+        s"""WITH v1 AS (
+           |  SELECT doc_id, source, md5(text) AS h1
+           |  FROM documents WHERE doc_id % 17 <> 3),
+           |v2 AS (
+           |  SELECT doc_id, source,
+           |    md5(CASE WHEN doc_id % 13 = 1 THEN text || ' edited'
+           |             ELSE text END) AS h2
+           |  FROM documents),
+           |st AS (
+           |  SELECT coalesce(v2.source, v1.source) AS source,
+           |    CASE WHEN v1.h1 IS NULL THEN 'added'
+           |         WHEN v2.h2 IS NULL THEN 'removed'
+           |         WHEN v1.h1 <> v2.h2 THEN 'changed'
+           |         ELSE 'unchanged' END AS status
+           |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+           |SELECT source,
+           |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+           |FROM st GROUP BY source ORDER BY source""".stripMargin,
       "q_dataset_card" ->
         s"""WITH tok AS (
            |  SELECT doc_id, term FROM (

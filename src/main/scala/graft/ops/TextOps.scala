@@ -473,6 +473,41 @@ object TextOps extends graft.QueryModule {
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
 
+  /** Token-budget mixture sampling: per source, admit documents in a
+    * deterministic shuffled order until the source's TOKEN budget is
+    * exhausted — how a pretraining mix is actually drawn (mixture
+    * weights are token budgets, not document counts, because document
+    * length varies wildly across sources). A document is admitted iff
+    * the token mass before it in its source's shuffled order is under
+    * budget, so the boundary document may overflow — the standard
+    * greedy cut. The shuffle key is the content-hash of a prefixed
+    * doc_id (reproducible across engines/cluster sizes, independent of
+    * the train/valid/test hash and the shuffle-rank key).
+    *
+    * Scale: one token-count aggregate + one window PER SOURCE (each
+    * source's cumsum runs partition-parallel across sources; within a
+    * source this is the same bounded-frame running sum every SCD2/
+    * sessionize op pays). Output is one row per source.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = 800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TfIdf.tokens(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    val w = Window.partitionBy("source").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"))
+      .join(toks, Seq("doc_id"), "left")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+      .withColumn("skey",
+        Shingles.hash32(concat(lit("budget:"), col("doc_id").cast("string"))))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_toks")).as("kept_tokens"))
+  }
+
   /** Cumulative data-curation filter funnel: per-stage survivor counts
     * for the standard cleaning chain (length band → minimum token
     * count → stopword-density cap → exact-dup removal). One tokenize
@@ -820,6 +855,12 @@ object TextOps extends graft.QueryModule {
       weightedSample(Tables.documents(spark, dir), col("n_chars"), 50)
     },
 
+    // Token-budget mixture draw: 800 tokens per source, greedy cut in
+    // deterministic shuffled order — budgets in tokens, not documents.
+    "q_token_budget_sample" -> { (spark, dir) =>
+      tokenBudgetSample(Tables.documents(spark, dir), 800).orderBy("source")
+    },
+
     // Inverted index: per-term document frequency plus the head of the
     // sorted posting list. Postings are capped for the declared output;
     // the full-list variant is the same aggregate without the slice. At
@@ -1153,6 +1194,22 @@ object TextOps extends graft.QueryModule {
         s"""SELECT doc_id, source, lang, n_chars,
            |  CAST(${Shingles.hash32Sql("text")} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
            |FROM documents ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+      "q_token_budget_sample" ->
+        s"""WITH $tokCte,
+           |tpd AS (SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id),
+           |keyed AS (
+           |  SELECT d.doc_id, d.source, coalesce(t.n_toks, 0) AS n_toks,
+           |    ${Shingles.hash32Sql("concat('budget:', CAST(d.doc_id AS VARCHAR))")} AS skey
+           |  FROM documents d LEFT JOIN tpd t ON d.doc_id = t.doc_id),
+           |cum AS (
+           |  SELECT source, n_toks,
+           |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY skey, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM keyed)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+           |FROM cum WHERE cum_before < 800
+           |GROUP BY source ORDER BY source""".stripMargin,
       "q_inverted_index" ->
         s"""WITH $tokCte,
            |dt AS (SELECT DISTINCT doc_id, term FROM tok)

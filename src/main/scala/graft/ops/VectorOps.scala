@@ -116,6 +116,66 @@ object VectorOps extends graft.QueryModule {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Clustering-quality report: assign every vector to its trained
+    * coarse centroid (the same integer-grid k-means index
+    * q_ann_ivf_trained searches) and score each cluster against the
+    * embedding labels — size, distinct labels, dominant label, purity.
+    * The standard external-validation table for an embedding-space
+    * clustering (topic discovery, semantic-dedup cell audit), and the
+    * first consumer of the embeddings table's `label` column.
+    *
+    * Scale shape: the centroid table broadcasts (C rows), assignment
+    * rides the corpus scan, and everything after is aggregates over
+    * the C×L cluster-label table — free at any corpus size.
+    */
+  def clusterPurity(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cent = pqTrain(embeddings, 1, nCentroids, 2, 64)
+      .select(col("cid"), col("cw").as("cid_v"))
+    val e = castVec(embeddings, "vid")
+    val w = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .select(col("vid"), col("cid"), cosRounded("vid", "cid").as("ccos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vid", "cid")
+    val cl = assigned
+      .join(embeddings.select(col("vec_id").as("vid"), col("label")), Seq("vid"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("nl"))
+    cl.groupBy("cid")
+      .agg(
+        sum(col("nl")).as("n_members"),
+        count(lit(1)).as("n_labels"),
+        // dominant label: max count, ties -> smallest label
+        min(struct((-col("nl")).as("neg"), col("label").as("lab"))).as("top"))
+      .select(col("cid"), col("n_members"), col("n_labels"),
+        col("top.lab").as("top_label"),
+        ((-col("top.neg")).cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+  }
+
+  /** kNN label vote — the classic embedding-quality eval: predict each
+    * query vector's label by majority vote over its k exact nearest
+    * neighbors (ties → smallest label) and report predicted vs actual.
+    * On embeddings whose geometry encodes the labels this reads high;
+    * on isotropic synthetic data it honestly reads at chance — either
+    * way it is the measurement, not an assertion.
+    */
+  def knnLabelVote(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    // the neighbor list (queries × k rows) is the tiny side — IT rides
+    // the broadcasts; the corpus label table never does
+    val nn = knn(embeddings, queryPred, k).select("qid", "vid")
+    val votes = lab.select(col("vec_id").as("vid"), col("label"))
+      .join(broadcast(nn), Seq("vid"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("nv"))
+    val pred = votes.groupBy("qid")
+      .agg(min(struct((-col("nv")).as("neg"), col("label").as("lab"))).as("top"))
+    lab.select(col("vec_id").as("qid"), col("label").as("actual"))
+      .join(broadcast(pred), Seq("qid"))
+      .select(col("qid"), col("top.lab").as("predicted"), col("actual"),
+        (col("top.lab") === col("actual")).as("correct"))
+  }
+
   /** JL shortlist → exact re-rank: the deployment shape of the
     * projection rung (identical tail to [[ivfPqRerank]]): the cheap
     * 16-dim scan nominates `shortlist` candidates, the exact 64-dim
@@ -913,6 +973,19 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // Clustering-quality report over the trained coarse index: per
+    // cluster size, distinct labels, dominant label, purity.
+    "q_cluster_purity" -> { (spark, dir) =>
+      clusterPurity(Tables.embeddings(spark, dir), 8).orderBy("cid")
+    },
+
+    // kNN label vote: majority label of the 10 exact neighbors vs the
+    // query's own label — the embedding-quality eval.
+    "q_knn_label_vote" -> { (spark, dir) =>
+      knnLabelVote(Tables.embeddings(spark, dir), col("vec_id") < 20, 10)
+        .orderBy("qid")
+    },
+
     "q_ann_ivf" -> { (spark, dir) =>
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
@@ -1228,6 +1301,58 @@ object VectorOps extends graft.QueryModule {
          |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin
     },
+    // assignment = the q_ann_ivf_trained chain; the report is two
+    // aggregates over the C×L cluster-label table with a two-level
+    // argmax (max count, ties to smallest label)
+    "q_cluster_purity" ->
+      s"""WITH ${pqTrainCtes(1, 8, 64, 2)},
+         |cent AS (SELECT cid, cw AS cv FROM cbf),
+         |assign0 AS (
+         |  SELECT a.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e a CROSS JOIN cent c),
+         |assign AS (SELECT vid, cid FROM assign0 WHERE rn = 1),
+         |cl AS (
+         |  SELECT s.cid, em.label, count(*) AS nl
+         |  FROM assign s JOIN embeddings em ON s.vid = em.vec_id
+         |  GROUP BY s.cid, em.label),
+         |agg AS (
+         |  SELECT cid, CAST(sum(nl) AS BIGINT) AS n_members,
+         |    CAST(count(*) AS BIGINT) AS n_labels, max(nl) AS mx
+         |  FROM cl GROUP BY cid)
+         |SELECT a.cid, a.n_members, a.n_labels,
+         |  min(c.label) AS top_label,
+         |  CAST(a.mx AS DOUBLE) / CAST(a.n_members AS DOUBLE) AS purity
+         |FROM agg a JOIN cl c ON a.cid = c.cid AND c.nl = a.mx
+         |GROUP BY a.cid, a.n_members, a.n_labels, a.mx
+         |ORDER BY a.cid""".stripMargin,
+    // knn chain (identical to q_knn_bruteforce) + per-query majority
+    // vote with the same two-level argmax
+    "q_knn_label_vote" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored),
+         |nn AS (SELECT qid, vid FROM ranked WHERE rank <= 10),
+         |votes AS (
+         |  SELECT nn.qid, em.label, count(*) AS nv
+         |  FROM nn JOIN embeddings em ON nn.vid = em.vec_id
+         |  GROUP BY nn.qid, em.label),
+         |vmax AS (SELECT qid, max(nv) AS mx FROM votes GROUP BY qid),
+         |pred AS (
+         |  SELECT v.qid, min(v.label) AS predicted
+         |  FROM votes v JOIN vmax m ON v.qid = m.qid AND v.nv = m.mx
+         |  GROUP BY v.qid)
+         |SELECT p.qid, p.predicted, em.label AS actual,
+         |  p.predicted = em.label AS correct
+         |FROM pred p JOIN embeddings em ON p.qid = em.vec_id
+         |ORDER BY p.qid""".stripMargin,
     // trained coarse centroids: the m=1 full-vector grid-k-means chain
     // (pqTrainCtes) supplies cbf; the search mirrors q_ann_ivf
     "q_ann_ivf_trained" ->
