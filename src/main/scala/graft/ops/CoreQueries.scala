@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -63,7 +63,70 @@ object CoreQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("n_terms"))
         .orderBy(col("doc_id"))
     },
+
+    // Feature-hashed document similarity search: each doc's tf-idf
+    // vector hashed into 64 buckets (the hashing trick — fixed-width
+    // vectors with no vocabulary table), probes scored against the
+    // corpus by SPARSE dot product via an equi-join on the bucket
+    // (posting lists, never a dense all-pairs pass). Semantic search
+    // without an embedding model.
+    "q_hashed_knn" -> { (spark, dir) =>
+      hashedDocKnn(Tables.documents(spark, dir), col("doc_id") < 3, 64, 10)
+        .orderBy("qid", "rank")
+    },
   )
+
+  /** (doc_id, bucket, wi): tf-idf feature-hashed into `b` buckets on
+    * the 1e6 integer grid — each term's tf-idf quantizes to a LONG
+    * BEFORE any sum, so every aggregate downstream is exact integer
+    * arithmetic, order-independent and engine-identical (the
+    * quantized-kNN kernel idea; PERF.md cross-engine lesson #2).
+    */
+  def hashedDocVectors(docs: DataFrame, b: Int = 64): DataFrame =
+    TfIdf.tfidf(docs)
+      .select(col("doc_id"),
+        (graft.text.Shingles.hash32(col("term")) % lit(b.toLong)).as("bucket"),
+        floor(col("tfidf") * lit(1e6) + lit(0.5)).cast("long").as("ti"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("ti")).as("wi"))
+
+  /** Top-k corpus documents per probe by cosine over the hashed
+    * vectors. The grid scale cancels in the cosine, so the score is
+    * the true cosine of the quantized vectors. Scale shape: the probe
+    * features broadcast; the dot product is one bucket-keyed equi-join
+    * + exact long aggregate (cost = Σ over buckets of probe-df ×
+    * corpus-df, bounded by b); norms are one per-doc aggregate; top-k
+    * plans as WindowGroupLimit.
+    */
+  def hashedDocKnn(docs: DataFrame, probePred: Column, b: Int = 64,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val feats = hashedDocVectors(docs, b).persist(lvl)
+    val norms = feats
+      .groupBy("doc_id").agg(sum(col("wi") * col("wi")).as("n2"))
+    val q = feats.filter(probePred)
+      .select(col("doc_id").as("qid"), col("bucket"), col("wi").as("qw"))
+    val dots = feats.join(broadcast(q), Seq("bucket"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("vid"))
+      .agg(sum(col("wi") * col("qw")).as("dot"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    val out = dots
+      .join(norms.select(col("doc_id").as("vid"), col("n2").as("vn2")), Seq("vid"))
+      .join(broadcast(norms.filter(probePred)
+        .select(col("doc_id").as("qid"), col("n2").as("qn2"))), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        round(col("dot").cast("double") /
+          (sqrt(col("vn2").cast("double")) * sqrt(col("qn2").cast("double"))), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+      .localCheckpoint(true)
+    feats.unpersist(false)
+    out
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_related_terms" ->
@@ -83,6 +146,39 @@ object CoreQueries extends graft.QueryModule {
       s"""$tfidfCte
          |SELECT doc_id, term, round(tfidf, 9) AS tfidf FROM tfidf
          |ORDER BY round(tfidf, 9) DESC, doc_id, term LIMIT 100""".stripMargin,
+    // the 1e6 integer grid makes every sum exact and order-free; the
+    // grid scale cancels in the cosine
+    "q_hashed_knn" ->
+      s"""$tfidfCte,
+         |feat0 AS (
+         |  SELECT doc_id, ${graft.text.Shingles.hash32Sql("term")} % 64 AS bucket,
+         |    CAST(floor(tfidf * 1e6 + 0.5) AS BIGINT) AS ti
+         |  FROM tfidf),
+         |feats AS (
+         |  SELECT doc_id, bucket, CAST(sum(ti) AS BIGINT) AS wi
+         |  FROM feat0 GROUP BY doc_id, bucket),
+         |norms AS (
+         |  SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS n2
+         |  FROM feats GROUP BY doc_id),
+         |dots AS (
+         |  SELECT q.doc_id AS qid, f.doc_id AS vid,
+         |    CAST(sum(f.wi * q.wi) AS BIGINT) AS dot
+         |  FROM feats f JOIN feats q
+         |    ON f.bucket = q.bucket AND q.doc_id < 3 AND f.doc_id <> q.doc_id
+         |  GROUP BY q.doc_id, f.doc_id),
+         |scored AS (
+         |  SELECT d.qid, d.vid,
+         |    round(CAST(d.dot AS DOUBLE) /
+         |      (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))), 6) AS cos
+         |  FROM dots d
+         |  JOIN norms nv ON d.vid = nv.doc_id
+         |  JOIN norms nq ON d.qid = nq.doc_id),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "q_term_counts" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS cnt FROM tok WHERE term <> ''

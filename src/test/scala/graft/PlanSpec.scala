@@ -288,6 +288,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_cluster_purity: centroids broadcast onto the corpus scan, never sort-merged") {
+    val p = plan("q_cluster_purity")
+    // the corpus×C assignment is a broadcast nested-loop BY DESIGN
+    // (C rows against the scan); nothing may sort-merge
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_knn_label_vote: neighbor lists ride broadcasts, the label table never does") {
+    val p = plan("q_knn_label_vote")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_token_budget_sample and q_corpus_diff never go cartesian") {
+    for (q <- Seq("q_token_budget_sample", "q_corpus_diff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
   test("q_dataset_card: stream-keyed equi-joins only, no cartesian") {
     // (q_kn_bigram_nll checkpoints eagerly — its joins are the same
     // (prev,term)-keyed shapes as q_bigram_nll, pinned above)
