@@ -292,6 +292,127 @@ object Classify extends graft.QueryModule {
     meta.crossJoin(lamMap)
   }
 
+  /** Hard-sigmoid activation on the micro grid: p_micro =
+    * clamp(500000 + z_num/(4·n_tokens), 0, 1e6), where z_num is the
+    * micro-scaled pre-activation numerator (Σ cnt·w_micro +
+    * bias_micro·n_tokens). The clipped linear sigmoid keeps every
+    * training step in exact integer/IEEE arithmetic — no exp(), whose
+    * last-ulp differences across engines could flip a grid cell.
+    */
+  private[graft] def pMicroCol(zNum: Column, nTok: Column): Column =
+    least(lit(1000000L), greatest(lit(0L),
+      lit(500000L) + floor(zNum.cast("double") /
+        (lit(4.0) * nTok.cast("double")) + lit(0.5)).cast("long")))
+
+  /** Linear quality probe trained by clipped-LMS gradient descent
+    * (Widrow–Hoff 1960 delta rule with a hard-sigmoid activation) —
+    * the discriminatively-TRAINED rung above the counting classifiers
+    * ([[nbConfusion]], [[dsirWeights]]): the count-based core of a
+    * fastText-style quality filter (Joulin et al. 2016), which is how
+    * the GPT-3/LLaMA-era pipelines actually gate web documents
+    * (positive class = the target domain, here min(source) as in
+    * DSIR). Features are normalized hashed-bucket term frequencies
+    * (cnt/n_tokens), so model state is O(B) and every document scores
+    * in one broadcast join.
+    *
+    * Training is full-batch on the even-doc_id half, `iters` rounds:
+    *   r_d   = y_d·1e6 − p_micro(w·x_d + b)         (exact long)
+    *   Δw_b  = ⌊η·Σ_d ⌊r_d·cnt_db/n_d⌉ / N⌉, η=1/2  (exact long)
+    * Every per-(doc,bucket) gradient term is floor-quantized onto the
+    * micro grid BEFORE its sum, so gradients — and therefore the
+    * trained weights — are bit-identical across partition orders and
+    * engines; the oracle unrolls the whole training loop in SQL (the
+    * pqTrain convention). The model (B+1 longs) lives driver-side
+    * between iterations: one distributed job per iteration, exactly
+    * the kmeans/BPE-merge-table shape.
+    *
+    * 100 TB shape per iteration: the token stream is already reduced
+    * to per-(doc,bucket) counts (≤ min(n_tokens, B) rows/doc); the
+    * weight table (256 rows) broadcasts; the residual table is
+    * doc-keyed and joins back co-partitioned; the gradient is one
+    * bucket-keyed aggregate collapsing to 256 rows. No driver state
+    * beyond the model.
+    */
+  def linearProbeWeights(docs: DataFrame, iters: Int = 3): (String, Array[Long], Long) = {
+    val spark = docs.sparkSession
+    val target = docs.agg(min(col("source"))).head.getString(0)
+    val per = bucketedTokens(docs)
+      .groupBy("doc_id", "source", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("doc_id") % 2 === 0)
+      .localCheckpoint(true)
+    val nTrain = per.select("doc_id").distinct().count()
+    val w = Array.fill(B)(0L)
+    var bias = 0L
+    for (_ <- 1 to iters) {
+      val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
+        .toDF("bucket", "w")
+      val r = per.join(broadcast(wDf), Seq("bucket"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(col("cnt") * col("w")).as("zw"))
+        .select(col("doc_id"), col("n_tokens"),
+          (when(col("source") === lit(target), lit(1000000L)).otherwise(lit(0L)) -
+            pMicroCol(col("zw") + lit(bias) * col("n_tokens"), col("n_tokens")))
+            .as("r"))
+        .localCheckpoint(true)
+      val grads = per.join(r, Seq("doc_id"))
+        .groupBy("bucket")
+        .agg(sum(floor((col("r") * col("cnt")).cast("double") /
+          col("n_tokens").cast("double") + lit(0.5)).cast("long")).as("g"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val gBias = r.agg(sum(col("r"))).head.getLong(0)
+      for (b <- 0 until B)
+        w(b) += math.floor(
+          grads.getOrElse(b.toLong, 0L).toDouble / (2.0 * nTrain) + 0.5).toLong
+      bias += math.floor(gBias.toDouble / (2.0 * nTrain) + 0.5).toLong
+      r.unpersist(false)
+    }
+    per.unpersist(false)
+    (target, w, bias)
+  }
+
+  /** The trained probe packed for serving, one row (the
+    * [[dsirModel]]/[[nbModel]] convention): target label, micro bias,
+    * and the bucket→micro-weight map — O(B) state, broadcastable at
+    * any corpus size. [[graft.streaming.DocStream.qualityOnIngest]]
+    * applies it statelessly to a document stream.
+    */
+  def linearModel(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val (target, w, bias) = linearProbeWeights(docs, iters)
+    import spark.implicits._
+    Seq((target, bias, (0 until B).map(b => b.toLong -> w(b)).toMap))
+      .toDF("target_source", "bias_micro", "w_micro")
+  }
+
+  /** Held-out evaluation of the trained probe: score the odd-doc_id
+    * half with the final weights and report per-doc pre-activation
+    * score (per token), hard-sigmoid positive probability, and the
+    * 0.5-threshold prediction beside the true target flag.
+    */
+  def linearQuality(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val (target, w, bias) = linearProbeWeights(docs, iters)
+    val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
+      .toDF("bucket", "w")
+    val zNum = col("zw") + lit(bias) * col("n_tokens")
+    bucketedTokens(docs)
+      .filter(col("doc_id") % 2 === 1)
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("w")).as("zw"))
+      .select(col("doc_id"), col("source"),
+        (col("source") === lit(target)).cast("int").as("is_target"),
+        col("n_tokens"),
+        (zNum.cast("double") / lit(1e6) / col("n_tokens").cast("double"))
+          .as("score"),
+        (pMicroCol(zNum, col("n_tokens")).cast("double") / lit(1e6)).as("p_pos"),
+        (pMicroCol(zNum, col("n_tokens")) > lit(500000L)).cast("int")
+          .as("predicted"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSIR hashed-unigram importance weights against the min(source)
     // target domain; all docs, doc_id order.
@@ -307,6 +428,11 @@ object Classify extends graft.QueryModule {
     // resample, ranked on exact integer micro-keys.
     "q_dsir_resample" -> { (spark, dir) =>
       dsirResample(Tables.documents(spark, dir), 50).orderBy("doc_id")
+    },
+    // Trained linear quality probe (clipped-LMS, 3 full-batch rounds on
+    // the even half), evaluated on the held-out odd half.
+    "q_linear_quality" -> { (spark, dir) =>
+      linearQuality(Tables.documents(spark, dir), 3).orderBy("doc_id")
     }
   )
 
@@ -321,7 +447,76 @@ object Classify extends graft.QueryModule {
   private def logp(cnt: String, tot: String): String =
     s"CAST(ln((CAST($cnt AS DOUBLE) + 1.0) / (CAST($tot AS DOUBLE) + $B.0)) AS DECIMAL(28,6))"
 
+  /** The unrolled-in-SQL training loop of [[linearProbeWeights]] —
+    * the pqTrainCtes convention: per-iteration CTEs r_i (residuals),
+    * g_i (bucket gradients), w_i / b_i (updated model). MATERIALIZED
+    * so DuckDB computes each residual table once (r_i feeds both g_i
+    * and b_i).
+    */
+  private def probeSql(iters: Int): String = {
+    val ntr = "(SELECT n FROM ntr)"
+    val base =
+      s"""per AS MATERIALIZED (
+         |  SELECT doc_id, source, bucket, count(*) AS cnt
+         |  FROM tok GROUP BY doc_id, source, bucket),
+         |tgt AS (SELECT min(source) AS s FROM documents),
+         |ntr AS (SELECT count(DISTINCT doc_id) AS n FROM per WHERE doc_id % 2 = 0),
+         |w0 AS MATERIALIZED (
+         |  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM per),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS b)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.doc_id, sum(p.cnt) AS n_tokens,
+         |    CASE WHEN p.source = (SELECT s FROM tgt) THEN 1000000 ELSE 0 END
+         |      - least(1000000, greatest(0, 500000 + CAST(floor(
+         |          CAST(sum(p.cnt * coalesce(w.w, 0))
+         |            + (SELECT b FROM b${i - 1}) * sum(p.cnt) AS DOUBLE)
+         |          / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT))) AS r
+         |  FROM per p LEFT JOIN w${i - 1} w ON p.bucket = w.bucket
+         |  WHERE p.doc_id % 2 = 0
+         |  GROUP BY p.doc_id, p.source),
+         |g$i AS (
+         |  SELECT p.bucket,
+         |    sum(CAST(floor(CAST(r.r * p.cnt AS DOUBLE)
+         |      / CAST(r.n_tokens AS DOUBLE) + 0.5) AS BIGINT)) AS g
+         |  FROM per p JOIN r$i r ON p.doc_id = r.doc_id
+         |  WHERE p.doc_id % 2 = 0
+         |  GROUP BY p.bucket),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |    w.w + CAST(floor(CAST(coalesce(g.g, 0) AS DOUBLE)
+         |      / (2.0 * CAST($ntr AS DOUBLE)) + 0.5) AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g ON w.bucket = g.bucket),
+         |b$i AS (
+         |  SELECT (SELECT b FROM b${i - 1})
+         |    + CAST(floor(CAST((SELECT sum(r) FROM r$i) AS DOUBLE)
+         |      / (2.0 * CAST($ntr AS DOUBLE)) + 0.5) AS BIGINT) AS b)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_linear_quality" -> {
+      val T = 3
+      val zNum = s"sum(p.cnt * coalesce(w.w, 0)) + (SELECT b FROM b$T) * sum(p.cnt)"
+      val pMicro =
+        s"""least(1000000, greatest(0, 500000 + CAST(floor(
+           |      CAST($zNum AS DOUBLE)
+           |      / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT)))""".stripMargin
+      s"""WITH $tokCte,
+         |${probeSql(T)}
+         |SELECT p.doc_id, p.source,
+         |  CAST(CASE WHEN p.source = (SELECT s FROM tgt) THEN 1 ELSE 0 END AS INT)
+         |    AS is_target,
+         |  CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+         |  CAST($zNum AS DOUBLE) / 1e6 / CAST(sum(p.cnt) AS DOUBLE) AS score,
+         |  CAST($pMicro AS DOUBLE) / 1e6 AS p_pos,
+         |  CAST(CASE WHEN $pMicro > 500000 THEN 1 ELSE 0 END AS INT) AS predicted
+         |FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
+         |WHERE p.doc_id % 2 = 1
+         |GROUP BY p.doc_id, p.source
+         |ORDER BY p.doc_id""".stripMargin
+    },
     "q_dsir_weights" ->
       s"""WITH $tokCte,
          |tgt_src AS (SELECT min(source) AS s FROM documents),

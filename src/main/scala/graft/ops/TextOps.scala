@@ -716,6 +716,59 @@ object TextOps extends graft.QueryModule {
             p => p.getField("id")))).as("ids_md5"))
   }
 
+  /** Zipf-law fit — the corpus-health regression every large-corpus
+    * datasheet carries (Zipf 1949; Piantadosi 2014 review): natural
+    * text's rank-frequency curve is near log-log linear with slope
+    * ≈ −1, and a corpus that departs hard from that (slope ≫ −1:
+    * boilerplate-flooded; ≪ −1: template-dominated head) was mangled
+    * somewhere in the pipeline. Fits ordinary least squares on
+    * (log10 rank, log10 count) over the top `topN` terms and reports
+    * slope, intercept, and R².
+    *
+    * Exactness: each per-term monomial (x, y, x², xy, y²) is
+    * floor-quantized onto the 1e6 integer grid BEFORE the sums, so the
+    * five sums are exact longs in any partition order and the closed-
+    * form OLS arithmetic runs on identical doubles in both engines.
+    *
+    * Scale shape: one term-count aggregate (partial+final) → global
+    * top-N via orderBy+limit (TakeOrderedAndProject — no global sort);
+    * the regression itself is one aggregate over N ≤ 1000 rows. The
+    * only window runs over the N-row top table, never the vocabulary.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def micro(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val top = TfIdf.tokens(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+    val lx = log10(col("rank").cast("double"))
+    val ly = log10(col("n").cast("double"))
+    val m = top.agg(
+      count(lit(1)).as("cnt"),
+      min(when(col("rank") === 1, col("term"))).as("top_term"),
+      max(col("n")).as("top_count"),
+      sum(micro(lx)).as("sx"),
+      sum(micro(ly)).as("sy"),
+      sum(micro(lx * lx)).as("sxx"),
+      sum(micro(lx * ly)).as("sxy"),
+      sum(micro(ly * ly)).as("syy"))
+    def d(name: String): Column = col(name).cast("double") / lit(1e6)
+    val cntD = col("cnt").cast("double")
+    val varX = cntD * d("sxx") - d("sx") * d("sx")
+    val varY = cntD * d("syy") - d("sy") * d("sy")
+    val cov = cntD * d("sxy") - d("sx") * d("sy")
+    m.select(
+      col("cnt").as("n_terms"),
+      col("top_term"),
+      col("top_count"),
+      (cov / varX).as("slope"),
+      ((d("sy") - (cov / varX) * d("sx")) / cntD).as("intercept"),
+      (cov * cov / (varX * varY)).as("r2"))
+  }
+
   /** Deterministic output sharding: every document lands in one of
     * `nShards` shards by content-independent key hash — the write-path
     * partitioner of a training-data pipeline (shard files must be
@@ -752,6 +805,12 @@ object TextOps extends graft.QueryModule {
     // Deterministic 16-way output sharding balance sheet.
     "q_shard_assign" -> { (spark, dir) =>
       shardAssign(Tables.documents(spark, dir), 16).orderBy("shard")
+    },
+
+    // Zipf rank-frequency OLS fit over the top-1000 terms: the
+    // corpus-health slope/intercept/R² line of the datasheet.
+    "q_zipf_fit" -> { (spark, dir) =>
+      zipfFit(Tables.documents(spark, dir), 1000)
     },
 
     // Deterministic ~10% sample by content hash of the key — consistent
@@ -1011,6 +1070,46 @@ object TextOps extends graft.QueryModule {
            |  max(doc_id) AS max_doc_id
            |FROM documents
            |GROUP BY shard ORDER BY shard""".stripMargin,
+      // per-term monomials floor-quantized to the 1e6 grid before the
+      // sums (exact longs), OLS closed form on identical doubles
+      "q_zipf_fit" ->
+        s"""WITH $tokCte,
+           |freq AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+           |top AS (SELECT term, n FROM freq ORDER BY n DESC, term LIMIT 1000),
+           |rankd AS (
+           |  SELECT term, n,
+           |    row_number() OVER (ORDER BY n DESC, term) AS rank FROM top),
+           |m AS (
+           |  SELECT count(*) AS cnt,
+           |    min(CASE WHEN rank = 1 THEN term END) AS top_term,
+           |    max(n) AS top_count,
+           |    sum(CAST(floor(log10(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sx,
+           |    sum(CAST(floor(log10(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sy,
+           |    sum(CAST(floor(log10(CAST(rank AS DOUBLE)) * log10(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sxx,
+           |    sum(CAST(floor(log10(CAST(rank AS DOUBLE)) * log10(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sxy,
+           |    sum(CAST(floor(log10(CAST(n AS DOUBLE)) * log10(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS syy
+           |  FROM rankd)
+           |SELECT CAST(cnt AS BIGINT) AS n_terms, top_term,
+           |  CAST(top_count AS BIGINT) AS top_count,
+           |  (CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |  / (CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)) AS slope,
+           |  ((CAST(sy AS DOUBLE) / 1e6)
+           |    - ((CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |        - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |      / (CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |        - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+           |      * (CAST(sx AS DOUBLE) / 1e6)) / CAST(cnt AS DOUBLE) AS intercept,
+           |  ((CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+           |   * (CAST(cnt AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+           |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6)))
+           |  / ((CAST(cnt AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+           |    - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+           |   * (CAST(cnt AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e6)
+           |    - (CAST(sy AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))) AS r2
+           |FROM m""".stripMargin,
       "q_hash_sample" ->
         s"""SELECT l_returnflag, count(*) AS n_sampled
            |FROM lineitem WHERE ${hashBucketSql("l_orderkey")} < 10

@@ -176,6 +176,82 @@ object VectorOps extends graft.QueryModule {
         (col("top.lab") === col("actual")).as("correct"))
   }
 
+  /** Hard-negative mining — the contrastive-training data miner
+    * (ANCE/DPR-style): for each anchor vector, the k most-similar
+    * corpus vectors whose label DIFFERS from the anchor's. These
+    * maximally-confusable negatives are what embedding-model training
+    * pairs with in-batch positives; mining them is an exact-cosine
+    * scan with a label-mismatch predicate pushed into the join, so
+    * the ranking never wastes top-k slots on same-label rows.
+    *
+    * Scale shape: identical to [[knn]] — the anchor side broadcasts,
+    * the corpus side scans once; at 100 TB the anchor set is a batch
+    * of training queries and the scan is the ANN index instead of the
+    * raw corpus (any ladder rung slots in: the miner only needs a
+    * (qid, vid, cos) candidate stream).
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qid_v"),
+        col("label").as("anchor_label"))
+    val c = embeddings
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("vid_v"),
+        col("label").as("neg_label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    broadcast(q)
+      .join(c, col("qid") =!= col("vid") &&
+        col("anchor_label") =!= col("neg_label"))
+      .select(col("qid"), col("anchor_label"), col("vid"), col("neg_label"),
+        cosRounded("qid", "vid").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "anchor_label", "rank", "vid", "neg_label", "cos")
+  }
+
+  /** Retrieval-quality eval — the standard IR metric table with the
+    * label column as graded relevance: for each query, rank the corpus
+    * by exact cosine, mark same-label rows relevant, and report
+    * hits@k, precision@k, recall@k (hits / corpus relevant count), the
+    * first relevant rank, and the truncated reciprocal rank (0 when no
+    * relevant row lands in the top k — MRR@k semantics). This is the
+    * table a retrieval deployment watches when swapping ANN rungs: run
+    * it over [[knn]] for the ceiling, then over any approximate tier
+    * to price its recall honestly.
+    *
+    * The per-label corpus counts come from ONE aggregate over the
+    * label table (never a self-join); the ranked neighbor list
+    * (queries × k rows) is the tiny side and rides the broadcasts.
+    */
+  def retrievalEval(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val labCnt = lab.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val nn = knn(embeddings, queryPred, k).select("qid", "rank", "vid")
+    val hits = lab.select(col("vec_id").as("vid"), col("label").as("n_lab"))
+      .join(broadcast(nn), Seq("vid"))
+      .join(broadcast(lab.select(col("vec_id").as("qid"), col("label"))), Seq("qid"))
+      .groupBy("qid", "label")
+      .agg(
+        sum(when(col("n_lab") === col("label"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("n_lab") === col("label"), col("rank"))).as("first_rank"))
+    hits
+      .join(broadcast(labCnt), Seq("label"))
+      .select(col("qid"), col("label"),
+        // the query itself is never a candidate (qid <> vid), so its
+        // own row doesn't count as retrievable
+        (col("n_label") - 1L).as("n_relevant"),
+        col("hits").as(s"hits_at_$k"),
+        coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),
+        when(col("first_rank").isNotNull,
+          lit(1.0) / col("first_rank").cast("double")).otherwise(lit(0.0)).as("rr"),
+        (col("hits").cast("double") / lit(k.toDouble)).as(s"precision_at_$k"),
+        when(col("n_label") > 1,
+          col("hits").cast("double") / (col("n_label") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as(s"recall_at_$k"))
+  }
+
   /** JL shortlist → exact re-rank: the deployment shape of the
     * projection rung (identical tail to [[ivfPqRerank]]): the cheap
     * 16-dim scan nominates `shortlist` candidates, the exact 64-dim
@@ -986,6 +1062,21 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid")
     },
 
+    // Contrastive hard-negative mining: per anchor, the 10 most-similar
+    // DIFFERENT-label vectors (the rows an embedding trainer pairs
+    // against its positives).
+    "q_hard_negatives" -> { (spark, dir) =>
+      hardNegatives(Tables.embeddings(spark, dir), col("vec_id") < 5, 10)
+        .orderBy("qid", "rank")
+    },
+
+    // Retrieval metrics with label relevance: hits/precision/recall@10,
+    // first relevant rank, truncated reciprocal rank per query.
+    "q_retrieval_eval" -> { (spark, dir) =>
+      retrievalEval(Tables.embeddings(spark, dir), col("vec_id") < 20, 10)
+        .orderBy("qid")
+    },
+
     "q_ann_ivf" -> { (spark, dir) =>
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
@@ -1353,6 +1444,59 @@ object VectorOps extends graft.QueryModule {
          |  p.predicted = em.label AS correct
          |FROM pred p JOIN embeddings em ON p.qid = em.vec_id
          |ORDER BY p.qid""".stripMargin,
+    // knn chain with the label-mismatch predicate inside the join, so
+    // ranks are assigned over different-label candidates only
+    "q_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS anchor_label,
+         |    c.vec_id AS vid, c.label AS neg_label,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+         |ranked AS (
+         |  SELECT qid, anchor_label, vid, neg_label, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, anchor_label, rank, vid, neg_label, cos
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    // knn chain (identical to q_knn_bruteforce at vec_id < 20) + label
+    // join; per-label corpus counts from one aggregate, never a
+    // self-join; rr truncated at k (0 when no relevant in top 10)
+    "q_retrieval_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |lab_cnt AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored),
+         |nn AS (SELECT qid, rank, vid FROM ranked WHERE rank <= 10),
+         |hits AS (
+         |  SELECT nn.qid, ql.label,
+         |    sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END) AS hits,
+         |    min(CASE WHEN cl.label = ql.label THEN nn.rank END) AS first_rank
+         |  FROM nn
+         |  JOIN embeddings cl ON nn.vid = cl.vec_id
+         |  JOIN embeddings ql ON nn.qid = ql.vec_id
+         |  GROUP BY nn.qid, ql.label)
+         |SELECT h.qid, h.label,
+         |  CAST(lc.n_label - 1 AS BIGINT) AS n_relevant,
+         |  CAST(h.hits AS BIGINT) AS hits_at_10,
+         |  CAST(coalesce(h.first_rank, 0) AS INT) AS first_rank,
+         |  CASE WHEN h.first_rank IS NOT NULL
+         |    THEN 1.0 / CAST(h.first_rank AS DOUBLE) ELSE 0.0 END AS rr,
+         |  CAST(h.hits AS DOUBLE) / 10.0 AS precision_at_10,
+         |  CASE WHEN lc.n_label > 1
+         |    THEN CAST(h.hits AS DOUBLE) / CAST(lc.n_label - 1 AS DOUBLE)
+         |    ELSE 0.0 END AS recall_at_10
+         |FROM hits h JOIN lab_cnt lc ON h.label = lc.label
+         |ORDER BY h.qid""".stripMargin,
     // trained coarse centroids: the m=1 full-vector grid-k-means chain
     // (pqTrainCtes) supplies cbf; the search mirrors q_ann_ivf
     "q_ann_ivf_trained" ->

@@ -163,6 +163,45 @@ object DocStream {
       .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))
   }
 
+  /** Quality gating on ingest — the serving half of the trained
+    * linear probe ([[graft.ops.Classify.linearModel]]: one row with
+    * target label, micro bias, bucket→micro-weight map): each
+    * arriving document is scored by one fold over its hashed token
+    * buckets plus the hard-sigmoid activation — stateless, zero
+    * shuffles, the scoreOnIngest plumbing exactly. DocStreamSpec pins
+    * stream == the declared q_linear_quality rows on the held-out
+    * half.
+    *
+    * Serving-time divergences, by design: an unseen bucket (possible
+    * live, impossible in the self-trained batch query) contributes 0,
+    * and a tokenless document emits a row with null score/p_pos
+    * (never 0/0 = NaN) instead of being absent.
+    */
+  def qualityOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs.crossJoin(broadcast(model))
+      .withColumn("toks", toks)
+      .withColumn("zw", aggregate(
+        transform(col("toks"), t =>
+          graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)),
+        lit(0L), (acc, bk) => acc +
+          coalesce(element_at(col("w_micro"), bk), lit(0L))))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("z_num", col("zw") + col("bias_micro") * col("n_tokens"))
+      .select(col("doc_id"), col("source"),
+        (col("source") === col("target_source")).cast("int").as("is_target"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("z_num").cast("double") / lit(1e6) /
+            col("n_tokens").cast("double")).as("score"),
+        when(col("n_tokens") > 0,
+          graft.ops.Classify.pMicroCol(col("z_num"), col("n_tokens"))
+            .cast("double") / lit(1e6)).as("p_pos"),
+        when(col("n_tokens") > 0,
+          (graft.ops.Classify.pMicroCol(col("z_num"), col("n_tokens")) >
+            lit(500000L)).cast("int")).as("predicted"))
+  }
+
   /** Subword tokenization on ingest — the serving half of the BPE
     * tier: a batch-trained merge table ([[graft.ops.Bpe.bpeModel]],
     * one row, step-ordered rules) rides a broadcast, and each arriving

@@ -64,6 +64,39 @@ class ClassifySpec extends AnyFunSuite {
     assert(total === nTest)
   }
 
+  test("linearQuality: one held-out row per tokenful odd doc, p in [0,1], threshold consistent") {
+    val q = Classify.linearQuality(docs, 3).collect()
+    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    assert(q.length === nOdd)
+    q.foreach { r =>
+      val p = r.getDouble(5)
+      assert(p >= 0.0 && p <= 1.0, s"p_pos $p out of range")
+      assert((r.getInt(6) == 1) === (p > 0.5), s"predicted != (p_pos > 0.5): $r")
+    }
+  }
+
+  test("linear probe: training moved the model off zero") {
+    val (_, w, _) = Classify.linearProbeWeights(docs, 3)
+    assert(w.exists(_ != 0L), "all weights still zero after 3 rounds")
+  }
+
+  test("linear probe separates a disjoint-vocabulary corpus perfectly") {
+    // same construction as the NB separability test: sources with
+    // disjoint vocab; the held-out half must classify diagonally
+    import spark.implicits._
+    val sep = (0L until 40L).map { i =>
+      val src = if (i % 4 < 2) "a" else "b"
+      val word = if (src == "a") "alpha" else "beta"
+      (i, s"$word $word$i $word", src)
+    }.toDF("doc_id", "text", "source")
+    val q = Classify.linearQuality(sep, 3).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getInt(2) === r.getInt(6),
+        s"held-out doc ${r.getLong(0)} misclassified: $r")
+    }
+  }
+
   test("nbConfusion: separable corpus classifies perfectly") {
     // two sources with disjoint vocabularies: NB must recover the
     // labels exactly — confusion matrix is diagonal

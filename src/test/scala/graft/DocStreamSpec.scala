@@ -68,6 +68,29 @@ class DocStreamSpec extends AnyFunSuite {
       "per-row fold scoring != the declared join-aggregate weights")
   }
 
+  test("streaming quality gate serves the declared q_linear_quality rows") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val model = graft.ops.Classify.linearModel(docs, 3).localCheckpoint(true)
+    val q = DocStream.qualityOnIngest(
+        DocStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_scored")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6))).sortBy(_._1)
+    // tokenless docs emit null-score rows on the stream but are absent
+    // from the batch query (its token stream never sees them)
+    val streamed = canon(spark.table("quality_scored")
+      .filter(col("n_tokens") > 0).collect())
+    val declared = canon(graft.ops.Classify.linearQuality(docs, 3).collect())
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(declared),
+      "per-row fold serving != the declared held-out probe rows")
+  }
+
   test("streaming NB classification aggregates to the declared confusion matrix") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Behavior tests for the eval/mining operators (hard negatives,
+  * retrieval metrics, Zipf fit) beyond what the DuckDB oracle hash
+  * pins: the invariants here are cross-checked against independent
+  * driver-side recomputation, not against the implementation's own
+  * join chain.
+  */
+class EvalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = graft.core.Tables.embeddings(spark, dir)
+  private def docs = graft.core.Tables.documents(spark, dir)
+
+  /** Driver-side exact cosine with the engine's 6dp HALF_UP rounding. */
+  private def cos6(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def collectVecs(): Map[Long, (Array[Double], Int)] =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getInt(2))).toMap
+
+  test("hardNegatives: never a same-label row, ranks contiguous, equals brute-force mining") {
+    val hn = VectorOps.hardNegatives(emb, col("vec_id") < 5, 10).collect()
+    val vecs = collectVecs()
+    val byQ = hn.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((qid, rows) <- byQ) {
+      val (qv, qlab) = vecs(qid)
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to 10))
+      rows.foreach(r => assert(r.getInt(4) != qlab, s"same-label negative: $r"))
+      // independent recomputation: top-10 different-label by (cos desc, vid)
+      val expected = vecs.toSeq
+        .filter { case (vid, (_, lab)) => vid != qid && lab != qlab }
+        .map { case (vid, (v, _)) => (vid, cos6(qv, v)) }
+        .sortBy { case (vid, c) => (-c, vid) }
+        .take(10).map(_._1)
+      val got = rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      assert(got === expected, s"qid $qid mined set diverges from brute force")
+    }
+  }
+
+  test("retrievalEval: metrics agree with driver-side recomputation per query") {
+    val ev = VectorOps.retrievalEval(emb, col("vec_id") < 20, 10).collect()
+    val vecs = collectVecs()
+    assert(ev.length === 20)
+    for (r <- ev) {
+      val qid = r.getLong(0)
+      val (qv, qlab) = vecs(qid)
+      val ranked = vecs.toSeq
+        .filter { case (vid, _) => vid != qid }
+        .map { case (vid, (v, lab)) => (vid, lab, cos6(qv, v)) }
+        .sortBy { case (vid, _, c) => (-c, vid) }
+        .take(10)
+      val hits = ranked.count(_._2 == qlab)
+      val firstRank = ranked.zipWithIndex.collectFirst {
+        case ((_, lab, _), i) if lab == qlab => i + 1
+      }
+      val nRel = vecs.values.count(_._2 == qlab) - 1
+      assert(r.getInt(1) === qlab)
+      assert(r.getLong(2) === nRel.toLong)
+      assert(r.getLong(3) === hits.toLong, s"hits mismatch for qid $qid")
+      assert(r.getInt(4) === firstRank.getOrElse(0))
+      assert(r.getDouble(5) === firstRank.map(1.0 / _).getOrElse(0.0))
+      assert(r.getDouble(6) === hits / 10.0)
+      assert(r.getDouble(7) === (if (nRel > 0) hits.toDouble / nRel else 0.0))
+    }
+  }
+
+  test("zipfFit: slope negative, R² in (0,1], head term cross-checked") {
+    val z = TextOps.zipfFit(docs, 1000).head()
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(z.getLong(0) === math.min(1000L, vocab.length.toLong))
+    val (topTerm, topCnt) = vocab.minBy { case (t, n) => (-n, t) }
+    assert(z.getString(1) === topTerm)
+    assert(z.getLong(2) === topCnt)
+    assert(z.getDouble(3) < 0.0, s"Zipf slope not negative: ${z.getDouble(3)}")
+    val r2 = z.getDouble(5)
+    assert(r2 > 0.0 && r2 <= 1.0, s"R² out of range: $r2")
+  }
+}

@@ -302,6 +302,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_hard_negatives: anchors broadcast; top-k is WindowGroupLimit") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // non-equi label filter
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_retrieval_eval: neighbor lists and label counts ride broadcasts") {
+    val p = plan("q_retrieval_eval")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_zipf_fit: top-1000 terms via TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_linear_quality scoring: weight table broadcast, no sort-merge join") {
+    val p = plan("q_linear_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_token_budget_sample and q_corpus_diff never go cartesian") {
     for (q <- Seq("q_token_budget_sample", "q_corpus_diff")) {
       val p = plan(q)
