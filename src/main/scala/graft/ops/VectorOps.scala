@@ -252,6 +252,72 @@ object VectorOps extends graft.QueryModule {
           .otherwise(lit(0.0)).as(s"recall_at_$k"))
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * clamped synchronous variant) over the sign-LSH candidate graph:
+    * seed nodes (vec_id % seedMod == 0) keep their true label; each
+    * round, every non-seed node takes the majority label among its
+    * neighbors' current labels (ties → smallest label). The
+    * scale-a-few-labels-to-the-corpus operator: when only a sampled
+    * slice of a 100 TB corpus is human- or LLM-labeled, propagation
+    * over the near-duplicate/near-neighbor graph extends those labels
+    * to everything geometrically adjacent.
+    *
+    * Scale shape: edges come from the banded sign-LSH bucket join
+    * (never an all-pairs pass — the same candidate generation as
+    * q_embedding_neardup_lsh); each round is ONE edge⋈labels equi-join
+    * + one (node,label)-keyed aggregate + an argmin argmax, with
+    * lineage truncated per round (the kmeans/pagerank rule). Label
+    * state is one row per labeled node, never densified. A fixed
+    * iteration count keeps the result a pure function of the input —
+    * the oracle unrolls all rounds in SQL.
+    *
+    * Isolated nodes (no labeled neighbor after `iters` rounds) report
+    * propagated = −1: coverage is a measured output, not an
+    * assumption.
+    */
+  def labelPropagation(embeddings: DataFrame, planesPerBand: Int = 4,
+      nBands: Int = 4, dims: Int = 64, iters: Int = 3,
+      seedMod: Int = 5): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-band projections kept as separate union branches — the fused
+    // single-method form defeats JIT (PERF.md round-4 LSH notes)
+    val bands = (0 until nBands).map { b =>
+      e.select(col("vec_id"), lit(b).as("band"),
+        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val edges = cand.union(cand.select(col("v2"), col("v1")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    e.unpersist(false)
+    val seeds = embeddings.filter(col("vec_id") % seedMod === 0)
+      .select(col("vec_id"), col("label").as("plab"))
+    var labels = seeds.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("plab"))
+        .agg(count(lit(1)).as("nv"))
+      val inferred = votes.groupBy("src")
+        .agg(min(struct((-col("nv")).as("neg"), col("plab").as("lab"))).as("top"))
+        .select(col("src").as("vec_id"), col("top.lab").as("plab"))
+        .join(seeds.select("vec_id"), Seq("vec_id"), "left_anti")
+      labels = seeds.union(inferred).localCheckpoint(true)
+    }
+    embeddings.select(col("vec_id"), col("label"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % seedMod === 0).cast("int").as("is_seed"),
+        coalesce(col("plab"), lit(-1)).as("propagated"),
+        (coalesce(col("plab"), lit(-1)) === col("label")).cast("int").as("correct"))
+  }
+
   /** JL shortlist → exact re-rank: the deployment shape of the
     * projection rung (identical tail to [[ivfPqRerank]]): the cheap
     * 16-dim scan nominates `shortlist` candidates, the exact 64-dim
@@ -1077,6 +1143,13 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid")
     },
 
+    // Clamped label propagation over the banded-LSH neighbor graph: 3
+    // synchronous rounds from the vec_id%5 seed set.
+    "q_label_prop" -> { (spark, dir) =>
+      labelPropagation(Tables.embeddings(spark, dir), 4, 4, 64, 3, 5)
+        .orderBy("vec_id")
+    },
+
     "q_ann_ivf" -> { (spark, dir) =>
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
@@ -1497,6 +1570,51 @@ object VectorOps extends graft.QueryModule {
          |    ELSE 0.0 END AS recall_at_10
          |FROM hits h JOIN lab_cnt lc ON h.label = lc.label
          |ORDER BY h.qid""".stripMargin,
+    // the banded-LSH candidate graph (same bucket expressions as
+    // q_embedding_neardup_lsh) + the 3 propagation rounds unrolled;
+    // per-round argmax mirrors the min(struct) tie-break (nv desc,
+    // label asc)
+    "q_label_prop" -> {
+      val T = 3
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${lshBucketSql("v", 4, 64, b * 4)} AS bkt FROM e"
+      }.mkString("\n  UNION ALL ")
+      val rounds = (1 to T).map { i =>
+        s"""v$i AS (
+           |  SELECT g.src, l.plab, count(*) AS nv
+           |  FROM edges g JOIN l${i - 1} l ON g.dst = l.vec_id
+           |  GROUP BY g.src, l.plab),
+           |inf$i AS (
+           |  SELECT src AS vec_id, plab FROM (
+           |    SELECT src, plab,
+           |      row_number() OVER (PARTITION BY src ORDER BY nv DESC, plab) AS rn
+           |    FROM v$i) z
+           |  WHERE rn = 1 AND src NOT IN (SELECT vec_id FROM seeds)),
+           |l$i AS MATERIALIZED (
+           |  SELECT * FROM seeds UNION ALL SELECT * FROM inf$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |edges AS MATERIALIZED (
+         |  SELECT v1 AS src, v2 AS dst FROM cand
+         |  UNION ALL SELECT v2 AS src, v1 AS dst FROM cand),
+         |seeds AS MATERIALIZED (
+         |  SELECT vec_id, label AS plab FROM embeddings WHERE vec_id % 5 = 0),
+         |l0 AS (SELECT * FROM seeds),
+         |$rounds
+         |SELECT em.vec_id, em.label,
+         |  CAST(CASE WHEN em.vec_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS is_seed,
+         |  coalesce(l.plab, -1) AS propagated,
+         |  CAST(CASE WHEN coalesce(l.plab, -1) = em.label THEN 1 ELSE 0 END AS INT)
+         |    AS correct
+         |FROM embeddings em LEFT JOIN l$T l ON em.vec_id = l.vec_id
+         |ORDER BY em.vec_id""".stripMargin
+    },
     // trained coarse centroids: the m=1 full-vector grid-k-means chain
     // (pqTrainCtes) supplies cbf; the search mirrors q_ann_ivf
     "q_ann_ivf_trained" ->

@@ -79,6 +79,40 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelPropagation: seeds clamped, two tight clusters fully and correctly labeled") {
+    import spark.implicits._
+    // two clusters of identical vectors (within-cluster cos = 1, so
+    // every member shares all LSH buckets with its cluster); one seed
+    // per cluster (vec_id 0 and 5 under seedMod 5)
+    val a = Array.fill(64)(0.0f); a(0) = 1.0f
+    val b = Array.fill(64)(0.0f); b(1) = 1.0f
+    val rows = (0L until 10L).map { i =>
+      val inA = i < 5
+      (i, (if (inA) a else b).toSeq, if (inA) 1 else 2)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val out = VectorOps.labelPropagation(emb, 4, 4, 64, 3, 5).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(out.size === 10)
+    for ((vid, (lab, isSeed, prop, correct)) <- out) {
+      assert(prop === lab, s"node $vid propagated $prop != true $lab")
+      assert(correct === 1)
+      assert((isSeed == 1) === (vid % 5 == 0))
+    }
+  }
+
+  test("labelPropagation on the corpus: seeds keep their label, coverage ⊇ seeds") {
+    val out = VectorOps.labelPropagation(emb, 4, 4, 64, 3, 5).collect()
+    val seeds = out.filter(_.getInt(2) == 1)
+    assert(seeds.nonEmpty)
+    seeds.foreach(r => assert(r.getInt(3) === r.getInt(1), s"seed relabeled: $r"))
+    val labeled = out.count(_.getInt(3) != -1)
+    assert(labeled >= seeds.length)
+  }
+
   test("zipfFit: slope negative, R² in (0,1], head term cross-checked") {
     val z = TextOps.zipfFit(docs, 1000).head()
     val vocab = docs.select(explode(split(col("text"), " ")).as("t"))

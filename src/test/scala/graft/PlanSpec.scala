@@ -328,6 +328,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_label_prop: the final stitch is a plain equi-join, never cartesian") {
+    val p = plan("q_label_prop")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_token_budget_sample and q_corpus_diff never go cartesian") {
     for (q <- Seq("q_token_budget_sample", "q_corpus_diff")) {
       val p = plan(q)
