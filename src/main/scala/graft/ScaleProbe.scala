@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * scaling of the chosen plans before they ever see a cluster.
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
   * `sections` = comma-separated subset of
-  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq,audit
-  * (default all) — the emb section's exact all-pairs baseline is
-  * minutes at 8×, so targeted probes shouldn't have to pay for it.
+  * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq,
+  * audit,trained (default all) — the emb section's exact all-pairs
+  * baseline is minutes at 8×, so targeted probes shouldn't have to
+  * pay for it.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -19,7 +20,7 @@ object ScaleProbe {
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
-        "pipeline", "bpe", "classify", "pq", "audit")
+        "pipeline", "bpe", "classify", "pq", "audit", "trained")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -227,6 +228,38 @@ object ScaleProbe {
     time("pca_power_2it") {
       graft.ops.VectorOps.principalDirection(emb, 64, 2).count()
     }
+    }
+
+    if (sections("trained")) {
+    // clipped-LMS probe: 3 training rounds, each ONE broadcast-join
+    // pass over the reduced (doc,bucket) frame + a doc-keyed residual
+    // join + a 256-key gradient aggregate — the claim is per-round
+    // cost linear in corpus tokens with no new shuffle class as docs
+    // grow (same family as dsir_weights above)
+    time("linear_probe_train3") {
+      val (_, w, _) = graft.ops.Classify.linearProbeWeights(docs, 3)
+      w.count(_ != 0L).toLong
+    }
+    // label propagation: edges from the banded-LSH bucket join (the
+    // emb_banded_lsh shape), then 3 rounds of edge⋈labels + keyed
+    // aggregate — growth should track the candidate-edge count, never
+    // corpus², and round cost is independent of round number
+    val eFactor = math.min(factor, 8)
+    val emb = (0 until eFactor).map { i =>
+      val k = i % 64
+      val rot = if (k == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), k + 1, 64 - k), slice(col("embedding"), 1, k))
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding", rot)
+    }.reduce(_ unionByName _).persist()
+    println(s"[scale] embeddings ${emb.count()} rows (${eFactor}x, for label prop)")
+    time("label_prop_3r") {
+      graft.ops.VectorOps.labelPropagation(emb, 4, 4, 64, 3, 5)
+        .filter(col("propagated") =!= -1).count()
+    }
+    emb.unpersist(false)
     }
 
     // reproducible global shuffle: two-phase distributed rank
