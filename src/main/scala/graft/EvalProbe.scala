@@ -216,6 +216,37 @@ object EvalProbe {
         .agg(sum(col("n_subwords"))).head().getLong(0)
       println(f"[eval] bpe_k$k%-3d chars/subword ${totalChars.toDouble / nSub}%.3f  ($nSub subwords)")
     }
+
+    // label-quality evals: how much label signal the embedding space
+    // actually carries (honest chance-level numbers expected on the
+    // isotropic synthetic vectors — these rows exist so a REAL
+    // embedding table reads meaningfully)
+    val vote = graft.ops.VectorOps.knnLabelVote(emb, col("vec_id") < 100, 10)
+    val nV = vote.count()
+    val okV = vote.filter(col("correct")).count()
+    println(f"[eval] knn_vote_accuracy    ${okV.toDouble / nV}%.3f  ($okV/$nV)")
+    val ret = graft.ops.VectorOps.retrievalEval(emb, col("vec_id") < 100, 10)
+      .agg(avg("precision_at_10").as("p"), avg("rr").as("rr")).head()
+    println(f"[eval] retrieval_meanP@10   ${ret.getDouble(0)}%.3f")
+    println(f"[eval] retrieval_meanRR@10  ${ret.getDouble(1)}%.3f")
+    val lp = graft.ops.VectorOps.labelPropagation(emb, 4, 4, 64, 3, 5)
+    val nonSeed = lp.filter(col("is_seed") === 0)
+    val reached = nonSeed.filter(col("propagated") =!= -1)
+    val nReach = reached.count()
+    val okLp = reached.filter(col("correct") === 1).count()
+    println(f"[eval] labelprop_coverage   ${nReach.toDouble / nonSeed.count()}%.3f")
+    println(f"[eval] labelprop_accuracy   ${okLp.toDouble / nReach}%.3f  ($okLp/$nReach)")
+
+    // trained linear probe: held-out accuracy vs the majority-class
+    // floor (the number a quality gate must beat to be load-bearing)
+    val q = graft.ops.Classify.linearQuality(docs, 3)
+      .select(col("is_target"), col("predicted")).localCheckpoint(true)
+    val nQ = q.count()
+    val okQ = q.filter(col("is_target") === col("predicted")).count()
+    val majority = math.max(q.filter(col("is_target") === 1).count(),
+      q.filter(col("is_target") === 0).count())
+    println(f"[eval] probe_heldout_acc    ${okQ.toDouble / nQ}%.3f  ($okQ/$nQ)")
+    println(f"[eval] probe_majority_floor ${majority.toDouble / nQ}%.3f")
     spark.stop()
   }
 }

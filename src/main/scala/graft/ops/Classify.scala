@@ -41,6 +41,24 @@ object Classify extends graft.QueryModule {
   /** Feature-bucket count: hashed vocabulary size. */
   val B = 256
 
+  /** Deterministic train/test membership by doc_id HASH, not parity:
+    * the synthetic corpus stripes `source` by doc_id parity (every
+    * source is all-even or all-odd), so an id-parity split would hand
+    * a classifier train and test halves with DISJOINT class sets and
+    * evaluate the positive class on zero examples. The md5 split
+    * ([[TextOps.hashBucket]], the q_hash_sample recipe) is immune to
+    * any id striping — on real data it is also the right tool, since
+    * ingest ids are rarely uniform.
+    */
+  private[graft] def isTrain(docId: Column): Column =
+    TextOps.hashBucket(docId) < 50
+  private[graft] def isTest(docId: Column): Column =
+    TextOps.hashBucket(docId) >= 50
+  private def isTrainSql(expr: String): String =
+    s"${TextOps.hashBucketSql(expr)} < 50"
+  private def isTestSql(expr: String): String =
+    s"${TextOps.hashBucketSql(expr)} >= 50"
+
   private val Dec = DecimalType(28, 6)
 
   /** (doc_id, source, bucket) — one row per token occurrence, token
@@ -205,17 +223,17 @@ object Classify extends graft.QueryModule {
     */
   def nbConfusion(docs: DataFrame): DataFrame = {
     val tok = bucketedTokens(docs)
-    val train = tok.filter(col("doc_id") % 2 === 0)
-    val test = tok.filter(col("doc_id") % 2 === 1)
+    val train = tok.filter(isTrain(col("doc_id")))
+    val test = tok.filter(isTest(col("doc_id")))
 
     val clsTok = train.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("source", "cls")
     val clsTot = clsTok.groupBy("cls").agg(sum(col("cnt")).as("tot"))
-    val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+    val trainDocs = docs.filter(isTrain(col("doc_id")))
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumnRenamed("source", "cls")
     val priors = trainDocs
-      .crossJoin(broadcast(docs.filter(col("doc_id") % 2 === 0)
+      .crossJoin(broadcast(docs.filter(isTrain(col("doc_id")))
         .agg(count(lit(1)).as("n_train"))))
       .select(col("cls"),
         log(col("n_docs").cast("double") / col("n_train").cast("double"))
@@ -259,14 +277,14 @@ object Classify extends graft.QueryModule {
   def nbModel(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def micro(c: Column): Column = (c * lit(1000000)).cast("long")
-    val train = bucketedTokens(docs).filter(col("doc_id") % 2 === 0)
+    val train = bucketedTokens(docs).filter(isTrain(col("doc_id")))
     val clsTok = train.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("source", "cls")
     val clsTot = clsTok.groupBy("cls").agg(sum(col("cnt")).as("tot"))
-    val nTrain = docs.filter(col("doc_id") % 2 === 0).agg(count(lit(1)).as("n_train"))
+    val nTrain = docs.filter(isTrain(col("doc_id"))).agg(count(lit(1)).as("n_train"))
     val clsIdx = clsTot
       .withColumn("ci", row_number().over(Window.orderBy("cls")) - 1)
-    val meta = docs.filter(col("doc_id") % 2 === 0)
+    val meta = docs.filter(isTrain(col("doc_id")))
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumnRenamed("source", "cls")
       .join(clsIdx, "cls")
@@ -339,7 +357,7 @@ object Classify extends graft.QueryModule {
     val per = bucketedTokens(docs)
       .groupBy("doc_id", "source", "bucket")
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("doc_id") % 2 === 0)
+      .filter(isTrain(col("doc_id")))
       .localCheckpoint(true)
     val nTrain = per.select("doc_id").distinct().count()
     val w = Array.fill(B)(0L)
@@ -398,7 +416,7 @@ object Classify extends graft.QueryModule {
       .toDF("bucket", "w")
     val zNum = col("zw") + lit(bias) * col("n_tokens")
     bucketedTokens(docs)
-      .filter(col("doc_id") % 2 === 1)
+      .filter(isTest(col("doc_id")))
       .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
       .join(broadcast(wDf), Seq("bucket"))
       .groupBy("doc_id", "source")
@@ -460,7 +478,7 @@ object Classify extends graft.QueryModule {
          |  SELECT doc_id, source, bucket, count(*) AS cnt
          |  FROM tok GROUP BY doc_id, source, bucket),
          |tgt AS (SELECT min(source) AS s FROM documents),
-         |ntr AS (SELECT count(DISTINCT doc_id) AS n FROM per WHERE doc_id % 2 = 0),
+         |ntr AS (SELECT count(DISTINCT doc_id) AS n FROM per WHERE ${isTrainSql("doc_id")}),
          |w0 AS MATERIALIZED (
          |  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM per),
          |b0 AS (SELECT CAST(0 AS BIGINT) AS b)""".stripMargin
@@ -473,14 +491,14 @@ object Classify extends graft.QueryModule {
          |            + (SELECT b FROM b${i - 1}) * sum(p.cnt) AS DOUBLE)
          |          / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT))) AS r
          |  FROM per p LEFT JOIN w${i - 1} w ON p.bucket = w.bucket
-         |  WHERE p.doc_id % 2 = 0
+         |  WHERE ${isTrainSql("p.doc_id")}
          |  GROUP BY p.doc_id, p.source),
          |g$i AS (
          |  SELECT p.bucket,
          |    sum(CAST(floor(CAST(r.r * p.cnt AS DOUBLE)
          |      / CAST(r.n_tokens AS DOUBLE) + 0.5) AS BIGINT)) AS g
          |  FROM per p JOIN r$i r ON p.doc_id = r.doc_id
-         |  WHERE p.doc_id % 2 = 0
+         |  WHERE ${isTrainSql("p.doc_id")}
          |  GROUP BY p.bucket),
          |w$i AS MATERIALIZED (
          |  SELECT w.bucket,
@@ -513,7 +531,7 @@ object Classify extends graft.QueryModule {
          |  CAST($pMicro AS DOUBLE) / 1e6 AS p_pos,
          |  CAST(CASE WHEN $pMicro > 500000 THEN 1 ELSE 0 END AS INT) AS predicted
          |FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
-         |WHERE p.doc_id % 2 = 1
+         |WHERE ${isTestSql("p.doc_id")}
          |GROUP BY p.doc_id, p.source
          |ORDER BY p.doc_id""".stripMargin
     },
@@ -586,17 +604,17 @@ object Classify extends graft.QueryModule {
     },
     "q_nb_classify" ->
       s"""WITH $tokCte,
-         |train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
-         |test AS (SELECT * FROM tok WHERE doc_id % 2 = 1),
+         |train AS (SELECT * FROM tok WHERE ${isTrainSql("doc_id")}),
+         |test AS (SELECT * FROM tok WHERE ${isTestSql("doc_id")}),
          |cls_tok AS (
          |  SELECT source AS cls, bucket, count(*) AS cnt FROM train GROUP BY source, bucket),
          |cls_tot AS (SELECT cls, sum(cnt) AS tot FROM cls_tok GROUP BY cls),
-         |n_train AS (SELECT count(*) AS n FROM documents WHERE doc_id % 2 = 0),
+         |n_train AS (SELECT count(*) AS n FROM documents WHERE ${isTrainSql("doc_id")}),
          |priors AS (
          |  SELECT source AS cls,
          |    CAST(ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM n_train))
          |      AS DECIMAL(28,6)) AS prior
-         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+         |  FROM documents WHERE ${isTrainSql("doc_id")} GROUP BY source),
          |grid AS (
          |  SELECT b.bucket, ct.cls,
          |    ${logp("coalesce(k.cnt, 0)", "ct.tot")} AS lam

@@ -154,6 +154,36 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Dedup threshold calibration — the table a curation run picks its
+    * Jaccard cutoff from: for each candidate threshold τ, the pair
+    * count, the count of documents touched by at least one ≥τ pair,
+    * and that count as a corpus fraction. One inverted-index pass at
+    * τ_min feeds every row (the pair table is computed ONCE and
+    * re-thresholded by a broadcast 4-row tau join), so the sweep costs
+    * one q_ngram_jaccard, not |taus| of them. At 100 TB this is the
+    * difference between running the calibration and skipping it.
+    */
+  def dedupThresholdSweep(docs: DataFrame, n: Int = 3,
+      taus: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairs(docs, n, taus.min)
+    val total = docs.agg(count(lit(1)).as("n_corpus"))
+    val dtau = pairs.join(broadcast(taus.toDF("tau")), col("jaccard") >= col("tau"))
+      .select("tau", "d1", "d2")
+      .localCheckpoint(true)
+    val nPairs = dtau.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = dtau
+      .select(col("tau"), explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy("tau").agg(count_distinct(col("doc")).as("n_docs_with_dup"))
+    nPairs.join(nDocs, "tau")
+      .crossJoin(broadcast(total))
+      .select(col("tau"), col("n_pairs"), col("n_docs_with_dup"),
+        (col("n_docs_with_dup").cast("double") / col("n_corpus").cast("double"))
+          .as("dup_doc_frac"))
+      .orderBy("tau")
+  }
+
   /** Exact Jaccard-threshold pairs via PREFIX FILTERING — the lossless
     * counterpart of [[jaccardPairs]]'s lossy `dfCeiling` knob (AllPairs
     * / PPJoin family: Bayardo et al., "Scaling Up All Pairs Similarity
@@ -1059,6 +1089,12 @@ object Dedup extends graft.QueryModule {
       jaccardPrefixFilter(Tables.documents(spark, dir), 3, 0.8).orderBy("d1", "d2")
     },
 
+    // Threshold-calibration sweep: pair/doc counts at τ ∈
+    // {0.3,0.5,0.7,0.9} from ONE inverted-index pass at τ=0.3.
+    "q_dedup_sweep" -> { (spark, dir) =>
+      dedupThresholdSweep(Tables.documents(spark, dir), 3)
+    },
+
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
@@ -1231,6 +1267,39 @@ object Dedup extends graft.QueryModule {
            |JOIN sizes s2 ON p.d2 = s2.doc_id
            |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.6
            |ORDER BY p.d1, p.d2""".stripMargin,
+      // one pair table at τ_min = 0.3, re-thresholded by the 4-row tau
+      // join; docs-touched counts from the exploded (d1,d2) union
+      "q_dedup_sweep" ->
+        s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |j AS MATERIALIZED (
+           |  SELECT p.d1, p.d2,
+           |    CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) AS jaccard
+           |  FROM pairs p
+           |  JOIN sizes s1 ON p.d1 = s1.doc_id
+           |  JOIN sizes s2 ON p.d2 = s2.doc_id
+           |  WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.3),
+           |taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS tau),
+           |d AS MATERIALIZED (
+           |  SELECT t.tau, p.d1, p.d2 FROM j p JOIN taus t ON p.jaccard >= t.tau),
+           |stats AS (SELECT tau, count(*) AS n_pairs FROM d GROUP BY tau),
+           |docs_in AS (
+           |  SELECT tau, count(DISTINCT doc) AS n_docs_with_dup FROM (
+           |    SELECT tau, d1 AS doc FROM d
+           |    UNION ALL SELECT tau, d2 AS doc FROM d) u
+           |  GROUP BY tau),
+           |tot AS (SELECT count(*) AS n FROM documents)
+           |SELECT s.tau, CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           |  CAST(di.n_docs_with_dup AS BIGINT) AS n_docs_with_dup,
+           |  CAST(di.n_docs_with_dup AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+           |    AS dup_doc_frac
+           |FROM stats s JOIN docs_in di ON s.tau = di.tau
+           |ORDER BY s.tau""".stripMargin,
       "q_ngram_jaccard_capped" ->
         s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
            |sh1 AS (SELECT DISTINCT doc_id, shingle FROM sh0),

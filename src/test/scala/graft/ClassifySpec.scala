@@ -57,16 +57,16 @@ class ClassifySpec extends AnyFunSuite {
       s"selected target fraction ${nTgt / 50.0} not above the corpus rate 0.05")
   }
 
-  test("nbConfusion: counts cover every odd test doc exactly once") {
+  test("nbConfusion: counts cover every held-out doc exactly once") {
     val conf = Classify.nbConfusion(docs)
     val total = conf.agg(sum("n_docs")).head.getLong(0)
-    val nTest = docs.filter(col("doc_id") % 2 === 1).count()
+    val nTest = docs.filter(graft.ops.Classify.isTest(col("doc_id"))).count()
     assert(total === nTest)
   }
 
-  test("linearQuality: one held-out row per tokenful odd doc, p in [0,1], threshold consistent") {
+  test("linearQuality: one row per tokenful held-out doc, p in [0,1], threshold consistent") {
     val q = Classify.linearQuality(docs, 3).collect()
-    val nOdd = docs.filter(col("doc_id") % 2 === 1).count()
+    val nOdd = docs.filter(graft.ops.Classify.isTest(col("doc_id"))).count()
     assert(q.length === nOdd)
     q.foreach { r =>
       val p = r.getDouble(5)

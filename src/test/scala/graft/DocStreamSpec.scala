@@ -73,7 +73,7 @@ class DocStreamSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, dir)
     val model = graft.ops.Classify.linearModel(docs, 3).localCheckpoint(true)
     val q = DocStream.qualityOnIngest(
-        DocStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1), model)
+        DocStream.readDocs(spark, dir).filter(graft.ops.Classify.isTest(col("doc_id"))), model)
       .writeStream.outputMode("append")
       .format("memory").queryName("quality_scored")
       .start()
@@ -96,7 +96,7 @@ class DocStreamSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, dir)
     val model = graft.ops.Classify.nbModel(docs).localCheckpoint(true)
     val q = DocStream.classifyOnIngest(
-        DocStream.readDocs(spark, dir).filter(col("doc_id") % 2 === 1), model)
+        DocStream.readDocs(spark, dir).filter(graft.ops.Classify.isTest(col("doc_id"))), model)
       .writeStream.outputMode("append")
       .format("memory").queryName("nb_scored")
       .start()
