@@ -247,6 +247,13 @@ object EvalProbe {
       q.filter(col("is_target") === 0).count())
     println(f"[eval] probe_heldout_acc    ${okQ.toDouble / nQ}%.3f  ($okQ/$nQ)")
     println(f"[eval] probe_majority_floor ${majority.toDouble / nQ}%.3f")
+    // separation beats thresholded accuracy as the signal readout on a
+    // weak-signal corpus: mean positive-probability by true class
+    val sep = graft.ops.Classify.linearQuality(docs, 3)
+      .groupBy("is_target").agg(avg("p_pos").as("p")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    println(f"[eval] probe_meanP_target   ${sep.getOrElse(1, Double.NaN)}%.4f")
+    println(f"[eval] probe_meanP_rest     ${sep.getOrElse(0, Double.NaN)}%.4f")
     spark.stop()
   }
 }

@@ -431,6 +431,39 @@ object Classify extends graft.QueryModule {
           .as("predicted"))
   }
 
+  /** The gate's operational report: score the WHOLE corpus with the
+    * trained probe and aggregate per source — docs, kept (p > 0.5),
+    * keep rate, and mean positive probability. This is the table an
+    * operator reads before flipping the gate on: which domains the
+    * filter keeps, which it starves (the fertility-report convention
+    * applied to quality). Scoring is the same broadcast join +
+    * doc-keyed aggregate as [[linearQuality]]; the report is one
+    * source-keyed aggregate on top.
+    */
+  def gateReport(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val (_, w, bias) = linearProbeWeights(docs, iters)
+    val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
+      .toDF("bucket", "w")
+    val zNum = col("zw") + lit(bias) * col("n_tokens")
+    bucketedTokens(docs)
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("w")).as("zw"))
+      .select(col("source"), pMicroCol(zNum, col("n_tokens")).as("p_micro"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p_micro") > 500000L, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("p_micro")).as("p_sum"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"),
+        (col("p_sum").cast("double") / lit(1e6) / col("n_docs").cast("double"))
+          .as("mean_p"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSIR hashed-unigram importance weights against the min(source)
     // target domain; all docs, doc_id order.
@@ -448,9 +481,14 @@ object Classify extends graft.QueryModule {
       dsirResample(Tables.documents(spark, dir), 50).orderBy("doc_id")
     },
     // Trained linear quality probe (clipped-LMS, 3 full-batch rounds on
-    // the even half), evaluated on the held-out odd half.
+    // the hash-train half), evaluated on the held-out half.
     "q_linear_quality" -> { (spark, dir) =>
       linearQuality(Tables.documents(spark, dir), 3).orderBy("doc_id")
+    },
+    // The gate's per-source operational report: corpus-wide keep rate
+    // and mean positive probability under the trained probe.
+    "q_gate_report" -> { (spark, dir) =>
+      gateReport(Tables.documents(spark, dir), 3).orderBy("source")
     }
   )
 
@@ -534,6 +572,29 @@ object Classify extends graft.QueryModule {
          |WHERE ${isTestSql("p.doc_id")}
          |GROUP BY p.doc_id, p.source
          |ORDER BY p.doc_id""".stripMargin
+    },
+    "q_gate_report" -> {
+      val T = 3
+      val zNum = s"sum(p.cnt * coalesce(w.w, 0)) + (SELECT b FROM b$T) * sum(p.cnt)"
+      val pMicro =
+        s"""least(1000000, greatest(0, 500000 + CAST(floor(
+           |      CAST($zNum AS DOUBLE)
+           |      / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT)))""".stripMargin
+      s"""WITH $tokCte,
+         |${probeSql(T)},
+         |scored AS (
+         |  SELECT p.doc_id, p.source, $pMicro AS p_micro
+         |  FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
+         |  GROUP BY p.doc_id, p.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS keep_rate,
+         |  CAST(sum(p_micro) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE) AS mean_p
+         |FROM scored
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
     },
     "q_dsir_weights" ->
       s"""WITH $tokCte,

@@ -252,6 +252,46 @@ object VectorOps extends graft.QueryModule {
           .otherwise(lit(0.0)).as(s"recall_at_$k"))
   }
 
+  /** Contrastive-training triplet export — the (anchor, positive,
+    * negative) rows an embedding trainer consumes: per anchor, the
+    * most-similar SAME-label vector and the most-similar
+    * DIFFERENT-label vector ([[hardNegatives]]' top row), plus the
+    * margin between them (the quantity a triplet loss pushes apart).
+    * Anchors whose label has no second member are dropped — a triplet
+    * needs both sides.
+    *
+    * One scored scan serves both sides: candidates rank inside
+    * (anchor, same-label?) windows, so the positive and the hard
+    * negative come from the same broadcast-join pass, never two.
+    */
+  def contrastiveTriplets(embeddings: DataFrame, queryPred: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qid_v"),
+        col("label").as("q_label"))
+    val c = embeddings
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("vid_v"),
+        col("label").as("c_label"))
+    val w = Window.partitionBy("qid", "same").orderBy(col("cos").desc, col("vid"))
+    val top = broadcast(q).join(c, col("qid") =!= col("vid"))
+      .select(col("qid"), col("q_label"), col("vid"),
+        (col("c_label") === col("q_label")).as("same"),
+        cosRounded("qid", "vid").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    top.groupBy("qid", "q_label")
+      .agg(
+        min(when(col("same"), struct(col("vid"), col("cos")))).as("pos"),
+        min(when(!col("same"), struct(col("vid"), col("cos")))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("qid"), col("q_label").as("label"),
+        col("pos.vid").as("pos_vid"), col("pos.cos").as("pos_cos"),
+        col("neg.vid").as("neg_vid"), col("neg.cos").as("neg_cos"),
+        (col("pos.cos") - col("neg.cos")).as("margin"))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
     * clamped synchronous variant) over the sign-LSH candidate graph:
     * seed nodes (vec_id % seedMod == 0) keep their true label; each
@@ -1150,6 +1190,13 @@ object VectorOps extends graft.QueryModule {
         .orderBy("vec_id")
     },
 
+    // Contrastive triplet export: per anchor, nearest same-label
+    // (positive), nearest different-label (hard negative), margin.
+    "q_triplets" -> { (spark, dir) =>
+      contrastiveTriplets(Tables.embeddings(spark, dir), col("vec_id") < 20)
+        .orderBy("qid")
+    },
+
     "q_ann_ivf" -> { (spark, dir) =>
       ivfSearch(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 5).orderBy("qid", "rank")
     },
@@ -1570,6 +1617,30 @@ object VectorOps extends graft.QueryModule {
          |    ELSE 0.0 END AS recall_at_10
          |FROM hits h JOIN lab_cnt lc ON h.label = lc.label
          |ORDER BY h.qid""".stripMargin,
+    // one scored scan, ranked inside (anchor, same-label?) windows;
+    // the positive/negative stitch is an inner join, so anchors
+    // missing either side drop exactly like the Spark filter
+    "q_triplets" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, q.label AS q_label, c.vec_id AS vid,
+         |    (c.label = q.label) AS same,
+         |    ${cosSql("q.v", "c.v")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT qid, q_label, vid, same, cos,
+         |    row_number() OVER (PARTITION BY qid, same ORDER BY cos DESC, vid) AS rn
+         |  FROM scored),
+         |top AS (SELECT * FROM ranked WHERE rn = 1),
+         |pos AS (
+         |  SELECT qid, q_label, vid AS pos_vid, cos AS pos_cos FROM top WHERE same),
+         |neg AS (
+         |  SELECT qid, vid AS neg_vid, cos AS neg_cos FROM top WHERE NOT same)
+         |SELECT p.qid, p.q_label AS label, p.pos_vid, p.pos_cos,
+         |  n.neg_vid, n.neg_cos, p.pos_cos - n.neg_cos AS margin
+         |FROM pos p JOIN neg n ON p.qid = n.qid
+         |ORDER BY p.qid""".stripMargin,
     // the banded-LSH candidate graph (same bucket expressions as
     // q_embedding_neardup_lsh) + the 3 propagation rounds unrolled;
     // per-round argmax mirrors the min(struct) tie-break (nv desc,

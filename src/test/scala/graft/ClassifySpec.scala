@@ -97,6 +97,23 @@ class ClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("gateReport: covers the whole corpus; separable corpus gates cleanly by source") {
+    val rep = Classify.gateReport(docs, 3)
+    assert(rep.agg(sum("n_docs")).head.getLong(0) === docs.count())
+    // disjoint-vocab corpus: the gate keeps all of the target source
+    // and none of the other
+    import spark.implicits._
+    val sep = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val word = if (src == "a") "alpha" else "beta"
+      (i, s"$word $word$i $word", src)
+    }.toDF("doc_id", "text", "source")
+    val g = Classify.gateReport(sep, 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(g("a") === 1.0, s"target keep rate ${g("a")} != 1.0")
+    assert(g("b") === 0.0, s"non-target keep rate ${g("b")} != 0.0")
+  }
+
   test("nbConfusion: separable corpus classifies perfectly") {
     // two sources with disjoint vocabularies: NB must recover the
     // labels exactly — confusion matrix is diagonal

@@ -79,6 +79,27 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastiveTriplets: pos/neg sides equal brute-force argmax per anchor") {
+    val tr = VectorOps.contrastiveTriplets(emb, col("vec_id") < 20).collect()
+    val vecs = collectVecs()
+    assert(tr.nonEmpty)
+    for (r <- tr) {
+      val qid = r.getLong(0)
+      val (qv, qlab) = vecs(qid)
+      assert(r.getInt(1) === qlab)
+      def best(samePred: Int => Boolean): (Long, Double) =
+        vecs.toSeq
+          .filter { case (vid, (_, lab)) => vid != qid && samePred(lab) }
+          .map { case (vid, (v, _)) => (vid, cos6(qv, v)) }
+          .minBy { case (vid, c) => (-c, vid) }
+      val (pv, pc) = best(_ == qlab)
+      val (nv, nc) = best(_ != qlab)
+      assert(r.getLong(2) === pv && r.getDouble(3) === pc, s"pos mismatch: $r")
+      assert(r.getLong(4) === nv && r.getDouble(5) === nc, s"neg mismatch: $r")
+      assert(r.getDouble(6) === pc - nc)
+    }
+  }
+
   test("labelPropagation: seeds clamped, two tight clusters fully and correctly labeled") {
     import spark.implicits._
     // two clusters of identical vectors (within-cluster cos = 1, so

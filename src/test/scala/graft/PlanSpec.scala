@@ -328,6 +328,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_triplets: one scored scan, WindowGroupLimit per (anchor, side)") {
+    val p = plan("q_triplets")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_gate_report: weight table broadcast, no sort-merge join") {
+    val p = plan("q_gate_report")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_label_prop: the final stitch is a plain equi-join, never cartesian") {
     val p = plan("q_label_prop")
     assert(!p.contains("CartesianProduct"), p)
