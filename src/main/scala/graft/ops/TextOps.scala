@@ -392,6 +392,32 @@ object TextOps extends graft.QueryModule {
           .as("avg_nll"))
   }
 
+  /** Curriculum ordering — the easy-first training schedule
+    * (Bengio et al. 2009) as a deterministic, scale-correct artifact:
+    * difficulty is the per-doc unigram NLL per token ([[unigramNll]]
+    * — rare-word-heavy docs read as hard), docs band into ABSOLUTE
+    * integer difficulty buckets (floor(avg_nll) — never global
+    * quantiles, which would need a corpus-wide sort or an approximate
+    * sketch the oracle can't pin), and each bucket is internally
+    * shuffled by the salted doc hash (the q_shuffle_rank recipe).
+    * Training reads (bucket asc, rank_in_bucket) — easy bands first,
+    * order within a band decorrelated from ingest order.
+    *
+    * Scale shape: the only window runs WITHIN a bucket (parallel
+    * across bands); difficulty is one token pass + one broadcast
+    * model join — no global sort anywhere.
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy(col("shuffle_key"), col("doc_id"))
+    unigramNll(docs)
+      .withColumn("bucket", floor(col("avg_nll")).cast("int"))
+      .withColumn("shuffle_key",
+        Shingles.hash32(concat(lit("cur:"), col("doc_id").cast("string"))))
+      .withColumn("rank_in_bucket", row_number().over(w))
+      .select("doc_id", "n_tokens", "avg_nll", "bucket", "rank_in_bucket")
+  }
+
   /** Token-stream sequence packing: concatenate documents in doc_id
     * order into one global token stream and cut it into fixed
     * `chunkTokens`-token training windows — the standard "concatenate
@@ -882,6 +908,12 @@ object TextOps extends graft.QueryModule {
       unigramNll(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Curriculum schedule: absolute NLL difficulty bands, hash-shuffled
+    // within each band — training reads (bucket, rank_in_bucket).
+    "q_curriculum" -> { (spark, dir) =>
+      curriculumOrder(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1142,6 +1174,29 @@ object TextOps extends graft.QueryModule {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // difficulty chain identical to q_unigram_nll; bucket = absolute
+      // floor band; in-band rank over the salted hash (never global)
+      "q_curriculum" ->
+        s"""WITH $tokCte,
+           |uni AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+           |per AS (
+           |  SELECT doc_id,
+           |    CAST(-ln(CAST(cnt AS DOUBLE) / (SELECT n FROM tot)) AS DECIMAL(28,6)) AS nll
+           |  FROM tok JOIN uni USING (term)),
+           |nlld AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+           |  FROM per GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, n_tokens, avg_nll,
+           |    CAST(floor(avg_nll) AS INT) AS bucket,
+           |    ${Shingles.hash32Sql("'cur:' || CAST(doc_id AS VARCHAR)")} AS sk
+           |  FROM nlld)
+           |SELECT doc_id, n_tokens, avg_nll, bucket,
+           |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY sk, doc_id) AS INT)
+           |    AS rank_in_bucket
+           |FROM banded ORDER BY doc_id""".stripMargin,
       "q_chunk_overlap" -> {
         val (s, t) = (64, 48)
         s"""WITH tokp AS (

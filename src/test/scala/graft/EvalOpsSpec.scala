@@ -134,6 +134,19 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("curriculumOrder: ranks contiguous within bands, bands are floor(avg_nll)") {
+    val cur = TextOps.curriculumOrder(docs).collect()
+    assert(cur.length === docs.count())
+    cur.foreach { r =>
+      assert(r.getInt(3) === math.floor(r.getDouble(2)).toInt)
+    }
+    cur.groupBy(_.getInt(3)).foreach { case (b, rows) =>
+      val ranks = rows.map(_.getInt(4)).sorted
+      assert(ranks.sameElements(1 to rows.length),
+        s"band $b ranks not contiguous: ${ranks.take(5).mkString(",")}")
+    }
+  }
+
   test("zipfFit: slope negative, R² in (0,1], head term cross-checked") {
     val z = TextOps.zipfFit(docs, 1000).head()
     val vocab = docs.select(explode(split(col("text"), " ")).as("t"))

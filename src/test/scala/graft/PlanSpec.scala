@@ -341,6 +341,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_curriculum: the rank window is band-partitioned — no single-partition exchange") {
+    val p = plan("q_curriculum")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the unigram model join
+  }
+
   test("q_label_prop: the final stitch is a plain equi-join, never cartesian") {
     val p = plan("q_label_prop")
     assert(!p.contains("CartesianProduct"), p)
