@@ -392,6 +392,48 @@ object TextOps extends graft.QueryModule {
           .as("avg_nll"))
   }
 
+  /** Exact distributed order statistics — the scale-correct EXACT
+    * counterpart of the GK sketch (q_approx_quantile): the value at
+    * rank ⌈q·n⌉ of the per-doc token-length distribution, computed by
+    * the banded two-phase rank (the q_sorted_neighborhood /
+    * q_shuffle_rank machinery pointed at VALUE order): lengths band by
+    * value range (band = v / 16), per-band counts prefix-sum on a
+    * frame with one row per band (bounded at any corpus size — the
+    * value range divides into fixed-width cells), and each length
+    * ranks WITHIN its band in parallel, offset by the band prefix. No
+    * global sort, no single-partition data window — yet the answer is
+    * the exact order statistic, which a 100 TB length-cutoff decision
+    * (truncation budgets, outlier fences) actually needs where the
+    * sketch's ε-bound is not contractual.
+    */
+  def lengthQuantiles(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = Shingles.tokensWithPos(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("v"))
+      .localCheckpoint(true) // feeds the bands, the rank pass, and n
+    val banded = lens.withColumn("band", (col("v") / 16).cast("long"))
+    val wBand = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the only unpartitioned window runs over ONE ROW PER BAND — the
+    // pack_sequences bucket-frame rule, not a data-sized sort
+    val offsets = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wBand), lit(0L)))
+      .select("band", "off")
+    val wIn = Window.partitionBy("band").orderBy(col("v"), col("doc_id"))
+    val ranked = banded.join(broadcast(offsets), "band")
+      .withColumn("r", row_number().over(wIn) + col("off"))
+    val targets = qs.toDF("q")
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("n"))))
+      .select(col("q"), ceil(col("q") * col("n")).cast("long").as("r"), col("n"))
+    ranked.join(broadcast(targets), "r")
+      .select(col("q"), col("n"), col("r").as("rank"),
+        col("v").as("value"), col("doc_id"))
+      .orderBy("q")
+  }
+
   /** Curriculum ordering — the easy-first training schedule
     * (Bengio et al. 2009) as a deterministic, scale-correct artifact:
     * difficulty is the per-doc unigram NLL per token ([[unigramNll]]
@@ -914,6 +956,12 @@ object TextOps extends graft.QueryModule {
       curriculumOrder(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Exact p50/p90/p99 doc token length via the banded two-phase rank
+    // — exact order statistics without a global sort.
+    "q_length_quantiles" -> { (spark, dir) =>
+      lengthQuantiles(Tables.documents(spark, dir))
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1174,6 +1222,22 @@ object TextOps extends graft.QueryModule {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // the oracle ranks globally (fine at oracle scale); the engine's
+      // banded two-phase rank must land on identical (rank, value) rows
+      "q_length_quantiles" ->
+        s"""WITH $tokCte,
+           |lens AS (SELECT doc_id, count(*) AS v FROM tok GROUP BY doc_id),
+           |ranked AS (
+           |  SELECT doc_id, v,
+           |    row_number() OVER (ORDER BY v, doc_id) AS r FROM lens),
+           |tot AS (SELECT count(*) AS n FROM lens),
+           |targets AS (
+           |  SELECT q, CAST(ceil(q * (SELECT n FROM tot)) AS BIGINT) AS r
+           |  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS q))
+           |SELECT t.q, CAST((SELECT n FROM tot) AS BIGINT) AS n, t.r AS rank,
+           |  CAST(k.v AS BIGINT) AS value, k.doc_id
+           |FROM targets t JOIN ranked k ON t.r = k.r
+           |ORDER BY t.q""".stripMargin,
       // difficulty chain identical to q_unigram_nll; bucket = absolute
       // floor band; in-band rank over the salted hash (never global)
       "q_curriculum" ->

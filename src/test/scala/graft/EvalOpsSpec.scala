@@ -134,6 +134,26 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("lengthQuantiles: banded two-phase rank equals a driver-side global sort") {
+    val out = TextOps.lengthQuantiles(docs, Seq(0.5, 0.9, 0.99)).collect()
+    val lens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(1), r.getLong(0))).sorted // (v, doc_id) ascending
+    val n = lens.length
+    assert(out.length === 3)
+    for (r <- out) {
+      val q = r.getDouble(0)
+      val rank = math.ceil(q * n).toLong
+      val (v, did) = lens((rank - 1).toInt)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === rank)
+      assert(r.getLong(3) === v, s"q=$q value mismatch")
+      assert(r.getLong(4) === did, s"q=$q doc mismatch")
+    }
+  }
+
   test("curriculumOrder: ranks contiguous within bands, bands are floor(avg_nll)") {
     val cur = TextOps.curriculumOrder(docs).collect()
     assert(cur.length === docs.count())

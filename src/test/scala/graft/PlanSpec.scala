@@ -341,6 +341,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_length_quantiles: the data-sized rank window is band-partitioned") {
+    val p = plan("q_length_quantiles")
+    // two bounded single-partition collapses are allowed: the
+    // one-row-per-band offset frame and the one-row global count;
+    // the corpus-sized row_number window must partition by band
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("hashpartitioning(band"), p)
+    assert("windowspecdefinition\\(band".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_curriculum: the rank window is band-partitioned — no single-partition exchange") {
     val p = plan("q_curriculum")
     assert(!p.contains("Exchange SinglePartition"), p)
