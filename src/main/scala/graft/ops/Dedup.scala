@@ -154,6 +154,36 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Self-join cost pre-flight — the Σdf² estimator as a declared
+    * query: every inverted-index similarity join in this engine
+    * ([[jaccardPairs]], [[containmentPairs]], the winnow/phash joins)
+    * pays Σ_s df(s)² join rows, and every scale knob (dfCeiling,
+    * prefix filtering, banding) exists to cut exactly that sum. This
+    * query PRICES the join before running it: per regime (unbounded
+    * vs df ≤ ceiling), the distinct-shingle count, posting count,
+    * Σdf², max df, and the exact candidate-pair count Σ df·(df−1)/2.
+    * At 100 TB you read this table — one cheap aggregate — and pick
+    * the regime, instead of discovering a 489-second join the hard
+    * way (PERF.md's boilerplate measurement).
+    */
+  def selfJoinCost(docs: DataFrame, n: Int = 3, dfCeiling: Int = 4): DataFrame = {
+    val df = Shingles.shingles(docs, n).distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true) // two regime aggregates over one df pass
+    def regime(name: String, d: DataFrame): DataFrame =
+      d.agg(
+        count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(col("df") * col("df")).as("sum_df2"),
+        max(col("df")).as("max_df"),
+        // Σ df(df−1) is even, the double divide is exact below 2^52
+        (sum(col("df") * (col("df") - 1)) / lit(2)).cast("long").as("est_pairs"))
+        .select(lit(name).as("regime"), col("n_shingles"), col("n_postings"),
+          col("sum_df2"), col("max_df"), col("est_pairs"))
+    regime("all", df)
+      .unionByName(regime(s"df<=$dfCeiling", df.filter(col("df") <= dfCeiling)))
+  }
+
   /** Dedup threshold calibration — the table a curation run picks its
     * Jaccard cutoff from: for each candidate threshold τ, the pair
     * count, the count of documents touched by at least one ≥τ pair,
@@ -1095,6 +1125,12 @@ object Dedup extends graft.QueryModule {
       dedupThresholdSweep(Tables.documents(spark, dir), 3)
     },
 
+    // Σdf² pre-flight: price the inverted-index self-join (unbounded
+    // vs df ≤ 4) before running it.
+    "q_selfjoin_cost" -> { (spark, dir) =>
+      selfJoinCost(Tables.documents(spark, dir), 3, 4).orderBy("regime")
+    },
+
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
@@ -1267,6 +1303,30 @@ object Dedup extends graft.QueryModule {
            |JOIN sizes s2 ON p.d2 = s2.doc_id
            |WHERE CAST(p.inter AS DOUBLE) / (s1.nsh + s2.nsh - p.inter) >= 0.6
            |ORDER BY p.d1, p.d2""".stripMargin,
+      // two regime aggregates over one shingle-df pass; est_pairs via
+      // the even Σ df(df−1) halved (exact below 2^52)
+      "q_selfjoin_cost" ->
+        s"""WITH sh0 AS (${Shingles.shinglesSql(3)}),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+           |dfs AS MATERIALIZED (
+           |  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+           |r AS (
+           |  SELECT 'all' AS regime,
+           |    CAST(count(*) AS BIGINT) AS n_shingles,
+           |    CAST(sum(df) AS BIGINT) AS n_postings,
+           |    CAST(sum(df * df) AS BIGINT) AS sum_df2,
+           |    CAST(max(df) AS BIGINT) AS max_df,
+           |    CAST(sum(df * (df - 1)) / 2 AS BIGINT) AS est_pairs
+           |  FROM dfs
+           |  UNION ALL
+           |  SELECT 'df<=4' AS regime,
+           |    CAST(count(*) AS BIGINT) AS n_shingles,
+           |    CAST(sum(df) AS BIGINT) AS n_postings,
+           |    CAST(sum(df * df) AS BIGINT) AS sum_df2,
+           |    CAST(max(df) AS BIGINT) AS max_df,
+           |    CAST(sum(df * (df - 1)) / 2 AS BIGINT) AS est_pairs
+           |  FROM dfs WHERE df <= 4)
+           |SELECT * FROM r ORDER BY regime""".stripMargin,
       // one pair table at τ_min = 0.3, re-thresholded by the 4-row tau
       // join; docs-touched counts from the exploded (d1,d2) union
       "q_dedup_sweep" ->

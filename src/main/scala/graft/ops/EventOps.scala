@@ -169,7 +169,37 @@ object EventOps extends graft.QueryModule {
       .select("user_id", "version", "value", "valid_from", "valid_to", "is_current")
   }
 
+  /** Join-key skew diagnostic — the pre-salting decision table: the
+    * `k` hottest keys with their row share and skew factor
+    * (key count / mean count). At 100 TB you run THIS before choosing
+    * between AQE's runtime skew split and explicit pre-salting
+    * ([[Skew.saltedJoin]]): a skew factor in the tens on a known key
+    * set means salt ahead of time; near 1 means leave AQE alone. One
+    * key-count aggregate + a TakeOrdered top-k; the only window runs
+    * over the k returned rows.
+    */
+  def skewReport(events: DataFrame, key: String = "user_id", k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = events.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the totals and the top-k
+    val tot = cnts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    cnts.orderBy(col("cnt").desc, col(key)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col(key))))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col(key), col("cnt"), col("n_keys"), col("n_rows"),
+        (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Join-key skew diagnostic: 20 hottest user_ids with share and
+    // skew factor — the pre-salting decision table.
+    "q_skew_report" -> { (spark, dir) =>
+      skewReport(Tables.events(spark, dir), "user_id", 20).orderBy("rank")
+    },
 
     // Keep-first event dedup in 10-minute tumbling windows, summarized
     // per event type (kept vs dropped duplicate share).
@@ -359,6 +389,24 @@ object EventOps extends graft.QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_skew_report" ->
+      """WITH cnts AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT count(*) AS n_keys, sum(cnt) AS n_rows FROM cnts),
+        |top AS (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+        |  FROM cnts ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT CAST(t.rank AS INT) AS rank, t.user_id,
+        |  CAST(t.cnt AS BIGINT) AS cnt,
+        |  CAST((SELECT n_keys FROM tot) AS BIGINT) AS n_keys,
+        |  CAST((SELECT n_rows FROM tot) AS BIGINT) AS n_rows,
+        |  CAST(t.cnt AS DOUBLE) / CAST((SELECT n_rows FROM tot) AS DOUBLE) AS share,
+        |  CAST(t.cnt AS DOUBLE) * CAST((SELECT n_keys FROM tot) AS DOUBLE)
+        |    / CAST((SELECT n_rows FROM tot) AS DOUBLE) AS skew_factor
+        |FROM top t
+        |ORDER BY t.rank""".stripMargin,
     // floor(epoch(ts)) == Spark's CAST(ts AS LONG) (both floor seconds);
     // // is DuckDB's integer division
     "q_event_dedup" ->

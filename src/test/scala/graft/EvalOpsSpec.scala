@@ -134,6 +134,38 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("selfJoinCost: est_pairs equals the actual inverted-index join row count") {
+    val cost = graft.ops.Dedup.selfJoinCost(docs, 3, 4).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sh = graft.text.Shingles.shingles(docs, 3).distinct()
+    val actual = sh.as("a").join(sh.as("b"),
+      col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+    assert(cost("all").getLong(5) === actual,
+      s"est_pairs ${cost("all").getLong(5)} != actual join rows $actual")
+    // the capped regime is a strict subset on this corpus (max df > 4)
+    assert(cost("df<=4").getLong(5) <= actual)
+    assert(cost("all").getLong(4) > 4L, "corpus max df unexpectedly <= ceiling")
+  }
+
+  test("skewReport: top keys and factors agree with driver-side recomputation") {
+    val rep = graft.ops.EventOps.skewReport(
+      graft.core.Tables.events(spark, dir), "user_id", 20).collect()
+    val cnts = graft.core.Tables.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nRows = cnts.map(_._2).sum
+    val top = cnts.sortBy { case (k, c) => (-c, k) }.take(20)
+    assert(rep.length === math.min(20, cnts.length))
+    for ((r, i) <- rep.sortBy(_.getInt(0)).zipWithIndex) {
+      assert(r.getInt(0) === i + 1)
+      assert((r.getLong(1), r.getLong(2)) === top(i))
+      assert(r.getDouble(5) === top(i)._2.toDouble / nRows.toDouble)
+      assert(r.getDouble(6) ===
+        top(i)._2.toDouble * cnts.length.toDouble / nRows.toDouble)
+    }
+  }
+
   test("lengthQuantiles: banded two-phase rank equals a driver-side global sort") {
     val out = TextOps.lengthQuantiles(docs, Seq(0.5, 0.9, 0.99)).collect()
     val lens = docs
