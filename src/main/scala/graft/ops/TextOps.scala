@@ -434,6 +434,86 @@ object TextOps extends graft.QueryModule {
       .orderBy("q")
   }
 
+  /** Folded bin packing — the padding-waste reducer one rung above
+    * [[packSequences]]' concatenate-and-chunk: pair the i-th SHORTEST
+    * document with the i-th LONGEST (rank r pairs with n+1−r; bin id
+    * = min(r, n+1−r)), so short and long docs share context windows
+    * instead of each padding one out — the classic folded
+    * approximation of best-fit-decreasing that needs only a rank, not
+    * a sequential packer (deterministic, distributed, resumable —
+    * what a greedy first-fit loop can never be on 1000 executors).
+    * Lengths cap at the window budget (an over-long doc truncates at
+    * ingest and fills a bin alone). Per bin: member count, total
+    * tokens, fits flag, slack (negative = overflow the trainer
+    * splits).
+    *
+    * Ranks come from the same banded two-phase machinery as
+    * [[lengthQuantiles]]; with capped lengths the band table is at
+    * most budget/16 rows.
+    */
+  def packBins(docs: DataFrame, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Shingles.tokensWithPos(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("v0"))
+      .select(col("doc_id"), least(col("v0"), lit(budget.toLong)).as("len"))
+      .localCheckpoint(true)
+    val banded = lens.withColumn("band", (col("len") / 16).cast("long"))
+    val wBand = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy("band").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wBand), lit(0L)))
+      .select("band", "off")
+    val wIn = Window.partitionBy("band").orderBy(col("len"), col("doc_id"))
+    val ranked = banded.join(broadcast(offsets), "band")
+      .withColumn("r", row_number().over(wIn) + col("off"))
+    ranked
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("n"))))
+      .withColumn("bin", least(col("r"), col("n") + 1 - col("r")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
+      .select(col("bin"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens") <= budget).cast("int").as("fits"),
+        (lit(budget.toLong) - col("total_tokens")).as("slack"))
+      .orderBy("bin")
+  }
+
+  /** Per-source exact quantiles — [[lengthQuantiles]] stratified by
+    * source (the datasheet row a mixture designer reads: every
+    * domain's p50/p90/p99 document length, exactly): the banded
+    * two-phase rank runs per (source, band) — in-stratum ranks stay
+    * parallel across bands, the prefix frame holds one row per
+    * (source, band) (bounded: sources × value-range cells), and each
+    * stratum answers its own rank targets. Exactness and no-global-
+    * sort both carry over from the unstratified form.
+    */
+  def sourceLengthQuantiles(docs: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = Shingles.tokensWithPos(docs, carry = Seq("source"))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    val banded = lens.withColumn("band", (col("v") / 16).cast("long"))
+    val wBand = Window.partitionBy("source").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy("source", "band").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(wBand), lit(0L)))
+      .select("source", "band", "off")
+    val wIn = Window.partitionBy("source", "band").orderBy(col("v"), col("doc_id"))
+    val ranked = banded.join(broadcast(offsets), Seq("source", "band"))
+      .withColumn("r", row_number().over(wIn) + col("off"))
+    val totals = lens.groupBy("source").agg(count(lit(1)).as("n"))
+    val targets = qs.toDF("q")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("q"),
+        ceil(col("q") * col("n")).cast("long").as("r"), col("n"))
+    ranked.join(broadcast(targets), Seq("source", "r"))
+      .select(col("source"), col("q"), col("n"), col("r").as("rank"),
+        col("v").as("value"), col("doc_id"))
+      .orderBy("source", "q")
+  }
+
   /** Curriculum ordering — the easy-first training schedule
     * (Bengio et al. 2009) as a deterministic, scale-correct artifact:
     * difficulty is the per-doc unigram NLL per token ([[unigramNll]]
@@ -962,6 +1042,18 @@ object TextOps extends graft.QueryModule {
       lengthQuantiles(Tables.documents(spark, dir))
     },
 
+    // The same, stratified per source — every domain's exact length
+    // percentiles for the mixture datasheet.
+    "q_source_quantiles" -> { (spark, dir) =>
+      sourceLengthQuantiles(Tables.documents(spark, dir))
+    },
+
+    // Folded bin packing: rank r pairs with n+1-r into 256-token
+    // windows — short docs absorb long docs' padding.
+    "q_pack_bins" -> { (spark, dir) =>
+      packBins(Tables.documents(spark, dir), 256)
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1222,6 +1314,45 @@ object TextOps extends graft.QueryModule {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(CAST(sum(nll) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
            |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // global length rank, folded pairing min(r, n+1-r), per-bin sums
+      "q_pack_bins" ->
+        s"""WITH $tokCte,
+           |lens AS (
+           |  SELECT doc_id, least(count(*), 256) AS len FROM tok GROUP BY doc_id),
+           |ranked AS (
+           |  SELECT doc_id, len,
+           |    row_number() OVER (ORDER BY len, doc_id) AS r FROM lens),
+           |tot AS (SELECT count(*) AS n FROM lens),
+           |binned AS (
+           |  SELECT doc_id, len, r,
+           |    least(r, (SELECT n FROM tot) + 1 - r) AS bin FROM ranked)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len) AS BIGINT) AS total_tokens,
+           |  CAST(CASE WHEN sum(len) <= 256 THEN 1 ELSE 0 END AS INT) AS fits,
+           |  CAST(256 - sum(len) AS BIGINT) AS slack
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+      // stratified rank per source; the engine's per-(source, band)
+      // two-phase rank must land on identical rows
+      "q_source_quantiles" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, term FROM (
+           |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |lens AS (
+           |  SELECT doc_id, source, count(*) AS v FROM toks GROUP BY doc_id, source),
+           |ranked AS (
+           |  SELECT doc_id, source, v,
+           |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS r
+           |  FROM lens),
+           |tot AS (SELECT source, count(*) AS n FROM lens GROUP BY source),
+           |targets AS (
+           |  SELECT t.source, q.q, CAST(ceil(q.q * t.n) AS BIGINT) AS r, t.n
+           |  FROM tot t CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) q)
+           |SELECT g.source, g.q, CAST(g.n AS BIGINT) AS n, g.r AS rank,
+           |  CAST(k.v AS BIGINT) AS value, k.doc_id
+           |FROM targets g JOIN ranked k ON g.source = k.source AND g.r = k.r
+           |ORDER BY g.source, g.q""".stripMargin,
       // the oracle ranks globally (fine at oracle scale); the engine's
       // banded two-phase rank must land on identical (rank, value) rows
       "q_length_quantiles" ->

@@ -186,6 +186,54 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceLengthQuantiles: per-stratum banded rank equals per-source driver sort") {
+    val out = TextOps.sourceLengthQuantiles(docs, Seq(0.5, 0.9, 0.99)).collect()
+    val lens = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "source").count().collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val bySrc = lens.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => (r._2, r._3)).sorted
+    }
+    assert(out.length === bySrc.size * 3)
+    for (r <- out) {
+      val (src, q) = (r.getString(0), r.getDouble(1))
+      val sorted = bySrc(src)
+      val rank = math.ceil(q * sorted.length).toLong
+      val (v, did) = sorted((rank - 1).toInt)
+      assert(r.getLong(2) === sorted.length.toLong)
+      assert(r.getLong(3) === rank)
+      assert(r.getLong(4) === v, s"$src q=$q value mismatch")
+      assert(r.getLong(5) === did, s"$src q=$q doc mismatch")
+    }
+  }
+
+  test("packBins: folded pairing covers every doc once and beats own-bin padding") {
+    val bins = TextOps.packBins(docs, 256).collect()
+    val lens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id").count().collect()
+      .map(r => (math.min(r.getLong(1), 256L), r.getLong(0))).sorted
+    val n = lens.length
+    assert(bins.map(_.getLong(1)).sum === n.toLong, "docs not covered exactly once")
+    assert(bins.map(_.getLong(2)).sum === lens.map(_._1).sum, "token mass not conserved")
+    // driver-side folded pairing: rank r (1-based ascending) pairs n+1-r
+    val expected = lens.zipWithIndex
+      .groupBy { case (_, i) => math.min(i + 1, n - i) }
+      .map { case (b, rows) => b.toLong -> rows.map(_._1._1).sum }
+    bins.foreach { r =>
+      assert(r.getLong(2) === expected(r.getLong(0)), s"bin ${r.getLong(0)} total mismatch")
+      assert(r.getLong(4) === 256L - r.getLong(2))
+      assert((r.getInt(3) == 1) === (r.getLong(2) <= 256L))
+    }
+    // the point of folding: mean fill beats the worst doc-per-bin case
+    val fillFolded = lens.map(_._1).sum.toDouble / (bins.length * 256.0)
+    val fillNaive = lens.map(_._1).sum.toDouble / (n * 256.0)
+    assert(fillFolded > fillNaive, "pairing did not reduce window count")
+  }
+
   test("curriculumOrder: ranks contiguous within bands, bands are floor(avg_nll)") {
     val cur = TextOps.curriculumOrder(docs).collect()
     assert(cur.length === docs.count())

@@ -352,6 +352,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_source_quantiles: every data window partitions by (source[, band])") {
+    val p = plan("q_source_quantiles")
+    // the per-source prefix frame partitions by source — nothing
+    // corpus-sized may collapse to one partition (the one-row global
+    // count of the unstratified form doesn't exist here)
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
   test("q_curriculum: the rank window is band-partitioned — no single-partition exchange") {
     val p = plan("q_curriculum")
     assert(!p.contains("Exchange SinglePartition"), p)
