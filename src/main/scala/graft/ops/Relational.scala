@@ -634,6 +634,33 @@ object Relational extends graft.QueryModule {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
     },
+
+    // Sketch MERGEABILITY — the property that makes sketches the
+    // incremental-statistics answer at 100 TB: per-shard HLL sketches
+    // built independently (one pass each, the way per-day or per-file
+    // stats jobs actually run), then hll_union_agg combines them
+    // WITHOUT rescanning anything, and the merged estimate must still
+    // land within the sketch's error bound of the exact global count.
+    // Bounds-check oracle (the q_approx_distinct convention): DuckDB
+    // can't rebuild Spark's Datasketches registers, so the query
+    // emits exact counts + a boolean the oracle asserts TRUE — a
+    // merge regression flips the boolean and fails the hash.
+    "q_hll_merge" -> { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val shards = li
+        .withColumn("shard", col("l_orderkey") % 16)
+        .groupBy("shard")
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+      val merged = shards.agg(
+        count(lit(1)).as("n_shards"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      merged.crossJoin(broadcast(
+          li.agg(countDistinct(col("l_partkey")).as("exact_parts"))))
+        .select(col("n_shards"), col("exact_parts"),
+          // default lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; 4σ margin
+          (abs(col("est") - col("exact_parts"))
+            <= lit(4 * 0.017) * col("exact_parts")).as("merge_within_bound"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +937,14 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(l_quantity, 0.9), 9) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 9) AS median_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // shard count is data-dependent (distinct l_orderkey % 16), exact
+    // count cross-engine, the merge bound a Spark-side boolean
+    "q_hll_merge" ->
+      """SELECT
+        |  (SELECT count(DISTINCT l_orderkey % 16) FROM lineitem) AS n_shards,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS merge_within_bound
+        |FROM lineitem""".stripMargin,
     // exact quantiles recomputed; the boolean is the expectation the
     // Spark-side GK sketch must meet (same pattern as q_approx_distinct)
     "q_approx_quantile" ->

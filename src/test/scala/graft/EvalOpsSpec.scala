@@ -134,6 +134,33 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("zorder cells bound BOTH dimensions where a single-dim sort cannot") {
+    import spark.implicits._
+    // scrambled 1024×1024 grid: user and day carry independent signal
+    val raw = (0 until 4096).map { i =>
+      (((i * 37) % 1024).toLong, ((i * 101) % 1024).toLong)
+    }
+    val ev = raw.toDF("user_id", "day")
+      .select(col("user_id"),
+        to_timestamp(from_unixtime(col("day") * 86400L)).as("ts"))
+    val zm = graft.ops.EventOps.zorderZonemap(ev).collect()
+    assert(zm.nonEmpty)
+    // a zcell frees only the low 8 bits of each dimension — both
+    // spans are bounded by 255 structurally
+    zm.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 255L, s"user span loose: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 255L, s"day span loose: $r")
+    }
+    // the single-dim baseline: day-sorted cells of the same count
+    // leave the user span at (nearly) the full range in every cell
+    val cells = zm.length
+    val chunk = math.max(1, raw.length / cells)
+    val daySorted = raw.sortBy { case (u, d) => (d, u) }.grouped(chunk).toSeq
+    val baselineSpans = daySorted.map(c => c.map(_._1).max - c.map(_._1).min)
+    assert(baselineSpans.forall(_ > 255L),
+      s"baseline unexpectedly tight: ${baselineSpans.mkString(",")}")
+  }
+
   test("selfJoinCost: est_pairs equals the actual inverted-index join row count") {
     val cost = graft.ops.Dedup.selfJoinCost(docs, 3, 4).collect()
       .map(r => r.getString(0) -> r).toMap
