@@ -1131,6 +1131,14 @@ object Dedup extends graft.QueryModule {
       selfJoinCost(Tables.documents(spark, dir), 3, 4).orderBy("regime")
     },
 
+    // Dup-graph cohesion: triangles + global clustering coefficient
+    // over the MinHash candidate edges.
+    "q_triangles" -> { (spark, dir) =>
+      Graph.triangleStats(
+        minhashCandidates(Tables.documents(spark, dir), 0.5)
+          .select(col("d1").as("src"), col("d2").as("dst")))
+    },
+
     "q_minhash_lsh" -> { (spark, dir) =>
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
@@ -1416,6 +1424,45 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      // candidate pairs as in q_minhash_lsh (est >= 0.5), normalized
+      // a<b, then the (a,b)(b,c)(a,c) triangle join + wedge counts
+      "q_triangles" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |kept AS (
+           |  SELECT c.d1, c.d2 FROM cand c
+           |  JOIN sigs s1 ON c.d1 = s1.doc_id
+           |  JOIN sigs s2 ON c.d2 = s2.doc_id
+           |  WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b
+           |  FROM kept WHERE d1 <> d2),
+           |deg AS (
+           |  SELECT v, count(*) AS d FROM (
+           |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u
+           |  GROUP BY v),
+           |w AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           |    CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+           |t AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+           |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           |  w.n_vertices, w.n_wedges, t.n_triangles,
+           |  CASE WHEN w.n_wedges > 0
+           |    THEN CAST(t.n_triangles AS DOUBLE) * 3.0 / CAST(w.n_wedges AS DOUBLE)
+           |    ELSE 0.0 END AS global_cc
+           |FROM w CROSS JOIN t""".stripMargin,
       // same signature pipeline as q_minhash_lsh; the incremental
       // restriction is exactly "the pair touches the new batch"
       "q_incremental_dedup" ->

@@ -202,4 +202,40 @@ object Graph {
     deg.unpersist(false)
     ranks.select(col("node"), (col("rank") / lit(n.toDouble)).as("rank"))
   }
+
+  /** Triangle count + global clustering coefficient over an
+    * undirected edge list — the dup-graph cohesion metric (a high CC
+    * says near-dup neighborhoods are dense cliques a keep-one policy
+    * collapses safely; a low CC says they're chains that stitching
+    * may over-merge). Edges normalize to a < b, so each triangle
+    * {a<b<c} is counted exactly once by the (a,b)⋈(b,c)⋈(a,c)
+    * two-join plan — the standard distributed formulation whose cost
+    * is Σ_v deg(v)² wedge rows (at 100 TB you orient edges
+    * low-degree→high first, cutting the hub vertex's wedge quadratic;
+    * on LSH candidate graphs df-capping has already bounded degrees).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      (sum(col("d") * (col("d") - 1)) / lit(2)).cast("long").as("n_wedges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_vertices"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          col("n_triangles").cast("double") * lit(3.0) /
+            col("n_wedges").cast("double")).otherwise(lit(0.0)).as("global_cc"))
+  }
 }

@@ -129,6 +129,38 @@ object TextOps extends graft.QueryModule {
     scored.select(col("doc_id"), best.as("pred_lang"))
   }
 
+  /** Language ID with a CONFIDENCE MARGIN — the router's form of
+    * [[langPredictions]]: besides the argmax language, the top and
+    * runner-up marker scores and their margin, plus a `confident`
+    * flag (top > 0 and margin ≥ 2). A production pipeline routes
+    * low-margin documents to a heavier classifier or human review
+    * instead of trusting a coin-flip argmax — the margin column is
+    * what makes that routing a filter, not a model change.
+    */
+  def langConfidence(docs: DataFrame): DataFrame = {
+    val markerScores: Seq[Column] = langMarkers.map { case (lang, ws) =>
+      sum(when(col("term").isInCollection(ws), 1L).otherwise(0L)).as(s"s_$lang")
+    }
+    val scored = TfIdf.tokens(docs)
+      .groupBy("doc_id")
+      .agg(markerScores.head, markerScores.tail: _*)
+    val best = langMarkers.map(_._1).foldLeft(lit("und")) { (acc, lang) =>
+      when(col(s"s_$lang") > lit(0) &&
+        langMarkers.map(_._1).filter(_ < lang).map(l => col(s"s_$lang") > col(s"s_$l"))
+          .foldLeft(langMarkers.map(_._1).filter(_ > lang).map(l => col(s"s_$lang") >= col(s"s_$l"))
+            .foldLeft(lit(true))(_ && _))(_ && _), lit(lang)).otherwise(acc)
+    }
+    val sortedScores = sort_array(
+      array(langMarkers.map(m => col(s"s_${m._1}")): _*), asc = false)
+    scored.select(col("doc_id"), best.as("pred_lang"),
+      element_at(sortedScores, 1).as("top_score"),
+      element_at(sortedScores, 2).as("second_score"),
+      (element_at(sortedScores, 1) - element_at(sortedScores, 2)).as("margin"),
+      (element_at(sortedScores, 1) > 0 &&
+        element_at(sortedScores, 1) - element_at(sortedScores, 2) >= 2)
+        .cast("int").as("confident"))
+  }
+
   /** Content fingerprints: order-insensitive bag-of-words md5 + minimum
     * shingle hash (1-permutation minhash / winnowing seed).
     */
@@ -1054,6 +1086,12 @@ object TextOps extends graft.QueryModule {
       packBins(Tables.documents(spark, dir), 256)
     },
 
+    // Language ID with the routing margin: argmax language plus
+    // top/runner-up scores and the confident flag.
+    "q_lang_confidence" -> { (spark, dir) =>
+      langConfidence(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1700,6 +1738,25 @@ object TextOps extends graft.QueryModule {
            |    + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
            |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
            |FROM stats ORDER BY doc_id""".stripMargin,
+      "q_lang_confidence" -> {
+        val scoreList = langMarkers.map(m => s"s_${m._1}").mkString(", ")
+        s"""WITH $tokCte,
+           |scored AS (
+           |  SELECT doc_id,
+           |    $langScoreExprs
+           |  FROM tok GROUP BY doc_id),
+           |s2 AS (
+           |  SELECT doc_id, $bestExpr AS pred_lang,
+           |    list_reverse_sort([$scoreList]) AS l
+           |  FROM scored)
+           |SELECT doc_id, pred_lang,
+           |  CAST(l[1] AS BIGINT) AS top_score,
+           |  CAST(l[2] AS BIGINT) AS second_score,
+           |  CAST(l[1] - l[2] AS BIGINT) AS margin,
+           |  CAST(CASE WHEN l[1] > 0 AND l[1] - l[2] >= 2 THEN 1 ELSE 0 END AS INT)
+           |    AS confident
+           |FROM s2 ORDER BY doc_id""".stripMargin
+      },
       "q_lang_id" ->
         s"""WITH $tokCte,
            |scored AS (

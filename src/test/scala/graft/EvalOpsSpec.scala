@@ -134,6 +134,43 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("langConfidence: argmax agrees with langPredictions; margins internally consistent") {
+    val conf = TextOps.langConfidence(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val pred = TextOps.langPredictions(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(conf.keySet === pred.keySet)
+    for ((did, r) <- conf) {
+      assert(r.getString(1) === pred(did), s"doc $did argmax diverges")
+      val (top, second, margin) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(top >= second && margin === top - second)
+      assert((r.getInt(5) == 1) === (top > 0 && margin >= 2))
+      if (r.getString(1) == "und") assert(top == 0 || margin == 0)
+    }
+  }
+
+  test("triangleStats equals driver-side brute force on the candidate graph") {
+    val edges = graft.ops.Dedup.minhashCandidates(docs, 0.5)
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .filter(p => p._1 != p._2).distinct
+    val eset = edges.toSet
+    val brute = (for {
+      (a, b) <- edges
+      (b2, c) <- edges if b2 == b && eset.contains((a, c))
+    } yield 1).size
+    val deg = edges.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map(_._2.size.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val out = graft.ops.Graph.triangleStats(
+      graft.ops.Dedup.minhashCandidates(docs, 0.5)
+        .select(col("d1").as("src"), col("d2").as("dst"))).head()
+    assert(out.getLong(0) === edges.length.toLong)
+    assert(out.getLong(2) === wedges)
+    assert(out.getLong(3) === brute.toLong, "triangle count mismatch")
+  }
+
   test("zorder cells bound BOTH dimensions where a single-dim sort cannot") {
     import spark.implicits._
     // scrambled 1024×1024 grid: user and day carry independent signal
