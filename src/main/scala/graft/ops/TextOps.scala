@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 import graft.text.Shingles
@@ -127,6 +128,37 @@ object TextOps extends graft.QueryModule {
             .foldLeft(lit(true))(_ && _))(_ && _), lit(lang)).otherwise(acc)
     }
     scored.select(col("doc_id"), best.as("pred_lang"))
+  }
+
+  /** Per-source character-level Shannon entropy — the encoding-health
+    * row of the datasheet: natural language sits in a narrow
+    * bits-per-character band (≈4 for English-like text), while
+    * mojibake, base64 blobs, or binary-in-text sources drift high and
+    * template spam drifts low — a one-aggregate detector for whole
+    * classes of ingest corruption that token-level stats can't see.
+    * Characters come from explode(sequence)+substring (engine-
+    * identical — split-on-empty-string disagrees between engines);
+    * each −p·log2(p) term quantizes to DECIMAL(28,6) BEFORE the sum
+    * (the q_dataset_card lang-entropy pattern), so the hash gate
+    * covers the arithmetic.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("source"), col("text"))
+      .select(col("source"),
+        explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+      .select(col("source"), col("text").substr(col("i"), lit(1)).as("ch"))
+      .filter(col("ch") =!= " ")
+    val freq = chars.groupBy("source", "ch").agg(count(lit(1)).as("cnt"))
+    val tot = freq.groupBy("source").agg(sum(col("cnt")).as("n_chars"),
+      count(lit(1)).as("n_distinct_chars"))
+    freq.join(tot, "source")
+      .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+        (-(col("cnt").cast("double") / col("n_chars").cast("double")) *
+          log2(col("cnt").cast("double") / col("n_chars").cast("double")))
+          .cast(DecimalType(28, 6)).as("term"))
+      .groupBy("source", "n_chars", "n_distinct_chars")
+      .agg(sum(col("term")).cast("double").as("entropy_bits"))
   }
 
   /** Language ID with a CONFIDENCE MARGIN — the router's form of
@@ -1092,6 +1124,12 @@ object TextOps extends graft.QueryModule {
       langConfidence(Tables.documents(spark, dir)).orderBy("doc_id")
     },
 
+    // Per-source character entropy: the encoding-health detector
+    // (mojibake/binary drifts high, template spam drifts low).
+    "q_char_entropy" -> { (spark, dir) =>
+      charEntropy(Tables.documents(spark, dir)).orderBy("source")
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1738,6 +1776,33 @@ object TextOps extends graft.QueryModule {
            |    + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
            |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
            |FROM stats ORDER BY doc_id""".stripMargin,
+      // engine-identical char stream (explode position + substr — NOT
+      // split-on-empty, which the two engines disagree on); decimal-
+      // quantized entropy terms; VARCHAR-mediated decimal→double
+      "q_char_entropy" ->
+        """WITH chars AS (
+          |  SELECT source, substr(text, CAST(i AS INT), 1) AS ch
+          |  FROM (
+          |    SELECT source, text,
+          |      unnest(generate_series(1, length(text))) AS i
+          |    FROM documents) z
+          |  WHERE substr(text, CAST(i AS INT), 1) <> ' '),
+          |freq AS (
+          |  SELECT source, ch, count(*) AS cnt FROM chars GROUP BY source, ch),
+          |tot AS (
+          |  SELECT source, sum(cnt) AS n_chars, count(*) AS n_distinct_chars
+          |  FROM freq GROUP BY source),
+          |terms AS (
+          |  SELECT f.source, t.n_chars, t.n_distinct_chars,
+          |    CAST(-(CAST(f.cnt AS DOUBLE) / CAST(t.n_chars AS DOUBLE))
+          |      * log2(CAST(f.cnt AS DOUBLE) / CAST(t.n_chars AS DOUBLE))
+          |      AS DECIMAL(28,6)) AS term
+          |  FROM freq f JOIN tot t ON f.source = t.source)
+          |SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+          |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+          |  CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS entropy_bits
+          |FROM terms GROUP BY source, n_chars, n_distinct_chars
+          |ORDER BY source""".stripMargin,
       "q_lang_confidence" -> {
         val scoreList = langMarkers.map(m => s"s_${m._1}").mkString(", ")
         s"""WITH $tokCte,

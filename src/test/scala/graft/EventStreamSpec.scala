@@ -150,6 +150,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(expected))
   }
 
+  test("late data beyond the watermark is dropped AND the drop is observable") {
+    // the ops contract of event-time processing: a row arriving after
+    // the watermark has passed its window must not corrupt emitted
+    // aggregates, and the drop must surface in metrics (the thing an
+    // on-call reads when counts look low) — not vanish silently
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val df = ms.toDF().toDF("epoch", "event_type", "value")
+      .select(to_timestamp(from_unixtime(col("epoch"))).as("ts"),
+        col("event_type"), col("value"))
+    val q = EventStream.hourlyCounts(df)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_drop")
+      .start()
+    try {
+      // batch 1: fresh event at t = 400 h → watermark advances to 399 h
+      ms.addData((400L * 3600L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a straggler from t = 2 h — hundreds of hours late
+      ms.addData((2L * 3600L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past the fresh window so the
+      // legitimate aggregate emits
+      ms.addData((500L * 3600L, "view", 1.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "late row was not counted as dropped")
+    } finally q.stop()
+    // the late row's window never reached the output
+    val hours = spark.table("late_drop").collect()
+      .map(r => r.getTimestamp(0).toInstant.getEpochSecond / 3600L)
+    assert(hours.contains(400L), s"fresh window missing: ${hours.mkString(",")}")
+    assert(!hours.contains(2L), s"late window leaked: ${hours.mkString(",")}")
+  }
+
   test("a single hot key (100k events, one user) keeps state bounded and the batch moving") {
     // the streaming sibling of the salted-batch skew path: state is
     // keyed by user, so a hot user must cost O(1) STATE (one
