@@ -352,6 +352,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_skew_report: top-k via TakeOrderedAndProject, totals broadcast back") {
+    val p = plan("q_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("diagnostics/layout queries never go cartesian or sort-merge") {
+    for (q <- Seq("q_selfjoin_cost", "q_zorder_zonemap", "q_char_entropy",
+        "q_lang_confidence", "q_pack_bins", "q_hll_merge")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q: $p")
+    }
+  }
+
   test("q_source_quantiles: every data window partitions by (source[, band])") {
     val p = plan("q_source_quantiles")
     // the per-source prefix frame partitions by source — nothing
