@@ -252,8 +252,8 @@ object EvalProbe {
     val sep = graft.ops.Classify.linearQuality(docs, 3)
       .groupBy("is_target").agg(avg("p_pos").as("p")).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    println(f"[eval] probe_meanP_target   ${sep.getOrElse(1, Double.NaN)}%.4f")
-    println(f"[eval] probe_meanP_rest     ${sep.getOrElse(0, Double.NaN)}%.4f")
+    println(f"[eval] probe_meanP_target   ${sep.getOrElse(1, Double.NaN)}%.6f")
+    println(f"[eval] probe_meanP_rest     ${sep.getOrElse(0, Double.NaN)}%.6f")
     spark.stop()
   }
 }

@@ -198,6 +198,18 @@ object ScaleProbe {
     time("dataset_card") {
       graft.ops.Curation.datasetCard(docs).count()
     }
+    // char-level entropy: the one O(corpus chars) pass — must stay
+    // linear (explode + two aggregates, no joins wider than a source)
+    time("char_entropy") {
+      graft.ops.TextOps.charEntropy(docs).count()
+    }
+    // triangle join over the LSH candidate graph: cost is wedge rows
+    // Σ deg², bounded by the banding exactly like the pair join
+    time("triangles") {
+      graft.ops.Graph.triangleStats(
+        graft.ops.Dedup.minhashCandidates(docs, 0.5)
+          .select(col("d1").as("src"), col("d2").as("dst"))).count()
+    }
     }
 
     if (sections("emb")) {
