@@ -130,6 +130,53 @@ object TextOps extends graft.QueryModule {
     scored.select(col("doc_id"), best.as("pred_lang"))
   }
 
+  /** Corpus-metric stability under deterministic half-sampling — the
+    * error bar every datasheet number should carry: `b` replicates,
+    * each keeping the docs whose salted hash is even (an independent
+    * deterministic half-sample per replicate), recompute the metric
+    * (mean doc token length) on each, and report the replicate spread
+    * (subsample-stability bootstrap). A metric whose half-sample
+    * means scatter widely is dominated by a few documents and should
+    * not gate a release decision by itself.
+    *
+    * Exactness: per-replicate means are IEEE divides of exact sums;
+    * the cross-replicate mean/sd computes from floor-quantized micro
+    * longs, so the whole table sits behind the hash gate. Scale: ONE
+    * doc-length pass fanned out ×b by a broadcast replicate table —
+    * cost is b× a count aggregate, never b corpus scans.
+    */
+  def metricStability(docs: DataFrame, b: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lens = Shingles.tokensWithPos(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("v"))
+      .localCheckpoint(true)
+    val reps = (0 until b).toDF("rep")
+    val perRep = lens.crossJoin(broadcast(reps))
+      .filter(Shingles.hash32(concat(lit("boot:"), col("rep").cast("string"),
+        lit(":"), col("doc_id").cast("string"))) % 2 === 0)
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_len"))
+    val summary = perRep
+      .select(floor(col("mean_len") * lit(1e6) + lit(0.5)).cast("long").as("m"))
+      .agg(count(lit(1)).as("nb"), sum(col("m")).as("sm"),
+        sum(col("m") * col("m")).as("sm2"))
+      .select(
+        ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double"))
+          .as("boot_mean"),
+        sqrt(
+          (col("sm2").cast("double") / lit(1e12)) / col("nb").cast("double") -
+            ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double")) *
+              ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double")))
+          .as("boot_sd"))
+    perRep.crossJoin(broadcast(summary))
+      .select(col("rep"), col("n_docs"), col("mean_len"),
+        col("boot_mean"), col("boot_sd"))
+      .orderBy("rep")
+  }
+
   /** Per-source character-level Shannon entropy — the encoding-health
     * row of the datasheet: natural language sits in a narrow
     * bits-per-character band (≈4 for English-like text), while
@@ -1130,6 +1177,12 @@ object TextOps extends graft.QueryModule {
       charEntropy(Tables.documents(spark, dir)).orderBy("source")
     },
 
+    // Metric stability: 16 deterministic half-samples of mean doc
+    // length + the replicate spread — the datasheet error bar.
+    "q_metric_stability" -> { (spark, dir) =>
+      metricStability(Tables.documents(spark, dir), 16)
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1776,6 +1829,29 @@ object TextOps extends graft.QueryModule {
            |    + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
            |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
            |FROM stats ORDER BY doc_id""".stripMargin,
+      // one doc-length pass fanned ×16 by the replicate table; means
+      // quantized to micro longs before the cross-replicate stats
+      "q_metric_stability" ->
+        s"""WITH $tokCte,
+           |lens AS (SELECT doc_id, count(*) AS v FROM tok GROUP BY doc_id),
+           |reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+           |kept AS (
+           |  SELECT r.rep, l.doc_id, l.v FROM lens l CROSS JOIN reps r
+           |  WHERE (${Shingles.hash32Sql(
+                "'boot:' || CAST(r.rep AS VARCHAR) || ':' || CAST(l.doc_id AS VARCHAR)")}) % 2 = 0),
+           |per AS (
+           |  SELECT rep, count(*) AS n_docs,
+           |    CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_len
+           |  FROM kept GROUP BY rep),
+           |m AS (SELECT CAST(floor(mean_len * 1e6 + 0.5) AS BIGINT) AS m FROM per),
+           |s AS (SELECT count(*) AS nb, sum(m) AS sm, sum(m * m) AS sm2 FROM m)
+           |SELECT CAST(p.rep AS INT) AS rep, CAST(p.n_docs AS BIGINT) AS n_docs,
+           |  p.mean_len,
+           |  ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE)) AS boot_mean,
+           |  sqrt((CAST(s.sm2 AS DOUBLE) / 1e12) / CAST(s.nb AS DOUBLE)
+           |    - ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE))
+           |      * ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE))) AS boot_sd
+           |FROM per p CROSS JOIN s ORDER BY p.rep""".stripMargin,
       // engine-identical char stream (explode position + substr — NOT
       // split-on-empty, which the two engines disagree on); decimal-
       // quantized entropy terms; VARCHAR-mediated decimal→double

@@ -134,6 +134,33 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("metricStability: replicate means equal driver recomputation; spread sane") {
+    val out = TextOps.metricStability(docs, 16).collect()
+    assert(out.length === 16)
+    val lens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = lens.length
+    // driver-side recomputation of replicate 3 with the same salt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val kept3 = lens.filter { case (did, _) => h32(s"boot:3:$did") % 2 == 0 }
+    val r3 = out.find(_.getInt(0) == 3).get
+    assert(r3.getLong(1) === kept3.length.toLong)
+    assert(r3.getDouble(2) ===
+      kept3.map(_._2).sum.toDouble / kept3.length.toDouble)
+    out.foreach { r =>
+      // half-sampling: replicate size within a generous binomial band
+      assert(r.getLong(1) > n * 0.35 && r.getLong(1) < n * 0.65, r.toString)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
   test("langConfidence: argmax agrees with langPredictions; margins internally consistent") {
     val conf = TextOps.langConfidence(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
