@@ -130,6 +130,38 @@ object TextOps extends graft.QueryModule {
     scored.select(col("doc_id"), best.as("pred_lang"))
   }
 
+  /** Positional phrase search — the retrieval op an inverted index
+    * alone cannot answer: find documents containing an exact
+    * multi-token PHRASE by joining the positional token index on
+    * adjacent positions (b.pos = a.pos + 1), the classic positional-
+    * postings intersection. The phrase is data-derived (the corpus's
+    * most frequent bigram, ties lexicographic) so the query is
+    * hash-stable at every SF; output is the top-k documents by
+    * occurrence count.
+    *
+    * Scale shape: the adjacency join is (doc, pos)-keyed — one
+    * co-partitioned self-join of the token stream; the phrase filter
+    * broadcasts one row; top-k is orderBy+limit. A serving deployment
+    * materializes the positional index once and probes it per query.
+    */
+  def phraseSearch(docs: DataFrame, k: Int = 20): DataFrame = {
+    val tok = Shingles.tokensWithPos(docs).localCheckpoint(true)
+    val pairs = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        col("a.term").as("w1"), col("b.term").as("w2"))
+      .localCheckpoint(true) // feeds the global argmax and the probe
+    val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
+    pairs.join(broadcast(top.select("w1", "w2")), Seq("w1", "w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"),
+        concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("n_occurrences"))
+  }
+
   /** Corpus-metric stability under deterministic half-sampling — the
     * error bar every datasheet number should carry: `b` replicates,
     * each keeping the docs whose salted hash is even (an independent
@@ -1183,6 +1215,12 @@ object TextOps extends graft.QueryModule {
       metricStability(Tables.documents(spark, dir), 16)
     },
 
+    // Positional phrase search: top-20 docs for the corpus's most
+    // frequent bigram via adjacent-position postings intersection.
+    "q_phrase_search" -> { (spark, dir) =>
+      phraseSearch(Tables.documents(spark, dir), 20)
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1829,6 +1867,30 @@ object TextOps extends graft.QueryModule {
            |    + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
            |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
            |FROM stats ORDER BY doc_id""".stripMargin,
+      // positional postings with raw 1-based split positions (the
+      // tokensWithPos convention — adjacency is pos+1 in both engines)
+      "q_phrase_search" ->
+        s"""WITH tokp AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |pairs AS MATERIALIZED (
+           |  SELECT a.doc_id, a.term AS w1, b.term AS w2
+           |  FROM tokp a JOIN tokp b
+           |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+           |top AS (
+           |  SELECT w1, w2 FROM (
+           |    SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2
+           |    ORDER BY n DESC, w1, w2 LIMIT 1)),
+           |hits AS (
+           |  SELECT p.doc_id, p.w1, p.w2, count(*) AS n_occurrences
+           |  FROM pairs p JOIN top t ON p.w1 = t.w1 AND p.w2 = t.w2
+           |  GROUP BY p.doc_id, p.w1, p.w2)
+           |SELECT doc_id, w1 || ' ' || w2 AS phrase,
+           |  CAST(n_occurrences AS BIGINT) AS n_occurrences
+           |FROM hits ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
       // one doc-length pass fanned ×16 by the replicate table; means
       // quantized to micro longs before the cross-replicate stats
       "q_metric_stability" ->

@@ -134,6 +134,30 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("phraseSearch equals driver-side brute force over adjacent token pairs") {
+    val out = TextOps.phraseSearch(docs, 20).collect()
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pairs = texts.flatMap { case (did, t) =>
+      val toks = t.split(" ", -1)
+      // raw split positions: a pair exists where BOTH positions are
+      // non-empty and adjacent (the tokensWithPos convention)
+      (0 until toks.length - 1).collect {
+        case i if toks(i).nonEmpty && toks(i + 1).nonEmpty =>
+          (did, toks(i), toks(i + 1))
+      }
+    }
+    val (w1, w2) = pairs.groupBy(p => (p._2, p._3))
+      .map { case (k, v) => (k, v.length) }.toSeq
+      .minBy { case ((a, b), n) => (-n, a, b) }._1
+    val byDoc = pairs.filter(p => p._2 == w1 && p._3 == w2)
+      .groupBy(_._1).map { case (d, v) => (d, v.length.toLong) }.toSeq
+      .sortBy { case (d, n) => (-n, d) }.take(20)
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(1) == s"$w1 $w2"), "phrase mismatch")
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === byDoc)
+  }
+
   test("metricStability: replicate means equal driver recomputation; spread sane") {
     val out = TextOps.metricStability(docs, 16).collect()
     assert(out.length === 16)

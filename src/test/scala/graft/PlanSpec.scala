@@ -352,6 +352,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_phrase_search: phrase probe broadcasts, top-k is TakeOrderedAndProject") {
+    val p = plan("q_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_skew_report: top-k via TakeOrderedAndProject, totals broadcast back") {
     val p = plan("q_skew_report")
     assert(p.contains("TakeOrderedAndProject"), p)
