@@ -130,6 +130,42 @@ object TextOps extends graft.QueryModule {
     scored.select(col("doc_id"), best.as("pred_lang"))
   }
 
+  /** Test-set n-gram novelty — the generalization-gap proxy of an
+    * eval split: for each source, the fraction of held-out-doc bigram
+    * OCCURRENCES whose bigram type never appears in the training
+    * half. A near-zero novelty rate says the eval set is effectively
+    * memorized vocabulary (leakage-shaped, even after doc-level
+    * dedup); a high rate says the split actually tests composition.
+    * Split membership is the engine-wide hash split
+    * ([[Classify.isTrain]]), so this composes with the classifier
+    * evals it audits.
+    *
+    * Scale shape: one adjacency pass builds the bigram stream; the
+    * train TYPE set is a distinct aggregate; the membership probe is
+    * one bigram-keyed left join (co-partitioned; a bloom filter
+    * replaces it when the type set outgrows comfortable shuffles).
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val tok = Shingles.tokensWithPos(docs, carry = Seq("source"))
+      .localCheckpoint(true)
+    val big = tok.as("a").join(tok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(col("a.doc_id").as("doc_id"), col("a.source").as("source"),
+        col("a.term").as("w1"), col("b.term").as("w2"))
+      .localCheckpoint(true)
+    val trainTypes = big.filter(Classify.isTrain(col("doc_id")))
+      .select("w1", "w2").distinct()
+      .withColumn("seen", lit(1))
+    big.filter(Classify.isTest(col("doc_id")))
+      .join(trainTypes, Seq("w1", "w2"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_test_bigrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("source"), col("n_test_bigrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_test_bigrams").cast("double"))
+          .as("novelty_rate"))
+  }
+
   /** Positional phrase search — the retrieval op an inverted index
     * alone cannot answer: find documents containing an exact
     * multi-token PHRASE by joining the positional token index on
@@ -1221,6 +1257,12 @@ object TextOps extends graft.QueryModule {
       phraseSearch(Tables.documents(spark, dir), 20)
     },
 
+    // Per-source test-bigram novelty vs the train half — the
+    // generalization-gap / leakage-shape audit of the split.
+    "q_ngram_novelty" -> { (spark, dir) =>
+      ngramNovelty(Tables.documents(spark, dir)).orderBy("source")
+    },
+
     // The context-aware step up: per-doc mean bigram NLL under the
     // corpus add-one bigram LM — order-sensitive where unigram is not.
     "q_bigram_nll" -> { (spark, dir) =>
@@ -1867,6 +1909,32 @@ object TextOps extends graft.QueryModule {
            |    + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
            |    + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
            |FROM stats ORDER BY doc_id""".stripMargin,
+      // adjacency bigrams + the engine-wide md5 split; novelty = test
+      // occurrences whose type the train half never produced
+      "q_ngram_novelty" ->
+        s"""WITH tokp AS (
+           |  SELECT doc_id, source, pos, term FROM (
+           |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |big AS MATERIALIZED (
+           |  SELECT a.doc_id, a.source, a.term AS w1, b.term AS w2
+           |  FROM tokp a JOIN tokp b
+           |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+           |train_types AS (
+           |  SELECT DISTINCT w1, w2 FROM big
+           |  WHERE ${hashBucketSql("doc_id")} < 50),
+           |test AS (
+           |  SELECT * FROM big WHERE ${hashBucketSql("doc_id")} >= 50)
+           |SELECT t.source,
+           |  CAST(count(*) AS BIGINT) AS n_test_bigrams,
+           |  CAST(sum(CASE WHEN tt.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_novel,
+           |  CAST(sum(CASE WHEN tt.w1 IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS novelty_rate
+           |FROM test t LEFT JOIN train_types tt ON t.w1 = tt.w1 AND t.w2 = tt.w2
+           |GROUP BY t.source ORDER BY t.source""".stripMargin,
       // positional postings with raw 1-based split positions (the
       // tokensWithPos convention — adjacency is pos+1 in both engines)
       "q_phrase_search" ->

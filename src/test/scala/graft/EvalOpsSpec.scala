@@ -134,6 +134,22 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("ngramNovelty: rates in [0,1]; fully-duplicated corpus reads zero novelty") {
+    val out = TextOps.ngramNovelty(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // every doc identical → every test bigram type exists in train
+    import spark.implicits._
+    val dup = (0L until 40L).map(i => (i, "alpha beta gamma alpha beta", "s"))
+      .toDF("doc_id", "text", "source")
+    val z = TextOps.ngramNovelty(dup).collect()
+    assert(z.forall(_.getLong(2) == 0L), s"novelty nonzero on duplicated corpus")
+  }
+
   test("phraseSearch equals driver-side brute force over adjacent token pairs") {
     val out = TextOps.phraseSearch(docs, 20).collect()
     val texts = docs.select(col("doc_id"), col("text")).collect()
