@@ -192,14 +192,43 @@ object Bench {
     val pass1 = sweep(names)
     val calibMid = calibrate()
     val pass2 = sweep(names.reverse)
-    val results = names.map { name =>
-      val (min, max, err) = combinePasses(pass1(name), pass2(name))
-      (name, min, max, err)
-    }
-
     val calibAfter = calibrate()
 
-    val (full, summary) = render(results, sfDir, calibBefore, calibMid, calibAfter)
+    // Calibration-gated third mini-sweep (r8 verdict #7): when the
+    // calibration shows load drift across the run, the min of two
+    // dirty passes can still be inflated — re-time just the queries
+    // whose two passes disagree >2×, then flag the ones whose min is
+    // still uncorroborated as suspect_load, so a driver artifact
+    // self-labels its own load-inflated readings the way benchdiff
+    // already self-labels data shifts.
+    val drifted =
+      math.max(calibMid._2, calibAfter._2) > 1.3 * calibBefore._2
+    val dispersed = names.filter { n =>
+      suspectLoad(Seq(pass1(n), pass2(n)).collect { case (t, None) => t })
+    }
+    // a FEW dispersed queries (JIT hiccup, one GC) always earn the
+    // corroborating pass — it's cheap; WIDESPREAD dispersion only
+    // does when the calibration confirms real load drift (otherwise
+    // a third sweep under the same conditions learns nothing and
+    // costs half a run)
+    val pass3: Map[String, (Double, Option[String])] =
+      if (dispersed.nonEmpty &&
+          (drifted || dispersed.size <= math.max(5, names.size / 10)))
+        sweep(dispersed)
+      else Map.empty
+
+    val results = names.map { name =>
+      val obs = Seq(pass1(name), pass2(name)) ++ pass3.get(name).toSeq
+      val (min, max, err) = combineAll(obs)
+      (name, min, max, err)
+    }
+    val suspects = names.filter { n =>
+      suspectLoad((Seq(pass1(n), pass2(n)) ++ pass3.get(n).toSeq)
+        .collect { case (t, None) => t })
+    }
+
+    val (full, summary) =
+      render(results, sfDir, calibBefore, calibMid, calibAfter, suspects)
     // full detail for humans/judges — file is best-effort, stdout first
     // (skipped for SPARK_GRAFT_ONLY dev runs: a partial sweep must not
     // clobber the round's full-suite artifact)
@@ -220,15 +249,36 @@ object Bench {
     * times are meaningless anyway, keep min/max for the record.
     */
   private[graft] def combinePasses(p1: (Double, Option[String]),
-      p2: (Double, Option[String])): (Double, Double, Option[String]) = {
-    val ((t1, e1), (t2, e2)) = (p1, p2)
-    val (tMin, tMax) = (e1, e2) match {
-      case (Some(_), None) => (t2, t2)
-      case (None, Some(_)) => (t1, t1)
-      case _               => (math.min(t1, t2), math.max(t1, t2))
-    }
-    (tMin, tMax, e1.orElse(e2))
+      p2: (Double, Option[String])): (Double, Double, Option[String]) =
+    combineAll(Seq(p1, p2))
+
+  /** [[combinePasses]] over any number of passes: min/max over the
+    * SUCCESSFUL times (a failing pass usually fails fast and must
+    * never win the min); all-failed keeps the raw spread for the
+    * record; the first error, if any, is always reported.
+    */
+  private[graft] def combineAll(
+      obs: Seq[(Double, Option[String])]): (Double, Double, Option[String]) = {
+    val ok = obs.collect { case (t, None) => t }
+    val err = obs.flatMap(_._2).headOption
+    if (ok.nonEmpty) (ok.min, ok.max, err)
+    else (obs.map(_._1).min, obs.map(_._1).max, err)
   }
+
+  /** Is a query's reported min still load-suspect after its passes?
+    * True when the successful times are dispersed (>2× spread AND
+    * >0.5 s absolute — tiny queries jitter in ratio harmlessly) and
+    * fewer than two of them corroborate the min (within 1.5×): one
+    * clean reading among dirty ones is exactly the case a third pass
+    * either confirms (two corroborating times → not suspect) or
+    * leaves flagged.
+    */
+  private[graft] def suspectLoad(okTimes: Seq[Double]): Boolean =
+    okTimes.nonEmpty && {
+      val mn = okTimes.min
+      val mx = okTimes.max
+      mx - mn > 0.5 && mx / mn > 2.0 && okTimes.count(_ <= mn * 1.5) < 2
+    }
 
   /** (full detail JSON, short summary JSON). The summary is printed
     * LAST and must stay well under the harness's ~2k-char stdout-tail
@@ -246,7 +296,8 @@ object Bench {
     */
   private[graft] def render(results: Seq[(String, Double, Double, Option[String])],
       sfDir: String, calibBefore: (Double, Double), calibMid: (Double, Double),
-      calibAfter: (Double, Double)): (String, String) = {
+      calibAfter: (Double, Double),
+      suspects: Seq[String] = Nil): (String, String) = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -264,9 +315,10 @@ object Bench {
         s""","calib_1t_mid_sec":${r3(calibMid._1)},"calib_nt_mid_sec":${r3(calibMid._2)}""" +
         s""","calib_1t_after_sec":${r3(calibAfter._1)},"calib_nt_after_sec":${r3(calibAfter._2)}"""
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)}"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_suspect":${suspects.size}"""
     val fp = s""""data_fp":${jstr(dataFingerprint(sfDir))}"""
-    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"sf":${jstr(sfDir)}}""",
+    val susp = suspects.map(jstr).mkString("[", ",", "]")
+    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"suspect_load":$susp,"sf":${jstr(sfDir)}}""",
       s"""{$head,$calib,$fp,"sf":${jstr(sfDir)}}""")
   }
 }

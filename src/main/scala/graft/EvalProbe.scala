@@ -240,7 +240,8 @@ object EvalProbe {
     // trained linear probe: held-out accuracy vs the majority-class
     // floor (the number a quality gate must beat to be load-bearing)
     val q = graft.ops.Classify.linearQuality(docs, 3)
-      .select(col("is_target"), col("predicted")).localCheckpoint(true)
+      .select(col("is_target"), col("predicted"), col("p_pos"))
+      .localCheckpoint(true) // one training run feeds both readouts
     val nQ = q.count()
     val okQ = q.filter(col("is_target") === col("predicted")).count()
     val majority = math.max(q.filter(col("is_target") === 1).count(),
@@ -249,7 +250,7 @@ object EvalProbe {
     println(f"[eval] probe_majority_floor ${majority.toDouble / nQ}%.3f")
     // separation beats thresholded accuracy as the signal readout on a
     // weak-signal corpus: mean positive-probability by true class
-    val sep = graft.ops.Classify.linearQuality(docs, 3)
+    val sep = q
       .groupBy("is_target").agg(avg("p_pos").as("p")).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
     println(f"[eval] probe_meanP_target   ${sep.getOrElse(1, Double.NaN)}%.6f")

@@ -271,6 +271,20 @@ object ScaleProbe {
       graft.ops.VectorOps.labelPropagation(emb, 4, 4, 64, 3, 5)
         .filter(col("propagated") =!= -1).count()
     }
+    // occupancy-driven dial (r8 verdict #2): the pre-flight prices the
+    // bucket join per setting from one sign-word pass, auto-sizing
+    // raises planesPerBand until pairs/vector fits budget — rows=
+    // reached nodes, directly comparable to the fixed-dial row above
+    var pAuto = 0
+    time("lsh_preflight") {
+      pAuto = graft.ops.VectorOps.autoPlanesPerBand(emb)
+      pAuto.toLong
+    }
+    println(s"[scale] auto planes_per_band=$pAuto (fixed row uses 4)")
+    time("label_prop_auto") {
+      graft.ops.VectorOps.labelPropagation(emb, pAuto, 4, 64, 3, 5)
+        .filter(col("propagated") =!= -1).count()
+    }
     emb.unpersist(false)
     }
 
@@ -553,6 +567,55 @@ object ScaleProbe {
     hotCorpus.unpersist()
     bigVocab.unpersist()
     sameVocab.unpersist()
+    }
+
+    if (sections("longdoc")) {
+    // --- charEntropy's linearization evidence (r8 verdict #1): the
+    // old form enumerated characters by substr(i, 1) over the WHOLE
+    // text — UTF8String substr is an O(i) byte scan, so per-doc cost
+    // is O(len²), invisible on ~300-char synthetic docs and ruinous
+    // on real web documents. The shipped form slices into 1 KB chunks
+    // first (O(len·chunk)). Same corpus, text repeated r× per doc:
+    // doubling r should ~double the chunked time and ~quadruple the
+    // quadratic baseline's.
+    def quadraticCharEntropy(d: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.DecimalType
+      val chars = d.select(col("source"),
+          explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
+        .select(col("source"), col("text").substr(col("i"), lit(1)).as("ch"))
+        .filter(col("ch") =!= " ")
+      val freq = chars.groupBy("source", "ch").agg(count(lit(1)).as("cnt"))
+      val tot = freq.groupBy("source").agg(sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"))
+      freq.join(tot, "source")
+        .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+          (-(col("cnt").cast("double") / col("n_chars").cast("double")) *
+            log2(col("cnt").cast("double") / col("n_chars").cast("double")))
+            .cast(DecimalType(28, 6)).as("term"))
+        .groupBy("source", "n_chars", "n_distinct_chars")
+        .agg(sum(col("term")).cast("double").as("entropy_bits"))
+    }
+    // limit() collapses to one partition — repartition so the probe
+    // measures the operator's parallel shape, not a single task
+    def longDocs(r: Int): DataFrame =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .limit(1000).repartition(32)
+        .select(col("doc_id"), col("source"),
+          repeat(concat(col("text"), lit(" ")), r).as("text"))
+    // untimed warmup compiles both plans once
+    graft.ops.TextOps.charEntropy(longDocs(1)).count()
+    quadraticCharEntropy(longDocs(1)).count()
+    for (r <- Seq(32, 64, 128)) {
+      val d = longDocs(r).persist()
+      d.count()
+      time(f"char_entropy_chunk_${r}%dx") {
+        graft.ops.TextOps.charEntropy(d).count()
+      }
+      time(f"char_entropy_quad_${r}%dx") {
+        quadraticCharEntropy(d).count()
+      }
+      d.unpersist()
+    }
     }
     spark.stop()
   }

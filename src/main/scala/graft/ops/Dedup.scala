@@ -933,6 +933,20 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** [[embeddingNearDupLsh]] with the band dial chosen by the
+    * occupancy pre-flight ([[VectorOps.autoPlanesPerBand]]) instead of
+    * by hand — the 100 TB entry point; declared queries pin an
+    * explicit setting for hash stability. Returns the chosen setting
+    * alongside the result so probes can report the decision.
+    */
+  def embeddingNearDupLshAuto(embeddings: DataFrame, nBands: Int = 4,
+      dims: Int = 64, k: Int = 20, pairsPerVector: Double = 32.0,
+      samplePct: Int = 100): (Int, DataFrame) = {
+    val p = VectorOps.autoPlanesPerBand(embeddings, Seq(2, 4, 6, 8), nBands,
+      dims, pairsPerVector, samplePct)
+    (p, embeddingNearDupLsh(embeddings, p, nBands, dims, k))
+  }
+
   /** SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
     * that keeps this O(docs) at scale), then exact Hamming ≤ maxHamming.
     */

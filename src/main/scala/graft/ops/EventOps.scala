@@ -212,37 +212,48 @@ object EventOps extends graft.QueryModule {
     }.mkString("(", " + ", ")")
 
   /** The z-order layout as a declared query: every event keyed by the
-    * Morton interleave of (user_id, event day), partitioned into 64
-    * fixed z-cells (top 6 bits), and the output is each cell's
+    * Morton interleave of (user_id, event day), partitioned into
+    * z-cells that fix the high 8 bits of EACH dimension
+    * (zcell = z >> 16, so per-cell spans are ≤ 255 on both axes; the
+    * cell count is data-range-dependent), and the output is each cell's
     * ZONEMAP — row count plus min/max of BOTH dimensions. The
     * evidence is in the spans: under a z-layout every cell is tight
     * on user AND day, where a user-sorted layout leaves day spans at
     * the full range (ZorderSpec measures exactly that contrast). At
     * 100 TB this table IS the file-skipping index the writer emits.
     */
-  def zorderZonemap(events: DataFrame): DataFrame = {
-    // both dimensions shift to their corpus minimum first — absolute
-    // epoch days share constant high bits, which would park every row
-    // in one z-cell and tell the layout nothing
-    val base = events.select(col("user_id"),
-      (col("ts").cast("long") / 86400L).cast("long").as("day"))
+  /** Every event row with its z-layout key attached: x/y = the two
+    * dimensions shifted to their corpus minimum (absolute epoch days
+    * share constant high bits, which would park every row in one
+    * z-cell and tell the layout nothing), z = their Morton interleave,
+    * zcell = the high 8 bits of each dimension. Shared by
+    * [[zorderZonemap]] (the skipping-index table) and
+    * [[graft.sources.Formats.writeZordered]] (the writer that turns
+    * that table into actual file layout).
+    */
+  private[graft] def zKeyed(events: DataFrame): DataFrame = {
+    val base = events.withColumn("day",
+      (col("ts").cast("long") / 86400L).cast("long"))
     val mins = base.agg(min(col("user_id")).as("u0"), min(col("day")).as("d0"))
     base.crossJoin(broadcast(mins))
-      .select(
-        (col("user_id") - col("u0")).bitwiseAND(lit(65535L)).as("x"),
-        (col("day") - col("d0")).bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("x", (col("user_id") - col("u0")).bitwiseAND(lit(65535L)))
+      .withColumn("y", (col("day") - col("d0")).bitwiseAND(lit(65535L)))
+      .drop("u0", "d0", "day")
       .withColumn("z", zInterleave(col("x"), col("y")))
       .withColumn("zcell", shiftright(col("z"), 16))
+  }
+
+  def zorderZonemap(events: DataFrame): DataFrame =
+    zKeyed(events)
       .groupBy("zcell")
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_user"), max(col("x")).as("max_user"),
         min(col("y")).as("min_day"), max(col("y")).as("max_day"))
       .orderBy("zcell")
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Z-order zonemap: per 64-cell Morton layout, min/max of both
+    // Z-order zonemap: per z-cell (high 8 bits of each dim), min/max of both
     // dimensions — the file-skipping index a z-ordered writer emits.
     "q_zorder_zonemap" -> { (spark, dir) =>
       zorderZonemap(Tables.events(spark, dir))

@@ -140,18 +140,26 @@ object TextOps extends graft.QueryModule {
     * ([[Classify.isTrain]]), so this composes with the classifier
     * evals it audits.
     *
-    * Scale shape: one adjacency pass builds the bigram stream; the
-    * train TYPE set is a distinct aggregate; the membership probe is
-    * one bigram-keyed left join (co-partitioned; a bloom filter
+    * Scale shape: one adjacency pass builds the bigram stream — a
+    * lead window over the positioned token stream (ONE exchange on
+    * doc_id), not a positional self-join (two exchanges + a hash
+    * join); the lead(pos) = pos + 1 guard preserves the join's exact
+    * adjacency semantics (raw split positions can have gaps where
+    * empty tokens were filtered, and a pair must not span a gap).
+    * The train TYPE set is a distinct aggregate; the membership probe
+    * is one bigram-keyed left join (co-partitioned; a bloom filter
     * replaces it when the type set outgrows comfortable shuffles).
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
-    val tok = Shingles.tokensWithPos(docs, carry = Seq("source"))
-      .localCheckpoint(true)
-    val big = tok.as("a").join(tok.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .select(col("a.doc_id").as("doc_id"), col("a.source").as("source"),
-        col("a.term").as("w1"), col("b.term").as("w2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = Shingles.tokensWithPos(docs, carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("pos"),
+        col("term").as("w1"),
+        lead(col("term"), 1).over(w).as("w2"),
+        lead(col("pos"), 1).over(w).as("pos2"))
+      .filter(col("pos2") === col("pos") + 1)
+      .select(col("doc_id"), col("source"), col("w1"), col("w2"))
       .localCheckpoint(true)
     val trainTypes = big.filter(Classify.isTrain(col("doc_id")))
       .select("w1", "w2").distinct()
@@ -180,21 +188,67 @@ object TextOps extends graft.QueryModule {
     * broadcasts one row; top-k is orderBy+limit. A serving deployment
     * materializes the positional index once and probes it per query.
     */
-  def phraseSearch(docs: DataFrame, k: Int = 20): DataFrame = {
+  def phraseSearch(docs: DataFrame, k: Int = 20): DataFrame =
+    phraseSearchK(docs, 2, k)
+
+  /** k-token positional phrase search — [[phraseSearch]] generalized
+    * past bigrams by ITERATED POSITIONAL INTERSECTION, the way a real
+    * positional index answers an n-token phrase: anchor on documents
+    * whose token matches the phrase's first word, then intersect the
+    * positional postings of word i at anchor+i for each remaining
+    * word. The phrase stays data-derived (the corpus's most frequent
+    * n-gram under the same adjacency rule, ties lexicographic) so the
+    * query is hash-stable at every SF.
+    *
+    * Scale shape, two halves: (1) the argmax n-gram comes from a lead
+    * WINDOW over the positioned token stream — one exchange on
+    * doc_id, not a positional self-join — with lead(pos, i) = pos + i
+    * guards so an n-gram never spans a position gap (raw split
+    * positions skip filtered empty tokens, and the postings-
+    * intersection probe would never match across such a gap);
+    * (2) the probe anchors on the first word via a one-row broadcast,
+    * and each remaining word is one broadcast hash join of the
+    * (small) anchor set against the token stream keyed (doc_id, pos)
+    * — n−1 broadcast joins, zero additional shuffles. A serving
+    * deployment materializes the positional index once and reuses it
+    * across queries.
+    */
+  def phraseSearchK(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"phrase length must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
     val tok = Shingles.tokensWithPos(docs).localCheckpoint(true)
-    val pairs = tok.as("a").join(tok.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
-      .select(col("a.doc_id").as("doc_id"),
-        col("a.term").as("w1"), col("b.term").as("w2"))
-      .localCheckpoint(true) // feeds the global argmax and the probe
-    val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w1"), col("w2")).limit(1)
-    pairs.join(broadcast(top.select("w1", "w2")), Seq("w1", "w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wordCols = (0 until n).map(i => s"w$i")
+    val spans = tok.select(
+      col("doc_id") +: col("pos") +: col("term").as("w0") +:
+        (1 until n).flatMap(i => Seq(
+          lead(col("term"), i).over(w).as(s"w$i"),
+          lead(col("pos"), i).over(w).as(s"p$i"))): _*)
+      .filter((1 until n).map(i => col(s"p$i") === col("pos") + i)
+        .reduce(_ && _))
+    val top = spans.groupBy(wordCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: wordCols.map(col): _*)
+      .limit(1)
+      .select(wordCols.map(col): _*)
+    // anchor on the first word, then intersect postings at pos + i
+    val anchors = tok.join(broadcast(top), col("term") === col("w0"))
+      .select(col("doc_id") +: col("pos") +: wordCols.map(col): _*)
+    def probeStep(acc: DataFrame, i: Int): DataFrame =
+      acc.join(
+        tok.select(col("doc_id").as("pd"), col("pos").as("pp"),
+          col("term").as("pt")),
+        col("pd") === col("doc_id") && col("pp") === col("pos") + i &&
+          col("pt") === col(s"w$i"))
+        .drop("pd", "pp", "pt")
+    val matched = (1 until n).foldLeft(anchors)(probeStep)
+    matched
+      .groupBy(col("doc_id") +: wordCols.map(col): _*)
+      .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"),
-        concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        concat_ws(" ", wordCols.map(col): _*).as("phrase"),
         col("n_occurrences"))
   }
 
@@ -234,10 +288,13 @@ object TextOps extends graft.QueryModule {
       .select(
         ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double"))
           .as("boot_mean"),
-        sqrt(
+        // variance clamped at 0: near-identical replicate means can
+        // quantize a few ulps negative, and sqrt(-ε) is NaN in Spark
+        // but engine-defined in the oracle — clamp on BOTH sides
+        sqrt(greatest(lit(0.0),
           (col("sm2").cast("double") / lit(1e12)) / col("nb").cast("double") -
             ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double")) *
-              ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double")))
+              ((col("sm").cast("double") / lit(1e6)) / col("nb").cast("double"))))
           .as("boot_sd"))
     perRep.crossJoin(broadcast(summary))
       .select(col("rep"), col("n_docs"), col("mean_len"),
@@ -256,13 +313,34 @@ object TextOps extends graft.QueryModule {
     * each −p·log2(p) term quantizes to DECIMAL(28,6) BEFORE the sum
     * (the q_dataset_card lang-entropy pattern), so the hash gate
     * covers the arithmetic.
+    *
+    * Two scale guards: (1) empty documents are filtered BEFORE the
+    * sequence explode — Spark's sequence(1, 0) counts DOWN (default
+    * step −1) and would emit two phantom rows per empty doc where
+    * DuckDB's generate_series(1, 0) emits none, a cross-engine hash
+    * divergence on reachable input (CorpusReader emits empty text for
+    * malformed rows); (2) the text is sliced into fixed 1 KB chunks
+    * first and characters enumerate WITHIN a chunk — UTF8String
+    * substr(i, 1) is an O(i) byte scan, so per-char substr over the
+    * whole text is O(len²) per document (invisible on short synthetic
+    * docs, ~10¹⁰ byte reads on one 100 KB web document); chunking
+    * bounds every scan at 1 KB, making the pass O(len·chunk).
+    * ScaleProbe's long-doc probe measures the contrast.
     */
   def charEntropy(docs: DataFrame): DataFrame = {
+    val chunkLen = 1024
     val chars = docs
       .select(col("source"), col("text"))
+      .filter(length(col("text")) > 0)
       .select(col("source"),
-        explode(sequence(lit(1), length(col("text")))).as("i"), col("text"))
-      .select(col("source"), col("text").substr(col("i"), lit(1)).as("ch"))
+        explode(sequence(lit(0),
+          ((length(col("text")) - 1) / lit(chunkLen)).cast("int"))).as("c"),
+        col("text"))
+      .select(col("source"),
+        col("text").substr(col("c") * lit(chunkLen) + 1, lit(chunkLen)).as("chunk"))
+      .select(col("source"),
+        explode(sequence(lit(1), length(col("chunk")))).as("i"), col("chunk"))
+      .select(col("source"), col("chunk").substr(col("i"), lit(1)).as("ch"))
       .filter(col("ch") =!= " ")
     val freq = chars.groupBy("source", "ch").agg(count(lit(1)).as("cnt"))
     val tot = freq.groupBy("source").agg(sum(col("cnt")).as("n_chars"),
@@ -1257,6 +1335,13 @@ object TextOps extends graft.QueryModule {
       phraseSearch(Tables.documents(spark, dir), 20)
     },
 
+    // The k-token generalization: top-20 docs for the corpus's most
+    // frequent TRIGRAM via iterated positional-postings intersection
+    // (anchor on word 0, intersect word i at pos + i).
+    "q_phrase_search3" -> { (spark, dir) =>
+      phraseSearchK(Tables.documents(spark, dir), 3, 20)
+    },
+
     // Per-source test-bigram novelty vs the train half — the
     // generalization-gap / leakage-shape audit of the split.
     "q_ngram_novelty" -> { (spark, dir) =>
@@ -1935,6 +2020,41 @@ object TextOps extends graft.QueryModule {
            |    / CAST(count(*) AS DOUBLE) AS novelty_rate
            |FROM test t LEFT JOIN train_types tt ON t.w1 = tt.w1 AND t.w2 = tt.w2
            |GROUP BY t.source ORDER BY t.source""".stripMargin,
+      // k-token phrase via iterated positional intersection: the top
+      // trigram from an adjacency-guarded lead window, then word i
+      // probed at anchor pos + i — the same intersection the Spark
+      // side runs as n−1 broadcast joins
+      "q_phrase_search3" ->
+        s"""WITH tokp AS (
+           |  SELECT doc_id, pos, term FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           |           generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) z
+           |  WHERE term <> ''),
+           |sp AS (
+           |  SELECT doc_id, pos, term AS w0,
+           |    lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+           |    lead(pos, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+           |    lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           |    lead(pos, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+           |  FROM tokp),
+           |top AS (
+           |  SELECT w0, w1, w2 FROM (
+           |    SELECT w0, w1, w2, count(*) AS n FROM sp
+           |    WHERE p1 = pos + 1 AND p2 = pos + 2
+           |    GROUP BY w0, w1, w2 ORDER BY n DESC, w0, w1, w2 LIMIT 1)),
+           |hits AS (
+           |  SELECT a.doc_id, t.w0, t.w1, t.w2, count(*) AS n_occurrences
+           |  FROM tokp a
+           |  JOIN top t ON a.term = t.w0
+           |  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           |    AND b.term = t.w1
+           |  JOIN tokp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+           |    AND c.term = t.w2
+           |  GROUP BY a.doc_id, t.w0, t.w1, t.w2)
+           |SELECT doc_id, w0 || ' ' || w1 || ' ' || w2 AS phrase,
+           |  CAST(n_occurrences AS BIGINT) AS n_occurrences
+           |FROM hits ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
       // positional postings with raw 1-based split positions (the
       // tokensWithPos convention — adjacency is pos+1 in both engines)
       "q_phrase_search" ->
@@ -1978,9 +2098,9 @@ object TextOps extends graft.QueryModule {
            |SELECT CAST(p.rep AS INT) AS rep, CAST(p.n_docs AS BIGINT) AS n_docs,
            |  p.mean_len,
            |  ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE)) AS boot_mean,
-           |  sqrt((CAST(s.sm2 AS DOUBLE) / 1e12) / CAST(s.nb AS DOUBLE)
+           |  sqrt(greatest(0.0, (CAST(s.sm2 AS DOUBLE) / 1e12) / CAST(s.nb AS DOUBLE)
            |    - ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE))
-           |      * ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE))) AS boot_sd
+           |      * ((CAST(s.sm AS DOUBLE) / 1e6) / CAST(s.nb AS DOUBLE)))) AS boot_sd
            |FROM per p CROSS JOIN s ORDER BY p.rep""".stripMargin,
       // engine-identical char stream (explode position + substr — NOT
       // split-on-empty, which the two engines disagree on); decimal-

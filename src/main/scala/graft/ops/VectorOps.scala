@@ -358,6 +358,188 @@ object VectorOps extends graft.QueryModule {
         (coalesce(col("plab"), lit(-1)) === col("label")).cast("int").as("correct"))
   }
 
+  /** One weighted propagation round: votes sum quantized edge weights
+    * per (node, label) instead of counting neighbors, argmax with the
+    * (wsum desc, label asc) tie-break, seeds immutable. Zero-weight
+    * vote totals are dropped — a label must carry actual similarity
+    * mass to propagate. Factored out so the spec can feed a PLANTED
+    * edge table (wq = 1 on every edge reproduces the unweighted count
+    * vote exactly — the contrast the planted-bucket test pins).
+    */
+  private[graft] def propagateWeightedRound(edges: DataFrame,
+      labels: DataFrame, seeds: DataFrame): DataFrame = {
+    val votes = edges
+      .join(labels.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+      .groupBy(col("src"), col("plab"))
+      .agg(sum(col("wq")).as("wsum"))
+      .filter(col("wsum") > 0)
+    val inferred = votes.groupBy("src")
+      .agg(min(struct((-col("wsum")).as("neg"), col("plab").as("lab"))).as("top"))
+      .select(col("src").as("vec_id"), col("top.lab").as("plab"))
+      .join(seeds.select("vec_id"), Seq("vec_id"), "left_anti")
+    seeds.union(inferred)
+  }
+
+  /** Similarity-WEIGHTED label propagation (r8 verdict stretch #8):
+    * [[labelPropagation]] with each candidate edge carrying the
+    * quantized cosine of its endpoints (the q_semantic_dedup scoring
+    * pass over the same banded-LSH candidate set), so five barely-
+    * similar wrong-label neighbors no longer outvote two highly-
+    * similar right-label ones — the failure mode a hot low-entropy
+    * bucket plants in the unweighted form. Negative cosines clamp to
+    * zero (an anti-correlated neighbor is no evidence, not negative
+    * evidence), and weights quantize to micro-longs so every vote sum
+    * is exact integer arithmetic behind the hash gate.
+    *
+    * Convergence is an OUTPUT: `last_changed_round` reports the last
+    * round each node's label moved (0 = never after seeding) — the
+    * per-node form of per-round label churn, so an operator reads
+    * `max(last_changed_round) < iters` as "converged with room to
+    * spare" straight off the result table.
+    *
+    * Scale shape: identical to the unweighted op (the weight join
+    * rides the candidate-scoring pass q_semantic_dedup already pays;
+    * per round one equi-join + one keyed agg, lineage truncated).
+    */
+  def labelPropagationWeighted(embeddings: DataFrame, planesPerBand: Int = 4,
+      nBands: Int = 4, dims: Int = 64, iters: Int = 3,
+      seedMod: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until nBands).map { b =>
+      e.select(col("vec_id"), lit(b).as("band"),
+        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        floor(greatest(
+            round(call_function("array_cosine", col("va"), col("vb")), 6),
+            lit(0.0)) * lit(1e6) + lit(0.5)).cast("long").as("wq"))
+    val edges = scored.select(col("v1").as("src"), col("v2").as("dst"), col("wq"))
+      .union(scored.select(col("v2"), col("v1"), col("wq")))
+      .localCheckpoint(true)
+    e.unpersist(false)
+    val seeds = embeddings.filter(col("vec_id") % seedMod === 0)
+      .select(col("vec_id"), col("label").as("plab"))
+      .localCheckpoint(true)
+    var rounds = Vector(seeds) // index r = labels after round r (0 = seeds)
+    for (_ <- 1 to iters)
+      rounds = rounds :+
+        propagateWeightedRound(edges, rounds.last, seeds).localCheckpoint(true)
+    val joined = rounds.zipWithIndex.foldLeft(
+        embeddings.select(col("vec_id"), col("label"))) { case (acc, (l, r)) =>
+      acc.join(l.withColumnRenamed("plab", s"plab_$r"), Seq("vec_id"), "left")
+    }
+    val lastChanged = (1 to iters).foldLeft(lit(0)) { (acc, r) =>
+      when(coalesce(col(s"plab_$r"), lit(-999)) =!=
+        coalesce(col(s"plab_${r - 1}"), lit(-999)), lit(r)).otherwise(acc)
+    }
+    joined.select(col("vec_id"), col("label"),
+      (col("vec_id") % seedMod === 0).cast("int").as("is_seed"),
+      coalesce(col(s"plab_$iters"), lit(-1)).as("propagated"),
+      (coalesce(col(s"plab_$iters"), lit(-1)) === col("label")).cast("int")
+        .as("correct"),
+      lastChanged.as("last_changed_round"))
+  }
+
+  /** LSH bucket-occupancy pre-flight — the q_selfjoin_cost convention
+    * for the EMBEDDING side (r8 verdict #2): price the banded bucket
+    * self-join BEFORE running it, for every candidate planesPerBand
+    * setting at once. The bucket join's cost is Σ occ·(occ−1)/2 over
+    * buckets — quadratic in per-bucket occupancy — so a corpus with
+    * mass concentrated in one bucket (near-identical vectors, or just
+    * isotropic data at scale) recreates the all-pairs blowup inside a
+    * cell; this table is what tells the operator to raise the dial
+    * first.
+    *
+    * One corpus pass: because band b at setting p uses planes
+    * [b·p, (b+1)·p) (the op's plane-assignment convention), EVERY
+    * (setting, band) bucket is a contiguous bit-range of a single
+    * nBands·maxP-plane sign word — compute the word once, then each
+    * setting's buckets are shift-and-mask over a narrow
+    * (vec_id, word) frame, never another pass over the vectors. At
+    * 100 TB the pass runs on a hash sample (`samplePct`, the pqTrain
+    * convention) — occupancy RATIOS, not absolute counts, drive the
+    * decision.
+    *
+    * Output, one row per setting: occupied bucket count, max
+    * occupancy, and the candidate-pair total the join would generate.
+    */
+  def lshOccupancy(embeddings: DataFrame, settings: Seq[Int] = Seq(2, 4, 6, 8),
+      nBands: Int = 4, dims: Int = 64, samplePct: Int = 100): DataFrame = {
+    require(settings.nonEmpty && settings.forall(p => p >= 1 && p <= 16))
+    val pMax = settings.max
+    val e0 = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val e = if (samplePct >= 100) e0
+      else e0.filter(
+        graft.text.Shingles.hash32(concat(lit("occ:"), col("vec_id").cast("string")))
+          % 100 < samplePct)
+    val words = e.select(col("vec_id"),
+      lshBucketCol(col("v"), nBands * pMax, dims, 0).as("w"))
+      .localCheckpoint(true) // the ONE corpus-width pass
+    settings.map { p =>
+      val mask = (1L << p) - 1
+      val bands = (0 until nBands).map { b =>
+        words.select(lit(p).as("planes_per_band"), lit(b).as("band"),
+          shiftright(col("w"), b * p).bitwiseAND(lit(mask)).as("bkt"))
+      }.reduce(_ union _)
+      bands.groupBy("planes_per_band", "band", "bkt")
+        .agg(count(lit(1)).as("occ"))
+        .groupBy("planes_per_band")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("occ")).as("max_occupancy"),
+          floor(sum(col("occ") * (col("occ") - 1)) / lit(2.0)).cast("long")
+            .as("candidate_pairs"))
+    }.reduce(_ unionByName _)
+      .orderBy("planes_per_band")
+  }
+
+  /** Occupancy-driven band sizing: the smallest planesPerBand whose
+    * priced candidate-pair total stays within `pairsPerVector` × n —
+    * the automatic form of the dial the r8 verdict flagged as manual.
+    * Driver-side state is the ≤|settings|-row pricing table (the
+    * kmeans convention); the chosen setting is a pure function of the
+    * input, so callers that pin hashes pass an explicit setting
+    * instead.
+    */
+  def autoPlanesPerBand(embeddings: DataFrame,
+      settings: Seq[Int] = Seq(2, 4, 6, 8), nBands: Int = 4, dims: Int = 64,
+      pairsPerVector: Double = 32.0, samplePct: Int = 100): Int = {
+    val n = math.max(1L,
+      if (samplePct >= 100) embeddings.count()
+      else embeddings.filter(
+        graft.text.Shingles.hash32(concat(lit("occ:"), col("vec_id").cast("string")))
+          % 100 < samplePct).count())
+    val priced = lshOccupancy(embeddings, settings, nBands, dims, samplePct)
+      .select("planes_per_band", "candidate_pairs").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    priced.find(_._2 <= pairsPerVector * n).map(_._1)
+      .getOrElse(settings.max)
+  }
+
+  /** [[labelPropagation]] with the band dial chosen by the occupancy
+    * pre-flight instead of by hand — the 100 TB entry point (probes
+    * measure it; declared queries pin an explicit setting for hash
+    * stability).
+    */
+  def labelPropagationAuto(embeddings: DataFrame, nBands: Int = 4,
+      dims: Int = 64, iters: Int = 3, seedMod: Int = 5,
+      pairsPerVector: Double = 32.0, samplePct: Int = 100): (Int, DataFrame) = {
+    val p = autoPlanesPerBand(embeddings, Seq(2, 4, 6, 8), nBands, dims,
+      pairsPerVector, samplePct)
+    (p, labelPropagation(embeddings, p, nBands, dims, iters, seedMod))
+  }
+
   /** JL shortlist → exact re-rank: the deployment shape of the
     * projection rung (identical tail to [[ivfPqRerank]]): the cheap
     * 16-dim scan nominates `shortlist` candidates, the exact 64-dim
@@ -1190,6 +1372,20 @@ object VectorOps extends graft.QueryModule {
         .orderBy("vec_id")
     },
 
+    // The LSH bucket-join pre-flight: candidate-pair cost per
+    // planesPerBand setting from ONE sign-word pass — the decision
+    // table that makes the band dial occupancy-driven.
+    "q_lsh_occupancy" -> { (spark, dir) =>
+      lshOccupancy(Tables.embeddings(spark, dir), Seq(2, 4, 6, 8), 4, 64)
+    },
+
+    // Similarity-weighted propagation: votes carry quantized cosine
+    // mass, and last_changed_round reports per-node convergence.
+    "q_label_prop_weighted" -> { (spark, dir) =>
+      labelPropagationWeighted(Tables.embeddings(spark, dir), 4, 4, 64, 3, 5)
+        .orderBy("vec_id")
+    },
+
     // Contrastive triplet export: per anchor, nearest same-label
     // (positive), nearest different-label (hard negative), margin.
     "q_triplets" -> { (spark, dir) =>
@@ -1641,6 +1837,89 @@ object VectorOps extends graft.QueryModule {
          |  n.neg_vid, n.neg_cos, p.pos_cos - n.neg_cos AS margin
          |FROM pos p JOIN neg n ON p.qid = n.qid
          |ORDER BY p.qid""".stripMargin,
+    // the occupancy pre-flight: ONE 32-plane sign word, each
+    // (setting, band) bucket a shift-and-mask bit-range of it —
+    // pricing Σ occ·(occ−1)/2 for every planesPerBand at once
+    "q_lsh_occupancy" -> {
+      val w32 = lshBucketSql("v", 32, 64, 0)
+      val settingSelects = Seq(2, 4, 6, 8).map { p =>
+        val mask = (1L << p) - 1
+        s"""SELECT $p AS planes_per_band, bd.b AS band,
+           |    (w.w >> (bd.b * $p)) & $mask AS bkt
+           |  FROM w CROSS JOIN (VALUES (0),(1),(2),(3)) bd(b)""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |w AS MATERIALIZED (SELECT vec_id, ($w32) AS w FROM e),
+         |b AS (
+         |  $settingSelects),
+         |occ AS (
+         |  SELECT planes_per_band, band, bkt, count(*) AS occ
+         |  FROM b GROUP BY planes_per_band, band, bkt)
+         |SELECT planes_per_band,
+         |  count(*) AS n_buckets,
+         |  max(occ) AS max_occupancy,
+         |  CAST(floor(sum(occ * (occ - 1)) / 2.0) AS BIGINT) AS candidate_pairs
+         |FROM occ GROUP BY planes_per_band ORDER BY planes_per_band""".stripMargin
+    },
+    // weighted propagation: the same candidate graph scored by
+    // clamped micro-quantized cosine; per-round argmax orders by
+    // (wsum desc, label); l0..l3 all join the final select so
+    // last_changed_round is the unrolled per-node churn
+    "q_label_prop_weighted" -> {
+      val T = 3
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${lshBucketSql("v", 4, 64, b * 4)} AS bkt FROM e"
+      }.mkString("\n  UNION ALL ")
+      val rounds = (1 to T).map { i =>
+        s"""v$i AS (
+           |  SELECT g.src, l.plab, sum(g.wq) AS wsum
+           |  FROM edges g JOIN l${i - 1} l ON g.dst = l.vec_id
+           |  GROUP BY g.src, l.plab HAVING sum(g.wq) > 0),
+           |inf$i AS (
+           |  SELECT src AS vec_id, plab FROM (
+           |    SELECT src, plab,
+           |      row_number() OVER (PARTITION BY src ORDER BY wsum DESC, plab) AS rn
+           |    FROM v$i) z
+           |  WHERE rn = 1 AND src NOT IN (SELECT vec_id FROM seeds)),
+           |l$i AS MATERIALIZED (
+           |  SELECT * FROM seeds UNION ALL SELECT * FROM inf$i)""".stripMargin
+      }.mkString(",\n")
+      val lastChanged = (T to 1 by -1).map { r =>
+        s"WHEN coalesce(j$r.plab, -999) <> coalesce(j${r - 1}.plab, -999) THEN $r"
+      }.mkString("CASE\n    ", "\n    ", "\n    ELSE 0 END")
+      val roundJoins = (0 to T).map { r =>
+        s"LEFT JOIN l$r j$r ON em.vec_id = j$r.vec_id"
+      }.mkString("\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |sc AS MATERIALIZED (
+         |  SELECT c.v1, c.v2,
+         |    CAST(floor(greatest(${cosSql("e1.v", "e2.v")}, 0.0) * 1e6 + 0.5)
+         |      AS BIGINT) AS wq
+         |  FROM cand c JOIN e e1 ON c.v1 = e1.vec_id
+         |               JOIN e e2 ON c.v2 = e2.vec_id),
+         |edges AS MATERIALIZED (
+         |  SELECT v1 AS src, v2 AS dst, wq FROM sc
+         |  UNION ALL SELECT v2 AS src, v1 AS dst, wq FROM sc),
+         |seeds AS MATERIALIZED (
+         |  SELECT vec_id, label AS plab FROM embeddings WHERE vec_id % 5 = 0),
+         |l0 AS (SELECT * FROM seeds),
+         |$rounds
+         |SELECT em.vec_id, em.label,
+         |  CAST(CASE WHEN em.vec_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS is_seed,
+         |  coalesce(j$T.plab, -1) AS propagated,
+         |  CAST(CASE WHEN coalesce(j$T.plab, -1) = em.label THEN 1 ELSE 0 END AS INT)
+         |    AS correct,
+         |  CAST($lastChanged AS INT) AS last_changed_round
+         |FROM embeddings em
+         |$roundJoins
+         |ORDER BY em.vec_id""".stripMargin
+    },
     // the banded-LSH candidate graph (same bucket expressions as
     // q_embedding_neardup_lsh) + the 3 propagation rounds unrolled;
     // per-round argmax mirrors the min(struct) tie-break (nv desc,

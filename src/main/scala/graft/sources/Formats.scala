@@ -70,6 +70,32 @@ object Formats {
     * files, and every downstream scan pays per-file open cost. Periodic
     * compaction like this is the standard maintenance pass.
     */
+  /** Write events Z-ORDERED: each row keyed by the Morton interleave
+    * of (user_id, event day) ([[graft.ops.EventOps.zKeyed]]), files
+    * partitioned by z-cell and sorted by z within a file — the step
+    * that turns q_zorder_zonemap's layout TABLE into actual storage
+    * layout. Because a cell fixes the high 8 bits of BOTH dimensions,
+    * every written file's parquet min/max statistics are tight
+    * (spans ≤ 255) on user AND day at once, so range predicates on
+    * either dimension skip files/row-groups — a single-column sort
+    * gives that for one dimension and destroys it for the other
+    * (FormatsSpec reads the actual parquet footers for both layouts
+    * and measures exactly that contrast).
+    *
+    * Shuffle shape: one exchange on zcell (the same key the zonemap
+    * aggregate needs anyway); within a task rows sort by full z so
+    * row groups inside a file stay tight too. At 100 TB the writer
+    * runs per ingest partition (e.g. per day batch) and cells keep
+    * file sizes bounded because each covers ≤ 256×256 key space.
+    */
+  def writeZordered(events: DataFrame, outDir: String): Unit =
+    graft.ops.EventOps.zKeyed(events)
+      .repartition(org.apache.spark.sql.functions.col("zcell"))
+      .sortWithinPartitions("zcell", "z")
+      .write.mode("overwrite")
+      .partitionBy("zcell")
+      .parquet(outDir)
+
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetMB: Int = 128, sortCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(inDir)

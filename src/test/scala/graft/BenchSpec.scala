@@ -28,14 +28,17 @@ class BenchSpec extends AnyFunSuite {
       if (i % 50 == 0) Some("""boom "quoted"
 newline""") else None))
     val (full, summary) = Bench.render(results, "/root/testdata/sf0.1",
-      (0.412, 0.455), (0.405, 0.981), (0.397, 3.126))
+      (0.412, 0.455), (0.405, 0.981), (0.397, 3.126), Seq("q_7", "q_9"))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = om.readTree(full)
     val s = om.readTree(summary)
     assert(f.get("queries").size() === 500)
     assert(f.get("queries_max").size() === 500)
     assert(f.get("errors").size() === 10)
+    assert(f.get("suspect_load").size() === 2)
+    assert(f.get("suspect_load").get(0).asText() === "q_7")
     assert(s.get("n_queries").asInt() === 500 && s.get("n_errors").asInt() === 10)
+    assert(s.get("n_suspect").asInt() === 2)
     assert(s.get("metric").asText() === "total" && s.get("unit").asText() === "sec")
     // the headline total is the sum of per-query MINs, never the maxes
     assert(math.abs(s.get("value").asDouble() - (1 to 500).map(_ / 100.0).sum) < 1e-9)
@@ -67,6 +70,26 @@ newline""") else None))
     assert(Bench.combinePasses((2.0, None), (3.0, None)) === ((2.0, 3.0, None)))
     // both failed: keep min/max for the record, first error wins
     assert(Bench.combinePasses((0.3, Some("a")), (0.1, Some("b"))) === ((0.1, 0.3, Some("a"))))
+    // three passes (calibration-gated mini-sweep): clean third pass
+    // corroborates the min; a failing third never wins it
+    assert(Bench.combineAll(Seq((5.1, None), (1.9, None), (2.0, None)))
+      === ((1.9, 5.1, None)))
+    assert(Bench.combineAll(Seq((5.1, None), (1.9, None), (0.1, Some("x"))))
+      === ((1.9, 5.1, Some("x"))))
+  }
+
+  test("suspect_load: dispersed uncorroborated times flag; corroborated or tight do not") {
+    // two clean, close passes — the normal case
+    assert(!Bench.suspectLoad(Seq(1.9, 2.1)))
+    // one dirty pass, no third sweep ran: min is uncorroborated
+    assert(Bench.suspectLoad(Seq(1.9, 5.1)))
+    // third pass corroborated the min — self-healed, not suspect
+    assert(!Bench.suspectLoad(Seq(1.9, 5.1, 2.0)))
+    // third pass ALSO dirty: still suspect
+    assert(Bench.suspectLoad(Seq(1.9, 5.1, 4.8)))
+    // big ratio but tiny absolute spread: ratio jitter, not load
+    assert(!Bench.suspectLoad(Seq(0.1, 0.4)))
+    assert(!Bench.suspectLoad(Nil))
   }
 
   test("calibration loop does constant CPU work and reports sane times") {

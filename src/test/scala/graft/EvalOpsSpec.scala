@@ -134,6 +134,44 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(labeled >= seeds.length)
   }
 
+  test("weighted label propagation resists a planted wrong-label-majority bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // node 100: five barely-similar label-0 neighbors (planted hot
+    // bucket) vs two highly-similar label-1 neighbors. Count voting
+    // follows the majority; similarity-mass voting must not.
+    val scored = Seq(
+      (100L, 1L, 200000L), (100L, 2L, 150000L), (100L, 3L, 150000L),
+      (100L, 4L, 180000L), (100L, 5L, 190000L),
+      (100L, 10L, 950000L), (100L, 11L, 940000L)).toDF("v1", "v2", "wq")
+    val edges = scored.select(col("v1").as("src"), col("v2").as("dst"), col("wq"))
+      .union(scored.select(col("v2"), col("v1"), col("wq")))
+    val seeds = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0), (5L, 0),
+      (10L, 1), (11L, 1)).toDF("vec_id", "plab")
+    val weighted = VectorOps.propagateWeightedRound(edges, seeds, seeds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(weighted(100L) === 1, "weighted vote must follow similarity mass")
+    // wq = 1 on every edge reproduces the unweighted count vote — the
+    // same function demonstrates the failure the weights fix
+    val unweighted = VectorOps.propagateWeightedRound(
+      edges.withColumn("wq", lit(1L)), seeds, seeds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(unweighted(100L) === 0, "count vote follows the planted majority")
+  }
+
+  test("labelPropagationWeighted: convergence column bounded; seeds never churn") {
+    val out = VectorOps.labelPropagationWeighted(emb, 4, 4, 64, 3, 5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lcr = r.getInt(5)
+      assert(lcr >= 0 && lcr <= 3, s"last_changed_round out of range: $r")
+      if (r.getInt(2) == 1) {
+        assert(lcr === 0, s"seed churned: $r")
+        assert(r.getInt(3) === r.getInt(1), s"seed relabeled: $r")
+      }
+    }
+  }
+
   test("ngramNovelty: rates in [0,1]; fully-duplicated corpus reads zero novelty") {
     val out = TextOps.ngramNovelty(docs).collect()
     assert(out.nonEmpty)
@@ -172,6 +210,40 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.forall(_.getString(1) == s"$w1 $w2"), "phrase mismatch")
     assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === byDoc)
+  }
+
+  test("phraseSearchK(3) equals driver-side brute force over adjacent trigrams") {
+    val out = TextOps.phraseSearchK(docs, 3, 20).collect()
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tris = texts.flatMap { case (did, t) =>
+      val toks = t.split(" ", -1)
+      (0 until toks.length - 2).collect {
+        case i if toks(i).nonEmpty && toks(i + 1).nonEmpty && toks(i + 2).nonEmpty =>
+          (did, toks(i), toks(i + 1), toks(i + 2))
+      }
+    }
+    val top = tris.groupBy(p => (p._2, p._3, p._4))
+      .map { case (k, v) => (k, v.length) }.toSeq
+      .minBy { case ((a, b, c), n) => (-n, a, b, c) }._1
+    val byDoc = tris.filter(p => (p._2, p._3, p._4) == top)
+      .groupBy(_._1).map { case (d, v) => (d, v.length.toLong) }.toSeq
+      .sortBy { case (d, n) => (-n, d) }.take(20)
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(1) == s"${top._1} ${top._2} ${top._3}"))
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === byDoc)
+  }
+
+  test("phraseSearchK: a phrase never spans a position gap (double space)") {
+    import spark.implicits._
+    // "a b  c" has positions a=1 b=2 c=4 — (a b c) is NOT adjacent;
+    // doc 1 carries the only true adjacent trigram, twice
+    val gap = Seq(
+      (0L, "a b  c a b  c a b  c", "s"),
+      (1L, "a b c x a b c", "s")).toDF("doc_id", "text", "source")
+    val hit = TextOps.phraseSearchK(gap, 3, 10).collect()
+    assert(hit.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq((1L, "a b c", 2L)))
   }
 
   test("metricStability: replicate means equal driver recomputation; spread sane") {

@@ -44,6 +44,87 @@ class FormatsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("writeZordered: parquet footers tight on BOTH dims, equal to the zonemap; day-sorted is not") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+
+    // per-file min/max of (x, y) from the ACTUAL parquet footers —
+    // the statistics a scan's file/row-group skipping reads
+    def fileStats(d: String): Seq[(String, Long, Long, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet")).map { f =>
+        val rd = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getPath), new Configuration()))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          def mm(name: String): (Long, Long) = {
+            val cs = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == name)
+            (cs.map(_.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+              cs.map(_.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+          }
+          val (x0, x1) = mm("x"); val (y0, y1) = mm("y")
+          (f.getPath, x0, x1, y0, y1)
+        } finally rd.close()
+      }
+    }
+
+    // the synthetic events sit on ONE day with a ~15-user range (a
+    // single z-cell — no layout to show); build a 4×4 user/day grid by
+    // independent shifts so the corpus spans 16 cells and the two
+    // layouts can actually disagree
+    val base = Tables.events(spark, dir)
+    val events = (for (i <- 0 until 4; j <- 0 until 4) yield
+      base.withColumn("user_id", col("user_id") + org.apache.spark.sql.functions.lit(i * 300L))
+        .withColumn("ts", col("ts") + org.apache.spark.sql.functions.expr(s"INTERVAL ${j * 300} DAYS")))
+      .reduce(_ unionByName _)
+    val zdir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    Formats.writeZordered(events, zdir)
+    val zstats = fileStats(zdir)
+    assert(zstats.nonEmpty)
+    // a z-cell fixes the high 8 bits of each dimension: every file's
+    // footer span must be ≤ 255 on user AND day at once
+    zstats.foreach { case (f, x0, x1, y0, y1) =>
+      assert(x1 - x0 <= 255, s"user span loose in $f")
+      assert(y1 - y0 <= 255, s"day span loose in $f")
+    }
+    // the written footers ARE the zonemap: per cell, the union of its
+    // files' footer stats equals the q_zorder_zonemap row exactly
+    val zone = graft.ops.EventOps.zorderZonemap(events).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val cellOf = "zcell=([0-9]+)".r
+    val byCell = zstats.groupBy { case (f, _, _, _, _) =>
+      cellOf.findFirstMatchIn(f).get.group(1).toLong }
+    assert(byCell.keySet == zone.keySet)
+    for ((cell, fs) <- byCell) {
+      val (mu, xu, md, xd) = zone(cell)
+      assert(fs.map(_._2).min == mu && fs.map(_._3).max == xu, s"cell $cell user")
+      assert(fs.map(_._4).min == md && fs.map(_._5).max == xd, s"cell $cell day")
+    }
+    // contrast: same data, same file count, sorted by day only — day
+    // stays tight but user spans blow out to ~the full range
+    val ddir = Files.createTempDirectory("graft-daysort").toString + "/t"
+    graft.ops.EventOps.zKeyed(events)
+      .repartitionByRange(math.max(1, zstats.size), col("y"))
+      .sortWithinPartitions("y")
+      .write.mode("overwrite").parquet(ddir)
+    val dstats = fileStats(ddir)
+    val fullUserSpan =
+      zone.values.map(_._2).max - zone.values.map(_._1).min
+    val avgZ = zstats.map(s => s._3 - s._2).sum.toDouble / zstats.size
+    val avgD = dstats.map(s => s._3 - s._2).sum.toDouble / dstats.size
+    assert(avgD > fullUserSpan * 0.5,
+      s"day-sorted user spans unexpectedly tight: $avgD vs full $fullUserSpan")
+    assert(avgZ <= 255.0 && avgZ < avgD / 2,
+      s"z-order user spans not tighter: $avgZ vs day-sorted $avgD")
+  }
+
   test("CSV round-trip preserves schema and values (incl. timestamps)") {
     roundtrips("csv", Formats.writeCsv, (p, s) => Formats.readCsv(spark, p, s))
   }
