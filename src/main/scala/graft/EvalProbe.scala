@@ -236,6 +236,21 @@ object EvalProbe {
     val okLp = reached.filter(col("correct") === 1).count()
     println(f"[eval] labelprop_coverage   ${nReach.toDouble / nonSeed.count()}%.3f")
     println(f"[eval] labelprop_accuracy   ${okLp.toDouble / nReach}%.3f  ($okLp/$nReach)")
+    // similarity-weighted variant: same graph, votes carry cosine
+    // mass — on isotropic synthetic vectors expect parity (weights
+    // are near-uniform); on a real table the gap is the payoff. The
+    // convergence readout is the weighted op's extra column.
+    val lpw = graft.ops.VectorOps.labelPropagationWeighted(emb, 4, 4, 64, 3, 5)
+      .localCheckpoint(true)
+    val nonSeedW = lpw.filter(col("is_seed") === 0)
+    val reachedW = nonSeedW.filter(col("propagated") =!= -1)
+    val nReachW = reachedW.count()
+    val okLpW = reachedW.filter(col("correct") === 1).count()
+    val lastRound = lpw.agg(org.apache.spark.sql.functions.max(
+      col("last_changed_round"))).head.getInt(0)
+    println(f"[eval] labelprop_w_coverage ${nReachW.toDouble / nonSeedW.count()}%.3f")
+    println(f"[eval] labelprop_w_accuracy ${okLpW.toDouble / nReachW}%.3f  ($okLpW/$nReachW)")
+    println(s"[eval] labelprop_w_lastchanged_round $lastRound (of 3)")
 
     // trained linear probe: held-out accuracy vs the majority-class
     // floor (the number a quality gate must beat to be load-bearing)

@@ -464,6 +464,45 @@ object Classify extends graft.QueryModule {
           .as("mean_p"))
   }
 
+  /** [[gateReport]] swept across thresholds (r8 verdict stretch #9,
+    * the q_dedup_sweep convention): ONE training run and ONE corpus
+    * scoring pass, re-thresholded by a broadcast 4-row threshold
+    * join, so an operator reads the keep-rate CURVE per source — how
+    * fast each domain starves as the gate tightens — for the price of
+    * a single scored pass, not |thresholds| re-scores. Thresholds are
+    * exact micro-longs (the probe's own probability grid), so each
+    * comparison is integer-exact behind the hash gate.
+    */
+  def gateSweep(docs: DataFrame, iters: Int = 3,
+      thresholdsMicro: Seq[Long] =
+        Seq(300000L, 400000L, 500000L, 600000L)): DataFrame = {
+    val spark = docs.sparkSession
+    val (_, w, bias) = linearProbeWeights(docs, iters)
+    val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
+      .toDF("bucket", "w")
+    val zNum = col("zw") + lit(bias) * col("n_tokens")
+    val scored = bucketedTokens(docs)
+      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wDf), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("w")).as("zw"))
+      .select(col("source"), pMicroCol(zNum, col("n_tokens")).as("p_micro"))
+      .localCheckpoint(true) // ONE scoring pass feeds every threshold
+    val thr = spark.createDataFrame(thresholdsMicro.map(Tuple1(_)))
+      .toDF("thr_micro")
+    scored.crossJoin(broadcast(thr))
+      .groupBy("source", "thr_micro")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p_micro") > col("thr_micro"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"),
+        (col("thr_micro").cast("double") / lit(1e6)).as("threshold"),
+        col("n_docs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"))
+      .orderBy("source", "threshold")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSIR hashed-unigram importance weights against the min(source)
     // target domain; all docs, doc_id order.
@@ -489,6 +528,11 @@ object Classify extends graft.QueryModule {
     // and mean positive probability under the trained probe.
     "q_gate_report" -> { (spark, dir) =>
       gateReport(Tables.documents(spark, dir), 3).orderBy("source")
+    },
+    // The keep-rate CURVE: 4 thresholds from one scored pass — how
+    // fast each source starves as the gate tightens.
+    "q_gate_sweep" -> { (spark, dir) =>
+      gateSweep(Tables.documents(spark, dir), 3)
     }
   )
 
@@ -595,6 +639,31 @@ object Classify extends graft.QueryModule {
          |FROM scored
          |GROUP BY source
          |ORDER BY source""".stripMargin
+    },
+    "q_gate_sweep" -> {
+      val T = 3
+      val zNum = s"sum(p.cnt * coalesce(w.w, 0)) + (SELECT b FROM b$T) * sum(p.cnt)"
+      val pMicro =
+        s"""least(1000000, greatest(0, 500000 + CAST(floor(
+           |      CAST($zNum AS DOUBLE)
+           |      / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT)))""".stripMargin
+      s"""WITH $tokCte,
+         |${probeSql(T)},
+         |scored AS MATERIALIZED (
+         |  SELECT p.doc_id, p.source, $pMicro AS p_micro
+         |  FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
+         |  GROUP BY p.doc_id, p.source),
+         |thr AS (SELECT unnest([300000, 400000, 500000, 600000]) AS thr_micro)
+         |SELECT s.source,
+         |  CAST(t.thr_micro AS DOUBLE) / 1e6 AS threshold,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s.p_micro > t.thr_micro THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN s.p_micro > t.thr_micro THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS keep_rate
+         |FROM scored s CROSS JOIN thr t
+         |GROUP BY s.source, t.thr_micro
+         |ORDER BY s.source, threshold""".stripMargin
     },
     "q_dsir_weights" ->
       s"""WITH $tokCte,

@@ -150,16 +150,27 @@ object TextOps extends graft.QueryModule {
     * is one bigram-keyed left join (co-partitioned; a bloom filter
     * replaces it when the type set outgrows comfortable shuffles).
     */
-  def ngramNovelty(docs: DataFrame): DataFrame = {
+  /** The positioned adjacent-bigram stream (doc_id, [carry…,] w1, w2)
+    * via a lead WINDOW — one exchange on doc_id — with the
+    * lead(pos) = pos + 1 guard that keeps the positional-join
+    * semantics exactly (a pair never spans a position gap left by
+    * filtered empty tokens). PlanSpec pins the no-join shape.
+    */
+  private[graft] def bigramStream(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val big = Shingles.tokensWithPos(docs, carry = Seq("source"))
-      .select(col("doc_id"), col("source"), col("pos"),
-        col("term").as("w1"),
-        lead(col("term"), 1).over(w).as("w2"),
-        lead(col("pos"), 1).over(w).as("pos2"))
+    Shingles.tokensWithPos(docs, carry = carry)
+      .select(col("doc_id") +: carry.map(col) :+ col("pos") :+
+        col("term").as("w1") :+
+        lead(col("term"), 1).over(w).as("w2") :+
+        lead(col("pos"), 1).over(w).as("pos2"): _*)
       .filter(col("pos2") === col("pos") + 1)
-      .select(col("doc_id"), col("source"), col("w1"), col("w2"))
+      .select(col("doc_id") +: carry.map(col) :+ col("w1") :+ col("w2"): _*)
+  }
+
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val big = bigramStream(docs, carry = Seq("source"))
       .localCheckpoint(true)
     val trainTypes = big.filter(Classify.isTrain(col("doc_id")))
       .select("w1", "w2").distinct()

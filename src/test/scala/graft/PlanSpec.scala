@@ -409,4 +409,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bigram stream derives from ONE exchange and no join (lead window, r8 #4)") {
+    // the novelty/phrase bigram source: previously a positional
+    // self-join (two exchanges + a hash join); now a lead window
+    val docs = graft.core.Tables.documents(spark, dir)
+    val p = graft.ops.TextOps.bigramStream(docs, Seq("source"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q_lsh_occupancy prices every setting with zero joins past the sign-word pass") {
+    val p = plan("q_lsh_occupancy")
+    assert(!p.contains("Join"), p)
+    // the sign-word pass is checkpointed; the settings fan out as
+    // shift-and-mask projections of it, never re-scanning the vectors
+    assert(!p.contains("FileScan parquet"), p)
+  }
+
+  test("q_gate_sweep re-thresholds ONE checkpointed scored pass (broadcast 4-row join)") {
+    val p = plan("q_gate_sweep")
+    // no parquet rescan: training + scoring happened before the
+    // checkpoint; the sweep is the broadcast threshold fanout only
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_phrase_search3 probe: anchor + positional intersections all broadcast, no cartesian") {
+    val p = plan("q_phrase_search3")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
