@@ -243,6 +243,26 @@ object EventOps extends graft.QueryModule {
       .withColumn("zcell", shiftright(col("z"), 16))
   }
 
+  /** [[zKeyed]] against a FIXED origin instead of the corpus minimum —
+    * the ingest form: a stream sees one micro-batch at a time, and
+    * per-batch minima would drift the cell grid between batches,
+    * scattering one logical cell across many physical ones. Pinning
+    * (originUser, originDay) once per table keeps every batch's cells
+    * aligned, so per-cell compaction and zonemap pruning work across
+    * the whole ingest history. Pure projection — no aggregate, no
+    * cross-join, streaming-safe.
+    */
+  private[graft] def zKeyedFrom(events: DataFrame, originUser: Long,
+      originDay: Long): DataFrame =
+    events
+      .withColumn("x",
+        (col("user_id") - lit(originUser)).bitwiseAND(lit(65535L)))
+      .withColumn("y",
+        ((col("ts").cast("long") / 86400L).cast("long") - lit(originDay))
+          .bitwiseAND(lit(65535L)))
+      .withColumn("z", zInterleave(col("x"), col("y")))
+      .withColumn("zcell", shiftright(col("z"), 16))
+
   def zorderZonemap(events: DataFrame): DataFrame =
     zKeyed(events)
       .groupBy("zcell")

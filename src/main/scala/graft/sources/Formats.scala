@@ -96,6 +96,27 @@ object Formats {
       .partitionBy("zcell")
       .parquet(outDir)
 
+  /** Merge a z-ordered ingest history (per-batch `ingest_batch=<id>`
+    * directories, each partitioned by zcell — the
+    * [[graft.streaming.EventStream.zorderOnIngest]] layout) into one
+    * clean per-cell layout: all batches' rows for a cell land in the
+    * same files, sorted by z. This is the periodic maintenance pass
+    * that keeps the small-files problem from eating the layout's
+    * skipping value — per-batch writes keep ingest latency low, the
+    * compactor restores scan efficiency, and because every batch used
+    * the same fixed origin the merge is a pure repartition, never a
+    * re-keying.
+    */
+  def compactZordered(spark: SparkSession, inDir: String,
+      outDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(inDir)
+      .drop("ingest_batch")
+      .repartition(col("zcell"))
+      .sortWithinPartitions("zcell", "z")
+      .write.mode("overwrite").partitionBy("zcell").parquet(outDir)
+  }
+
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetMB: Int = 128, sortCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(inDir)

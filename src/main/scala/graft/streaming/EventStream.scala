@@ -150,6 +150,34 @@ object EventStream {
       }
   }
 
+  /** Z-ordered ingest — the streaming end of the storage-layout tier:
+    * each micro-batch writes its events Morton-keyed against a FIXED
+    * (originUser, originDay) grid ([[graft.ops.EventOps.zKeyedFrom]]),
+    * files partitioned by z-cell and z-sorted within, under the
+    * batch's own `ingest_batch=<id>` directory (the writeCurated
+    * idempotent-replay contract: a re-executed batch overwrites its
+    * directory byte-identically instead of appending a second copy).
+    * The fixed origin is what makes the layout a TABLE property
+    * rather than a batch property — every batch's cells align, so
+    * [[graft.sources.Formats.compactZordered]] merges the history
+    * into one tight per-cell layout with a pure repartition, and
+    * zonemap pruning holds across the entire ingest, not per batch.
+    */
+  def zorderOnIngest(events: DataFrame, outDir: String,
+      checkpointDir: String, originUser: Long, originDay: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.EventOps.zKeyedFrom(batch, originUser, originDay)
+          .repartition(col("zcell"))
+          .sortWithinPartitions("zcell", "z")
+          .write.mode("overwrite").partitionBy("zcell")
+          .parquet(s"$outDir/ingest_batch=$id")
+      }
+      .start()
+
   /** Stateful sessionization: emits every session closed by a >30 min
     * gap; the still-open tail session per user remains in state (and
     * would be flushed by timeout in a live stream).

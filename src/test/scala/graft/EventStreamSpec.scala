@@ -224,4 +224,46 @@ class EventStreamSpec extends AnyFunSuite {
       .filter(col("user_id") === 0L).count()
     assert(hotSessions == 99999L, s"hot-user sessions $hotSessions")
   }
+
+  test("zorderOnIngest + compactZordered: cells stay aligned across batches, per-file spans tight") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dayMicros = 86400000000L
+    // 4×4 (user-block, day-block) grid, 5 events per cell; the second
+    // batch shifts by 7 WITHIN each 256-block so both batches must
+    // land in the same 16 cells — only a fixed-origin grid does that
+    def evs(seed: Int) = (for (u <- 0 until 4; d <- 0 until 4; i <- 0 until 5)
+      yield EventStream.Ev((seed * 10000 + u * 1000 + d * 100 + i).toLong,
+        (d * 300L + seed) * dayMicros + i * 1000000L, u * 300L + seed, 1.0)).toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Ev]
+    val out = java.nio.file.Files.createTempDirectory("graft-zingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-zingest-ck").toString
+    val q = EventStream.zorderOnIngest(
+      ms.toDF().select(col("event_id"),
+        timestamp_micros(col("tsMicros")).as("ts"), col("user_id"), col("value")),
+      out, ckpt, originUser = 0L, originDay = 0L)
+    try {
+      ms.addData(evs(0)); q.processAllAvailable()
+      ms.addData(evs(7)); q.processAllAvailable()
+    } finally q.stop()
+    val raw = spark.read.parquet(out)
+    assert(raw.count() == 160L)
+    assert(raw.filter(col("zcell") =!= shiftright(col("z"), 16)).count() == 0L)
+    // both batches hit the SAME 16 cells — the fixed-origin guarantee
+    assert(raw.select("zcell").distinct().count() == 16L)
+    val compact = java.nio.file.Files.createTempDirectory("graft-zcompact").toString
+    graft.sources.Formats.compactZordered(spark, out, compact)
+    val c = spark.read.parquet(compact)
+    assert(c.count() == 160L)
+    val spans = c.groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .collect()
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 255L && r.getLong(2) <= 255L, r.toString)
+    }
+    // compaction merged the two batch copies of each cell: one file
+    // per occupied cell, not one per (batch, cell)
+    assert(spans.length.toLong == c.select("zcell").distinct().count())
+  }
 }
