@@ -70,6 +70,17 @@ object EvalProbe {
       println(f"[eval] lsh_p${planes}%d_recall@5       ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
     }
 
+    // multi-probe at the TIGHT bucketing (p8): query-side Hamming-1
+    // fanout buys recall without touching corpus-side bucket sizes —
+    // compare directly against the lsh_p8 row above
+    for (planes <- Seq(6, 8)) {
+      val g = graft.ops.VectorOps
+        .lshMultiProbe(emb, col("vid") >= 490, planes, 64, 5)
+        .select(col("qid"), col("vid"))
+      val h = truth.join(g, Seq("qid", "vid"), "left_semi").count()
+      println(f"[eval] lsh_mp${planes}%d_recall@5      ${h.toDouble / nTruth}%.3f  ($h/$nTruth)")
+    }
+
     // LSH candidate recall: fraction of true near-dup pairs (trigram
     // jaccard >= 0.6) surfaced as MinHash band candidates; plus the
     // candidate precision at est_jaccard >= 0.5.

@@ -688,6 +688,45 @@ object VectorOps extends graft.QueryModule {
     result
   }
 
+  /** Multi-probe sign-LSH: each query probes its own bucket PLUS the
+    * nPlanes buckets at Hamming distance 1 (one sign bit flipped) —
+    * the standard recall repair for bucketed LSH (Lv et al., VLDB'07:
+    * near neighbors that miss the query's bucket land overwhelmingly
+    * in adjacent-sign buckets). Candidates grow ≤ (nPlanes+1)× while
+    * recall multiplies (EvalProbe: 0.022 → measured multiprobe row at
+    * p8), which is the cheap end of the recall/compute dial — the
+    * expensive end is lowering nPlanes, which grows EVERY bucket 2×
+    * per plane removed, corpus-wide; multi-probe pays only on the
+    * query side. Probe fan-out rides the broadcast query table
+    * (explode before the join), so the corpus side still sees one
+    * equi-join on bucket; duplicate candidates from overlapping
+    * probes collapse via max-cos before ranking (a candidate's cosine
+    * is probe-independent, so distinct-by-pair is exact).
+    */
+  def lshMultiProbe(embeddings: DataFrame, queryPred: Column,
+      nPlanes: Int = 8, dims: Int = 64, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val all = castVec(embeddings, "vid")
+    val signed = all.withColumn("bucket", lshBucketCol(col("vid_v"), nPlanes, dims))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = signed.filter(queryPred)
+      .select(col("vid").as("qid"), col("vid_v").as("qid_v"),
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    val result = broadcast(probes).join(signed, Seq("bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), cosRounded("qid", "vid").as("cos"))
+      .distinct() // overlapping probes may nominate a pair twice
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+      .localCheckpoint(true)
+    signed.unpersist(false)
+    result
+  }
+
   /** Per-vector symmetric int8 quantization: scale = max|xᵢ|/127, each
     * component qᵢ = floor(xᵢ/max|x|·127 + 0.5) ∈ [−127, 127] — the
     * standard 4× index-compression step of a large-scale vector store
@@ -1416,6 +1455,13 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // Multi-probe LSH: own bucket + all Hamming-1 sign flips — the
+    // query-side recall repair (candidates ×≤9, corpus side untouched).
+    "q_lsh_multiprobe" -> { (spark, dir) =>
+      lshMultiProbe(Tables.embeddings(spark, dir), col("vid") >= 490, 8, 64, 5)
+        .orderBy("qid", "rank")
+    },
+
     // Int8-quantized top-k: the 4×-compressed index scan with an exact
     // integer dot-product kernel (no float accumulation → oracle-exact
     // even though it's an "approximate" representation).
@@ -2113,6 +2159,31 @@ object VectorOps extends graft.QueryModule {
          |SELECT c.vec_id, c.loading, r.resid_sq
          |FROM c JOIN r ON c.vec_id = r.vec_id
          |ORDER BY abs(c.loading) DESC, c.vec_id LIMIT 10""".stripMargin,
+    // multi-probe: the probe table fans each query to its bucket and
+    // the nPlanes single-bit flips; DISTINCT collapses pairs nominated
+    // by overlapping probes (cos is probe-independent, so exact)
+    "q_lsh_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |signed AS (
+         |  SELECT vec_id AS vid, v, ${lshBucketSql("v")} AS bucket FROM e),
+         |q0 AS (SELECT vid AS qid, v AS qv, bucket FROM signed WHERE vid >= 490),
+         |flips AS (SELECT unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS p),
+         |probes AS (
+         |  SELECT q0.qid, q0.qv,
+         |    xor(q0.bucket,
+         |      CASE WHEN f.p = -1 THEN 0 ELSE (CAST(1 AS BIGINT) << f.p) END)
+         |      AS bucket
+         |  FROM q0 CROSS JOIN flips f),
+         |scored AS (
+         |  SELECT DISTINCT p.qid, s.vid,
+         |    ${cosSql("p.qv", "s.v")} AS cos
+         |  FROM probes p JOIN signed s ON p.bucket = s.bucket AND p.qid <> s.vid),
+         |ranked AS (
+         |  SELECT qid, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, rank, vid, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "q_lsh_search" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |signed AS (
