@@ -206,14 +206,17 @@ object Bench {
     val dispersed = names.filter { n =>
       suspectLoad(Seq(pass1(n), pass2(n)).collect { case (t, None) => t })
     }
-    // a FEW dispersed queries (JIT hiccup, one GC) always earn the
-    // corroborating pass — it's cheap; WIDESPREAD dispersion only
-    // does when the calibration confirms real load drift (otherwise
-    // a third sweep under the same conditions learns nothing and
-    // costs half a run)
+    // a MINORITY of dispersed queries (JIT hiccup, one GC, a dirty
+    // stretch of one sweep) always earns the corroborating pass — the
+    // resweep costs only those queries' own (small) times; WIDESPREAD
+    // dispersion only does when the calibration confirms real load
+    // drift (a third full-suite-sized sweep under the same sustained
+    // conditions learns nothing and costs half a run). The 20% cap is
+    // calibrated from the r9 full run, where a single dirty sweep
+    // stretch dispersed 19/168 queries under flat calibration.
     val pass3: Map[String, (Double, Option[String])] =
       if (dispersed.nonEmpty &&
-          (drifted || dispersed.size <= math.max(5, names.size / 10)))
+          (drifted || dispersed.size <= math.max(5, names.size / 5)))
         sweep(dispersed)
       else Map.empty
 
