@@ -96,6 +96,70 @@ object Formats {
       .partitionBy("zcell")
       .parquet(outDir)
 
+  /** Per-file min/max of INT64 columns, read from the ACTUAL parquet
+    * footers (aggregated across row groups) — the statistics a
+    * skipping reader consults. Product code, not test scaffolding:
+    * [[readZorderedPruned]] builds its file list from this, and
+    * FormatsSpec uses the same helper to verify writer tightness.
+    */
+  def parquetLongStats(dir: String, columns: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)])] = {
+    import scala.jdk.CollectionConverters._
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath),
+            new org.apache.hadoop.conf.Configuration()))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          val mm = columns.map { name =>
+            val cs = blocks.flatMap(_.getColumns.asScala)
+              .filter(_.getPath.toDotString == name)
+            name -> (
+              cs.map(_.getStatistics.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue).min,
+              cs.map(_.getStatistics.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue).max)
+          }.toMap
+          (f.getPath, mm)
+        } finally rd.close()
+      }
+  }
+
+  /** The READ side of the z-order layout — what turns zonemaps into
+    * actual storage skipping: a box predicate on (x, y) consults the
+    * per-file footer statistics first and opens ONLY the files whose
+    * min/max intersect the box, then applies the exact filter to the
+    * survivors. Returns (matching rows, files read, files total) so
+    * callers — and the spec — see the skipping, not just the answer.
+    * Under the z-layout a small box touches ~1 cell's files on BOTH
+    * dimensions at once; a single-dimension sort can only skip on its
+    * sort key and reads every file for the other dimension's
+    * predicate. At 100 TB "files" are row groups too — the same
+    * statistics drive parquet's row-group skipping once the file list
+    * is pruned.
+    */
+  def readZorderedPruned(spark: SparkSession, dir: String,
+      xRange: (Long, Long), yRange: (Long, Long))
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val stats = parquetLongStats(dir, Seq("x", "y"))
+    val keep = stats.filter { case (_, mm) =>
+      val (x0, x1) = mm("x"); val (y0, y1) = mm("y")
+      x1 >= xRange._1 && x0 <= xRange._2 && y1 >= yRange._1 && y0 <= yRange._2
+    }.map(_._1)
+    val matched =
+      if (keep.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(keep: _*)
+        .filter(col("x").between(xRange._1, xRange._2) &&
+          col("y").between(yRange._1, yRange._2))
+    (matched, keep.size, stats.size)
+  }
+
   /** Merge a z-ordered ingest history (per-batch `ingest_batch=<id>`
     * directories, each partitioned by zcell — the
     * [[graft.streaming.EventStream.zorderOnIngest]] layout) into one

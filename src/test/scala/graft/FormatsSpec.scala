@@ -46,33 +46,14 @@ class FormatsSpec extends AnyFunSuite {
 
   test("writeZordered: parquet footers tight on BOTH dims, equal to the zonemap; day-sorted is not") {
     import org.apache.spark.sql.functions.col
-    import scala.jdk.CollectionConverters._
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
 
     // per-file min/max of (x, y) from the ACTUAL parquet footers —
-    // the statistics a scan's file/row-group skipping reads
-    def fileStats(d: String): Seq[(String, Long, Long, Long, Long)] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(d)).filter(_.getName.endsWith(".parquet")).map { f =>
-        val rd = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(f.getPath), new Configuration()))
-        try {
-          val blocks = rd.getFooter.getBlocks.asScala.toSeq
-          def mm(name: String): (Long, Long) = {
-            val cs = blocks.flatMap(_.getColumns.asScala)
-              .filter(_.getPath.toDotString == name)
-            (cs.map(_.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
-              cs.map(_.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
-          }
-          val (x0, x1) = mm("x"); val (y0, y1) = mm("y")
-          (f.getPath, x0, x1, y0, y1)
-        } finally rd.close()
+    // the statistics a scan's file/row-group skipping reads (the
+    // same product helper readZorderedPruned builds its file list from)
+    def fileStats(d: String): Seq[(String, Long, Long, Long, Long)] =
+      Formats.parquetLongStats(d, Seq("x", "y")).map { case (f, mm) =>
+        (f, mm("x")._1, mm("x")._2, mm("y")._1, mm("y")._2)
       }
-    }
 
     // the synthetic events sit on ONE day with a ~15-user range (a
     // single z-cell — no layout to show); build a 4×4 user/day grid by
@@ -123,6 +104,23 @@ class FormatsSpec extends AnyFunSuite {
       s"day-sorted user spans unexpectedly tight: $avgD vs full $fullUserSpan")
     assert(avgZ <= 255.0 && avgZ < avgD / 2,
       s"z-order user spans not tighter: $avgZ vs day-sorted $avgD")
+
+    // the READ side: a one-cell box predicate consults the footers and
+    // opens a fraction of the z-layout's files, while the day-sorted
+    // layout can only skip on day — user stats span everything
+    val box = ((0L, 20L), (0L, 20L))
+    val (zHit, zRead, zTotal) =
+      Formats.readZorderedPruned(spark, zdir, box._1, box._2)
+    val expected = graft.ops.EventOps.zKeyed(events)
+      .filter(col("x").between(0, 20) && col("y").between(0, 20)).count()
+    assert(zHit.count() == expected, "pruned read must not lose rows")
+    assert(zRead < zTotal / 2,
+      s"z-layout box read $zRead of $zTotal files — no skipping happened")
+    val (dHit, dRead, dTotal) =
+      Formats.readZorderedPruned(spark, ddir, box._1, box._2)
+    assert(dHit.count() == expected)
+    assert(zRead < dRead,
+      s"z-layout ($zRead/$zTotal) must out-skip day-sorted ($dRead/$dTotal) on a 2-dim box")
   }
 
   test("CSV round-trip preserves schema and values (incl. timestamps)") {
