@@ -220,14 +220,18 @@ object Bench {
         sweep(dispersed)
       else Map.empty
 
+    // the mini-sweep is ADVISORY: a pass3 failure must never flip a
+    // query both full sweeps ran clean into the error column — drop
+    // errored third passes entirely (the query simply stays
+    // uncorroborated and keeps its suspect flag)
+    def allPasses(n: String): Seq[(Double, Option[String])] =
+      Seq(pass1(n), pass2(n)) ++ pass3.get(n).filter(_._2.isEmpty).toSeq
     val results = names.map { name =>
-      val obs = Seq(pass1(name), pass2(name)) ++ pass3.get(name).toSeq
-      val (min, max, err) = combineAll(obs)
+      val (min, max, err) = combineAll(allPasses(name))
       (name, min, max, err)
     }
     val suspects = names.filter { n =>
-      suspectLoad((Seq(pass1(n), pass2(n)) ++ pass3.get(n).toSeq)
-        .collect { case (t, None) => t })
+      suspectLoad(allPasses(n).collect { case (t, None) => t })
     }
 
     val (full, summary) =

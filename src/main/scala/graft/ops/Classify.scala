@@ -473,9 +473,16 @@ object Classify extends graft.QueryModule {
     * exact micro-longs (the probe's own probability grid), so each
     * comparison is integer-exact behind the hash gate.
     */
+  /** The q_gate_sweep threshold grid — ONE constant shared by the
+    * Scala default and the oracle's unnest list, so the two can't
+    * silently diverge (a caller passing custom thresholds is outside
+    * the declared query's contract and compares against nothing).
+    */
+  private[graft] val gateThresholdsMicro: Seq[Long] =
+    Seq(300000L, 400000L, 500000L, 600000L)
+
   def gateSweep(docs: DataFrame, iters: Int = 3,
-      thresholdsMicro: Seq[Long] =
-        Seq(300000L, 400000L, 500000L, 600000L)): DataFrame = {
+      thresholdsMicro: Seq[Long] = gateThresholdsMicro): DataFrame = {
     val spark = docs.sparkSession
     val (_, w, bias) = linearProbeWeights(docs, iters)
     val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
@@ -653,7 +660,7 @@ object Classify extends graft.QueryModule {
          |  SELECT p.doc_id, p.source, $pMicro AS p_micro
          |  FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
          |  GROUP BY p.doc_id, p.source),
-         |thr AS (SELECT unnest([300000, 400000, 500000, 600000]) AS thr_micro)
+         |thr AS (SELECT unnest([${gateThresholdsMicro.mkString(", ")}]) AS thr_micro)
          |SELECT s.source,
          |  CAST(t.thr_micro AS DOUBLE) / 1e6 AS threshold,
          |  CAST(count(*) AS BIGINT) AS n_docs,

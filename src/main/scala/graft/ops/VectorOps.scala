@@ -523,7 +523,14 @@ object VectorOps extends graft.QueryModule {
     val priced = lshOccupancy(embeddings, settings, nBands, dims, samplePct)
       .select("planes_per_band", "candidate_pairs").collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    priced.find(_._2 <= pairsPerVector * n).map(_._1)
+    // sampled pair counts scale ~rate² (both endpoints must survive
+    // the sample) while the sampled n scales ~rate, so the budget must
+    // shrink by the rate too — comparing raw sampled pairs against
+    // pairsPerVector·n_sample would understate pairs-per-vector by
+    // 1/rate and pick a too-small setting on exactly the corpora the
+    // sample mode exists for
+    val rate = math.min(samplePct, 100) / 100.0
+    priced.find(_._2 <= pairsPerVector * n * rate).map(_._1)
       .getOrElse(settings.max)
   }
 

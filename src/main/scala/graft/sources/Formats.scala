@@ -59,17 +59,6 @@ object Formats {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
-  /** Compact a parquet directory to ~targetMB output files, optionally
-    * sorting within files by the given columns (sorted files give
-    * parquet min/max row-group statistics real selectivity, so later
-    * point/range scans skip row groups).
-    *
-    * The small-files problem is the silent killer of long-running
-    * ingestion at scale: a stream or per-batch job writing a file per
-    * partition per trigger turns a table into millions of kilobyte
-    * files, and every downstream scan pays per-file open cost. Periodic
-    * compaction like this is the standard maintenance pass.
-    */
   /** Write events Z-ORDERED: each row keyed by the Morton interleave
     * of (user_id, event day) ([[graft.ops.EventOps.zKeyed]]), files
     * partitioned by z-cell and sorted by z within a file — the step
@@ -102,11 +91,18 @@ object Formats {
     * [[readZorderedPruned]] builds its file list from this, and
     * FormatsSpec uses the same helper to verify writer tightness.
     */
+  /** A column's stats are None when the file lacks the column, a row
+    * group was written without statistics, or a min/max is null — the
+    * cases where a skipping reader must treat the file as
+    * possibly-matching, never prune it.
+    */
   def parquetLongStats(dir: String, columns: Seq[String])
-      : Seq[(String, Map[String, (Long, Long)])] = {
+      : Seq[(String, Map[String, Option[(Long, Long)]])] = {
     import scala.jdk.CollectionConverters._
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
     walk(new java.io.File(dir))
       .filter(_.getName.endsWith(".parquet"))
       .map { f =>
@@ -117,13 +113,23 @@ object Formats {
         try {
           val blocks = rd.getFooter.getBlocks.asScala.toSeq
           val mm = columns.map { name =>
-            val cs = blocks.flatMap(_.getColumns.asScala)
+            val bounds = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == name)
-            name -> (
-              cs.map(_.getStatistics.genericGetMin
-                .asInstanceOf[java.lang.Long].longValue).min,
-              cs.map(_.getStatistics.genericGetMax
-                .asInstanceOf[java.lang.Long].longValue).max)
+              .map { c =>
+                val st = c.getStatistics
+                if (st == null || st.isEmpty ||
+                    st.genericGetMin == null || st.genericGetMax == null) None
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some((mn.longValue, mx.longValue))
+                  case _ => None // not an INT64 column
+                }
+              }
+            val agg =
+              if (bounds.isEmpty || bounds.contains(None)) None
+              else Some((bounds.flatten.map(_._1).min,
+                bounds.flatten.map(_._2).max))
+            name -> agg
           }.toMap
           (f.getPath, mm)
         } finally rd.close()
@@ -146,17 +152,25 @@ object Formats {
   def readZorderedPruned(spark: SparkSession, dir: String,
       xRange: (Long, Long), yRange: (Long, Long))
       : (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val stats = parquetLongStats(dir, Seq("x", "y"))
     val keep = stats.filter { case (_, mm) =>
-      val (x0, x1) = mm("x"); val (y0, y1) = mm("y")
-      x1 >= xRange._1 && x0 <= xRange._2 && y1 >= yRange._1 && y0 <= yRange._2
+      // a file with unknown stats on either dim is possibly-matching
+      // and must be read — skipping is only sound on proven bounds
+      def mayMatch(b: Option[(Long, Long)], r: (Long, Long)) =
+        b.forall { case (lo, hi) => hi >= r._1 && lo <= r._2 }
+      mayMatch(mm("x"), xRange) && mayMatch(mm("y"), yRange)
     }.map(_._1)
+    val boxFilter =
+      col("x").between(xRange._1, xRange._2) &&
+        col("y").between(yRange._1, yRange._2)
     val matched =
-      if (keep.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(keep: _*)
-        .filter(col("x").between(xRange._1, xRange._2) &&
-          col("y").between(yRange._1, yRange._2))
+      if (keep.nonEmpty) spark.read.parquet(keep: _*).filter(boxFilter)
+      else if (stats.nonEmpty)
+        // everything pruned: keep the table's schema (read one file's
+        // metadata, emit no rows) so callers see a stable shape
+        spark.read.parquet(stats.head._1).filter(lit(false))
+      else spark.emptyDataFrame
     (matched, keep.size, stats.size)
   }
 
@@ -181,6 +195,17 @@ object Formats {
       .write.mode("overwrite").partitionBy("zcell").parquet(outDir)
   }
 
+  /** Compact a parquet directory to ~targetMB output files, optionally
+    * sorting within files by the given columns (sorted files give
+    * parquet min/max row-group statistics real selectivity, so later
+    * point/range scans skip row groups).
+    *
+    * The small-files problem is the silent killer of long-running
+    * ingestion at scale: a stream or per-batch job writing a file per
+    * partition per trigger turns a table into millions of kilobyte
+    * files, and every downstream scan pays per-file open cost. Periodic
+    * compaction like this is the standard maintenance pass.
+    */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       targetMB: Int = 128, sortCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(inDir)

@@ -159,6 +159,24 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(unweighted(100L) === 0, "count vote follows the planted majority")
   }
 
+  test("auto band-sizing wrappers: generous budget picks the smallest setting, output equals explicit") {
+    // pairsPerVector = 1e9 admits every setting, so auto must choose
+    // settings.min and produce exactly the explicit-dial result — the
+    // wrappers are the 100 TB entry points, so they get driven here
+    // even though declared queries pin explicit settings
+    val (p, out) = VectorOps.labelPropagationAuto(emb, 4, 64, 1, 5,
+      pairsPerVector = 1e9)
+    assert(p === 2)
+    val explicit = VectorOps.labelPropagation(emb, 2, 4, 64, 1, 5)
+    assert(out.orderBy("vec_id").collect().toSeq ===
+      explicit.orderBy("vec_id").collect().toSeq)
+    val (pd, outd) = graft.ops.Dedup.embeddingNearDupLshAuto(emb, 4, 64, 5,
+      pairsPerVector = 1e9)
+    assert(pd === 2)
+    val explicitD = graft.ops.Dedup.embeddingNearDupLsh(emb, 2, 4, 64, 5)
+    assert(outd.collect().toSeq === explicitD.collect().toSeq)
+  }
+
   test("labelPropagationWeighted: convergence column bounded; seeds never churn") {
     val out = VectorOps.labelPropagationWeighted(emb, 4, 4, 64, 3, 5).collect()
     assert(out.nonEmpty)

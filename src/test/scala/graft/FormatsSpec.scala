@@ -52,7 +52,9 @@ class FormatsSpec extends AnyFunSuite {
     // same product helper readZorderedPruned builds its file list from)
     def fileStats(d: String): Seq[(String, Long, Long, Long, Long)] =
       Formats.parquetLongStats(d, Seq("x", "y")).map { case (f, mm) =>
-        (f, mm("x")._1, mm("x")._2, mm("y")._1, mm("y")._2)
+        val (x0, x1) = mm("x").get
+        val (y0, y1) = mm("y").get
+        (f, x0, x1, y0, y1)
       }
 
     // the synthetic events sit on ONE day with a ~15-user range (a
