@@ -1425,6 +1425,14 @@ object VectorOps extends graft.QueryModule {
       lshOccupancy(Tables.embeddings(spark, dir), Seq(2, 4, 6, 8), 4, 64)
     },
 
+    // The 100 TB mode of the same pre-flight: priced on a 25%
+    // deterministic hash-sample — the sampling path itself behind the
+    // hash gate (the decision rescales by the rate driver-side).
+    "q_lsh_occupancy_sampled" -> { (spark, dir) =>
+      lshOccupancy(Tables.embeddings(spark, dir), Seq(2, 4, 6, 8), 4, 64,
+        samplePct = 25)
+    },
+
     // Similarity-weighted propagation: votes carry quantized cosine
     // mass, and last_changed_round reports per-node convergence.
     "q_label_prop_weighted" -> { (spark, dir) =>
@@ -1453,6 +1461,17 @@ object VectorOps extends graft.QueryModule {
       val cent = pqTrain(emb, 1, 8, 2, 64)
         .select(col("cid"), col("cw").as("cid_v"))
       ivfSearchCentroids(emb, col("vid") >= 490, cent, 5, 1).orderBy("qid", "rank")
+    },
+
+    // The nprobe SERVING DIAL as a declared query: same trained index,
+    // each query scans its 2 closest cells (recall 0.288→0.470
+    // measured) — the probe count is the knob an operator actually
+    // turns, so it sits behind the hash gate too.
+    "q_ann_ivf_probe2" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val cent = pqTrain(emb, 1, 8, 2, 64)
+        .select(col("cid"), col("cw").as("cid_v"))
+      ivfSearchCentroids(emb, col("vid") >= 490, cent, 5, 2).orderBy("qid", "rank")
     },
 
     // Sign-projection LSH ANN — the no-training bucketed path; fully
@@ -1530,6 +1549,38 @@ object VectorOps extends graft.QueryModule {
       abttResiduals(Tables.embeddings(spark, dir), 64, 2, 10)
     },
   )
+
+  /** q_lsh_occupancy's oracle at a given sample rate — the Spark
+    * side's one-sign-word/shift-and-mask structure mirrored, with the
+    * same `occ:`-salted hash-sample filter when samplePct < 100.
+    */
+  private def lshOccupancySql(samplePct: Int): String = {
+    val w32 = lshBucketSql("v", 32, 64, 0)
+    val sample =
+      if (samplePct >= 100) ""
+      else s"""WHERE (${graft.text.Shingles.hash32Sql(
+        "'occ:' || CAST(vec_id AS VARCHAR)")}) % 100 < $samplePct"""
+    val settingSelects = Seq(2, 4, 6, 8).map { p =>
+      val mask = (1L << p) - 1
+      s"""SELECT $p AS planes_per_band, bd.b AS band,
+         |    (w.w >> (bd.b * $p)) & $mask AS bkt
+         |  FROM w CROSS JOIN (VALUES (0),(1),(2),(3)) bd(b)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  $sample),
+       |w AS MATERIALIZED (SELECT vec_id, ($w32) AS w FROM e),
+       |b AS (
+       |  $settingSelects),
+       |occ AS (
+       |  SELECT planes_per_band, band, bkt, count(*) AS occ
+       |  FROM b GROUP BY planes_per_band, band, bkt)
+       |SELECT planes_per_band,
+       |  count(*) AS n_buckets,
+       |  max(occ) AS max_occupancy,
+       |  CAST(floor(sum(occ * (occ - 1)) / 2.0) AS BIGINT) AS candidate_pairs
+       |FROM occ GROUP BY planes_per_band ORDER BY planes_per_band""".stripMargin
+  }
 
   /** The oracle's bucket expression for vector column `v` (1-based
     * DuckDB list): per plane, a left-folded dot-product chain in the
@@ -1893,27 +1944,9 @@ object VectorOps extends graft.QueryModule {
     // the occupancy pre-flight: ONE 32-plane sign word, each
     // (setting, band) bucket a shift-and-mask bit-range of it —
     // pricing Σ occ·(occ−1)/2 for every planesPerBand at once
-    "q_lsh_occupancy" -> {
-      val w32 = lshBucketSql("v", 32, 64, 0)
-      val settingSelects = Seq(2, 4, 6, 8).map { p =>
-        val mask = (1L << p) - 1
-        s"""SELECT $p AS planes_per_band, bd.b AS band,
-           |    (w.w >> (bd.b * $p)) & $mask AS bkt
-           |  FROM w CROSS JOIN (VALUES (0),(1),(2),(3)) bd(b)""".stripMargin
-      }.mkString("\n  UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |w AS MATERIALIZED (SELECT vec_id, ($w32) AS w FROM e),
-         |b AS (
-         |  $settingSelects),
-         |occ AS (
-         |  SELECT planes_per_band, band, bkt, count(*) AS occ
-         |  FROM b GROUP BY planes_per_band, band, bkt)
-         |SELECT planes_per_band,
-         |  count(*) AS n_buckets,
-         |  max(occ) AS max_occupancy,
-         |  CAST(floor(sum(occ * (occ - 1)) / 2.0) AS BIGINT) AS candidate_pairs
-         |FROM occ GROUP BY planes_per_band ORDER BY planes_per_band""".stripMargin
-    },
+    "q_lsh_occupancy" -> lshOccupancySql(100),
+    // the sampled mode: the same pricing on the 25% hash-sample
+    "q_lsh_occupancy_sampled" -> lshOccupancySql(25),
     // weighted propagation: the same candidate graph scored by
     // clamped micro-quantized cosine; per-round argmax orders by
     // (wsum desc, label); l0..l3 all join the final select so
@@ -2018,6 +2051,31 @@ object VectorOps extends graft.QueryModule {
          |FROM embeddings em LEFT JOIN l$T l ON em.vec_id = l.vec_id
          |ORDER BY em.vec_id""".stripMargin
     },
+    // the nprobe=2 serving dial: q comes from assign0 rn <= 2 (each
+    // query's two closest cells); the corpus side stays rn = 1
+    "q_ann_ivf_probe2" ->
+      s"""WITH ${pqTrainCtes(1, 8, 64, 2)},
+         |cent AS (SELECT cid, cw AS cv FROM cbf),
+         |assign0 AS (
+         |  SELECT a.vec_id AS vid, a.v, c.cid,
+         |    ${cosSql("a.v", "c.cv")} AS ccos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e a CROSS JOIN cent c),
+         |assign AS (SELECT vid, v, cid AS cell FROM assign0 WHERE rn = 1),
+         |q AS (
+         |  SELECT vid AS qid, v AS qv, cid AS cell FROM assign0
+         |  WHERE rn <= 2 AND vid >= 490),
+         |scored AS (
+         |  SELECT q.qid, q.cell, a.vid,
+         |    ${cosSql("q.qv", "a.v")} AS cos
+         |  FROM q JOIN assign a ON q.cell = a.cell AND q.qid <> a.vid),
+         |ranked AS (
+         |  SELECT qid, cell, vid, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+         |  FROM scored)
+         |SELECT qid, cell, rank, vid, cos FROM ranked WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     // trained coarse centroids: the m=1 full-vector grid-k-means chain
     // (pqTrainCtes) supplies cbf; the search mirrors q_ann_ivf
     "q_ann_ivf_trained" ->
