@@ -661,6 +661,64 @@ object Relational extends graft.QueryModule {
           (abs(col("est") - col("exact_parts"))
             <= lit(4 * 0.017) * col("exact_parts")).as("merge_within_bound"))
     },
+
+    // Mergeable QUANTILE sketch — q_hll_merge's sibling for order
+    // statistics: per-shard fixed-grid histograms (one pass each, the
+    // per-day stats-job shape), merged by a bucket-keyed SUM with no
+    // rescan, quantiles read off the merged cumulative curve. The
+    // grid bounds every estimate's error by one bucket width BY
+    // CONSTRUCTION, and unlike GK/KLL the whole sketch is
+    // deterministic integer counts over deterministic bucket edges —
+    // so the oracle re-derives the sketch AND the bound check exactly
+    // (a full hash gate where q_approx_quantile's GK needs a
+    // bounds-only one). At 100 TB the min/max pass is replaced by the
+    // column's known domain or footer stats; the histogram is
+    // B·shards integers, broadcastable at any corpus size.
+    "q_quantile_sketch_merge" -> { (spark, dir) =>
+      val buckets = 256
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("x"))
+      val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val sk = li.withColumn("shard", col("l_orderkey") % 16)
+        .crossJoin(broadcast(mm))
+        .withColumn("bucket", least(lit(buckets - 1),
+          floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(buckets.toDouble))).cast("int")))
+        .groupBy("shard", "bucket").agg(count(lit(1)).as("cnt"))
+      // the MERGE: bucket-keyed sum over shard sketches, nothing rescanned
+      val merged = sk.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+      import org.apache.spark.sql.expressions.Window
+      val cum = merged
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      val picks = cum
+        .crossJoin(broadcast(merged.agg(sum(col("cnt")).as("n_rows"))))
+        .agg(
+          max(col("n_rows")).as("n_rows"),
+          min(when(col("cum") >= lit(0.5) * col("n_rows"), col("bucket"))).as("b50"),
+          min(when(col("cum") >= lit(0.9) * col("n_rows"), col("bucket"))).as("b90"),
+          min(when(col("cum") >= lit(0.99) * col("n_rows"), col("bucket"))).as("b99"))
+      val exact = li.agg(
+        expr("percentile(x, 0.5)").as("exact_p50"),
+        expr("percentile(x, 0.9)").as("exact_p90"),
+        expr("percentile(x, 0.99)").as("exact_p99"))
+      def est(b: Column) =
+        col("lo") + (b.cast("double") + lit(1.0)) *
+          ((col("hi") - col("lo")) / lit(buckets.toDouble))
+      val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
+      picks.crossJoin(broadcast(mm)).crossJoin(broadcast(exact))
+        .select(
+          lit(16).as("n_shards"), col("n_rows"),
+          est(col("b50")).as("p50_est"),
+          est(col("b90")).as("p90_est"),
+          est(col("b99")).as("p99_est"),
+          round(col("exact_p50"), 9).as("exact_p50"),
+          round(col("exact_p90"), 9).as("exact_p90"),
+          round(col("exact_p99"), 9).as("exact_p99"),
+          (abs(est(col("b50")) - col("exact_p50")) <= width).as("p50_within_grid"),
+          (abs(est(col("b90")) - col("exact_p90")) <= width).as("p90_within_grid"),
+          (abs(est(col("b99")) - col("exact_p99")) <= width).as("p99_within_grid"))
+    },
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -937,6 +995,52 @@ object Relational extends graft.QueryModule {
         |  round(quantile_cont(l_quantity, 0.9), 9) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 9) AS median_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the grid sketch is deterministic end-to-end, so unlike the GK /
+    // HLL rows the oracle re-derives sketch, merge, AND bound checks
+    // exactly — a full hash gate over a mergeable-sketch pipeline
+    "q_quantile_sketch_merge" -> {
+      val w = "((mm.hi - mm.lo) / 256.0)"
+      def estSql(b: String) = s"mm.lo + ($b + 1.0) * $w"
+      s"""WITH li AS (
+         |  SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+         |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM li),
+         |sk AS (
+         |  SELECT l_orderkey % 16 AS shard,
+         |    least(255, CAST(floor((x - mm.lo) / $w) AS INT)) AS bucket,
+         |    count(*) AS cnt
+         |  FROM li CROSS JOIN mm GROUP BY 1, 2),
+         |merged AS (
+         |  SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM sk GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM merged),
+         |cum AS (
+         |  SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM merged),
+         |picks AS (
+         |  SELECT (SELECT n_rows FROM tot) AS n_rows,
+         |    min(CASE WHEN cum >= 0.5 * (SELECT n_rows FROM tot)
+         |      THEN bucket END) AS b50,
+         |    min(CASE WHEN cum >= 0.9 * (SELECT n_rows FROM tot)
+         |      THEN bucket END) AS b90,
+         |    min(CASE WHEN cum >= 0.99 * (SELECT n_rows FROM tot)
+         |      THEN bucket END) AS b99
+         |  FROM cum),
+         |ex AS (
+         |  SELECT quantile_cont(x, 0.5) AS e50, quantile_cont(x, 0.9) AS e90,
+         |    quantile_cont(x, 0.99) AS e99
+         |  FROM li)
+         |SELECT CAST(16 AS INT) AS n_shards, p.n_rows,
+         |  ${estSql("p.b50")} AS p50_est,
+         |  ${estSql("p.b90")} AS p90_est,
+         |  ${estSql("p.b99")} AS p99_est,
+         |  round(ex.e50, 9) AS exact_p50,
+         |  round(ex.e90, 9) AS exact_p90,
+         |  round(ex.e99, 9) AS exact_p99,
+         |  abs(${estSql("p.b50")} - ex.e50) <= $w AS p50_within_grid,
+         |  abs(${estSql("p.b90")} - ex.e90) <= $w AS p90_within_grid,
+         |  abs(${estSql("p.b99")} - ex.e99) <= $w AS p99_within_grid
+         |FROM picks p CROSS JOIN mm CROSS JOIN ex""".stripMargin
+    },
     // shard count is data-dependent (distinct l_orderkey % 16), exact
     // count cross-engine, the merge bound a Spark-side boolean
     "q_hll_merge" ->
