@@ -351,6 +351,31 @@ object Dedup extends graft.QueryModule {
   def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs), minEstJaccard)
 
+  /** MinHash band-bucket occupancy pre-flight — the third member of
+    * the pricing family (q_selfjoin_cost prices the inverted-index
+    * self-join by Σdf², q_lsh_occupancy the embedding bucket join):
+    * per band, the occupied-bucket count, the hottest bucket, and the
+    * candidate-pair total Σ occ·(occ−1)/2 the banded join would
+    * generate. A boilerplate-heavy corpus parks its near-identical
+    * documents in a few buckets and this table shows the blowup —
+    * and WHICH band carries it — before [[minhashCandidates]] pays
+    * for it; the dfCeiling-style mitigation (or a shingle-size bump)
+    * is then a priced decision. Cost: the signature sketch pass the
+    * dedup run needs anyway, plus two keyed aggregates over the
+    * 4-rows-per-doc band projection.
+    */
+  def minhashOccupancy(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    bandProjection(sigs)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occupancy"),
+        floor(sum(col("occ") * (col("occ") - 1)) / lit(2.0)).cast("long")
+          .as("candidate_pairs"))
+      .orderBy("band")
+  }
+
   /** The banded-LSH bucket key projection of a signature table:
     * (doc_id, band, bkey), NBANDS rows per doc.
     */
@@ -1157,6 +1182,12 @@ object Dedup extends graft.QueryModule {
       minhashCandidates(Tables.documents(spark, dir), 0.5).orderBy("d1", "d2")
     },
 
+    // Band-bucket occupancy pre-flight: price the banded candidate
+    // join (and see which band is hot) before running it.
+    "q_minhash_occupancy" -> { (spark, dir) =>
+      minhashOccupancy(Tables.documents(spark, dir))
+    },
+
     // Daily-ingest shape: docs 400+ are the "new batch", deduped
     // against the signature index of the 0–399 "history" — history is
     // never paired with itself.
@@ -1438,6 +1469,21 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      // per-band bucket occupancy + the candidate-pair price of the
+      // banded join — the same sigs/bands fragments as q_minhash_lsh
+      "q_minhash_occupancy" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |occ AS (
+           |  SELECT band, bkey, count(*) AS occ FROM bands GROUP BY band, bkey)
+           |SELECT band, count(*) AS n_buckets, max(occ) AS max_occupancy,
+           |  CAST(floor(sum(occ * (occ - 1)) / 2.0) AS BIGINT) AS candidate_pairs
+           |FROM occ GROUP BY band ORDER BY band""".stripMargin,
       // candidate pairs as in q_minhash_lsh (est >= 0.5), normalized
       // a<b, then the (a,b)(b,c)(a,c) triangle join + wedge counts
       "q_triangles" ->
