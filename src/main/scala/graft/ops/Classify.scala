@@ -464,6 +464,14 @@ object Classify extends graft.QueryModule {
           .as("mean_p"))
   }
 
+  /** The q_gate_sweep threshold grid — ONE constant shared by the
+    * Scala default and the oracle's unnest list, so the two can't
+    * silently diverge (a caller passing custom thresholds is outside
+    * the declared query's contract and compares against nothing).
+    */
+  private[graft] val gateThresholdsMicro: Seq[Long] =
+    Seq(300000L, 400000L, 500000L, 600000L)
+
   /** [[gateReport]] swept across thresholds (r8 verdict stretch #9,
     * the q_dedup_sweep convention): ONE training run and ONE corpus
     * scoring pass, re-thresholded by a broadcast 4-row threshold
@@ -473,14 +481,6 @@ object Classify extends graft.QueryModule {
     * exact micro-longs (the probe's own probability grid), so each
     * comparison is integer-exact behind the hash gate.
     */
-  /** The q_gate_sweep threshold grid — ONE constant shared by the
-    * Scala default and the oracle's unnest list, so the two can't
-    * silently diverge (a caller passing custom thresholds is outside
-    * the declared query's contract and compares against nothing).
-    */
-  private[graft] val gateThresholdsMicro: Seq[Long] =
-    Seq(300000L, 400000L, 500000L, 600000L)
-
   def gateSweep(docs: DataFrame, iters: Int = 3,
       thresholdsMicro: Seq[Long] = gateThresholdsMicro): DataFrame = {
     val spark = docs.sparkSession

@@ -365,8 +365,13 @@ object Dedup extends graft.QueryModule {
     * 4-rows-per-doc band projection.
     */
   def minhashOccupancy(docs: DataFrame): DataFrame = {
+    // persisted: bandProjection is a 4-way union over the signature
+    // table — unpersisted, the corpus-wide sketch pipeline would run
+    // once per band branch (the candidatesFromSignatures convention);
+    // the 4-row result is checkpointed so the cache can drop eagerly
     val sigs = minhashSignatures(docs)
-    bandProjection(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = bandProjection(sigs)
       .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
@@ -374,6 +379,9 @@ object Dedup extends graft.QueryModule {
         floor(sum(col("occ") * (col("occ") - 1)) / lit(2.0)).cast("long")
           .as("candidate_pairs"))
       .orderBy("band")
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** The banded-LSH bucket key projection of a signature table:

@@ -90,8 +90,8 @@ object Formats {
     * skipping reader consults. Product code, not test scaffolding:
     * [[readZorderedPruned]] builds its file list from this, and
     * FormatsSpec uses the same helper to verify writer tightness.
-    */
-  /** A column's stats are None when the file lacks the column, a row
+    *
+    * A column's stats are None when the file lacks the column, a row
     * group was written without statistics, or a min/max is null — the
     * cases where a skipping reader must treat the file as
     * possibly-matching, never prune it.
@@ -164,12 +164,18 @@ object Formats {
     val boxFilter =
       col("x").between(xRange._1, xRange._2) &&
         col("y").between(yRange._1, yRange._2)
+    // basePath keeps partition-directory columns (zcell, ingest_batch)
+    // in the schema: reading leaf files without it would silently drop
+    // them, giving the pruned read a different shape than
+    // spark.read.parquet(dir) on the same table
+    def readFiles(files: Seq[String]) =
+      spark.read.option("basePath", dir).parquet(files: _*)
     val matched =
-      if (keep.nonEmpty) spark.read.parquet(keep: _*).filter(boxFilter)
+      if (keep.nonEmpty) readFiles(keep).filter(boxFilter)
       else if (stats.nonEmpty)
         // everything pruned: keep the table's schema (read one file's
         // metadata, emit no rows) so callers see a stable shape
-        spark.read.parquet(stats.head._1).filter(lit(false))
+        readFiles(Seq(stats.head._1)).filter(lit(false))
       else spark.emptyDataFrame
     (matched, keep.size, stats.size)
   }

@@ -177,6 +177,36 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(outd.collect().toSeq === explicitD.collect().toSeq)
   }
 
+  test("autoPlanesPerBand sample mode: the budget shrinks by the rate (discriminating budget)") {
+    import graft.text.Shingles
+    import org.apache.spark.sql.functions.{concat, lit}
+    val rate = 0.25
+    val sampledN = emb.filter(
+      Shingles.hash32(concat(lit("occ:"), col("vec_id").cast("string")))
+        % 100 < 25).count()
+    val priced = VectorOps.lshOccupancy(emb, Seq(2, 4, 6, 8), 4, 64,
+        samplePct = 25)
+      .select("planes_per_band", "candidate_pairs").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val (p0, pairs0) = priced.head
+    assert(pairs0 > 0, "corpus too small to price — test precondition")
+    // budget chosen so the UNCORRECTED rule (pairs <= B·n) accepts the
+    // smallest setting while the rate-corrected rule (pairs <= B·n·rate)
+    // must reject it — a reverted '* rate' term fails here, where the
+    // samplePct=100 paths cannot see it
+    val b = (2.0 * pairs0) / sampledN
+    assert(pairs0 <= b * sampledN && pairs0 > b * sampledN * rate)
+    val expected = priced.find(_._2 <= b * sampledN * rate).map(_._1)
+      .getOrElse(8)
+    assert(expected != p0)
+    assert(VectorOps.autoPlanesPerBand(emb, Seq(2, 4, 6, 8), 4, 64, b, 25)
+      === expected)
+    // zero budget: nothing passes → the settings.max fallback
+    val expectedZero = priced.find(_._2 <= 0L).map(_._1).getOrElse(8)
+    assert(VectorOps.autoPlanesPerBand(emb, Seq(2, 4, 6, 8), 4, 64, 0.0, 25)
+      === expectedZero)
+  }
+
   test("labelPropagationWeighted: convergence column bounded; seeds never churn") {
     val out = VectorOps.labelPropagationWeighted(emb, 4, 4, 64, 3, 5).collect()
     assert(out.nonEmpty)
