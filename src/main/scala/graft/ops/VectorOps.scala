@@ -1463,6 +1463,36 @@ object VectorOps extends graft.QueryModule {
       ivfSearchCentroids(emb, col("vid") >= 490, cent, 5, 1).orderBy("qid", "rank")
     },
 
+    // The trained index's own skew table: per-cell population, share,
+    // and skew factor. A lopsided assignment silently turns nprobe=1
+    // into a near-full scan for queries landing in the fat cell and
+    // starves recall everywhere else — this is the q_skew_report
+    // convention pointed at the index, priced BEFORE serving traffic.
+    "q_ivf_cell_balance" -> { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, dir)
+      val cent = pqTrain(emb, 1, 8, 2, 64)
+        .select(col("cid"), col("cw").as("cid_v"))
+      val all = castVec(emb, "vid")
+      val wAssign = Window.partitionBy("vid")
+        .orderBy(col("ccos").desc, col("cid"))
+      val assign = all.join(broadcast(cent), lit(true))
+        .select(col("vid"), col("cid"), cosRounded("vid", "cid").as("ccos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      val cells = assign.groupBy(col("cid").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+      cells
+        .crossJoin(broadcast(cells.agg(
+          count(lit(1)).as("n_cells"), sum(col("n_vectors")).as("n_total"))))
+        .select(col("cell"), col("n_vectors"), col("n_cells"), col("n_total"),
+          (col("n_vectors").cast("double") / col("n_total").cast("double"))
+            .as("share"),
+          (col("n_vectors").cast("double") * col("n_cells").cast("double") /
+            col("n_total").cast("double")).as("skew_factor"))
+        .orderBy("cell")
+    },
+
     // The nprobe SERVING DIAL as a declared query: same trained index,
     // each query scans its 2 closest cells (recall 0.288→0.470
     // measured) — the probe count is the knob an operator actually
@@ -2051,6 +2081,29 @@ object VectorOps extends graft.QueryModule {
          |FROM embeddings em LEFT JOIN l$T l ON em.vec_id = l.vec_id
          |ORDER BY em.vec_id""".stripMargin
     },
+    // the trained index's skew table: same trainer + assignment CTEs,
+    // then one cell-keyed aggregate + the share/skew projection
+    "q_ivf_cell_balance" ->
+      s"""WITH ${pqTrainCtes(1, 8, 64, 2)},
+         |cent AS (SELECT cid, cw AS cv FROM cbf),
+         |assign0 AS (
+         |  SELECT a.vec_id AS vid, c.cid,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM e a CROSS JOIN cent c),
+         |cells AS (
+         |  SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM assign0 WHERE rn = 1 GROUP BY cid),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(n_vectors) AS BIGINT) AS n_total
+         |  FROM cells)
+         |SELECT c.cell, c.n_vectors, t.n_cells, t.n_total,
+         |  CAST(c.n_vectors AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+         |  CAST(c.n_vectors AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
+         |    / CAST(t.n_total AS DOUBLE) AS skew_factor
+         |FROM cells c CROSS JOIN tot t
+         |ORDER BY c.cell""".stripMargin,
     // the nprobe=2 serving dial: q comes from assign0 rn <= 2 (each
     // query's two closest cells); the corpus side stays rn = 1
     "q_ann_ivf_probe2" ->
