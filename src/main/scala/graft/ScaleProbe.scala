@@ -162,6 +162,11 @@ object ScaleProbe {
         .filter(col("doc_id") < 50)
       graft.ops.Dedup.fuzzyDecontamination(docs, probes, 4).count()
     }
+    // the band-occupancy pre-flight: one signature pass + two keyed
+    // aggregates — must track the sketch pass, never the pair count
+    time("minhash_occupancy") {
+      graft.ops.Dedup.minhashOccupancy(docs).count()
+    }
     // perceptual-hash image dedup: constant 16-byte state per image,
     // 8-band bucket join. Replicas get a NON-monotonic alphabet
     // permutation: the shared Caesar-rotated corpus preserves byte
@@ -449,6 +454,18 @@ object ScaleProbe {
       liq.groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, 0.5)")).count()
     }
+    // the mergeable grid sketch (q_quantile_sketch_merge): per-shard
+    // histograms + bucket-keyed merge — a few keyed aggregates, no
+    // per-group value buffering, so growth should track the scan
+    val liSketch = replicate(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      Seq("l_orderkey"), 10000000L).persist()
+    liSketch.count()
+    time("quantile_sketch_merge") {
+      graft.ops.Relational.quantileSketchMerge(liSketch).count()
+    }
+    liSketch.unpersist()
     liq.unpersist()
     }
 

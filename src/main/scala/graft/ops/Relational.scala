@@ -675,8 +675,19 @@ object Relational extends graft.QueryModule {
     // column's known domain or footer stats; the histogram is
     // B·shards integers, broadcastable at any corpus size.
     "q_quantile_sketch_merge" -> { (spark, dir) =>
+      quantileSketchMerge(Tables.lineitem(spark, dir))
+    },
+  )
+
+  /** The q_quantile_sketch_merge pipeline as a library entry point
+    * (ScaleProbe times it on replicated lineitem): per-shard 256-grid
+    * histograms over l_extendedprice, bucket-keyed merge, quantile
+    * read-off with the construction-bounded grid error, exact
+    * percentiles beside for the bound check.
+    */
+  def quantileSketchMerge(lineitem: DataFrame): DataFrame = {
       val buckets = 256
-      val li = Tables.lineitem(spark, dir)
+      val li = lineitem
         .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("x"))
       val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       val sk = li.withColumn("shard", col("l_orderkey") % 16)
@@ -718,8 +729,7 @@ object Relational extends graft.QueryModule {
           (abs(est(col("b50")) - col("exact_p50")) <= width).as("p50_within_grid"),
           (abs(est(col("b90")) - col("exact_p90")) <= width).as("p90_within_grid"),
           (abs(est(col("b99")) - col("exact_p99")) <= width).as("p99_within_grid"))
-    },
-  )
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_shipping_priority" ->
