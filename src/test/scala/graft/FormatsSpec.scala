@@ -125,6 +125,21 @@ class FormatsSpec extends AnyFunSuite {
       s"z-layout ($zRead/$zTotal) must out-skip day-sorted ($dRead/$dTotal) on a 2-dim box")
   }
 
+  test("parquetLongStats: missing column or non-INT64 reads as None (never a crash, never a false prune)") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("graft-stats").toString + "/t"
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val stats = Formats.parquetLongStats(d, Seq("l_orderkey", "x", "l_returnflag"))
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, mm) =>
+      assert(mm("l_orderkey").isDefined, "INT64 stats must be read")
+      assert(mm("x").isEmpty, "absent column must read as unknown")
+      assert(mm("l_returnflag").isEmpty, "non-INT64 column must read as unknown")
+    }
+  }
+
   test("CSV round-trip preserves schema and values (incl. timestamps)") {
     roundtrips("csv", Formats.writeCsv, (p, s) => Formats.readCsv(spark, p, s))
   }
