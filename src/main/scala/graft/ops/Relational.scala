@@ -690,11 +690,22 @@ object Relational extends graft.QueryModule {
       val li = lineitem
         .select(col("l_orderkey"), col("l_extendedprice").cast("double").as("x"))
       val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      // degenerate-domain guard (r9 ADVICE): a constant column makes
+      // hi == lo and the raw width 0 → NaN buckets, which Spark's
+      // least() and DuckDB's CAST(floor(...)) disagree on. Flooring the
+      // width at a magnitude-relative ε (so it dominates double ulp
+      // error at any scale) puts every such row in bucket 0 identically
+      // in both engines; non-degenerate domains are unchanged (ε is
+      // ~1e-9 relative — ≪ any real 256-bucket width), so declared
+      // hashes are unaffected by construction.
+      def gwidth(lo: Column, hi: Column) =
+        greatest((hi - lo) / lit(buckets.toDouble),
+          abs(hi) * lit(1e-9) + lit(1e-12))
       val sk = li.withColumn("shard", col("l_orderkey") % 16)
         .crossJoin(broadcast(mm))
         .withColumn("bucket", least(lit(buckets - 1),
           floor((col("x") - col("lo")) /
-            ((col("hi") - col("lo")) / lit(buckets.toDouble))).cast("int")))
+            gwidth(col("lo"), col("hi"))).cast("int")))
         .groupBy("shard", "bucket").agg(count(lit(1)).as("cnt"))
       // the MERGE: bucket-keyed sum over shard sketches, nothing rescanned
       val merged = sk.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
@@ -715,8 +726,11 @@ object Relational extends graft.QueryModule {
         expr("percentile(x, 0.99)").as("exact_p99"))
       def est(b: Column) =
         col("lo") + (b.cast("double") + lit(1.0)) *
-          ((col("hi") - col("lo")) / lit(buckets.toDouble))
-      val width = (col("hi") - col("lo")) / lit(buckets.toDouble)
+          gwidth(col("lo"), col("hi"))
+      // 1 ppm relative slack on the bound check: in the ε-floored
+      // degenerate case est − exact lands one ulp above ε; the slack
+      // can only keep a true bound true, never flip one false
+      val width = gwidth(col("lo"), col("hi")) * lit(1.0 + 1e-6)
       picks.crossJoin(broadcast(mm)).crossJoin(broadcast(exact))
         .select(
           lit(16).as("n_shards"), col("n_rows"),
@@ -1009,7 +1023,9 @@ object Relational extends graft.QueryModule {
     // HLL rows the oracle re-derives sketch, merge, AND bound checks
     // exactly — a full hash gate over a mergeable-sketch pipeline
     "q_quantile_sketch_merge" -> {
-      val w = "((mm.hi - mm.lo) / 256.0)"
+      // greatest(..., ε) mirrors the Spark side's degenerate-domain
+      // guard — see quantileSketchMerge
+      val w = "greatest((mm.hi - mm.lo) / 256.0, abs(mm.hi) * 1e-9 + 1e-12)"
       def estSql(b: String) = s"mm.lo + ($b + 1.0) * $w"
       s"""WITH li AS (
          |  SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
@@ -1046,9 +1062,9 @@ object Relational extends graft.QueryModule {
          |  round(ex.e50, 9) AS exact_p50,
          |  round(ex.e90, 9) AS exact_p90,
          |  round(ex.e99, 9) AS exact_p99,
-         |  abs(${estSql("p.b50")} - ex.e50) <= $w AS p50_within_grid,
-         |  abs(${estSql("p.b90")} - ex.e90) <= $w AS p90_within_grid,
-         |  abs(${estSql("p.b99")} - ex.e99) <= $w AS p99_within_grid
+         |  abs(${estSql("p.b50")} - ex.e50) <= $w * (1.0 + 1e-6) AS p50_within_grid,
+         |  abs(${estSql("p.b90")} - ex.e90) <= $w * (1.0 + 1e-6) AS p90_within_grid,
+         |  abs(${estSql("p.b99")} - ex.e99) <= $w * (1.0 + 1e-6) AS p99_within_grid
          |FROM picks p CROSS JOIN mm CROSS JOIN ex""".stripMargin
     },
     // shard count is data-dependent (distinct l_orderkey % 16), exact

@@ -204,12 +204,28 @@ object TextOps extends graft.QueryModule {
 
   /** k-token positional phrase search — [[phraseSearch]] generalized
     * past bigrams by ITERATED POSITIONAL INTERSECTION, the way a real
-    * positional index answers an n-token phrase: anchor on documents
-    * whose token matches the phrase's first word, then intersect the
-    * positional postings of word i at anchor+i for each remaining
-    * word. The phrase stays data-derived (the corpus's most frequent
-    * n-gram under the same adjacency rule, ties lexicographic) so the
-    * query is hash-stable at every SF.
+    * positional index answers an n-token phrase: anchor on the
+    * phrase's RAREST word (min posting-list length) and intersect the
+    * positional postings of every other word at its relative offset
+    * from the anchor. The phrase stays data-derived (the corpus's
+    * most frequent n-gram under the same adjacency rule, ties
+    * lexicographic) so the query is hash-stable at every SF.
+    *
+    * Why the rarest word (r9 verdict #2): the declared phrase is the
+    * corpus's most frequent n-gram, so its FIRST word is near-
+    * guaranteed a stop-word-class term — anchoring there makes the
+    * anchor set one of the largest posting lists in the corpus and
+    * every probe step a join of that whole set against the token
+    * stream. The classic positional-index plan anchors on the min-df
+    * word instead: same output by construction (a phrase occurrence
+    * contains every word at its offset, whichever one you start
+    * from), anchor set smaller by the df ratio — orders of magnitude
+    * on natural text. The posting lengths come from the phrase-word
+    * df lookup (n tiny rows collected, the pricing-table convention),
+    * and when the anchor posting list is small enough the probe
+    * chain broadcasts IT, so each step is a broadcast hash join of
+    * the shrinking candidate set against the big token stream — never
+    * a shuffle of the stream itself.
     *
     * Scale shape, two halves: (1) the argmax n-gram comes from a lead
     * WINDOW over the positioned token stream — one exchange on
@@ -217,14 +233,14 @@ object TextOps extends graft.QueryModule {
     * guards so an n-gram never spans a position gap (raw split
     * positions skip filtered empty tokens, and the postings-
     * intersection probe would never match across such a gap);
-    * (2) the probe anchors on the first word via a one-row broadcast,
-    * and each remaining word is one broadcast hash join of the
-    * (small) anchor set against the token stream keyed (doc_id, pos)
-    * — n−1 broadcast joins, zero additional shuffles. A serving
-    * deployment materializes the positional index once and reuses it
-    * across queries.
+    * (2) the probe anchors on the rarest word and runs n−1 joins of
+    * the candidate set against the token stream keyed (doc_id, pos),
+    * broadcast when the anchor df stays under `broadcastMaxDf`. A
+    * serving deployment materializes the positional index once and
+    * reuses it across queries.
     */
-  def phraseSearchK(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+  def phraseSearchK(docs: DataFrame, n: Int = 3, k: Int = 20,
+      broadcastMaxDf: Long = 2000000L): DataFrame = {
     require(n >= 2, s"phrase length must be >= 2, got $n")
     import org.apache.spark.sql.expressions.Window
     val tok = Shingles.tokensWithPos(docs).localCheckpoint(true)
@@ -242,24 +258,41 @@ object TextOps extends graft.QueryModule {
       .orderBy(col("n").desc +: wordCols.map(col): _*)
       .limit(1)
       .select(wordCols.map(col): _*)
-    // anchor on the first word, then intersect postings at pos + i
-    val anchors = tok.join(broadcast(top), col("term") === col("w0"))
-      .select(col("doc_id") +: col("pos") +: wordCols.map(col): _*)
-    def probeStep(acc: DataFrame, i: Int): DataFrame =
-      acc.join(
+      .collect() // ONE row — the phrase itself (a driver-side scalar)
+    if (top.isEmpty)
+      // empty corpus: stable schema, zero rows
+      return tok.filter(lit(false))
+        .select(col("doc_id"), lit("").as("phrase"),
+          lit(0L).as("n_occurrences"))
+    val words = wordCols.map(c => top.head.getAs[String](c))
+    // posting lengths of the phrase's words — the n-row pricing table
+    // that picks the anchor (min count, ties to the earliest offset)
+    val dfByTerm = tok.filter(col("term").isin(words.distinct: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aIdx = words.indices.minBy(i => (dfByTerm(words(i)), i))
+    val anchorBroadcasts = dfByTerm(words(aIdx)) <= broadcastMaxDf
+    val anchors = tok.filter(col("term") === lit(words(aIdx)))
+      .select(col("doc_id"), col("pos"))
+    // probe every non-anchor word at its offset relative to the anchor
+    def probeStep(acc: DataFrame, i: Int): DataFrame = {
+      val lhs = if (anchorBroadcasts) broadcast(acc) else acc
+      lhs.join(
         tok.select(col("doc_id").as("pd"), col("pos").as("pp"),
           col("term").as("pt")),
-        col("pd") === col("doc_id") && col("pp") === col("pos") + i &&
-          col("pt") === col(s"w$i"))
+        col("pd") === col("doc_id") &&
+          col("pp") === col("pos") + (i - aIdx) &&
+          col("pt") === lit(words(i)))
         .drop("pd", "pp", "pt")
-    val matched = (1 until n).foldLeft(anchors)(probeStep)
+    }
+    val matched = words.indices.filter(_ != aIdx).foldLeft(anchors)(probeStep)
     matched
-      .groupBy(col("doc_id") +: wordCols.map(col): _*)
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"),
-        concat_ws(" ", wordCols.map(col): _*).as("phrase"),
+        lit(words.mkString(" ")).as("phrase"),
         col("n_occurrences"))
   }
 

@@ -472,7 +472,14 @@ object VectorOps extends graft.QueryModule {
     * decision.
     *
     * Output, one row per setting: occupied bucket count, max
-    * occupancy, and the candidate-pair total the join would generate.
+    * occupancy, and `candidate_pairs` = Σ occ·(occ−1)/2 over (band,
+    * bucket) — the PRE-distinct pair-generation count. A pair colliding
+    * in k bands is counted k times here while the banded join's
+    * distinct() keeps it once, so the figure is an upper bound on
+    * distinct candidates — deliberately so: the generation count is
+    * what the join's shuffle actually pays, and budgeting against it
+    * ([[autoPlanesPerBand]]) errs conservative (picks at-least-as-many
+    * planes as the distinct count would).
     */
   def lshOccupancy(embeddings: DataFrame, settings: Seq[Int] = Seq(2, 4, 6, 8),
       nBands: Int = 4, dims: Int = 64, samplePct: Int = 100): DataFrame = {

@@ -91,32 +91,70 @@ object Formats {
     * [[readZorderedPruned]] builds its file list from this, and
     * FormatsSpec uses the same helper to verify writer tightness.
     *
+    * Scale shape (r9 verdict #4): the file listing goes through the
+    * Hadoop [[org.apache.hadoop.fs.FileSystem]] API with the SESSION's
+    * Hadoop configuration — so `s3a://`/`hdfs://` paths and configured
+    * credentials work, where a `java.io.File` walk only ever saw the
+    * local disk — and the footer reads themselves run as a Spark job
+    * over the path list (one task per slice), never a driver-serial
+    * loop. At 100 TB (millions of files) the driver's only costs are
+    * the listing iterator and collecting one small stats row per file;
+    * `listFiles(recursive = true)` is the object-store-safe form (flat
+    * key listing, no per-directory round trips).
+    *
     * A column's stats are None when the file lacks the column, a row
     * group was written without statistics, or a min/max is null — the
     * cases where a skipping reader must treat the file as
     * possibly-matching, never prune it.
+    *
+    * Throws if `dir` does not exist (a misspelled path must fail loud,
+    * not price as "zero files"); an existing dir with no parquet files
+    * returns Nil and [[readZorderedPruned]] refuses to build on it.
     */
-  def parquetLongStats(dir: String, columns: Seq[String])
+  def parquetLongStats(spark: SparkSession, dir: String, columns: Seq[String])
       : Seq[(String, Map[String, Option[(Long, Long)]])] = {
     import scala.jdk.CollectionConverters._
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles).map(_.toSeq).getOrElse(Nil).flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(dir))
-      .filter(_.getName.endsWith(".parquet"))
-      .map { f =>
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root))
+      throw new IllegalArgumentException(
+        s"parquetLongStats: path does not exist: $dir")
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath.toString
+      }
+      buf.toSeq
+    }
+    if (files.isEmpty) Nil
+    else {
+      // Hadoop Configuration is not serializable — ship its entries and
+      // rebuild inside each task so executor-side footer opens see the
+      // session's filesystem settings and credentials. The closure is
+      // self-contained (captures only the two arrays) so nothing else
+      // rides the serialization.
+      val confKv = conf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      val cols = columns.toArray
+      val slices = math.min(files.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(files, slices).map { p =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confKv.foreach { case (k, v) => c.set(k, v) }
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.getPath),
-            new org.apache.hadoop.conf.Configuration()))
+            new org.apache.hadoop.fs.Path(p), c))
         try {
           val blocks = rd.getFooter.getBlocks.asScala.toSeq
-          val mm = columns.map { name =>
+          val mm = cols.map { name =>
             val bounds = blocks.flatMap(_.getColumns.asScala)
               .filter(_.getPath.toDotString == name)
-              .map { c =>
-                val st = c.getStatistics
+              .map { cc =>
+                val st = cc.getStatistics
                 if (st == null || st.isEmpty ||
                     st.genericGetMin == null || st.genericGetMax == null) None
                 else (st.genericGetMin, st.genericGetMax) match {
@@ -131,9 +169,10 @@ object Formats {
                 bounds.flatten.map(_._2).max))
             name -> agg
           }.toMap
-          (f.getPath, mm)
+          (p, mm)
         } finally rd.close()
-      }
+      }.collect().toSeq.sortBy(_._1)
+    }
   }
 
   /** The READ side of the z-order layout — what turns zonemaps into
@@ -153,7 +192,15 @@ object Formats {
       xRange: (Long, Long), yRange: (Long, Long))
       : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
-    val stats = parquetLongStats(dir, Seq("x", "y"))
+    val stats = parquetLongStats(spark, dir, Seq("x", "y"))
+    // An existing dir with ZERO parquet files is an ingest/path problem,
+    // not "no matches" — returning an empty frame here would convert an
+    // I/O mistake into silent data loss for a product read path, so the
+    // reader refuses (nonexistent paths already throw in the listing).
+    if (stats.isEmpty)
+      throw new IllegalArgumentException(
+        s"readZorderedPruned: no parquet files under $dir — " +
+          "refusing to return an empty result for a path/listing problem")
     val keep = stats.filter { case (_, mm) =>
       // a file with unknown stats on either dim is possibly-matching
       // and must be read — skipping is only sound on proven bounds
@@ -172,11 +219,10 @@ object Formats {
       spark.read.option("basePath", dir).parquet(files: _*)
     val matched =
       if (keep.nonEmpty) readFiles(keep).filter(boxFilter)
-      else if (stats.nonEmpty)
+      else
         // everything pruned: keep the table's schema (read one file's
         // metadata, emit no rows) so callers see a stable shape
         readFiles(Seq(stats.head._1)).filter(lit(false))
-      else spark.emptyDataFrame
     (matched, keep.size, stats.size)
   }
 

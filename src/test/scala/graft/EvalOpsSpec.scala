@@ -294,6 +294,30 @@ class EvalOpsSpec extends AnyFunSuite {
       === Seq((1L, "a b c", 2L)))
   }
 
+  test("phraseSearchK anchors on the phrase's RAREST word, not its first (r9 verdict #2)") {
+    import spark.implicits._
+    // "the" floods the corpus (huge posting list) and leads the most
+    // frequent trigram "the zq xx"; "zq" appears ONLY inside phrase
+    // occurrences while "xx" also appears alone — min-df anchor = zq
+    val docs = (
+      // filler trigram types are unique per doc (a$i/b$i/c$i), so the
+      // planted phrase's 6 occurrences win the argmax
+      (0L until 30L).map(i => (i, s"the a$i xx the b$i c$i", "s")) :+
+        (100L, "the zq xx pad the zq xx pad the zq xx", "s") :+
+        (101L, "the zq xx pad the zq xx", "s") :+
+        (102L, "the zq xx", "s")
+      ).toDF("doc_id", "text", "source")
+    val q = TextOps.phraseSearchK(docs, 3, 10)
+    // the probe chain's anchor filter must select the rare word — the
+    // plan carries the literal, so the choice is pinned structurally
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("= zq)"), s"anchor is not the min-df word:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // and the re-anchored plan returns exactly the right answer
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq((100L, "the zq xx", 3L), (101L, "the zq xx", 2L), (102L, "the zq xx", 1L)))
+  }
+
   test("metricStability: replicate means equal driver recomputation; spread sane") {
     val out = TextOps.metricStability(docs, 16).collect()
     assert(out.length === 16)

@@ -51,7 +51,7 @@ class FormatsSpec extends AnyFunSuite {
     // the statistics a scan's file/row-group skipping reads (the
     // same product helper readZorderedPruned builds its file list from)
     def fileStats(d: String): Seq[(String, Long, Long, Long, Long)] =
-      Formats.parquetLongStats(d, Seq("x", "y")).map { case (f, mm) =>
+      Formats.parquetLongStats(spark, d, Seq("x", "y")).map { case (f, mm) =>
         val (x0, x1) = mm("x").get
         val (y0, y1) = mm("y").get
         (f, x0, x1, y0, y1)
@@ -131,13 +131,31 @@ class FormatsSpec extends AnyFunSuite {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"))
       .coalesce(1).write.mode("overwrite").parquet(d)
-    val stats = Formats.parquetLongStats(d, Seq("l_orderkey", "x", "l_returnflag"))
+    val stats = Formats.parquetLongStats(spark, d, Seq("l_orderkey", "x", "l_returnflag"))
     assert(stats.nonEmpty)
     stats.foreach { case (_, mm) =>
       assert(mm("l_orderkey").isDefined, "INT64 stats must be read")
       assert(mm("x").isEmpty, "absent column must read as unknown")
       assert(mm("l_returnflag").isEmpty, "non-INT64 column must read as unknown")
     }
+  }
+
+  test("stats/pruned-read fail loud on bad paths: missing dir throws, parquet-free dir refuses") {
+    // a misspelled path must never price as "zero files" — the r9
+    // ADVICE finding was exactly this silent-empty conversion
+    val missing = "/tmp/graft-definitely-not-a-dir-12345"
+    intercept[IllegalArgumentException] {
+      Formats.parquetLongStats(spark, missing, Seq("x"))
+    }
+    intercept[Exception] { // listing layer throws before pruning logic
+      Formats.readZorderedPruned(spark, missing, (0L, 1L), (0L, 1L))
+    }
+    val empty = Files.createTempDirectory("graft-empty").toString
+    assert(Formats.parquetLongStats(spark, empty, Seq("x")).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Formats.readZorderedPruned(spark, empty, (0L, 1L), (0L, 1L))
+    }
+    assert(e.getMessage.contains("no parquet files"))
   }
 
   test("CSV round-trip preserves schema and values (incl. timestamps)") {

@@ -129,6 +129,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(small.exists(_.getLong(2) > 0), "tiny vocab must produce OOV tokens")
   }
 
+  test("quantileSketchMerge: constant column (hi == lo) is guarded — bucket 0, no NaN, bounds hold") {
+    // r9 ADVICE: the raw width (hi-lo)/256 is 0 on a constant column →
+    // NaN buckets and a cross-engine divergence; the ε-floored width
+    // must put everything in bucket 0 and keep the bound booleans true
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .withColumn("l_extendedprice", lit(42.5))
+    val r = graft.ops.Relational.quantileSketchMerge(li).collect().head
+    // estimates sit one ε-width above the constant (ε ≈ |hi|·1e-9)
+    assert(math.abs(r.getAs[Double]("p50_est") - 42.5) < 1e-6)
+    assert(math.abs(r.getAs[Double]("p99_est") - 42.5) < 1e-6)
+    assert(r.getAs[Boolean]("p50_within_grid"))
+    assert(r.getAs[Boolean]("p90_within_grid"))
+    assert(r.getAs[Boolean]("p99_within_grid"))
+  }
+
   test("shardAssign partitions the corpus exactly and near-uniformly") {
     val rows = TextOps.shardAssign(docs, 16).collect()
     assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
