@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
   * `sections` = comma-separated subset of
   * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq,
-  * audit,trained,longdoc — default = all EXCEPT `longdoc`: the emb
+  * audit,trained,layout,longdoc — default = all EXCEPT `longdoc`: the emb
   * section's exact all-pairs baseline is minutes at 8× (so targeted
   * probes shouldn't have to pay for it), and `longdoc` deliberately
   * runs charEntropy's retired O(len²) baseline for contrast, which
@@ -23,7 +23,7 @@ object ScaleProbe {
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
-        "pipeline", "bpe", "classify", "pq", "audit", "trained")
+        "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,6 +150,36 @@ object ScaleProbe {
     time("quantized_knn") {
       graft.ops.VectorOps.quantizedKnn(docs.sparkSession
         .read.parquet(s"$dir/embeddings.parquet"), col("vec_id") < 5, 10).count()
+    }
+    }
+
+    // round-10: storage-layout stats pass + retrieval-anchor contrast
+    if (sections("layout")) {
+    // many-file footer-stats pass: listing via the Hadoop FS API,
+    // footer reads distributed as a Spark job (r9 verdict #4). File
+    // count scales with the factor, so a serial walk would show up as
+    // a linear-in-files driver stall; the distributed pass tracks
+    // files/parallelism.
+    val nFiles = 64 * factor
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stats-many").toString + "/t"
+    graft.ops.EventOps.zKeyed(graft.core.Tables.events(spark, dir))
+      .select("x", "y", "z")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    time(s"footer_stats_${nFiles}f") {
+      graft.sources.Formats.parquetLongStats(spark, tmp, Seq("x", "y"))
+        .size.toLong
+    }
+    // stop-word-leading phrase: min-df anchor vs the retired
+    // first-word anchor on the same corpus — the r9 verdict #2
+    // contrast, same output by construction
+    time("phrase3_mindf") {
+      graft.ops.TextOps.phraseSearchK(docs, 3, 20).count()
+    }
+    time("phrase3_firstword") {
+      graft.ops.TextOps.phraseSearchK(docs, 3, 20,
+        anchorIdxOverride = Some(0)).count()
     }
     }
 
@@ -292,6 +322,26 @@ object ScaleProbe {
     time("label_prop_auto") {
       graft.ops.VectorOps.labelPropagation(emb, pAuto, 4, 64, 3, 5)
         .filter(col("propagated") =!= -1).count()
+    }
+    // persisted-index lifecycle (r9 verdict #1): pay the trainer ONCE
+    // into a parquet artifact, then serving must cost only the probe
+    // tail — contrast the serve row against the train+serve row, which
+    // retrains per query batch (the self-contained-oracle convention's
+    // price that deployment removes)
+    val ixDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-ix").toString + "/ix"
+    time("ivfpq_write_index") {
+      graft.ops.VectorOps.writeIvfPqIndex(emb, ixDir, 8, 8, 16, 64)
+      spark.read.parquet(s"$ixDir/codes").count()
+    }
+    val ix = graft.ops.VectorOps.readIvfPqIndex(spark, ixDir)
+    time("ivfpq_serve_rerank") {
+      graft.ops.VectorOps.ivfPqRerankServed(ix, emb, col("vid") < 5, 100, 10, 1)
+        .count()
+    }
+    time("ivfpq_train_rerank") {
+      graft.ops.VectorOps.ivfPqRerank(emb, col("vid") < 5, 8, 8, 16, 100, 10, 64, 1)
+        .count()
     }
     emb.unpersist(false)
     }

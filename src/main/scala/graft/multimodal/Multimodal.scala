@@ -324,7 +324,7 @@ object MultimodalQueries extends graft.QueryModule {
   // ASCII text (= the stub payload), one bit per adjacent-pixel pair.
   private def dhashPxSql(i: Int): String =
     s"ascii(substr(text, CAST((($i % n) + 1) AS INT), 1))"
-  private def dhashHalfSql(rlo: Int): String = {
+  private[graft] def dhashHalfSql(rlo: Int): String = {
     val terms = (rlo until rlo + 4).flatMap { r =>
       (0 until 8).map { c =>
         val shift = (r % 4) * 8 + c

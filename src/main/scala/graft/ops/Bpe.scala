@@ -299,6 +299,34 @@ object Bpe extends graft.QueryModule {
     train(sampled(docs, samplePct), k)._1.toDF()
   }
 
+  /** Train and return the merge table as the driver-side model —
+    * the form [[bpeEncodeWith]], [[bpeModel]] and [[writeBpeModel]]
+    * consume (the DataFrame twin is [[bpeMerges]]).
+    */
+  def bpeTrainModel(docs: DataFrame, k: Int = 8, samplePct: Int = 100): Seq[Merge] =
+    train(sampled(docs, samplePct), k)._1
+
+  /** Persist a trained merge table to parquet — the train-once half of
+    * the tokenizer lifecycle (r9 verdict #1): a production tokenizer
+    * is trained once, shipped as an artifact, and applied to every new
+    * corpus/stream. The table is k rows of model state; reading it
+    * back costs one tiny parquet scan instead of the full per-merge
+    * training sweep ([[bpeMerges]] pays k corpus-vocab passes).
+    */
+  def writeBpeModel(spark: SparkSession, merges: Seq[Merge], dir: String): Unit = {
+    import spark.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge table, step-ordered — feed to
+    * [[bpeEncodeWith]] (batch) or [[bpeModel]] (stream serving).
+    * Round-trips exactly: strings and longs, no floats involved.
+    */
+  def readBpeModel(spark: SparkSession, dir: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[Merge].collect().toSeq.sortBy(_.step)
+  }
+
   /** Deterministic corpus hash-sample: keep doc_ids in the first
     * `samplePct` of 100 md5 buckets.
     */

@@ -404,14 +404,44 @@ object Classify extends graft.QueryModule {
       .toDF("target_source", "bias_micro", "w_micro")
   }
 
+  /** Persist a trained gate (target label, micro bias, B bucket
+    * weights) to parquet — the train-once half of the quality-gate
+    * lifecycle (r9 verdict #1). The artifact is the one-row
+    * [[linearModel]] table; weights are exact micro-longs so the
+    * round-trip is lossless and a served scorer is bit-identical to
+    * an in-query-trained one (IndexServeSpec pins it).
+    */
+  def writeLinearGate(docs: DataFrame, dir: String, iters: Int = 3): Unit =
+    linearModel(docs, iters).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted gate back to driver-side model form
+    * (target, weights, bias) — feed to [[linearQualityWith]] or the
+    * stream scorer. */
+  def readLinearGate(spark: SparkSession, dir: String): (String, Array[Long], Long) = {
+    val r = spark.read.parquet(dir).collect().head
+    val m = r.getAs[scala.collection.Map[Long, Long]]("w_micro")
+    (r.getAs[String]("target_source"),
+      Array.tabulate(B)(b => m.getOrElse(b.toLong, 0L)),
+      r.getAs[Long]("bias_micro"))
+  }
+
   /** Held-out evaluation of the trained probe: score the odd-doc_id
     * half with the final weights and report per-doc pre-activation
     * score (per token), hard-sigmoid positive probability, and the
     * 0.5-threshold prediction beside the true target flag.
     */
   def linearQuality(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
     val (target, w, bias) = linearProbeWeights(docs, iters)
+    linearQualityWith(docs, target, w, bias)
+  }
+
+  /** [[linearQuality]]'s scoring tail with a FIXED model — the serving
+    * path for a gate loaded via [[readLinearGate]]: no training pass,
+    * just the broadcast weight join + doc-keyed aggregate.
+    */
+  def linearQualityWith(docs: DataFrame, target: String, w: Array[Long],
+      bias: Long): DataFrame = {
+    val spark = docs.sparkSession
     val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
       .toDF("bucket", "w")
     val zNum = col("zw") + lit(bias) * col("n_tokens")

@@ -191,9 +191,70 @@ object Curation extends graft.QueryModule {
         sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
   }
 
+  /** Per-source term-distribution drift between two snapshots (r9
+    * verdict #7) — the ingest-regression NUMBER an operator alerts on,
+    * where [[corpusDiff]] counts documents: total variation between
+    * the snapshots' term frequencies over the union of their per-
+    * source top-`topK` terms, plus the single most-drifted term. A
+    * boilerplate injection, a language flip, or a template change in
+    * one source moves this number the day it happens, before any
+    * downstream metric does.
+    *
+    * Exactness: frequencies quantize to exact micro-longs
+    * (cnt·1e6 DIV total — integer floor division, identical in both
+    * engines), so TV and the argmax term sit behind the full hash
+    * gate. Scale shape: ONE token aggregate per snapshot (the pass a
+    * stats job runs anyway), per-source windows over the vocab-sized
+    * frequency frame, and one (source, term)-keyed full-outer join of
+    * the two frequency tables — the corpus text never shuffles and
+    * nothing self-joins. Support = union of both top-k sets, with
+    * each term's TRUE frequency from both sides (a term that fell out
+    * of one snapshot's top-k still contributes its real probability,
+    * not zero).
+    */
+  def corpusDrift(v1: DataFrame, v2: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def freqs(v: DataFrame, sfx: String): DataFrame =
+      v.select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("source")))
+        .withColumn(s"rn$sfx", row_number().over(
+          Window.partitionBy("source").orderBy(col("cnt").desc, col("term"))))
+        .select(col("source"), col("term"),
+          expr("cnt * 1000000 DIV tot").as(s"p$sfx"), col(s"rn$sfx"))
+    freqs(v1, "1").join(freqs(v2, "2"), Seq("source", "term"), "full_outer")
+      .filter(col("rn1") <= topK || col("rn2") <= topK)
+      .select(col("source"), col("term"),
+        coalesce(col("p1"), lit(0L)).as("p1"),
+        coalesce(col("p2"), lit(0L)).as("p2"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_support_terms"),
+        sum(abs(col("p2") - col("p1"))).as("tvm"),
+        min(struct((-abs(col("p2") - col("p1"))).as("neg"),
+          col("term").as("term"),
+          (col("p2") - col("p1")).as("delta"))).as("top"))
+      .select(col("source"), col("n_support_terms"),
+        (col("tvm").cast("double") / lit(2000000.0)).as("total_variation"),
+        col("top.term").as("top_drift_term"),
+        (col("top.delta").cast("double") / lit(1000000.0)).as("top_drift_delta"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dataset_card" -> { (spark, dir) =>
       datasetCard(Tables.documents(spark, dir)).orderBy("source")
+    },
+
+    // Term-distribution drift between the same two synthetic snapshots
+    // q_corpus_diff compares — the alerting number beside the counts.
+    "q_corpus_drift" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+      val v2 = docs.withColumn("text",
+        when(col("doc_id") % 13 === 1, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+      corpusDrift(v1, v2, 100).orderBy("source")
     },
 
     // Snapshot diff: v1 = yesterday's crawl (every 17th doc missing),
@@ -244,6 +305,57 @@ object Curation extends graft.QueryModule {
            |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
            |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
            |FROM st GROUP BY source ORDER BY source""".stripMargin,
+      // same micro-long floor-div quantization as the Spark side; the
+      // argmax term re-derived by a rank window (ties term-ascending)
+      "q_corpus_drift" ->
+        s"""WITH v1 AS (
+           |  SELECT source, text FROM documents WHERE doc_id % 17 <> 3),
+           |v2 AS (
+           |  SELECT source,
+           |    CASE WHEN doc_id % 13 = 1 THEN text || ' edited' ELSE text END AS text
+           |  FROM documents),
+           |t1 AS (
+           |  SELECT source, term FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS term FROM v1)
+           |  WHERE term <> ''),
+           |t2 AS (
+           |  SELECT source, term FROM (
+           |    SELECT source, unnest(string_split(text, ' ')) AS term FROM v2)
+           |  WHERE term <> ''),
+           |f1 AS (SELECT source, term, count(*) AS cnt FROM t1 GROUP BY 1, 2),
+           |f2 AS (SELECT source, term, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+           |g1 AS (
+           |  SELECT source, term,
+           |    (cnt * 1000000) // (sum(cnt) OVER (PARTITION BY source)) AS p1,
+           |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn1
+           |  FROM f1),
+           |g2 AS (
+           |  SELECT source, term,
+           |    (cnt * 1000000) // (sum(cnt) OVER (PARTITION BY source)) AS p2,
+           |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn2
+           |  FROM f2),
+           |sup AS (
+           |  SELECT coalesce(a.source, b.source) AS source,
+           |    coalesce(a.term, b.term) AS term,
+           |    coalesce(a.p1, 0) AS p1, coalesce(b.p2, 0) AS p2
+           |  FROM g1 a FULL OUTER JOIN g2 b
+           |    ON a.source = b.source AND a.term = b.term
+           |  WHERE a.rn1 <= 100 OR b.rn2 <= 100),
+           |agg AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_support_terms,
+           |    sum(abs(p2 - p1)) AS tvm
+           |  FROM sup GROUP BY source),
+           |ranked AS (
+           |  SELECT source, term, p2 - p1 AS delta,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY abs(p2 - p1) DESC, term) AS r
+           |  FROM sup)
+           |SELECT a.source, a.n_support_terms,
+           |  CAST(a.tvm AS DOUBLE) / 2000000.0 AS total_variation,
+           |  t.term AS top_drift_term,
+           |  CAST(t.delta AS DOUBLE) / 1000000.0 AS top_drift_delta
+           |FROM agg a JOIN ranked t ON a.source = t.source AND t.r = 1
+           |ORDER BY a.source""".stripMargin,
       "q_dataset_card" ->
         s"""WITH tok AS (
            |  SELECT doc_id, term FROM (

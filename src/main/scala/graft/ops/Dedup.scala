@@ -384,6 +384,53 @@ object Dedup extends graft.QueryModule {
     out
   }
 
+  /** Cross-modal duplicate candidates (r9 verdict #5): doc pairs where
+    * EITHER the text MinHash signal or the image perceptual-hash
+    * signal fires, with per-signal evidence columns — the joint
+    * decision a multimodal corpus needs (a scraped page duplicated
+    * with re-encoded images beats text dedup alone; a meme template
+    * with swapped captions beats image dedup alone).
+    *
+    * `assoc` is the (doc_id, media_id) association; image-level pairs
+    * from [[graft.multimodal.Multimodal.phashPairs]] map through it to
+    * doc pairs (order-normalized, closest image evidence kept — a doc
+    * can carry several images), then full-outer-join the text
+    * candidates on the pair key. Scale shape: both candidate sets are
+    * banded/bounded (never all-pairs); the assoc joins are keyed on
+    * media_id (broadcastable when the image-dup set is small, which
+    * banding guarantees at sane thresholds); the final stitch is one
+    * (d1, d2)-keyed exchange over two already-small sets.
+    *
+    * Output: (d1, d2, est_jaccard, hamming, text_fired, image_fired)
+    * — est_jaccard null on image-only pairs, hamming null on
+    * text-only pairs.
+    */
+  def crossModalDupCandidates(docs: DataFrame, media: DataFrame,
+      assoc: DataFrame, minEstJaccard: Double = 0.5,
+      maxHamming: Int = 7): DataFrame = {
+    val text = minhashCandidates(docs, minEstJaccard)
+    val mPairs = graft.multimodal.Multimodal.phashPairs(media, maxHamming)
+    val img = mPairs
+      .join(assoc.select(col("media_id").as("m1"), col("doc_id").as("dd1")),
+        col("d1") === col("m1"))
+      .join(assoc.select(col("media_id").as("m2"), col("doc_id").as("dd2")),
+        col("d2") === col("m2"))
+      .filter(col("dd1") =!= col("dd2"))
+      .select(least(col("dd1"), col("dd2")).as("d1"),
+        greatest(col("dd1"), col("dd2")).as("d2"), col("hamming"))
+      .groupBy("d1", "d2").agg(min(col("hamming")).as("hamming"))
+    text.as("t").join(img.as("i"),
+        col("t.d1") === col("i.d1") && col("t.d2") === col("i.d2"),
+        "full_outer")
+      .select(
+        coalesce(col("t.d1"), col("i.d1")).as("d1"),
+        coalesce(col("t.d2"), col("i.d2")).as("d2"),
+        col("t.est_jaccard").as("est_jaccard"),
+        col("i.hamming").as("hamming"),
+        col("t.d1").isNotNull.as("text_fired"),
+        col("i.d1").isNotNull.as("image_fired"))
+  }
+
   /** The banded-LSH bucket key projection of a signature table:
     * (doc_id, band, bkey), NBANDS rows per doc.
     */
@@ -1196,6 +1243,17 @@ object Dedup extends graft.QueryModule {
       minhashOccupancy(Tables.documents(spark, dir))
     },
 
+    // Cross-modal dedup decision: text MinHash ∪ image phash over the
+    // (doc, media) association — pairs where either signal fires,
+    // per-signal evidence columns.
+    "q_crossmodal_dedup" -> { (spark, dir) =>
+      val media = graft.multimodal.Multimodal.mediaTable(spark, dir)
+      crossModalDupCandidates(
+        Tables.documents(spark, dir), media,
+        media.select(col("media_id"), col("media_id").as("doc_id")),
+        0.5, 7).orderBy("d1", "d2")
+    },
+
     // Daily-ingest shape: docs 400+ are the "new batch", deduped
     // against the signature index of the 0–399 "history" — history is
     // never paired with itself.
@@ -1477,6 +1535,51 @@ object Dedup extends graft.QueryModule {
            |JOIN sigs s2 ON c.d2 = s2.doc_id
            |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
            |ORDER BY c.d1, c.d2""".stripMargin,
+      // text half = the exact q_minhash_lsh fragments; image half =
+      // the exact q_phash_pairs brute-force dHash (identity doc↔media
+      // association, kind = image ⇔ doc_id % 3 = 0); stitch = full
+      // outer join on the pair key
+      "q_crossmodal_dedup" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |text_pairs AS (
+           |  SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS est_jaccard
+           |  FROM cand c
+           |  JOIN sigs s1 ON c.d1 = s1.doc_id
+           |  JOIN sigs s2 ON c.d2 = s2.doc_id
+           |  WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5),
+           |img AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           |  FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+           |ih AS (
+           |  SELECT doc_id,
+           |    ${graft.multimodal.MultimodalQueries.dhashHalfSql(0)} AS h_hi,
+           |    ${graft.multimodal.MultimodalQueries.dhashHalfSql(4)} AS h_lo
+           |  FROM img),
+           |img_pairs AS (
+           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |    CAST(bit_count(xor(a.h_hi, b.h_hi))
+           |       + bit_count(xor(a.h_lo, b.h_lo)) AS BIGINT) AS hamming
+           |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.h_hi, b.h_hi))
+           |      + bit_count(xor(a.h_lo, b.h_lo)) <= 7)
+           |SELECT coalesce(t.d1, i.d1) AS d1, coalesce(t.d2, i.d2) AS d2,
+           |  t.est_jaccard, i.hamming,
+           |  t.d1 IS NOT NULL AS text_fired,
+           |  i.d1 IS NOT NULL AS image_fired
+           |FROM text_pairs t FULL OUTER JOIN img_pairs i
+           |  ON t.d1 = i.d1 AND t.d2 = i.d2
+           |ORDER BY 1, 2""".stripMargin,
+
       // per-band bucket occupancy + the candidate-pair price of the
       // banded join — the same sigs/bands fragments as q_minhash_lsh
       "q_minhash_occupancy" ->

@@ -240,7 +240,8 @@ object TextOps extends graft.QueryModule {
     * reuses it across queries.
     */
   def phraseSearchK(docs: DataFrame, n: Int = 3, k: Int = 20,
-      broadcastMaxDf: Long = 2000000L): DataFrame = {
+      broadcastMaxDf: Long = 2000000L,
+      anchorIdxOverride: Option[Int] = None): DataFrame = {
     require(n >= 2, s"phrase length must be >= 2, got $n")
     import org.apache.spark.sql.expressions.Window
     val tok = Shingles.tokensWithPos(docs).localCheckpoint(true)
@@ -270,7 +271,11 @@ object TextOps extends graft.QueryModule {
     val dfByTerm = tok.filter(col("term").isin(words.distinct: _*))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val aIdx = words.indices.minBy(i => (dfByTerm(words(i)), i))
+    // anchorIdxOverride is the probe-only contrast knob (ScaleProbe
+    // measures min-df vs forced-first-word on the same corpus); output
+    // is anchor-invariant, only the join sizes change
+    val aIdx = anchorIdxOverride.getOrElse(
+      words.indices.minBy(i => (dfByTerm(words(i)), i)))
     val anchorBroadcasts = dfByTerm(words(aIdx)) <= broadcastMaxDf
     val anchors = tok.filter(col("term") === lit(words(aIdx)))
       .select(col("doc_id"), col("pos"))

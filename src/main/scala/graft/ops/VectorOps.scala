@@ -1081,6 +1081,86 @@ object VectorOps extends graft.QueryModule {
     out
   }
 
+  /** A persisted IVFADC index — the train-once/serve-many artifact a
+    * production ANN deployment actually runs (r9 verdict #1): coarse
+    * centroids, the trained residual PQ codebook, and the per-vector
+    * residual codes + cell assignment, each a parquet table. The
+    * corpus-sized member is `codes` (one short array row per vector,
+    * ~m bytes of payload — the 64× compression is the point); the
+    * model halves (centroids C·dims doubles, codebook m·ksub·sub
+    * doubles) broadcast at any corpus size.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, nCentroids: Int, m: Int, ksub: Int, dims: Int)
+
+  /** Train an IVFADC index and persist it under `dir`
+    * (centroids/codebook/codes/meta parquet tables). Runs the EXACT
+    * trainer the in-query path runs ([[ivfPqBuildLazy]]), so a query
+    * served from the saved artifact is bit-identical to one that
+    * retrained in-query (IndexServeSpec pins it). At 100 TB this is
+    * the pass you pay ONCE: encoding is the only corpus-sized write,
+    * and every subsequent query batch reads the codes table instead
+    * of re-scoring/retraining — the ~seconds-per-query trainer cost
+    * the bench pays under the self-contained-oracle convention is
+    * exactly what this removes in deployment.
+    */
+  def writeIvfPqIndex(embeddings: DataFrame, dir: String, nCentroids: Int = 8,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (scoredCells, cent, cb, codes) =
+      ivfPqBuildLazy(embeddings, nCentroids, m, ksub, dims)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    Seq((nCentroids, m, ksub, dims))
+      .toDF("n_centroids", "m", "ksub", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    scoredCells.unpersist(false)
+  }
+
+  def readIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    IvfPqIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"),
+      meta.getAs[Int]("n_centroids"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("ksub"), meta.getAs[Int]("dims"))
+  }
+
+  /** Serve ANN queries from a PERSISTED index: score only the query
+    * rows against the broadcast centroids (the corpus is never
+    * touched — its cells and codes are already in the index), then
+    * run the shared [[ivfPqProbe]] tail. Output is bit-identical to
+    * [[ivfPqSearch]] with the same parameters — the deployment shape
+    * where training cost is amortized to zero per query batch.
+    */
+  def ivfPqSearchServed(index: IvfPqIndex, queries: DataFrame,
+      queryPred: Column, k: Int = 10, nprobe: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = castVec(queries, "vid").filter(queryPred)
+    val wA = Window.partitionBy("vid").orderBy(col("ccos").desc, col("ccid"))
+    val scoredQ = q.join(broadcast(index.centroids), lit(true))
+      .select(col("vid"), col("vid_v"), col("ccid"), col("c_v"),
+        round(call_function("array_cosine", col("vid_v"), col("c_v")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wA))
+    ivfPqProbe(scoredQ, index.codebook, index.codes,
+      index.m, k, index.dims, nprobe)
+  }
+
+  /** [[ivfPqRerank]] served from a persisted index: ADC shortlist from
+    * the saved codes, exact re-rank against the float vectors. Same
+    * two-broadcast tail; bit-identical to the in-query-trained result.
+    */
+  def ivfPqRerankServed(index: IvfPqIndex, embeddings: DataFrame,
+      queryPred: Column, shortlist: Int = 100, k: Int = 10,
+      nprobe: Int = 1): DataFrame = {
+    val cand = ivfPqSearchServed(index, embeddings, queryPred, shortlist, nprobe)
+      .select("qid", "vid").localCheckpoint(true)
+    rerankExact(embeddings, cand, k)
+  }
+
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —
     * PlanSpec asserts the broadcast/WindowGroupLimit shape here, before
     * localCheckpoint truncates the plan (the ivfSearchLazy convention).
@@ -1091,6 +1171,25 @@ object VectorOps extends graft.QueryModule {
   private[graft] def ivfPqSearchLazy(embeddings: DataFrame, queryPred: Column,
       nCentroids: Int, m: Int, ksub: Int, k: Int, dims: Int,
       nprobe: Int = 1): (DataFrame, DataFrame) = {
+    val (scoredCells, _, cb, codes) =
+      ivfPqBuildLazy(embeddings, nCentroids, m, ksub, dims)
+    // query side reads the SAME scored-cells pass the trainer built —
+    // zero extra corpus scans for in-query (train+serve) execution
+    val queries = scoredCells.filter(queryPred)
+    val out = ivfPqProbe(queries, cb, codes, m, k, dims, nprobe)
+    (out, scoredCells)
+  }
+
+  /** The IVFADC index BUILD — coarse assignment, residual codebook
+    * training, residual encoding — factored out so the in-query path
+    * ([[ivfPqSearchLazy]]) and the persisted-index path
+    * ([[writeIvfPqIndex]]) train the EXACT same artifact. Returns
+    * (scored-cells pass [persisted], centroids, codebook, codes);
+    * the caller owns unpersisting the scored pass.
+    */
+  private[graft] def ivfPqBuildLazy(embeddings: DataFrame, nCentroids: Int,
+      m: Int, ksub: Int, dims: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
@@ -1131,13 +1230,30 @@ object VectorOps extends graft.QueryModule {
       .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         s => s.getField("code")).as("codes"))
       .join(assigned.select(col("vid"), col("cell")), Seq("vid"))
+    (scoredCells, cent, cb, codes)
+  }
+
+  /** The IVFADC QUERY half, shared verbatim by the in-query path and
+    * the persisted-index serving path: `queries` is a scored-cells
+    * frame (vid, vid_v, ccid, c_v, ccos, rn) restricted to the query
+    * vectors — from the trainer's own corpus pass in-query, or from a
+    * fresh broadcast-centroids scoring of just the query rows when
+    * serving. Because every downstream expression is deterministic
+    * grid arithmetic over those columns, the two paths return
+    * BIT-IDENTICAL results (IndexServeSpec pins it).
+    */
+  private def ivfPqProbe(queries: DataFrame, cb: DataFrame, codes: DataFrame,
+      m: Int, k: Int, dims: Int, nprobe: Int): DataFrame = {
+    val sub = dims / m
+    def gridFold(terms: Column): Column =
+      aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
     // query side: one probe row per (query, probed cell) with that
     // cell's q·c offset; the LUT itself is cell-independent (the
     // residual codewords are global) so it is built once per query
-    val probes = scoredCells.filter(queryPred && col("rn") <= nprobe)
+    val probes = queries.filter(col("rn") <= nprobe)
       .select(col("vid").as("qid"), col("vid_v").as("qid_v"),
         col("ccid").as("cell"), col("c_v"))
-    val lut = scoredCells.filter(queryPred && col("rn") === 1)
+    val lut = queries.filter(col("rn") === 1)
       .select(col("vid").as("qid"), col("vid_v").as("qid_v"))
       .join(broadcast(cb), lit(true))
       .select(col("qid"), col("j"), col("cid"),
@@ -1151,7 +1267,7 @@ object VectorOps extends graft.QueryModule {
         gridFold(zip_with(col("qid_v"), col("c_v"), (a, b) => a * b)).as("qcq")),
         Seq("qid"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
-    val out = codes
+    codes
       .join(broadcast(lut),
         col("qid") =!= col("vid") && codes("cell") === lut("cell"))
       .select(col("qid"), codes("cell").as("cell"), col("vid"),
@@ -1160,7 +1276,6 @@ object VectorOps extends graft.QueryModule {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "cell", "rank", "vid", "score")
-    (out, scoredCells)
   }
 
   /** Spherical Lloyd's k-means over the embedding column — the trainer

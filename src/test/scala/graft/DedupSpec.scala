@@ -311,6 +311,39 @@ class DedupSpec extends AnyFunSuite {
     assert(hit._3 >= 4L && hit._3 <= 8L)
   }
 
+  test("crossModalDupCandidates: image-dup/text-clean and text-dup/image-clean pairs both arrive") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10/11: identical TEXT, very different image bytes (constant vs
+    // alternating → dHash differs in ~half its 64 bits)
+    // 20/21: disjoint vocab, IDENTICAL image bytes (hamming 0)
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "one two three four five six seven eight nine ten"),
+      (21L, "red blue green yellow purple orange pink white black gray")
+    ).toDF("doc_id", "text")
+    val media = Seq(
+      (10L, "image", "a" * 100),
+      (11L, "image", "ab" * 50),
+      (20L, "image", "shared-image-payload-bytes-here-0123456789" * 3),
+      (21L, "image", "shared-image-payload-bytes-here-0123456789" * 3)
+    ).toDF("media_id", "kind", "payload_s")
+      .select(col("media_id"), col("kind"),
+        encode(col("payload_s"), "UTF-8").as("payload"))
+    val assoc = media.select(col("media_id"), col("media_id").as("doc_id"))
+    val out = Dedup.crossModalDupCandidates(docs, media, assoc, 0.5, 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Boolean]("text_fired"), r.getAs[Boolean]("image_fired")))
+      .toSet
+    assert(out.contains((10L, 11L, true, false)),
+      s"text-dup/image-clean pair missing or mis-evidenced: $out")
+    assert(out.contains((20L, 21L, false, true)),
+      s"image-dup/text-clean pair missing or mis-evidenced: $out")
+    assert(out.size === 2, s"unexpected extra candidates: $out")
+  }
+
   test("intraDocDedup is non-vacuous on the testdata: some doc loses tokens at k=3") {
     // the declared query runs k=3 BECAUSE the corpus has real 3-token
     // in-doc repeats at every sf (k=8 has none) — guard that stays true

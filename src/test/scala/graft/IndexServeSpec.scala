@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Bpe, Classify, VectorOps}
+
+/** The train-once/serve-many lifecycle (r9 verdict #1): every trained
+  * artifact — IVFADC index, BPE merge table, linear quality gate —
+  * persists to parquet and serves from the saved artifact
+  * BIT-IDENTICALLY to the in-query-trained path. Equality is exact
+  * (collected rows as strings), not approximate: the artifacts are
+  * integer-grid / exact-long model state, so a round-trip may not
+  * perturb anything.
+  */
+class IndexServeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = graft.core.Tables.embeddings(spark, dir)
+  private def docs = graft.core.Tables.documents(spark, dir)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("IVFADC: served-from-parquet search and rerank are bit-identical to in-query training") {
+    val ixDir = Files.createTempDirectory("graft-ivfpq-ix").toString + "/ix"
+    VectorOps.writeIvfPqIndex(emb, ixDir, 8, 8, 16, 64)
+    val ix = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(ix.nCentroids == 8 && ix.m == 8 && ix.ksub == 16 && ix.dims == 64)
+    // index shape sanity: one codes row per vector, m*ksub codewords
+    assert(ix.codes.count() == emb.count())
+    assert(ix.codebook.count() == 8 * 16)
+    assert(ix.centroids.count() == 8)
+
+    val trained = VectorOps.ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64, 1)
+    val served = VectorOps.ivfPqSearchServed(ix, emb, col("vid") < 5, 10, 1)
+    assert(rows(served) === rows(trained), "served ADC search diverged from in-query training")
+
+    val trainedR = VectorOps.ivfPqRerank(emb, col("vid") < 5, 8, 8, 16, 100, 10, 64, 1)
+    val servedR = VectorOps.ivfPqRerankServed(ix, emb, col("vid") < 5, 100, 10, 1)
+    assert(rows(servedR) === rows(trainedR), "served rerank diverged from in-query training")
+
+    // nprobe dial works identically from the saved index
+    val trained2 = VectorOps.ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64, 2)
+    val served2 = VectorOps.ivfPqSearchServed(ix, emb, col("vid") < 5, 10, 2)
+    assert(rows(served2) === rows(trained2))
+  }
+
+  test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
+    val mDir = Files.createTempDirectory("graft-bpe-model").toString + "/m"
+    val trained = Bpe.bpeTrainModel(docs, 8)
+    Bpe.writeBpeModel(spark, trained, mDir)
+    val loaded = Bpe.readBpeModel(spark, mDir)
+    assert(loaded === trained, "merge table round-trip drift")
+    assert(rows(Bpe.bpeEncodeWith(docs, loaded))
+      === rows(Bpe.bpeEncode(docs, 8)),
+      "encoding from the loaded model diverged from in-query training")
+  }
+
+  test("linear gate: weights round-trip exactly; serving the loaded gate equals in-query training") {
+    val gDir = Files.createTempDirectory("graft-gate").toString + "/g"
+    val (target, w, bias) = Classify.linearProbeWeights(docs, 3)
+    Classify.writeLinearGate(docs, gDir, 3)
+    val (t2, w2, b2) = Classify.readLinearGate(spark, gDir)
+    assert(t2 === target && b2 === bias && w2.toSeq === w.toSeq,
+      "gate weights round-trip drift")
+    assert(rows(Classify.linearQualityWith(docs, t2, w2, b2))
+      === rows(Classify.linearQuality(docs, 3)),
+      "serving the loaded gate diverged from in-query training")
+  }
+}
