@@ -343,6 +343,39 @@ object ScaleProbe {
       graft.ops.VectorOps.ivfPqRerank(emb, col("vid") < 5, 8, 8, 16, 100, 10, 64, 1)
         .count()
     }
+    // cell-balance auto-dial (r9 verdict #6) on a DELIBERATELY skewed
+    // corpus: 10 spread vectors + a near-parallel mass — one cell
+    // swallows ~99%, so nprobe=1 queries landing there scan almost the
+    // whole corpus; the dial splits the fat cell and the serve row
+    // contrasts before/after on the same fat-cell queries
+    val nSkew = 2000 * eFactor
+    val skew = spark.range(nSkew).selectExpr("id AS vec_id",
+      """transform(sequence(0, 63), d -> CASE
+        |  WHEN id < 10 THEN CAST(sin(id * 13 + d) AS DOUBLE)
+        |  ELSE CAST(1.0 + (id % 1000) * 1e-3 *
+        |    (CASE WHEN d = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |END)""".stripMargin + " AS embedding").persist()
+    skew.count()
+    val centS = graft.ops.VectorOps.pqTrain(skew, 1, 8, 2, 64)
+      .select(col("cid"), col("cw").as("cid_v")).localCheckpoint(true)
+    def fattest(c: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.VectorOps.ivfCellShares(skew, c).collect()
+        .map(_.getAs[Double]("share")).max
+    println(f"[scale] skew fattest share before = ${fattest(centS)}%.3f")
+    val fatQ = col("vid") >= 10 && col("vid") < 15 // queries in the fat cell
+    time("ivf_serve_fat_cell") {
+      graft.ops.VectorOps.ivfSearchCentroids(skew, fatQ, centS, 10, 1).count()
+    }
+    var bal: org.apache.spark.sql.DataFrame = centS
+    time("ivf_balance_dial") {
+      bal = graft.ops.VectorOps.ivfBalanceCells(skew, centS, 0.5, 4)
+      bal.count()
+    }
+    println(f"[scale] skew fattest share after  = ${fattest(bal)}%.3f (${bal.count()} cells)")
+    time("ivf_serve_balanced") {
+      graft.ops.VectorOps.ivfSearchCentroids(skew, fatQ, bal, 10, 1).count()
+    }
+    skew.unpersist(false)
     emb.unpersist(false)
     }
 

@@ -1297,50 +1297,131 @@ object VectorOps extends graft.QueryModule {
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val spark = embeddings.sparkSession
     val e = castVec(embeddings, "vid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent = e.filter(col("vid") < k)
       .select(col("vid").cast("int").as("cid"), col("vid_v").as("cid_v"))
-    for (_ <- 0 until iters) {
+    for (_ <- 0 until iters)
+      cent = lloydRound(e, cent).localCheckpoint(true)
+    e.unpersist()
+    cent
+  }
+
+  /** One spherical Lloyd iteration over a prepared (vid, vid_v) frame:
+    * cosine argmin assignment (ties to the lowest cid), decimal
+    * per-dimension means (order-insensitive accumulator — double avg()
+    * depends on partial-agg combine order), unit-sphere renorm (the
+    * update under which the cosine objective is monotone), emptied
+    * clusters keep their previous centroid so exactly |cent| centroids
+    * always come out. Shared by [[kmeans]] and the cell-balance split
+    * refinement ([[ivfBalanceCells]]).
+    */
+  private def lloydRound(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cent), lit(true))
+      .select(col("vid"), col("vid_v"), col("cid"),
+        call_function("array_cosine", col("vid_v"), col("cid_v")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    // per-dimension mean: explode to (cluster, dim, value), aggregate,
+    // reassemble in dimension order — stays distributed end to end
+    val means = assigned
+      .select(col("cid"), posexplode(col("vid_v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        / count(lit(1))).cast("double").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cid_v"))
+    // the per-centroid transform is interpreted HOF but runs over only
+    // |cent| rows
+    val spherical = means
+      .withColumn("_n", expr(
+        "sqrt(aggregate(cid_v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .select(col("cid"), expr(
+        "CASE WHEN _n = 0 THEN cid_v ELSE transform(cid_v, x -> x / _n) END"
+      ).as("cid_v"))
+    spherical
+      .union(cent.join(spherical.select("cid"), Seq("cid"), "left_anti"))
+  }
+
+  /** Per-cell population shares of an IVF index — the
+    * q_ivf_cell_balance body as a library entry: (cell, n_vectors,
+    * n_cells, n_total, share, skew_factor), one broadcast assignment
+    * pass + a cell-keyed aggregate.
+    */
+  def ivfCellShares(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val all = castVec(embeddings, "vid")
+    val wAssign = Window.partitionBy("vid")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = all.join(broadcast(centroids.select(col("cid"), col("cid_v"))), lit(true))
+      .select(col("vid"), col("cid"), cosRounded("vid", "cid").as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    val cells = assign.groupBy(col("cid").as("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+    cells
+      .crossJoin(broadcast(cells.agg(
+        count(lit(1)).as("n_cells"), sum(col("n_vectors")).as("n_total"))))
+      .select(col("cell"), col("n_vectors"), col("n_cells"), col("n_total"),
+        (col("n_vectors").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        (col("n_vectors").cast("double") * col("n_cells").cast("double") /
+          col("n_total").cast("double")).as("skew_factor"))
+      .orderBy("cell")
+  }
+
+  /** Cell-balance AUTO-DIAL (r9 verdict #6, the `autoPlanesPerBand`
+    * convention pointed at the coarse index): while the fattest cell
+    * holds more than `maxShare` of the corpus — the regime where
+    * nprobe=1 silently degrades to a near-full scan for queries
+    * landing in it — SPLIT that cell: seed centroid k+1 with the fat
+    * cell's member FARTHEST from its centroid (deterministic, ties to
+    * the lowest vid), then one spherical Lloyd refinement round so the
+    * split settles. Up to `maxSplits` rounds; a balanced index
+    * (fattest share ≤ maxShare) returns the input centroids UNCHANGED
+    * (IndexServeSpec pins it), so the dial is safe to leave on.
+    *
+    * Driver-side state per round is the ≤|cent|-row share table and
+    * the 1-row seed (the kmeans model convention); each round costs
+    * one broadcast assignment pass + one Lloyd round — both
+    * corpus-linear, no new shuffle class. At 100 TB the dial runs on
+    * the same hash-sample the trainer used; the full-corpus encode
+    * happens once, after the centroids settle.
+    */
+  def ivfBalanceCells(embeddings: DataFrame, cent0: DataFrame,
+      maxShare: Double = 0.5, maxSplits: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val e = castVec(embeddings, "vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = cent0.select(col("cid"), col("cid_v")).localCheckpoint(true)
+    var splits = 0
+    var balanced = false
+    while (!balanced && splits < maxSplits) {
       val wAssign = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cid"))
-      val assigned = e.join(broadcast(cent), lit(true))
+      val assign = e.join(broadcast(cent), lit(true))
         .select(col("vid"), col("vid_v"), col("cid"),
-          call_function("array_cosine", col("vid_v"), col("cid_v")).as("ccos"))
+          cosRounded("vid", "cid").as("ccos"))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
-      // per-dimension mean: explode to (cluster, dim, value), aggregate,
-      // reassemble in dimension order — stays distributed end to end
-      val means = assigned
-        .select(col("cid"), posexplode(col("vid_v")).as(Seq("dim", "x")))
-        // decimal mean: double avg() depends on partial-agg combine
-        // order across tasks; the "deterministic" guarantee needs an
-        // order-insensitive accumulator
-        .groupBy("cid", "dim")
-        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          / count(lit(1))).cast("double").as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cid_v"))
-      // spherical k-means: assignment is by cosine, so project the mean
-      // back onto the unit sphere — the update under which the cosine
-      // objective is monotone (plain means shrink toward the origin and
-      // can oscillate). The per-centroid transform is interpreted HOF
-      // but runs over only k rows.
-      val spherical = means
-        .withColumn("_n", expr(
-          "sqrt(aggregate(cid_v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
-        .select(col("cid"), expr(
-          "CASE WHEN _n = 0 THEN cid_v ELSE transform(cid_v, x -> x / _n) END"
-        ).as("cid_v"))
-      // a cluster that lost all members keeps its previous centroid so
-      // the trainer always returns exactly k centroids (deterministic —
-      // no data-dependent re-seeding)
-      cent = spherical
-        .union(cent.join(spherical.select("cid"), Seq("cid"), "left_anti"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // feeds the share table AND the seed pick
+      val shares = assign.groupBy("cid").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val total = math.max(1L, shares.map(_._2).sum).toDouble
+      val (fatCid, fatN) = shares.minBy { case (c, n) => (-n, c) }
+      if (fatN / total <= maxShare) balanced = true
+      else {
+        val nextCid = cent.agg(max(col("cid"))).head.getInt(0) + 1
+        val seed = assign.filter(col("cid") === fatCid)
+          .orderBy(col("ccos").asc, col("vid"))
+          .limit(1)
+          .select(lit(nextCid).as("cid"), col("vid_v").as("cid_v"))
+        cent = lloydRound(e, cent.unionByName(seed)).localCheckpoint(true)
+        splits += 1
+      }
     }
-    e.unpersist()
+    e.unpersist(false)
     cent
   }
 
@@ -1591,28 +1672,10 @@ object VectorOps extends graft.QueryModule {
     // starves recall everywhere else — this is the q_skew_report
     // convention pointed at the index, priced BEFORE serving traffic.
     "q_ivf_cell_balance" -> { (spark, dir) =>
-      graft.functions.GraftFunctions.register(spark)
       val emb = Tables.embeddings(spark, dir)
       val cent = pqTrain(emb, 1, 8, 2, 64)
         .select(col("cid"), col("cw").as("cid_v"))
-      val all = castVec(emb, "vid")
-      val wAssign = Window.partitionBy("vid")
-        .orderBy(col("ccos").desc, col("cid"))
-      val assign = all.join(broadcast(cent), lit(true))
-        .select(col("vid"), col("cid"), cosRounded("vid", "cid").as("ccos"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-      val cells = assign.groupBy(col("cid").as("cell"))
-        .agg(count(lit(1)).as("n_vectors"))
-      cells
-        .crossJoin(broadcast(cells.agg(
-          count(lit(1)).as("n_cells"), sum(col("n_vectors")).as("n_total"))))
-        .select(col("cell"), col("n_vectors"), col("n_cells"), col("n_total"),
-          (col("n_vectors").cast("double") / col("n_total").cast("double"))
-            .as("share"),
-          (col("n_vectors").cast("double") * col("n_cells").cast("double") /
-            col("n_total").cast("double")).as("skew_factor"))
-        .orderBy("cell")
+      ivfCellShares(emb, cent)
     },
 
     // The nprobe SERVING DIAL as a declared query: same trained index,

@@ -48,6 +48,41 @@ class IndexServeSpec extends AnyFunSuite {
     assert(rows(served2) === rows(trained2))
   }
 
+  test("ivfBalanceCells: balanced index returns UNCHANGED; skewed fat cell is split and share drops") {
+    // balanced half: the sf0.001 trained 8-cell index under a
+    // threshold above its fattest share — the dial must be a no-op,
+    // and serving with its output identical (r9 verdict #6 done bar)
+    val cent = VectorOps.pqTrain(emb, 1, 8, 2, 64)
+      .select(col("cid"), col("cw").as("cid_v"))
+    val max0 = VectorOps.ivfCellShares(emb, cent).collect()
+      .map(_.getAs[Double]("share")).max
+    val thr = math.max(0.5, max0 + 0.01)
+    val out = VectorOps.ivfBalanceCells(emb, cent, thr, 2)
+    assert(rows(out) === rows(cent), "balanced index must come back unchanged")
+    assert(rows(VectorOps.ivfSearchCentroids(emb, col("vid") >= 490, out, 5, 1))
+      === rows(VectorOps.ivfSearchCentroids(emb, col("vid") >= 490, cent, 5, 1)))
+
+    // skewed half: 10 spread vectors + 490 near-parallel ones — one
+    // cell swallows ~98% of the corpus; the dial must split it and
+    // strictly reduce the fattest share
+    val skew = spark.range(500).selectExpr("id AS vec_id",
+      """transform(sequence(0, 63), d -> CASE
+        |  WHEN id < 10 THEN CAST(sin(id * 13 + d) AS DOUBLE)
+        |  ELSE CAST(1.0 + id * 1e-3 * (CASE WHEN d = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |END)""".stripMargin + " AS embedding")
+    val centS = VectorOps.pqTrain(skew, 1, 8, 2, 64)
+      .select(col("cid"), col("cw").as("cid_v"))
+    val sharesBefore = VectorOps.ivfCellShares(skew, centS).collect()
+      .map(_.getAs[Double]("share"))
+    assert(sharesBefore.max > 0.5, s"skew corpus not skewed: ${sharesBefore.toSeq}")
+    val balanced = VectorOps.ivfBalanceCells(skew, centS, 0.5, 4)
+    assert(balanced.count() > centS.count(), "fat cell must trigger a split")
+    val sharesAfter = VectorOps.ivfCellShares(skew, balanced).collect()
+      .map(_.getAs[Double]("share"))
+    assert(sharesAfter.max < sharesBefore.max,
+      s"fattest share must drop: ${sharesBefore.max} -> ${sharesAfter.max}")
+  }
+
   test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
     val mDir = Files.createTempDirectory("graft-bpe-model").toString + "/m"
     val trained = Bpe.bpeTrainModel(docs, 8)
