@@ -312,6 +312,13 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // forward-sweep position (r9 verdict #8): the three r9
+    // suspect-flagged queries all sat late in the sweep; emitting the
+    // position makes load-vs-position correlation machine-checkable
+    // from the artifact alone (the reversed pass sits at
+    // n_queries-1-pos by construction)
+    val qsPos = results.zipWithIndex
+      .map { case ((k, _, _, _), i) => s"${jstr(k)}:$i" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -325,7 +332,7 @@ object Bench {
       s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_suspect":${suspects.size}"""
     val fp = s""""data_fp":${jstr(dataFingerprint(sfDir))}"""
     val susp = suspects.map(jstr).mkString("[", ",", "]")
-    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"suspect_load":$susp,"sf":${jstr(sfDir)}}""",
+    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"sf":${jstr(sfDir)}}""",
       s"""{$head,$calib,$fp,"sf":${jstr(sfDir)}}""")
   }
 }

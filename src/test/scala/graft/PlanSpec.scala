@@ -436,6 +436,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("broadcastQuery=false fallback: equal output via a shuffled join, never a broadcast (r9 #9)") {
+    // the documented stop-word escape hatch (Semantic.scala): a query
+    // term whose doc vector outgrows the broadcast budget joins
+    // shuffled instead. Pin (a) output equality to the broadcast path
+    // and (b) the plan actually shuffles — with auto-broadcast
+    // disabled so tiny-testdata size estimates can't silently promote
+    // the hint-less join back to a broadcast.
+    val docs = graft.core.Tables.documents(spark, dir)
+    val tf = graft.tfidf.TfIdf.tfidf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = graft.sim.Semantic.queryTermFrom(tf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bcast = graft.sim.Semantic
+        .relatedTermsFrom(tf, q, 5, None, broadcastQuery = true)
+      val shuffled = graft.sim.Semantic
+        .relatedTermsFrom(tf, q, 5, None, broadcastQuery = false)
+      assert(shuffled.collect().map(_.toString).toSeq
+        === bcast.collect().map(_.toString).toSeq,
+        "shuffled fallback must return the broadcast path's answer")
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      val pb = bcast.queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"), pb) // the hint still wins
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      tf.unpersist(false)
+    }
+  }
+
   test("q_phrase_search3 probe: anchor + positional intersections all broadcast, no cartesian") {
     val p = plan("q_phrase_search3")
     assert(!p.contains("CartesianProduct"), p)

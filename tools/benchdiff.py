@@ -78,6 +78,26 @@ def load(path):
         nt = sum(meta[f"calib_nt_{p}_sec"] for p in pts) / len(pts)
         st = sum(meta[f"calib_1t_{p}_sec"] for p in pts) / len(pts)
         calib = nt / st if st > 0 else None
+    # r10+: forward-sweep position per query + the self-labeled suspect
+    # list, so load-vs-position correlation is checkable from artifacts
+    if "queries" in d:
+        sweep_pos = d.get("sweep_pos") or {}
+        suspects = d.get("suspect_load") or []
+    else:
+        # exact-marker only: the head-truncation fallback would scrape
+        # query TIMES as "positions" from pre-r10 artifacts that lack
+        # the field at all
+        tail = d.get("tail", "")
+        if '"sweep_pos":{' in tail:
+            try:
+                sweep_pos, _ = _parse_queries_blob(tail, "sweep_pos")
+                sweep_pos = {k: int(v) for k, v in sweep_pos.items()}
+            except Exception:
+                sweep_pos = {}
+        else:
+            sweep_pos = {}
+        m = re.search(r'"suspect_load":\[([^\]]*)\]', d.get("tail", ""))
+        suspects = re.findall(r'"(q_[A-Za-z0-9_]+)"', m.group(1)) if m else []
     return {
         "path": path,
         "data_fp": meta.get("data_fp"),
@@ -87,6 +107,8 @@ def load(path):
         "queries": queries,
         "partial": partial,
         "factor": calib,
+        "sweep_pos": sweep_pos,
+        "suspects": suspects,
     }
 
 
@@ -162,8 +184,34 @@ def main():
     if not regressions:
         print("  (none)")
     tag = " [data-shifted]" if data_shifted else ""
+
+    def pos_tag(run, q):
+        p = run["sweep_pos"].get(q)
+        if p is None or not run["n_queries"]:
+            return ""
+        return f" [sweep pos {p}/{run['n_queries'] - 1}]"
+
     for q, va, vb, ratio in regressions:
-        print(f"  REGRESSED {q}: {va:.2f}s -> {vb:.2f}s ({ratio:.1f}x){tag}")
+        print(f"  REGRESSED {q}: {va:.2f}s -> {vb:.2f}s ({ratio:.1f}x){tag}{pos_tag(b, q)}")
+
+    # r10: suspect-load vs sweep-position correlation — the r9 verdict
+    # noted all three suspect-flagged queries sat late in the sweep;
+    # with positions in the artifact that reading is mechanical
+    for run in (a, b):
+        if run["suspects"] and run["sweep_pos"] and run["n_queries"]:
+            locs = [
+                (q, run["sweep_pos"].get(q))
+                for q in run["suspects"]
+                if run["sweep_pos"].get(q) is not None
+            ]
+            if locs:
+                half = (run["n_queries"] - 1) / 2.0
+                late = sum(1 for _, p in locs if p > half)
+                print(
+                    f"suspect-load positions in {run['path']}: "
+                    + ", ".join(f"{q}@{p}/{run['n_queries'] - 1}" for q, p in locs)
+                    + f"  ({late}/{len(locs)} in the late half)"
+                )
     if improved:
         print(f"improved by >{args.threshold}x: {len(improved)}")
         for q, va, vb, ratio in improved[-5:]:
