@@ -351,6 +351,24 @@ object Dedup extends graft.QueryModule {
   def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs), minEstJaccard)
 
+  /** Persist a signature table to parquet — the MATERIALIZED SIGNATURE
+    * STORE the incremental-dedup scaladocs name: a daily pipeline
+    * sketches each ingest batch once, appends its signatures here, and
+    * [[incrementalCandidates]] dedups tomorrow's batch against the
+    * store without ever re-reading (let alone re-sketching) the
+    * historical corpus text. Signatures are exact ints/longs, so the
+    * round-trip is lossless and store-fed candidates are bit-identical
+    * to freshly-sketched ones (IndexServeSpec pins it). `append`
+    * appends (the daily shape); otherwise overwrite.
+    */
+  def writeMinhashSignatures(docs: DataFrame, dir: String,
+      append: Boolean = false): Unit =
+    minhashSignatures(docs).write
+      .mode(if (append) "append" else "overwrite").parquet(dir)
+
+  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** MinHash band-bucket occupancy pre-flight — the third member of
     * the pricing family (q_selfjoin_cost prices the inverted-index
     * self-join by Σdf², q_lsh_occupancy the embedding bucket join):

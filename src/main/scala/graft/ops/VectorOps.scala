@@ -1161,6 +1161,58 @@ object VectorOps extends graft.QueryModule {
     rerankExact(embeddings, cand, k)
   }
 
+  /** Encode a batch of vectors against a persisted index's SAVED model
+    * halves: coarse-assign with the saved centroids (cosine, ties to
+    * the lowest cell), residual-encode with the saved codebook — the
+    * exact arithmetic the builder ran, so a vector encodes identically
+    * whether it was present at training time or arrives later.
+    * Returns (vid, codes, cell) rows, the codes-table shape.
+    */
+  def encodeWithIndex(index: IvfPqIndex, batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val sub = index.dims / index.m
+    val e = castVec(batch, "vid")
+    val wA = Window.partitionBy("vid").orderBy(col("ccos").desc, col("ccid"))
+    val assigned = e.join(broadcast(index.centroids), lit(true))
+      .select(col("vid"), col("vid_v"), col("ccid"), col("c_v"),
+        round(call_function("array_cosine", col("vid_v"), col("c_v")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("vid_v"), col("ccid").as("cell"), col("c_v"))
+    val resid = assigned.select(col("vid").as("vec_id"),
+      zip_with(col("vid_v"), col("c_v"), (a, b) => a - b).as("embedding"))
+    def gridFold(terms: Column): Column =
+      aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
+    val rv = castVec(resid, "vid")
+    rv.join(broadcast(index.codebook), lit(true))
+      .select(col("vid"), col("j"), col("cid"),
+        gridFold(zip_with(
+          slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
+          (x, c) => (x - c) * (x - c))).as("d2q"))
+      .groupBy("vid", "j")
+      .agg(min(struct(col("d2q"), col("cid"))).as("best"))
+      .select(col("vid"), col("j"), col("best.cid").as("code"))
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(assigned.select(col("vid"), col("cell")), Seq("vid"))
+  }
+
+  /** Append a NEW batch to a persisted index — the daily-ingest half
+    * of the serve lifecycle: the batch coarse-assigns and encodes
+    * against the SAVED model halves ([[encodeWithIndex]]) and its
+    * codes rows append to the codes table; the historical codes are
+    * never re-read or re-written, so cost scales with the batch, not
+    * the corpus. The model halves stay frozen (the standard IVF
+    * ingest contract — retraining is a deliberate, separate event:
+    * codebook drift is what [[ivfCellShares]] / q_ivf_cell_balance
+    * monitor between retrains).
+    */
+  def appendToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
+      dir: String): Unit =
+    encodeWithIndex(index, batch)
+      .write.mode("append").parquet(s"$dir/codes")
+
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —
     * PlanSpec asserts the broadcast/WindowGroupLimit shape here, before
     * localCheckpoint truncates the plan (the ivfSearchLazy convention).
@@ -1741,6 +1793,20 @@ object VectorOps extends graft.QueryModule {
     // rest 64×, ADC scores within the query's cell only.
     "q_ivfpq" -> { (spark, dir) =>
       ivfPqSearch(Tables.embeddings(spark, dir), col("vid") < 5, 8, 8, 16, 10, 64)
+        .orderBy("qid", "rank")
+    },
+
+    // The persisted-index LIFECYCLE under the full hash gate: train →
+    // write parquet artifact → read back → serve. The oracle is
+    // q_ivfpq's own SQL — served-from-artifact must equal trained-in-
+    // query bit-for-bit (IndexServeSpec pins the same equality; this
+    // query makes the round-trip itself a declared, hash-checked op).
+    "q_ivfpq_served" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-served").toString + "/ix"
+      writeIvfPqIndex(emb, ixDir, 8, 8, 16, 64)
+      ivfPqSearchServed(readIvfPqIndex(spark, ixDir), emb, col("vid") < 5, 10, 1)
         .orderBy("qid", "rank")
     },
 
@@ -2368,6 +2434,18 @@ object VectorOps extends graft.QueryModule {
     // residuals (the same unrolled iteration chain, reading the rv
     // CTE), ADC within the query's cell, score = q·c + ADC
     "q_ivfpq" ->
+      s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2)}
+         |SELECT qid, cell, rank, vid, score FROM (
+         |  SELECT s.qid, qc.cell, s.vid,
+         |    CAST(s.sq + qc.qcq AS DOUBLE) / 1e12 AS score,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
+         |  FROM sc s JOIN qc ON qc.qid = s.qid) z
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // served-from-parquet ≡ trained-in-query, so the oracle is
+    // deliberately q_ivfpq's own SQL — the parquet round-trip must be
+    // invisible to the hash
+    "q_ivfpq_served" ->
       s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2)}
          |SELECT qid, cell, rank, vid, score FROM (
          |  SELECT s.qid, qc.cell, s.vid,

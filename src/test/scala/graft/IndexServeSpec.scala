@@ -83,6 +83,44 @@ class IndexServeSpec extends AnyFunSuite {
       s"fattest share must drop: ${sharesBefore.max} -> ${sharesAfter.max}")
   }
 
+  test("IVFADC append: a new batch encodes against the SAVED model; history and model stay frozen") {
+    val ixDir = Files.createTempDirectory("graft-ivfpq-append").toString + "/ix"
+    val history = emb.filter(col("vec_id") < 450)
+    val batch = emb.filter(col("vec_id") >= 450)
+    VectorOps.writeIvfPqIndex(history, ixDir, 8, 8, 16, 64)
+    val ix = VectorOps.readIvfPqIndex(spark, ixDir)
+    val historyCodes = rows(ix.codes)
+    VectorOps.appendToIvfPqIndex(ix, batch, ixDir)
+    val ix2 = VectorOps.readIvfPqIndex(spark, ixDir)
+    // every vector has exactly one codes row; history rows unchanged
+    assert(ix2.codes.count() === emb.count())
+    assert(rows(ix2.codes.filter(col("vid") < 450)) === historyCodes)
+    // appended rows are exactly what the saved model encodes
+    assert(rows(ix2.codes.filter(col("vid") >= 450))
+      === rows(VectorOps.encodeWithIndex(ix, batch)))
+    // model halves frozen by construction
+    assert(rows(ix2.centroids) === rows(ix.centroids))
+    assert(rows(ix2.codebook) === rows(ix.codebook))
+    // the appended index serves: batch vectors answer as queries too
+    assert(VectorOps.ivfPqSearchServed(ix2, emb, col("vid") >= 495, 10, 1)
+      .count() > 0)
+  }
+
+  test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
+    import graft.ops.Dedup
+    val sDir = Files.createTempDirectory("graft-sig-store").toString + "/s"
+    val history = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    Dedup.writeMinhashSignatures(history, sDir)
+    val loaded = Dedup.readMinhashSignatures(spark, sDir)
+    assert(rows(loaded) === rows(Dedup.minhashSignatures(history)),
+      "signature round-trip drift")
+    assert(rows(Dedup.incrementalCandidates(batch, loaded, 0.5))
+      === rows(Dedup.incrementalCandidates(batch,
+        Dedup.minhashSignatures(history), 0.5)),
+      "store-fed incremental candidates diverged from fresh signatures")
+  }
+
   test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
     val mDir = Files.createTempDirectory("graft-bpe-model").toString + "/m"
     val trained = Bpe.bpeTrainModel(docs, 8)
