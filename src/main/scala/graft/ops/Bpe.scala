@@ -413,6 +413,19 @@ object Bpe extends graft.QueryModule {
       bpeEncodeWith(docs, merges).orderBy("doc_id")
     },
 
+    // Persisted-tokenizer lifecycle under the full hash gate: train →
+    // write the merge table → read back → apply. Oracle is
+    // q_bpe_apply's own SQL — the parquet round-trip (strings + longs,
+    // lossless) must be invisible to the hash.
+    "q_bpe_served" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val merges = train(docs.filter(col("doc_id") % 2 === 0), 16)._1
+      val mDir = java.nio.file.Files
+        .createTempDirectory("graft-bpe-served").toString + "/m"
+      writeBpeModel(spark, merges, mDir)
+      bpeEncodeWith(docs, readBpeModel(spark, mDir)).orderBy("doc_id")
+    },
+
     // Tokenizer fertility report: per-source subwords-per-word and
     // chars-per-subword under the SERVING tokenizer (q_bpe_apply's
     // even-half-trained merges) — the standard tokenizer-eval table
@@ -497,7 +510,27 @@ object Bpe extends graft.QueryModule {
     val mergeRows = (1 to k)
       .map(i => s"SELECT $i AS step, lft, rgt, merged, pair_count FROM p$i")
       .mkString("\n  UNION ALL ")
+    // shared by q_bpe_apply and its served twin (q_bpe_served): the
+    // merge-table parquet round-trip must be invisible to the hash
+    val bpeApplySql = {
+      val ka = 16
+      val applies = (1 to ka).map(i =>
+        s"v$i AS MATERIALIZED (\n  ${foldSql(s"v${i - 1}", s"p$i")})").mkString(",\n")
+      s"""WITH ${trainSql(ka, "WHERE doc_id % 2 = 0")},
+         |v0 AS MATERIALIZED (
+         |  SELECT word, freq, string_split(word, '') AS syms FROM (
+         |    SELECT term AS word, count(*) AS freq FROM tok GROUP BY term) wf),
+         |$applies,
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, v.syms
+         |  FROM tok t JOIN v$ka v ON t.term = v.word)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+         |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subwords_md5
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
     Map(
+      "q_bpe_served" -> bpeApplySql,
       "q_bpe_merges" ->
         s"""WITH ${trainSql(k)}
            |$mergeRows
@@ -514,23 +547,7 @@ object Bpe extends graft.QueryModule {
       // train on the even half (s0..s16 chain over the filtered vocab),
       // then apply p1..p16 to the FULL corpus vocab (v0..v16 fold
       // chain) and encode every document — bpeEncodeWith's SQL twin
-      "q_bpe_apply" -> {
-        val ka = 16
-        val applies = (1 to ka).map(i =>
-          s"v$i AS MATERIALIZED (\n  ${foldSql(s"v${i - 1}", s"p$i")})").mkString(",\n")
-        s"""WITH ${trainSql(ka, "WHERE doc_id % 2 = 0")},
-           |v0 AS MATERIALIZED (
-           |  SELECT word, freq, string_split(word, '') AS syms FROM (
-           |    SELECT term AS word, count(*) AS freq FROM tok GROUP BY term) wf),
-           |$applies,
-           |enc AS (
-           |  SELECT t.doc_id, t.pos, v.syms
-           |  FROM tok t JOIN v$ka v ON t.term = v.word)
-           |SELECT doc_id, count(*) AS n_tokens,
-           |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
-           |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS subwords_md5
-           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      },
+      "q_bpe_apply" -> bpeApplySql,
       // q_bpe_apply's chain, aggregated per source instead of per doc
       "q_tokenizer_fertility" -> {
         val ka = 16

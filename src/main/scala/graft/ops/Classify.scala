@@ -570,6 +570,19 @@ object Classify extends graft.QueryModule {
     // fast each source starves as the gate tightens.
     "q_gate_sweep" -> { (spark, dir) =>
       gateSweep(Tables.documents(spark, dir), 3)
+    },
+    // Persisted-gate lifecycle under the full hash gate: train → write
+    // the weight artifact → read back → score. Oracle is
+    // q_linear_quality's own SQL — the parquet round-trip must be
+    // invisible to the hash (exact micro-longs, lossless by
+    // construction; IndexServeSpec pins the same equality).
+    "q_gate_served" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val gDir = java.nio.file.Files
+        .createTempDirectory("graft-gate-served").toString + "/g"
+      writeLinearGate(docs, gDir, 3)
+      val (t, w, b) = readLinearGate(spark, gDir)
+      linearQualityWith(docs, t, w, b).orderBy("doc_id")
     }
   )
 
@@ -632,28 +645,34 @@ object Classify extends graft.QueryModule {
     (base +: rounds).mkString(",\n")
   }
 
+  // shared by q_linear_quality and its served twin (q_gate_served):
+  // the parquet round-trip of exact micro-long weights must be
+  // invisible to the hash
+  private def linearQualitySql: String = {
+    val T = 3
+    val zNum = s"sum(p.cnt * coalesce(w.w, 0)) + (SELECT b FROM b$T) * sum(p.cnt)"
+    val pMicro =
+      s"""least(1000000, greatest(0, 500000 + CAST(floor(
+         |      CAST($zNum AS DOUBLE)
+         |      / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT)))""".stripMargin
+    s"""WITH $tokCte,
+       |${probeSql(T)}
+       |SELECT p.doc_id, p.source,
+       |  CAST(CASE WHEN p.source = (SELECT s FROM tgt) THEN 1 ELSE 0 END AS INT)
+       |    AS is_target,
+       |  CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+       |  CAST($zNum AS DOUBLE) / 1e6 / CAST(sum(p.cnt) AS DOUBLE) AS score,
+       |  CAST($pMicro AS DOUBLE) / 1e6 AS p_pos,
+       |  CAST(CASE WHEN $pMicro > 500000 THEN 1 ELSE 0 END AS INT) AS predicted
+       |FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
+       |WHERE ${isTestSql("p.doc_id")}
+       |GROUP BY p.doc_id, p.source
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "q_linear_quality" -> {
-      val T = 3
-      val zNum = s"sum(p.cnt * coalesce(w.w, 0)) + (SELECT b FROM b$T) * sum(p.cnt)"
-      val pMicro =
-        s"""least(1000000, greatest(0, 500000 + CAST(floor(
-           |      CAST($zNum AS DOUBLE)
-           |      / (4.0 * CAST(sum(p.cnt) AS DOUBLE)) + 0.5) AS BIGINT)))""".stripMargin
-      s"""WITH $tokCte,
-         |${probeSql(T)}
-         |SELECT p.doc_id, p.source,
-         |  CAST(CASE WHEN p.source = (SELECT s FROM tgt) THEN 1 ELSE 0 END AS INT)
-         |    AS is_target,
-         |  CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
-         |  CAST($zNum AS DOUBLE) / 1e6 / CAST(sum(p.cnt) AS DOUBLE) AS score,
-         |  CAST($pMicro AS DOUBLE) / 1e6 AS p_pos,
-         |  CAST(CASE WHEN $pMicro > 500000 THEN 1 ELSE 0 END AS INT) AS predicted
-         |FROM per p LEFT JOIN w$T w ON p.bucket = w.bucket
-         |WHERE ${isTestSql("p.doc_id")}
-         |GROUP BY p.doc_id, p.source
-         |ORDER BY p.doc_id""".stripMargin
-    },
+    "q_linear_quality" -> linearQualitySql,
+    "q_gate_served" -> linearQualitySql,
     "q_gate_report" -> {
       val T = 3
       val zNum = s"sum(p.cnt * coalesce(w.w, 0)) + (SELECT b FROM b$T) * sum(p.cnt)"
