@@ -692,15 +692,19 @@ object Relational extends graft.QueryModule {
       val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
       // degenerate-domain guard (r9 ADVICE): a constant column makes
       // hi == lo and the raw width 0 → NaN buckets, which Spark's
-      // least() and DuckDB's CAST(floor(...)) disagree on. Flooring the
-      // width at a magnitude-relative ε (so it dominates double ulp
-      // error at any scale) puts every such row in bucket 0 identically
-      // in both engines; non-degenerate domains are unchanged (ε is
-      // ~1e-9 relative — ≪ any real 256-bucket width), so declared
-      // hashes are unaffected by construction.
+      // least() and DuckDB's CAST(floor(...)) disagree on. The guard
+      // fires ONLY on exact double equality hi == lo (any hi > lo has
+      // hi − lo ≥ one ulp, so the division is finite — NaN is
+      // impossible) and substitutes width 1.0, putting every row in
+      // bucket 0 identically in both engines. Non-degenerate domains
+      // use the raw width UNTOUCHED — a magnitude-relative ε floor
+      // here would silently override the true width for large-offset
+      // narrow-range columns (|hi| ≈ 1e12, range ≈ 100 → ε ≈ 1e3 ≫
+      // width) and collapse the sketch; declared hashes are unaffected
+      // by construction.
       def gwidth(lo: Column, hi: Column) =
-        greatest((hi - lo) / lit(buckets.toDouble),
-          abs(hi) * lit(1e-9) + lit(1e-12))
+        when(hi === lo, lit(1.0))
+          .otherwise((hi - lo) / lit(buckets.toDouble))
       val sk = li.withColumn("shard", col("l_orderkey") % 16)
         .crossJoin(broadcast(mm))
         .withColumn("bucket", least(lit(buckets - 1),
@@ -727,9 +731,10 @@ object Relational extends graft.QueryModule {
       def est(b: Column) =
         col("lo") + (b.cast("double") + lit(1.0)) *
           gwidth(col("lo"), col("hi"))
-      // 1 ppm relative slack on the bound check: in the ε-floored
-      // degenerate case est − exact lands one ulp above ε; the slack
-      // can only keep a true bound true, never flip one false
+      // 1 ppm relative slack on the bound check: est − exact can land
+      // one ulp above the width when the subtraction rounds up (and in
+      // the degenerate case equals the width exactly); the slack can
+      // only keep a true bound true, never flip one false
       val width = gwidth(col("lo"), col("hi")) * lit(1.0 + 1e-6)
       picks.crossJoin(broadcast(mm)).crossJoin(broadcast(exact))
         .select(
@@ -1023,9 +1028,10 @@ object Relational extends graft.QueryModule {
     // HLL rows the oracle re-derives sketch, merge, AND bound checks
     // exactly — a full hash gate over a mergeable-sketch pipeline
     "q_quantile_sketch_merge" -> {
-      // greatest(..., ε) mirrors the Spark side's degenerate-domain
-      // guard — see quantileSketchMerge
-      val w = "greatest((mm.hi - mm.lo) / 256.0, abs(mm.hi) * 1e-9 + 1e-12)"
+      // CASE WHEN hi = lo mirrors the Spark side's degenerate-domain
+      // guard exactly — see quantileSketchMerge (the raw width is
+      // untouched whenever hi > lo)
+      val w = "(CASE WHEN mm.hi = mm.lo THEN 1.0 ELSE (mm.hi - mm.lo) / 256.0 END)"
       def estSql(b: String) = s"mm.lo + ($b + 1.0) * $w"
       s"""WITH li AS (
          |  SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),

@@ -243,6 +243,8 @@ object TextOps extends graft.QueryModule {
       broadcastMaxDf: Long = 2000000L,
       anchorIdxOverride: Option[Int] = None): DataFrame = {
     require(n >= 2, s"phrase length must be >= 2, got $n")
+    anchorIdxOverride.foreach(i => require(i >= 0 && i < n,
+      s"anchorIdxOverride must be in [0, $n), got $i"))
     import org.apache.spark.sql.expressions.Window
     val tok = Shingles.tokensWithPos(docs).localCheckpoint(true)
     val w = Window.partitionBy("doc_id").orderBy("pos")

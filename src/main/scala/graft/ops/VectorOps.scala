@@ -1469,9 +1469,15 @@ object VectorOps extends graft.QueryModule {
           .orderBy(col("ccos").asc, col("vid"))
           .limit(1)
           .select(lit(nextCid).as("cid"), col("vid_v").as("cid_v"))
+        val prevCent = cent
         cent = lloydRound(e, cent.unionByName(seed)).localCheckpoint(true)
+        prevCent.unpersist(false)
         splits += 1
       }
+      // the assign checkpoint is corpus-sized (vid_v vectors); drop it
+      // every round — the next iteration rebuilds from `e`, and the
+      // returned value is only `cent`
+      assign.unpersist(false)
     }
     e.unpersist(false)
     cent

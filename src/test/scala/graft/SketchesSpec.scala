@@ -136,12 +136,36 @@ class SketchesSpec extends AnyFunSuite {
     val li = graft.core.Tables.lineitem(spark, dir)
       .withColumn("l_extendedprice", lit(42.5))
     val r = graft.ops.Relational.quantileSketchMerge(li).collect().head
-    // estimates sit one ε-width above the constant (ε ≈ |hi|·1e-9)
-    assert(math.abs(r.getAs[Double]("p50_est") - 42.5) < 1e-6)
-    assert(math.abs(r.getAs[Double]("p99_est") - 42.5) < 1e-6)
+    // degenerate width is exactly 1.0, so estimates sit one unit above
+    // the constant and the bound booleans hold with equality
+    assert(math.abs(r.getAs[Double]("p50_est") - 43.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p99_est") - 43.5) < 1e-9)
     assert(r.getAs[Boolean]("p50_within_grid"))
     assert(r.getAs[Boolean]("p90_within_grid"))
     assert(r.getAs[Boolean]("p99_within_grid"))
+  }
+
+  test("quantileSketchMerge: large-offset narrow-range domain keeps the true bucket width") {
+    // regression for the r10 review finding: a magnitude-relative ε
+    // floor would read ε ≈ |hi|·1e-9 = 1e3 here — 2500× the true bucket
+    // width (1e2/256) — collapsing the sketch into bucket 0 while the
+    // within_grid booleans stay vacuously true. The guard must fire
+    // ONLY on hi == lo; this domain must bin on the real grid.
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .withColumn("l_extendedprice",
+        lit(1e12) + (col("l_orderkey") % 101).cast("double"))
+    val r = graft.ops.Relational.quantileSketchMerge(li).collect().head
+    val width = 100.0 / 256.0
+    // the estimate must track the exact percentile at bucket-width
+    // resolution — impossible if the width were ε-inflated to 1e3
+    assert(math.abs(r.getAs[Double]("p50_est") - r.getAs[Double]("exact_p50"))
+      <= width * (1.0 + 1e-6))
+    assert(math.abs(r.getAs[Double]("p99_est") - r.getAs[Double]("exact_p99"))
+      <= width * (1.0 + 1e-6))
+    assert(r.getAs[Boolean]("p50_within_grid"))
+    assert(r.getAs[Boolean]("p99_within_grid"))
+    // and the sketch must actually spread across buckets: p99 ≫ p50
+    assert(r.getAs[Double]("p99_est") - r.getAs[Double]("p50_est") > 10 * width)
   }
 
   test("shardAssign partitions the corpus exactly and near-uniformly") {

@@ -51,11 +51,15 @@ def _parse_queries_blob(text, key):
         return json.loads(blob), False
     # head-truncated: the tail starts mid-map. Recover "name":float pairs
     # up to the first closing brace (the end of the queries map), then
-    # only if they look like query timings (q_* keys).
+    # only if they look like query timings (q_* keys). The value must
+    # contain a '.' — Scala emits Double times as "0.42"/"12.0" but
+    # sweep positions as bare ints ("157"), so a tail that begins inside
+    # the r10+ "sweep_pos" map recovers NOTHING rather than harvesting
+    # dimensionless positions as seconds and gating on garbage.
     head = text.split("}", 1)[0]
     pairs = dict(
         (m.group(1), float(m.group(2)))
-        for m in re.finditer(r'"(q_[A-Za-z0-9_]+)":([0-9.eE+-]+)', head)
+        for m in re.finditer(r'"(q_[A-Za-z0-9_]+)":([0-9]+\.[0-9eE+-]+)', head)
     )
     return pairs, True
 
