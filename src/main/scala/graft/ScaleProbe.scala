@@ -127,6 +127,25 @@ object ScaleProbe {
     time("cc_star") {
       graft.ops.Graph.connectedComponentsStar(cand).count()
     }
+    // incremental cluster maintenance vs from-scratch: history = all
+    // but the last replica, batch = the last replica. The history
+    // assignment + signature store are yesterday's artifacts (built
+    // OUTSIDE the timer — that's the lifecycle's whole point); the
+    // timed incremental path sees only the batch text
+    locally {
+      val histCut = lit((dFactor - 1) * 10000000L)
+      val hist = docs.filter(col("doc_id") < histCut)
+      val batch = docs.filter(col("doc_id") >= histCut)
+      val sigs = graft.ops.Dedup.minhashSignatures(hist).localCheckpoint(true)
+      val oldAssign = graft.ops.Dedup.clustersFromCandidates(
+        graft.ops.Dedup.candidatesFromSignatures(sigs, 0.5)).localCheckpoint(true)
+      time("clusters_full_rebuild") {
+        graft.ops.Dedup.dupClusters(docs, 0.5).count()
+      }
+      time("clusters_incremental") {
+        graft.ops.Dedup.incrementalClusters(oldAssign, sigs, batch, 0.5).count()
+      }
+    }
     time("cc_propagation") {
       graft.ops.Graph.connectedComponents(cand).count()
     }

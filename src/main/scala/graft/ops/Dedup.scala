@@ -858,6 +858,80 @@ object Dedup extends graft.QueryModule {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
   }
 
+  /** INCREMENTAL cluster maintenance — the missing half of the
+    * daily-ingest dedup lifecycle: [[incrementalCandidates]] scores a
+    * new batch against the signature store without re-pairing history,
+    * and this folds the resulting edges into an EXISTING cluster
+    * assignment without re-clustering the history graph. The history's
+    * internal structure is already summarized by its (doc → root)
+    * table, so each new edge's endpoints are compressed through their
+    * old roots (docs outside the assignment — the whole new batch plus
+    * previously-edge-free history docs — map to themselves) and
+    * connected components runs on the COMPRESSED graph only: its size
+    * is O(new edges), not O(corpus). Untouched clusters keep their
+    * rows verbatim.
+    *
+    * Label contract: min-label roots are closed under merging (the min
+    * of a union of components is the min of their mins), so the result
+    * is BIT-IDENTICAL to re-clustering the full corpus from scratch —
+    * the declared query's oracle IS the full-recompute recursive CTE,
+    * putting that equality behind the hash gate. At 100 TB the
+    * compressed CC input is a few edges per ingested near-dup doc;
+    * nothing corpus-sized shuffles, the history text is never re-read.
+    */
+  def incrementalClusters(oldAssign0: DataFrame, oldSigs: DataFrame,
+      newDocs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val oldAssign = oldAssign0.select(col("doc_id"), col("cluster_id")).persist(lvl)
+    // already localCheckpointed by incrementalCandidates — derived
+    // selects below reuse the materialized pairs
+    val newEdges = incrementalCandidates(newDocs, oldSigs, minEstJaccard)
+      .select(col("d1"), col("d2"))
+    // the old assignment is corpus-dup-sized — never broadcast and
+    // never shuffled here. First shrink it to the docs the new edges
+    // actually touch (broadcast SEMI-join of the tiny endpoint set
+    // into one assignment scan); everything after works on
+    // O(new edges) frames.
+    val touched = newEdges.select(col("d1").as("td")).
+      unionByName(newEdges.select(col("d2").as("td"))).distinct()
+    val touchedAssign = oldAssign
+      .join(broadcast(touched), col("doc_id") === col("td"), "semi")
+      .localCheckpoint(true)
+    // compress endpoints through their old roots (docs outside the
+    // assignment — the whole new batch plus previously-edge-free
+    // history docs — map to themselves)
+    val compressed = newEdges
+      .join(broadcast(touchedAssign).as("a1"), col("d1") === col("a1.doc_id"), "left")
+      .join(broadcast(touchedAssign).as("a2"), col("d2") === col("a2.doc_id"), "left")
+      .select(coalesce(col("a1.cluster_id"), col("d1")).as("src"),
+        coalesce(col("a2.cluster_id"), col("d2")).as("dst"))
+    val cc = Graph.connectedComponentsStar(compressed).persist(lvl)
+    // re-expand: touched roots relabel their whole old cluster via ONE
+    // broadcast join over the assignment scan; untouched rows pass
+    // through verbatim
+    val hist = oldAssign
+      .join(broadcast(cc.select(col("node").as("cluster_id"),
+        col("label").as("new_label"))), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    // compression maps every assigned doc to its root, so a cc node is
+    // either an OLD ROOT (some touched doc's cluster_id — already
+    // covered by the relabel above) or a doc outside the assignment
+    // (new doc / newly-connected history doc) that takes its component
+    // label directly
+    val fresh = cc
+      .join(broadcast(touchedAssign.select(col("cluster_id").as("oldroot")).distinct()),
+        col("node") === col("oldroot"), "left_anti")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val out = hist.unionByName(fresh)
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .localCheckpoint(true)
+    oldAssign.unpersist(false)
+    cc.unpersist(false)
+    out
+  }
+
   /** The deduplicated corpus itself: drop every non-canonical member of
     * a near-dup cluster (keep the min-doc_id representative), keep all
     * docs without a near-dup partner. This is the step that actually
@@ -1330,6 +1404,24 @@ object Dedup extends graft.QueryModule {
       dupClusters(Tables.documents(spark, dir), 0.5).orderBy("doc_id")
     },
 
+    // INCREMENTAL cluster maintenance — the lifecycle sibling of
+    // q_incremental_dedup: history (doc_id < 400) is clustered once,
+    // then the new batch's edges fold into that assignment through
+    // root compression + a components pass over the COMPRESSED graph
+    // only. The oracle is the FULL-RECOMPUTE recursive CTE (identical
+    // to q_dedup_clusters), so the hash gate itself proves
+    // incremental == from-scratch.
+    "q_dedup_clusters_incr" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val hist = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      val sigs = minhashSignatures(hist).localCheckpoint(true)
+      val out = incrementalClusters(
+        clustersFromCandidates(candidatesFromSignatures(sigs, 0.5)),
+        sigs, batch, 0.5).orderBy("doc_id")
+      out
+    },
+
     // PageRank centrality over the near-dup candidate graph (3 fixed
     // iterations, d = 0.85): which member of each duplicate
     // neighborhood is the hub copy. Deterministic decimal-summed
@@ -1421,6 +1513,40 @@ object Dedup extends graft.QueryModule {
     }.mkString("\n  UNION ALL ")
     val estExpr = (0 until 8)
       .map(j => s"CASE WHEN s1.sig$j = s2.sig$j THEN 1 ELSE 0 END").mkString(" + ")
+    // shared by q_dedup_clusters AND q_dedup_clusters_incr: the
+    // incremental path's declared contract is bit-equality with a full
+    // from-scratch re-cluster, so both queries sit behind the SAME
+    // recompute oracle
+    val dedupClustersSql =
+      s"""WITH RECURSIVE $shingleHashCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $sigColsSql
+         |  FROM hashes GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges0 AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+         |    FROM cand c
+         |    JOIN sigs s1 ON c.d1 = s1.doc_id
+         |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+         |  WHERE ej >= 0.5),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges0
+         |  UNION ALL SELECT d2, d1 FROM edges0),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+         |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+         |SELECT node AS doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM labels ORDER BY doc_id""".stripMargin
     Map(
       "q_exact_dedup" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
@@ -1940,36 +2066,10 @@ object Dedup extends graft.QueryModule {
            |  FROM ranked WHERE rn <= 64)
            |SELECT doc_id, cluster_id, cluster_size, quota, rn
            |FROM quota WHERE rn <= quota ORDER BY doc_id""".stripMargin,
-      "q_dedup_clusters" ->
-        s"""WITH RECURSIVE $shingleHashCte,
-           |sigs AS (
-           |  SELECT doc_id,
-           |    $sigColsSql
-           |  FROM hashes GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-           |edges0 AS (
-           |  SELECT d1, d2 FROM (
-           |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
-           |    FROM cand c
-           |    JOIN sigs s1 ON c.d1 = s1.doc_id
-           |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
-           |  WHERE ej >= 0.5),
-           |edges AS (
-           |  SELECT d1 AS src, d2 AS dst FROM edges0
-           |  UNION ALL SELECT d2, d1 FROM edges0),
-           |reach AS (
-           |  SELECT src AS node, src AS lab FROM edges
-           |  UNION
-           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
-           |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
-           |SELECT node AS doc_id, cluster_id,
-           |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-           |FROM labels ORDER BY doc_id""".stripMargin,
+      "q_dedup_clusters" -> dedupClustersSql,
+      // the incremental maintenance path must equal a from-scratch
+      // re-cluster of the full corpus — same oracle text by design
+      "q_dedup_clusters_incr" -> dedupClustersSql,
       // same candidate-edge chain as q_dedup_clusters; PageRank is
       // unrolled (3 iterations) with the decimal-summed contributions
       // and the VARCHAR-mediated decimal→double cast (DuckDB's direct

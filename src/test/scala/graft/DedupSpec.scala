@@ -95,6 +95,70 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.forall { case (a, b) => a >= 400 || b >= 400 })
   }
 
+  test("incrementalClusters == full re-cluster on the real corpus split") {
+    import org.apache.spark.sql.functions._
+    // the declared contract: folding the batch's edges into the
+    // history assignment through root compression must reproduce the
+    // from-scratch clustering bit-for-bit (labels AND sizes)
+    val hist = docs.filter(col("doc_id") < 400)
+    val sigs = Dedup.minhashSignatures(hist)
+    val inc = Dedup.incrementalClusters(
+        Dedup.clustersFromCandidates(Dedup.candidatesFromSignatures(sigs, 0.5)),
+        sigs, docs.filter(col("doc_id") >= 400), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.dupClusters(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full && inc.nonEmpty)
+  }
+
+  test("incrementalClusters: a bridging batch merges two old clusters; " +
+      "an edge-free history doc can join late") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // history: cluster A = {1, 2} (identical text), cluster B = {5, 6}
+    // (identical text), doc 8 edge-free. Batch: doc 100 straddles A's
+    // and B's vocabulary (the bridge), doc 102 is a copy of doc 8.
+    // vocab split chosen (offline, same md5 + affine perms) so the
+    // bridge doc band-collides with BOTH halves while A-B, C-anything
+    // stay collision-free — MinHash here is deterministic, so this
+    // holds on every run
+    val ta = (1 to 36).map(i => s"apple$i").mkString(" ")
+    val tb = (1 to 36).map(i => s"mango$i").mkString(" ")
+    val tm = ((1 to 20).map(i => s"apple$i") ++ (1 to 16).map(i => s"mango$i")).mkString(" ")
+    val tc = (1 to 36).map(i => s"violet$i").mkString(" ")
+    val all = Seq(
+      (1L, ta), (2L, ta), (5L, tb), (6L, tb), (8L, tc),
+      (100L, tm), (102L, tc)).toDF("doc_id", "text")
+    val hist = all.filter(col("doc_id") < 100)
+    val batch = all.filter(col("doc_id") >= 100)
+    // τ = 0.25 so the half-overlap bridge edges fire (MinHash est is
+    // deterministic — same hash functions every run)
+    val tau = 0.25
+    val sigs = Dedup.minhashSignatures(hist)
+    val oldAssign = Dedup.clustersFromCandidates(
+      Dedup.candidatesFromSignatures(sigs, tau))
+    // precondition: A and B are SEPARATE clusters in the history
+    val oldMap = oldAssign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oldMap(1L) === 1L && oldMap(2L) === 1L)
+    assert(oldMap(5L) === 5L && oldMap(6L) === 5L)
+    assert(!oldMap.contains(8L), "doc 8 must start edge-free")
+    val inc = Dedup.incrementalClusters(oldAssign, sigs, batch, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.dupClusters(all, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full && inc.nonEmpty)
+    val incMap = inc.map { case (d, c, _) => d -> c }.toMap
+    // the bridge merged A and B (global min label = 1) ...
+    assert(incMap(100L) === 1L, s"bridge edge did not fire: $incMap")
+    assert(incMap(1L) === 1L && incMap(5L) === 1L && incMap(6L) === 1L,
+      s"old cluster B was not relabeled through the merge: $incMap")
+    // ... and the merged cluster's size covers all five members
+    assert(inc.contains((5L, 1L, 5L)), s"merged size wrong: $inc")
+    // the previously edge-free history doc joins its late twin
+    assert(incMap(8L) === 8L && incMap(102L) === 8L,
+      s"edge-free history doc did not join: $incMap")
+  }
+
   test("spanDupStats: coverage is bounded and planted whole-doc dups are near-fully covered") {
     val stats = Dedup.spanDupStats(docs, 8).collect()
     assert(stats.nonEmpty)
