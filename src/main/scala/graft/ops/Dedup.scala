@@ -506,11 +506,21 @@ object Dedup extends graft.QueryModule {
     * est_jaccard ≥ threshold) restricted to pairs with a new member.
     */
   def incrementalCandidates(newDocs: DataFrame, oldSigs0: DataFrame,
+      minEstJaccard: Double = 0.5): DataFrame =
+    incrementalCandidatesFromSigs(minhashSignatures(newDocs), oldSigs0,
+      minEstJaccard)
+
+  /** [[incrementalCandidates]] over a PRECOMPUTED batch signature
+    * table — the reuse entry point for pipelines that sketch the batch
+    * once and both store the signatures AND dedup with them (the
+    * streaming cluster maintenance path does exactly this).
+    */
+  def incrementalCandidatesFromSigs(newSigs0: DataFrame, oldSigs0: DataFrame,
       minEstJaccard: Double = 0.5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both signature tables feed a band projection plus the two scoring
     // joins — persist each, drop before returning (house cache hygiene)
-    val newSigs = minhashSignatures(newDocs).persist(lvl)
+    val newSigs = newSigs0.persist(lvl)
     val oldSigs = oldSigs0.persist(lvl)
     val allSigs = newSigs.union(oldSigs)
     val cand = bandProjection(newSigs).as("x")
@@ -880,12 +890,21 @@ object Dedup extends graft.QueryModule {
     * nothing corpus-sized shuffles, the history text is never re-read.
     */
   def incrementalClusters(oldAssign0: DataFrame, oldSigs: DataFrame,
-      newDocs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+      newDocs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    incrementalClustersFromSigs(oldAssign0, oldSigs,
+      minhashSignatures(newDocs), minEstJaccard)
+
+  /** [[incrementalClusters]] over a PRECOMPUTED batch signature table
+    * (sketch the batch once, store the signatures AND cluster with
+    * them — the [[clustersIngestBatch]] shape).
+    */
+  def incrementalClustersFromSigs(oldAssign0: DataFrame, oldSigs: DataFrame,
+      newSigs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val oldAssign = oldAssign0.select(col("doc_id"), col("cluster_id")).persist(lvl)
-    // already localCheckpointed by incrementalCandidates — derived
-    // selects below reuse the materialized pairs
-    val newEdges = incrementalCandidates(newDocs, oldSigs, minEstJaccard)
+    // already localCheckpointed by incrementalCandidatesFromSigs —
+    // derived selects below reuse the materialized pairs
+    val newEdges = incrementalCandidatesFromSigs(newSigs, oldSigs, minEstJaccard)
       .select(col("d1"), col("d2"))
     // the old assignment is corpus-dup-sized — never broadcast and
     // never shuffled here. First shrink it to the docs the new edges
@@ -930,6 +949,65 @@ object Dedup extends graft.QueryModule {
     oldAssign.unpersist(false)
     cc.unpersist(false)
     out
+  }
+
+  /** One ingest batch of STREAMING cluster maintenance — the
+    * foreachBatch body behind
+    * [[graft.streaming.DocStream.clustersOnIngest]], callable directly
+    * for batch backfill. State layout under `stateDir`:
+    *
+    *   - `sigs/ingest_batch=<id>/`   the batch's signature table
+    *   - `assign/ingest_batch=<id>/` the FULL cluster assignment
+    *     AFTER folding batch `id` in
+    *
+    * Batch 0 (or any batch with no prior state) clusters itself from
+    * scratch — so "seeding" a deployment from a historical corpus is
+    * just running the history through as the first batch. Every later
+    * batch sketches ONLY its own documents, reads the prior signature
+    * partitions (partition-pruned to ids < its own) and the latest
+    * assignment, and runs [[incrementalClustersFromSigs]] — the
+    * history text is never re-read.
+    *
+    * Exactly-once at the batch level (the writeCurated convention): a
+    * replayed micro-batch reads the same `< id` state and OVERWRITES
+    * its own two directories with byte-identical content — later
+    * batches' state is untouched, so replay can never corrupt or
+    * duplicate. Hadoop FileSystem listing with the session conf (the
+    * Formats convention), so object-store state dirs work.
+    */
+  def clustersIngestBatch(batch: DataFrame, id: Long, stateDir: String,
+      minEstJaccard: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val sigsRoot = s"$stateDir/sigs"
+    val assignRoot = s"$stateDir/assign"
+    val conf = spark.sessionState.newHadoopConf()
+    def batchIds(root: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("ingest_batch=") =>
+          s.stripPrefix("ingest_batch=").toLong }
+    }
+    val prev = batchIds(sigsRoot).filter(_ < id)
+    val newSigs = minhashSignatures(batch).localCheckpoint(true)
+    val out =
+      if (prev.isEmpty)
+        clustersFromCandidates(candidatesFromSignatures(newSigs, minEstJaccard))
+          .localCheckpoint(true)
+      else {
+        val oldSigs = spark.read.parquet(sigsRoot)
+          .filter(col("ingest_batch") < id).drop("ingest_batch")
+        val oldAssign = spark.read
+          .parquet(s"$assignRoot/ingest_batch=${prev.max}")
+        incrementalClustersFromSigs(oldAssign, oldSigs, newSigs, minEstJaccard)
+      }
+    // assignment first, then signatures: a crash between the writes
+    // replays the whole batch, and sigs-written-last means a prior
+    // crash can't leave this id visible as "previous state" to itself
+    out.write.mode("overwrite").parquet(s"$assignRoot/ingest_batch=$id")
+    newSigs.write.mode("overwrite").parquet(s"$sigsRoot/ingest_batch=$id")
   }
 
   /** The deduplicated corpus itself: drop every non-canonical member of

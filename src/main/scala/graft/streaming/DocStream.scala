@@ -282,4 +282,28 @@ object DocStream {
           .write.mode("overwrite").parquet(s"$outDir/ingest_batch=$id")
       }
       .start()
+
+  /** STREAMING cluster maintenance: each arriving micro-batch folds
+    * its near-dup edges into the persisted cluster assignment via
+    * [[graft.ops.Dedup.clustersIngestBatch]] — signature store and
+    * full assignment land under `stateDir` per batch, replay-safe
+    * (each batch overwrites only its own state version). Seed a
+    * deployment by running the historical corpus through
+    * `clustersIngestBatch(hist, 0, stateDir)` first; `baseBatchId`
+    * offsets the stream's micro-batch ids above the seeded ones
+    * (streaming ids start at 0 on a fresh checkpoint). DocStreamSpec
+    * pins the maintained assignment equal to the from-scratch batch
+    * clustering of everything ingested.
+    */
+  def clustersOnIngest(newDocs: DataFrame, stateDir: String,
+      checkpointDir: String, minEstJaccard: Double = 0.5,
+      baseBatchId: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Dedup.clustersIngestBatch(batch, id + baseBatchId,
+          stateDir, minEstJaccard)
+      }
+      .start()
 }

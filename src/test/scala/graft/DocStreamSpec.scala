@@ -155,6 +155,56 @@ class DocStreamSpec extends AnyFunSuite {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streaming cluster maintenance: seeded history + streamed batch == from-scratch clustering") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("clusters-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clusters-ckpt").toString
+    // seed: the history corpus IS batch 0
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    val q = DocStream.clustersOnIngest(
+      DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // the stream landed at least one batch above the seed; the LATEST
+    // assignment must equal clustering everything from scratch
+    val assignAll = spark.read.parquet(s"$state/assign")
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
+    val maxId = assignAll
+      .agg(org.apache.spark.sql.functions.max(col("ingest_batch"))).head.getLong(0)
+    assert(maxId >= 1L, "the stream landed no batch above the seed")
+    val latest = assignAll.filter(col("ingest_batch") === maxId)
+      .drop("ingest_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.ops.Dedup.dupClusters(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest === full && latest.nonEmpty)
+  }
+
+  test("cluster maintenance state is replay-idempotent and multi-batch order-correct") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("clusters-replay").toString
+    def assignAt(id: Long) =
+      spark.read.parquet(s"$state/assign/ingest_batch=$id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // three ingest batches cover the corpus
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 300), 0, state)
+    graft.ops.Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 1, state)
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 450), 2, state)
+    val full = graft.ops.Dedup.dupClusters(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(assignAt(2) === full && full.nonEmpty)
+    // replay batch 1 (the foreachBatch failure mode): it must rebuild
+    // byte-identical state from the < 1 partitions and leave batch 2's
+    // assignment untouched
+    val before = assignAt(1)
+    graft.ops.Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 1, state)
+    assert(assignAt(1) === before)
+    assert(assignAt(2) === full)
+  }
+
   test("streaming decontam-on-ingest == the declared batch sweep against the same probes") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
