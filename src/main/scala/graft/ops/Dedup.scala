@@ -522,7 +522,10 @@ object Dedup extends graft.QueryModule {
     // joins — persist each, drop before returning (house cache hygiene)
     val newSigs = newSigs0.persist(lvl)
     val oldSigs = oldSigs0.persist(lvl)
-    val allSigs = newSigs.union(oldSigs)
+    // by NAME, not position: stored signature tables can come back
+    // with any column order (all-long schema would mis-pair silently
+    // under a positional union)
+    val allSigs = newSigs.unionByName(oldSigs)
     val cand = bandProjection(newSigs).as("x")
       .join(bandProjection(allSigs).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -896,12 +899,19 @@ object Dedup extends graft.QueryModule {
 
   /** [[incrementalClusters]] over a PRECOMPUTED batch signature table
     * (sketch the batch once, store the signatures AND cluster with
-    * them — the [[clustersIngestBatch]] shape).
+    * them — the [[clustersIngestBatch]] shape). `oldAssign0` must
+    * carry `cluster_size` (every producer here does —
+    * [[clustersFromCandidates]] and this function emit it): new sizes
+    * are derived as Σ(merged old sizes) + fresh-node counts on
+    * O(new-edges) frames, so the corpus-dup-sized assignment is
+    * touched by exactly two broadcast-joined SCANS — no shuffle, no
+    * window — per increment.
     */
   def incrementalClustersFromSigs(oldAssign0: DataFrame, oldSigs: DataFrame,
       newSigs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val oldAssign = oldAssign0.select(col("doc_id"), col("cluster_id")).persist(lvl)
+    val oldAssign = oldAssign0
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size")).persist(lvl)
     // already localCheckpointed by incrementalCandidatesFromSigs —
     // derived selects below reuse the materialized pairs
     val newEdges = incrementalCandidatesFromSigs(newSigs, oldSigs, minEstJaccard)
@@ -925,29 +935,46 @@ object Dedup extends graft.QueryModule {
       .select(coalesce(col("a1.cluster_id"), col("d1")).as("src"),
         coalesce(col("a2.cluster_id"), col("d2")).as("dst"))
     val cc = Graph.connectedComponentsStar(compressed).persist(lvl)
-    // re-expand: touched roots relabel their whole old cluster via ONE
-    // broadcast join over the assignment scan; untouched rows pass
-    // through verbatim
+    // new sizes WITHOUT touching the big assignment: each cc node
+    // contributes its old cluster's size if it is an old root (one
+    // row per touched cluster, sizes read off touchedAssign), else 1
+    // (a fresh doc). Component sums partition the merged membership,
+    // so new_size = Σ merged old sizes + fresh count — exactly the
+    // full-corpus component size. All frames here are O(new edges).
+    val rootSizes = touchedAssign
+      .select(col("cluster_id").as("rnode"), col("cluster_size").as("rsize"))
+      .distinct()
+    val contrib = cc
+      .join(broadcast(rootSizes), col("node") === col("rnode"), "left")
+      .select(col("node"), col("label"), col("rnode").isNotNull.as("is_root"),
+        coalesce(col("rsize"), lit(1L)).as("w"))
+      .localCheckpoint(true)
+    val newSizes = contrib.groupBy("label").agg(sum(col("w")).as("new_size"))
+    // re-expand: touched roots relabel (and resize) their whole old
+    // cluster via ONE broadcast join over the assignment scan;
+    // untouched rows pass through verbatim
+    val ccMap = cc
+      .join(broadcast(newSizes), Seq("label"))
+      .select(col("node").as("cluster_id"), col("label").as("new_label"),
+        col("new_size"))
     val hist = oldAssign
-      .join(broadcast(cc.select(col("node").as("cluster_id"),
-        col("label").as("new_label"))), Seq("cluster_id"), "left")
+      .join(broadcast(ccMap), Seq("cluster_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"),
+        coalesce(col("new_size"), col("cluster_size")).as("cluster_size"))
     // compression maps every assigned doc to its root, so a cc node is
     // either an OLD ROOT (some touched doc's cluster_id — already
     // covered by the relabel above) or a doc outside the assignment
     // (new doc / newly-connected history doc) that takes its component
-    // label directly
-    val fresh = cc
-      .join(broadcast(touchedAssign.select(col("cluster_id").as("oldroot")).distinct()),
-        col("node") === col("oldroot"), "left_anti")
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-    val out = hist.unionByName(fresh)
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-      .localCheckpoint(true)
+    // label and size directly
+    val fresh = contrib.filter(!col("is_root"))
+      .join(broadcast(newSizes), Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("new_size").as("cluster_size"))
+    val out = hist.unionByName(fresh).localCheckpoint(true)
     oldAssign.unpersist(false)
     cc.unpersist(false)
+    contrib.unpersist(false)
     out
   }
 
@@ -981,16 +1008,32 @@ object Dedup extends graft.QueryModule {
     val sigsRoot = s"$stateDir/sigs"
     val assignRoot = s"$stateDir/assign"
     val conf = spark.sessionState.newHadoopConf()
+    def fsOf(root: String) =
+      new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     def batchIds(root: String): Seq[Long] = {
       val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(conf)
+      val fs = fsOf(root)
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
         .map(_.getPath.getName)
-        .collect { case s if s.startsWith("ingest_batch=") =>
+        // strict digit match: a stray "ingest_batch=1.bak" or Hive
+        // default-partition dir must be ignored, not crash the stream
+        .collect { case s if s.matches("ingest_batch=\\d+") =>
           s.stripPrefix("ingest_batch=").toLong }
     }
-    val prev = batchIds(sigsRoot).filter(_ < id)
+    val existing = batchIds(sigsRoot)
+    // fail LOUD on out-of-order ids: a stream whose baseBatchId does
+    // not clear the seeded ids would otherwise read a truncated "< id"
+    // prefix of the state and silently overwrite a newer assignment
+    // while the newer signature partitions keep feeding later reads —
+    // permanent mixed-state corruption. Re-running the CURRENT maximum
+    // id (the foreachBatch replay case) is legal; anything below it is
+    // not.
+    require(existing.forall(_ <= id),
+      s"clustersIngestBatch id=$id is below existing state " +
+        s"(max ${existing.max}); seed ids must stay below the stream's " +
+        "baseBatchId")
+    val prev = existing.filter(_ < id)
     val newSigs = minhashSignatures(batch).localCheckpoint(true)
     val out =
       if (prev.isEmpty)
@@ -1008,6 +1051,16 @@ object Dedup extends graft.QueryModule {
     // crash can't leave this id visible as "previous state" to itself
     out.write.mode("overwrite").parquet(s"$assignRoot/ingest_batch=$id")
     newSigs.write.mode("overwrite").parquet(s"$sigsRoot/ingest_batch=$id")
+    // prune assignment SNAPSHOTS older than the previous version —
+    // replay of id only ever reads prev.max, so {id, prev.max} is the
+    // full recovery set; without pruning the state dir would grow
+    // O(batches × corpus). Signature partitions are the INDEX (every
+    // band join reads them all) and are never pruned.
+    val keep = Set(id) ++ prev.sorted.lastOption
+    batchIds(assignRoot).filterNot(keep).foreach { old =>
+      fsOf(assignRoot).delete(
+        new org.apache.hadoop.fs.Path(s"$assignRoot/ingest_batch=$old"), true)
+    }
   }
 
   /** The deduplicated corpus itself: drop every non-canonical member of

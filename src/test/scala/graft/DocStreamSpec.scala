@@ -195,14 +195,24 @@ class DocStreamSpec extends AnyFunSuite {
     val full = graft.ops.Dedup.dupClusters(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(assignAt(2) === full && full.nonEmpty)
-    // replay batch 1 (the foreachBatch failure mode): it must rebuild
-    // byte-identical state from the < 1 partitions and leave batch 2's
-    // assignment untouched
-    val before = assignAt(1)
-    graft.ops.Dedup.clustersIngestBatch(
-      docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 1, state)
-    assert(assignAt(1) === before)
+    // replay the LATEST batch (the only replay foreachBatch can issue):
+    // identical state rebuilt from the < 2 partitions
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 450), 2, state)
     assert(assignAt(2) === full)
+    // an out-of-order id (stream colliding with seeded state) must fail
+    // LOUD instead of silently truncating the assignment
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.clustersIngestBatch(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 450), 1, state)
+    }
+    // snapshot pruning: only the current and previous assignment
+    // versions survive; the signature INDEX keeps every partition
+    val assignIds = new java.io.File(s"$state/assign").listFiles()
+      .map(_.getName).filter(_.matches("ingest_batch=\\d+")).sorted
+    assert(assignIds === Array("ingest_batch=1", "ingest_batch=2"), assignIds.mkString(","))
+    val sigIds = new java.io.File(s"$state/sigs").listFiles()
+      .map(_.getName).filter(_.matches("ingest_batch=\\d+")).sorted
+    assert(sigIds === Array("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
   }
 
   test("streaming decontam-on-ingest == the declared batch sweep against the same probes") {
