@@ -1063,6 +1063,48 @@ object Dedup extends graft.QueryModule {
     }
   }
 
+  /** Compact the [[clustersIngestBatch]] signature store: fold every
+    * partition STRICTLY BELOW the current maximum id into the
+    * second-highest partition, so a long-running stream's state
+    * settles at {base, previous, current} instead of one small
+    * partition per micro-batch (small-file creep is the classic
+    * streaming-table failure mode — the `compactZordered` concern
+    * applied to the dedup index). The current maximum is left alone
+    * because a replayed batch re-reads `< max` state, which this
+    * rewrite must (and does) leave set-identical.
+    *
+    * Crash-safe by ORDER, not by atomicity: the combined partition is
+    * written FIRST (overwrite of the target id, whose old content is a
+    * subset of the combined set), the absorbed partitions are deleted
+    * after. A crash between the two steps leaves duplicate signature
+    * rows, which the downstream band/scoring joins tolerate (candidate
+    * pairs are distinct()-ed; components ignore duplicate edges) and
+    * the next compaction removes — state degrades to benign
+    * duplication, never to loss. Run it between batches (it must not
+    * race an in-flight [[clustersIngestBatch]] write).
+    */
+  def compactSignatureStore(spark: SparkSession, stateDir: String): Unit = {
+    val sigsRoot = s"$stateDir/sigs"
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(sigsRoot)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("ingest_batch=\\d+") =>
+        s.stripPrefix("ingest_batch=").toLong }
+      .sorted
+    if (ids.length <= 2) return // nothing to fold
+    val target = ids(ids.length - 2) // second-highest absorbs the tail
+    val absorb = ids.dropRight(2)
+    val combined = spark.read.parquet(sigsRoot)
+      .filter(col("ingest_batch") <= target).drop("ingest_batch")
+      .localCheckpoint(true) // materialize BEFORE overwriting an input
+    combined.write.mode("overwrite").parquet(s"$sigsRoot/ingest_batch=$target")
+    absorb.foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
+    }
+  }
+
   /** The deduplicated corpus itself: drop every non-canonical member of
     * a near-dup cluster (keep the min-doc_id representative), keep all
     * docs without a near-dup partner. This is the step that actually

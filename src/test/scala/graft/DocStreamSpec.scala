@@ -215,6 +215,38 @@ class DocStreamSpec extends AnyFunSuite {
     assert(sigIds === Array("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
   }
 
+  test("signature-store compaction folds the tail, preserves the index set, and " +
+      "keeps the next batch's clustering identical") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("clusters-compact").toString
+    // four small ingest batches, then compact, then one more batch
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 150), 0, state)
+    graft.ops.Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300), 1, state)
+    graft.ops.Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 2, state)
+    graft.ops.Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450), 3, state)
+    val sigsBefore = spark.read.parquet(s"$state/sigs").drop("ingest_batch")
+      .collect().map(_.toSeq).toSet
+    graft.ops.Dedup.compactSignatureStore(spark, state)
+    val dirs = new java.io.File(s"$state/sigs").listFiles()
+      .map(_.getName).filter(_.matches("ingest_batch=\\d+")).sorted
+    assert(dirs === Array("ingest_batch=2", "ingest_batch=3"), dirs.mkString(","))
+    val sigsAfter = spark.read.parquet(s"$state/sigs").drop("ingest_batch")
+      .collect().map(_.toSeq).toSet
+    assert(sigsAfter === sigsBefore)
+    // the stream continues over compacted state and still converges to
+    // the from-scratch clustering of everything ingested
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 450), 4, state)
+    val latest = spark.read.parquet(s"$state/assign/ingest_batch=4")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.ops.Dedup.dupClusters(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest === full && latest.nonEmpty)
+  }
+
   test("streaming decontam-on-ingest == the declared batch sweep against the same probes") {
     import org.apache.spark.sql.functions.col
     val docs = graft.core.Tables.documents(spark, dir)
