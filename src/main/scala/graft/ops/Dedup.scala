@@ -1063,25 +1063,30 @@ object Dedup extends graft.QueryModule {
     }
   }
 
-  /** Compact the [[clustersIngestBatch]] signature store: fold every
-    * partition STRICTLY BELOW the current maximum id into the
-    * second-highest partition, so a long-running stream's state
-    * settles at {base, previous, current} instead of one small
-    * partition per micro-batch (small-file creep is the classic
-    * streaming-table failure mode — the `compactZordered` concern
-    * applied to the dedup index). The current maximum is left alone
-    * because a replayed batch re-reads `< max` state, which this
-    * rewrite must (and does) leave set-identical.
+  /** Compact the [[clustersIngestBatch]] signature store: APPEND every
+    * partition strictly between the lowest and the top two into the
+    * lowest (base) partition, so a long-running stream's state settles
+    * at {base, previous, current} instead of one small partition per
+    * micro-batch (small-file creep is the classic streaming-table
+    * failure mode — the `compactZordered` concern applied to the dedup
+    * index). The current maximum is left alone because a replayed
+    * batch re-reads `< max` state, which this fold must (and does)
+    * leave set-identical.
     *
-    * Crash-safe by ORDER, not by atomicity: the combined partition is
-    * written FIRST (overwrite of the target id, whose old content is a
-    * subset of the combined set), the absorbed partitions are deleted
-    * after. A crash between the two steps leaves duplicate signature
-    * rows, which the downstream band/scoring joins tolerate (candidate
-    * pairs are distinct()-ed; components ignore duplicate edges) and
-    * the next compaction removes — state degrades to benign
-    * duplication, never to loss. Run it between batches (it must not
-    * race an in-flight [[clustersIngestBatch]] write).
+    * Crash-safe because NO step deletes a sole-copy row before a
+    * durable second copy exists: append-mode writes only ADD files to
+    * the base partition (an overwrite would delete the base's old
+    * content before the job commits — a mid-job crash would lose it),
+    * and the absorbed partitions are deleted only after the append
+    * job commits. A crash mid-append leaves a committed subset of the
+    * absorbed rows duplicated into base; a crash between append and
+    * deletes duplicates all of them. Exact duplicate signature rows
+    * are semantically inert downstream (candidate pairs are
+    * distinct()-ed, components label each node once via
+    * groupBy(node).min) and persist in the base partition only until
+    * its files are next rewritten — they are never removed by
+    * compaction itself, only tolerated. Run it between batches (it
+    * must not race an in-flight [[clustersIngestBatch]] write).
     */
   def compactSignatureStore(spark: SparkSession, stateDir: String): Unit = {
     val sigsRoot = s"$stateDir/sigs"
@@ -1093,13 +1098,15 @@ object Dedup extends graft.QueryModule {
       .collect { case s if s.matches("ingest_batch=\\d+") =>
         s.stripPrefix("ingest_batch=").toLong }
       .sorted
-    if (ids.length <= 2) return // nothing to fold
-    val target = ids(ids.length - 2) // second-highest absorbs the tail
-    val absorb = ids.dropRight(2)
-    val combined = spark.read.parquet(sigsRoot)
-      .filter(col("ingest_batch") <= target).drop("ingest_batch")
-      .localCheckpoint(true) // materialize BEFORE overwriting an input
-    combined.write.mode("overwrite").parquet(s"$sigsRoot/ingest_batch=$target")
+    if (ids.length <= 3) return // already at {base, previous, current}
+    val base = ids.head
+    val absorb = ids.slice(1, ids.length - 2)
+    // read the absorbed dirs DIRECTLY (not root + partition filter):
+    // the read set and the append target are then disjoint directories
+    // by construction, so no materialization barrier is needed
+    val moved = spark.read.parquet(
+      absorb.map(i => s"$sigsRoot/ingest_batch=$i"): _*)
+    moved.write.mode("append").parquet(s"$sigsRoot/ingest_batch=$base")
     absorb.foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
     }

@@ -233,12 +233,18 @@ class DocStreamSpec extends AnyFunSuite {
     graft.ops.Dedup.compactSignatureStore(spark, state)
     val dirs = new java.io.File(s"$state/sigs").listFiles()
       .map(_.getName).filter(_.matches("ingest_batch=\\d+")).sorted
-    assert(dirs === Array("ingest_batch=2", "ingest_batch=3"), dirs.mkString(","))
+    assert(dirs === Array("ingest_batch=0", "ingest_batch=2", "ingest_batch=3"),
+      dirs.mkString(","))
     val sigsAfter = spark.read.parquet(s"$state/sigs").drop("ingest_batch")
       .collect().map(_.toSeq).toSet
     assert(sigsAfter === sigsBefore)
-    // the stream continues over compacted state and still converges to
-    // the from-scratch clustering of everything ingested
+    // simulate a compaction that crashed between append and delete:
+    // re-append one partition's rows into base, leaving exact
+    // duplicates in the "< id" read set — the documented worst case
+    val prevSigs = spark.read.parquet(s"$state/sigs/ingest_batch=2")
+    prevSigs.write.mode("append").parquet(s"$state/sigs/ingest_batch=0")
+    // the stream continues over compacted (and duplicate-bearing)
+    // state and still converges to the from-scratch clustering
     graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 450), 4, state)
     val latest = spark.read.parquet(s"$state/assign/ingest_batch=4")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
