@@ -23,7 +23,8 @@ object ScaleProbe {
     val sections: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
-        "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout")
+        "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout",
+        "maintain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -738,6 +739,71 @@ object ScaleProbe {
       }
       d.unpersist()
     }
+    }
+
+    if (sections("maintain")) {
+      // streaming cluster maintenance: the small-file-creep cost of a
+      // long-running ingest, and what compactSignatureStore buys back.
+      // One signature partition (up to one file per shuffle partition)
+      // lands per micro-batch; every later fold re-reads the WHOLE
+      // store, so the band join pays the file count, not just the row
+      // count. Probe: ingest B small batches, then time the SAME
+      // next-batch fold over the uncompacted store vs the compacted
+      // {base, previous, current} layout. A throwaway fold on a third
+      // state copy runs first so JIT/codegen warmness doesn't
+      // masquerade as the compaction win (residual run-order warming
+      // still mildly favors the later, compacted measurement — noted
+      // when reading the contrast); the assignment-equality line is
+      // the correctness evidence.
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).persist()
+      val nb = math.max(12, factor * 2)
+      val root = java.nio.file.Files.createTempDirectory("maintain-probe").toString
+      val stateA = s"$root/a"; val stateW = s"$root/w"; val stateB = s"$root/b"
+      val probe = docs.filter(col("doc_id") % (nb + 1) === nb).persist()
+      println(s"[scale] maintain: ${docs.count()} docs, $nb ingest batches, " +
+        s"probe batch ${probe.count()} docs")
+      for (b <- 0 until nb)
+        graft.ops.Dedup.clustersIngestBatch(
+          docs.filter(col("doc_id") % (nb + 1) === b), b, stateA)
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      def copyState(dst: String): Unit =
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(stateA), fs,
+          new org.apache.hadoop.fs.Path(dst), false, conf)
+      def sigFiles(state: String): Long = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(s"$state/sigs"), true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      copyState(stateW); copyState(stateB)
+      graft.ops.Dedup.clustersIngestBatch(probe, nb, stateW) // warm-up
+      time(s"fold_${nb}_partitions") {
+        graft.ops.Dedup.clustersIngestBatch(probe, nb, stateA)
+        spark.read.parquet(s"$stateA/assign/ingest_batch=$nb").count()
+      }
+      val filesBefore = sigFiles(stateB)
+      time("compact_store") {
+        graft.ops.Dedup.compactSignatureStore(spark, stateB)
+        sigFiles(stateB)
+      }
+      println(s"[scale] maintain: sig files $filesBefore -> ${sigFiles(stateB)} " +
+        s"(partitions $nb -> 3)")
+      time("fold_compacted") {
+        graft.ops.Dedup.clustersIngestBatch(probe, nb, stateB)
+        spark.read.parquet(s"$stateB/assign/ingest_batch=$nb").count()
+      }
+      val aOut = spark.read.parquet(s"$stateA/assign/ingest_batch=$nb")
+      val bOut = spark.read.parquet(s"$stateB/assign/ingest_batch=$nb")
+      val diff = aOut.exceptAll(bOut).count() + bOut.exceptAll(aOut).count()
+      println(s"[scale] maintain: compacted fold assignment identical: " +
+        s"${diff == 0} (diff=$diff)")
+      docs.unpersist(); probe.unpersist()
     }
     spark.stop()
   }

@@ -1101,11 +1101,25 @@ object Dedup extends graft.QueryModule {
     if (ids.length <= 3) return // already at {base, previous, current}
     val base = ids.head
     val absorb = ids.slice(1, ids.length - 2)
+    // coalesce the appended rows to ~maxPartitionBytes-sized output
+    // files — a plain append is shuffle-free and so preserves one
+    // output file per input file, which would reduce only the
+    // DIRECTORY count and leave the small-file creep itself intact
+    // (measured: 20 -> 20 files without this). coalesce() only
+    // narrows, so the merge stays shuffle-free; the input-bytes
+    // estimate ignores recompression, erring toward slightly more
+    // files, never fewer than one
+    val absorbBytes = absorb.map { i =>
+      fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$i")).getLength
+    }.sum
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val nOut = math.max(1L, (absorbBytes + targetBytes - 1) / targetBytes).toInt
     // read the absorbed dirs DIRECTLY (not root + partition filter):
     // the read set and the append target are then disjoint directories
     // by construction, so no materialization barrier is needed
     val moved = spark.read.parquet(
-      absorb.map(i => s"$sigsRoot/ingest_batch=$i"): _*)
+      absorb.map(i => s"$sigsRoot/ingest_batch=$i"): _*).coalesce(nOut)
     moved.write.mode("append").parquet(s"$sigsRoot/ingest_batch=$base")
     absorb.foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
