@@ -313,6 +313,12 @@ object Bpe extends graft.QueryModule {
     * back costs one tiny parquet scan instead of the full per-merge
     * training sweep ([[bpeMerges]] pays k corpus-vocab passes).
     */
+  /** Single-table artifact: the overwrite is not crash-atomic (a
+    * crash mid-write leaves the dir absent/partial), but unlike a
+    * multi-table index there is no silent mixed-version state — the
+    * read fails LOUDLY. For a live serving deployment, write to a
+    * fresh dir and swap, as writeIvfPqIndex's versioning does.
+    */
   def writeBpeModel(spark: SparkSession, merges: Seq[Merge], dir: String): Unit = {
     import spark.implicits._
     merges.toDF().coalesce(1).write.mode("overwrite").parquet(dir)

@@ -411,6 +411,12 @@ object Classify extends graft.QueryModule {
     * round-trip is lossless and a served scorer is bit-identical to
     * an in-query-trained one (IndexServeSpec pins it).
     */
+  /** Single-table artifact: the overwrite is not crash-atomic (a
+    * crash mid-write leaves the dir absent/partial), but there is no
+    * silent mixed-version state possible — the read fails LOUDLY.
+    * For a live serving deployment, write to a fresh dir and swap,
+    * as writeIvfPqIndex's versioning does.
+    */
   def writeLinearGate(docs: DataFrame, dir: String, iters: Int = 3): Unit =
     linearModel(docs, iters).coalesce(1).write.mode("overwrite").parquet(dir)
 

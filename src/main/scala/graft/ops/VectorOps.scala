@@ -1103,6 +1103,18 @@ object VectorOps extends graft.QueryModule {
     * of re-scoring/retraining — the ~seconds-per-query trainer cost
     * the bench pays under the self-contained-oracle convention is
     * exactly what this removes in deployment.
+    *
+    * The artifact is FOUR tables, and overwriting them in place over
+    * a live index would not be crash-atomic across the four writes —
+    * a crash between `centroids` and `codes` would leave new
+    * centroids beside old codes, which [[readIvfPqIndex]] would serve
+    * as silent garbage. So each call writes a fresh `v=<n>/` version
+    * dir instead, with `meta` written LAST: a version is complete iff
+    * its `meta/_SUCCESS` exists, readers resolve the highest complete
+    * version, and a crash at ANY point leaves an incomplete version
+    * that readers never see and the previous version still serving.
+    * Old versions are kept (a reader may be mid-stream over one) —
+    * prune deliberately with [[pruneIvfPqVersions]].
     */
   def writeIvfPqIndex(embeddings: DataFrame, dir: String, nCentroids: Int = 8,
       m: Int = 8, ksub: Int = 16, dims: Int = 64): Unit = {
@@ -1110,23 +1122,82 @@ object VectorOps extends graft.QueryModule {
     import spark.implicits._
     val (scoredCells, cent, cb, codes) =
       ivfPqBuildLazy(embeddings, nCentroids, m, ksub, dims)
-    cent.write.mode("overwrite").parquet(s"$dir/centroids")
-    cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val vdir = s"$dir/v=${(0L +: indexVersions(fs, dir)).max + 1}"
+    cent.write.mode("overwrite").parquet(s"$vdir/centroids")
+    cb.write.mode("overwrite").parquet(s"$vdir/codebook")
+    codes.write.mode("overwrite").parquet(s"$vdir/codes")
     Seq((nCentroids, m, ksub, dims))
       .toDF("n_centroids", "m", "ksub", "dims")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
     scoredCells.unpersist(false)
   }
 
+  /** Version dirs (`v=<n>`) under an index root, complete or not. */
+  private def indexVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("v=\\d+") =>
+        s.stripPrefix("v=").toLong }
+  }
+
+  private def isCompleteVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/meta/_SUCCESS"))
+
+  /** Resolve the highest COMPLETE version dir (meta/_SUCCESS present —
+    * meta is written last, so its job-commit marker seals the whole
+    * version), falling back to the pre-versioning flat layout so
+    * artifacts written by older builds stay readable. A dir with
+    * neither is a loud error, never an empty index.
+    */
+  private def latestIndexDir(spark: SparkSession, dir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val complete = indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
+    if (complete.nonEmpty) s"$dir/v=${complete.max}"
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) dir
+    else throw new IllegalArgumentException(
+      s"readIvfPqIndex: no complete index version under $dir " +
+        "(a crashed write leaves only incomplete v=* dirs; retrain, or " +
+        "point at an artifact written by writeIvfPqIndex)")
+  }
+
   def readIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val base = latestIndexDir(spark, dir)
+    val meta = spark.read.parquet(s"$base/meta").collect().head
     IvfPqIndex(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebook"),
-      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebook"),
+      spark.read.parquet(s"$base/codes"),
       meta.getAs[Int]("n_centroids"), meta.getAs[Int]("m"),
       meta.getAs[Int]("ksub"), meta.getAs[Int]("dims"))
+  }
+
+  /** Deliberate version cleanup: keep the newest `keep` COMPLETE
+    * versions, delete older complete ones and any incomplete version
+    * BELOW the newest complete (a crashed write a later retrain has
+    * superseded). An incomplete version ABOVE the newest complete is
+    * never touched — it may be a retrain in flight right now.
+    */
+  def pruneIvfPqVersions(spark: SparkSession, dir: String,
+      keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val all = indexVersions(fs, dir).sorted
+    val complete = all.filter(isCompleteVersion(fs, dir, _))
+    if (complete.isEmpty) return
+    val keepSet = complete.takeRight(keep).toSet
+    all.filter(v =>
+        (complete.contains(v) && !keepSet(v)) ||
+        (!complete.contains(v) && v < complete.max))
+      .foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
+      }
   }
 
   /** Serve ANN queries from a PERSISTED index: score only the query
@@ -1210,8 +1281,14 @@ object VectorOps extends graft.QueryModule {
     */
   def appendToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
       dir: String): Unit =
+    // appends land in the latest COMPLETE version's codes table — the
+    // one readIvfPqIndex resolves. Run appends and retrains serially
+    // (the same contract the pre-versioned layout had): an append
+    // racing a retrain could land in the version the retrain is about
+    // to supersede, and the retrain re-encodes everything it was given
     encodeWithIndex(index, batch)
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("append")
+      .parquet(s"${latestIndexDir(batch.sparkSession, dir)}/codes")
 
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —
     * PlanSpec asserts the broadcast/WindowGroupLimit shape here, before

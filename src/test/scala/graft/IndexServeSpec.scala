@@ -106,6 +106,52 @@ class IndexServeSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("IVFADC versions: retrain supersedes atomically, torn writes invisible, prune keeps serving") {
+    val ixDir = Files.createTempDirectory("graft-ivfpq-ver").toString + "/ix"
+    VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 300), ixDir, 8, 8, 16, 64)
+    // a retrain over the live artifact lands as a NEW version; the
+    // reader resolves it and serves exactly what a fresh-dir train of
+    // the same corpus serves (in-place overwrite of the four tables
+    // would not be crash-atomic — versioning is what makes retrain
+    // safe over a live index)
+    VectorOps.writeIvfPqIndex(emb, ixDir, 8, 8, 16, 64)
+    val freshDir = Files.createTempDirectory("graft-ivfpq-fresh").toString + "/ix"
+    VectorOps.writeIvfPqIndex(emb, freshDir, 8, 8, 16, 64)
+    val fresh = VectorOps.readIvfPqIndex(spark, freshDir)
+    val ix = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(rows(ix.codes) === rows(fresh.codes))
+    assert(rows(ix.centroids) === rows(fresh.centroids))
+    // simulate a retrain that crashed mid-write: a higher version with
+    // a part written but NO meta/_SUCCESS — readers must not see it
+    ix.centroids.limit(1).write.parquet(s"$ixDir/v=9/centroids")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === rows(fresh.codes),
+      "a torn higher version must stay invisible to readers")
+    // a torn write BELOW the newest complete version — a failed
+    // retrain a later one superseded — is sweepable garbage
+    ix.centroids.limit(1).write.parquet(s"$ixDir/v=0/centroids")
+    // prune: drops the stale complete v=1 and the superseded torn v=0;
+    // the torn v=9 sits ABOVE the newest complete version (possibly a
+    // retrain in flight right now) and must survive
+    VectorOps.pruneIvfPqVersions(spark, ixDir, keep = 1)
+    val dirs = new java.io.File(ixDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(dirs === Array("v=2", "v=9"), dirs.mkString(","))
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === rows(fresh.codes))
+    // the pre-versioning flat layout stays readable (legacy artifacts)
+    val legacyDir = Files.createTempDirectory("graft-ivfpq-legacy").toString + "/ix"
+    fresh.centroids.write.parquet(s"$legacyDir/centroids")
+    fresh.codebook.write.parquet(s"$legacyDir/codebook")
+    fresh.codes.write.parquet(s"$legacyDir/codes")
+    spark.read.parquet(s"$freshDir/v=1/meta").write.parquet(s"$legacyDir/meta")
+    assert(rows(VectorOps.readIvfPqIndex(spark, legacyDir).codes) === rows(fresh.codes))
+    // no complete version and no legacy layout = loud error, never an
+    // empty index
+    intercept[IllegalArgumentException] {
+      VectorOps.readIvfPqIndex(spark,
+        Files.createTempDirectory("graft-ivfpq-none").toString)
+    }
+  }
+
   test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
     import graft.ops.Dedup
     val sDir = Files.createTempDirectory("graft-sig-store").toString + "/s"
