@@ -366,8 +366,22 @@ object Dedup extends graft.QueryModule {
     minhashSignatures(docs).write
       .mode(if (append) "append" else "overwrite").parquet(dir)
 
-  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  /** Loud-read contract: a crashed OVERWRITE of the store can leave a
+    * partial, silently-shrunken history (whether partial files are
+    * visible is committer-dependent), and incremental dedup over a
+    * shrunken store silently misses duplicates — so refuse a store
+    * with no `_SUCCESS` job-commit marker rather than serve it. A
+    * crashed APPEND keeps the previous write's marker and at worst
+    * duplicates rows on retry, which the candidate joins tolerate.
+    */
+  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")),
+      s"readMinhashSignatures: no _SUCCESS marker under $dir — the store " +
+        "was never completely written; re-run writeMinhashSignatures")
     spark.read.parquet(dir)
+  }
 
   /** MinHash band-bucket occupancy pre-flight — the third member of
     * the pricing family (q_selfjoin_cost prices the inverted-index

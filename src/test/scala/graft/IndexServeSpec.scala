@@ -165,6 +165,13 @@ class IndexServeSpec extends AnyFunSuite {
       === rows(Dedup.incrementalCandidates(batch,
         Dedup.minhashSignatures(history), 0.5)),
       "store-fed incremental candidates diverged from fresh signatures")
+    // a store whose overwrite crashed (no _SUCCESS job-commit marker)
+    // must refuse to load — a silently-shrunken history would miss
+    // duplicates downstream
+    assert(new java.io.File(s"$sDir/_SUCCESS").delete())
+    intercept[IllegalArgumentException] {
+      Dedup.readMinhashSignatures(spark, sDir)
+    }
   }
 
   test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
