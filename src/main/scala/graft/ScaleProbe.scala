@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.ScaleProbe [factor] [sections]
   * `sections` = comma-separated subset of
   * relational,dedup,emb,cdc,quota,prefix,pipeline,bpe,classify,pq,
-  * audit,trained,layout,longdoc — default = all EXCEPT `longdoc`: the emb
+  * audit,trained,layout,maintain,longdoc — default = all EXCEPT
+  * `longdoc`: the emb
   * section's exact all-pairs baseline is minutes at 8× (so targeted
   * probes shouldn't have to pay for it), and `longdoc` deliberately
   * runs charEntropy's retired O(len²) baseline for contrast, which

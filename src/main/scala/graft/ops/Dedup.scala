@@ -1048,6 +1048,13 @@ object Dedup extends graft.QueryModule {
         s"(max ${existing.max}); seed ids must stay below the stream's " +
         "baseBatchId")
     val prev = existing.filter(_ < id)
+    // lifecycle note for the per-micro-batch caller (clustersOnIngest):
+    // the localCheckpoint blocks here and inside the incremental path
+    // hold no references past this call, so the ContextCleaner
+    // reclaims them between batches (bounded further by Spark's
+    // periodic-GC interval) — the same convention as the
+    // star-contraction loop's per-round checkpoints. persist()-ed
+    // frames, by contrast, are explicitly unpersisted by their owners.
     val newSigs = minhashSignatures(batch).localCheckpoint(true)
     val out =
       if (prev.isEmpty)

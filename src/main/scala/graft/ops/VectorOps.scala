@@ -1127,7 +1127,11 @@ object VectorOps extends graft.QueryModule {
     val vdir = s"$dir/v=${(0L +: indexVersions(fs, dir)).max + 1}"
     cent.write.mode("overwrite").parquet(s"$vdir/centroids")
     cb.write.mode("overwrite").parquet(s"$vdir/codebook")
-    codes.write.mode("overwrite").parquet(s"$vdir/codes")
+    // codes live in SEALED append dirs (append=0 is the training
+    // write): readers take only dirs whose _SUCCESS committed, so a
+    // crashed later append is invisible instead of a partial,
+    // committer-dependent row subset — see appendToIvfPqIndex
+    codes.write.mode("overwrite").parquet(s"$vdir/codes/append=0")
     Seq((nCentroids, m, ksub, dims))
       .toDF("n_centroids", "m", "ksub", "dims")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
@@ -1159,20 +1163,46 @@ object VectorOps extends graft.QueryModule {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val complete = indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
     if (complete.nonEmpty) s"$dir/v=${complete.max}"
-    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) dir
+    // legacy flat layout gates on the same job-commit marker as the
+    // versioned path — a torn legacy meta must hit the loud error
+    // below, not an obscure schema-inference failure
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"))) dir
     else throw new IllegalArgumentException(
       s"readIvfPqIndex: no complete index version under $dir " +
         "(a crashed write leaves only incomplete v=* dirs; retrain, or " +
         "point at an artifact written by writeIvfPqIndex)")
   }
 
+  /** The codes table's SEALED append dirs: every `append=<n>` whose
+    * `_SUCCESS` job-commit marker exists. An unsealed dir is a
+    * crashed append — invisible garbage, never a partial row subset.
+    * A codes dir with no append subdirs at all is the pre-versioning
+    * flat table, read whole.
+    */
+  private def sealedCodesDirs(fs: org.apache.hadoop.fs.FileSystem,
+      codesDir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(codesDir)
+    val appends =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .collect { case s if s.matches("append=\\d+") =>
+          s.stripPrefix("append=").toLong }
+    if (appends.isEmpty) Seq(codesDir)
+    else appends.sorted
+      .filter(a => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$codesDir/append=$a/_SUCCESS")))
+      .map(a => s"$codesDir/append=$a")
+  }
+
   def readIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
     val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val meta = spark.read.parquet(s"$base/meta").collect().head
     IvfPqIndex(
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebook"),
-      spark.read.parquet(s"$base/codes"),
+      spark.read.parquet(sealedCodesDirs(fs, s"$base/codes"): _*),
       meta.getAs[Int]("n_centroids"), meta.getAs[Int]("m"),
       meta.getAs[Int]("ksub"), meta.getAs[Int]("dims"))
   }
@@ -1239,23 +1269,36 @@ object VectorOps extends graft.QueryModule {
     * whether it was present at training time or arrives later.
     * Returns (vid, codes, cell) rows, the codes-table shape.
     */
-  def encodeWithIndex(index: IvfPqIndex, batch: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(batch.sparkSession)
-    val sub = index.dims / index.m
-    val e = castVec(batch, "vid")
+  /** Coarse scoring against a centroid table (cosine, ties to the
+    * lowest cell id, rn = closeness rank for nprobe) — shared by the
+    * in-query trainer and the frozen-model encode path so coarse
+    * assignment is expression-identical on both.
+    */
+  private def coarseScored(e: DataFrame, cent: DataFrame): DataFrame = {
     val wA = Window.partitionBy("vid").orderBy(col("ccos").desc, col("ccid"))
-    val assigned = e.join(broadcast(index.centroids), lit(true))
+    e.join(broadcast(cent), lit(true))
       .select(col("vid"), col("vid_v"), col("ccid"), col("c_v"),
         round(call_function("array_cosine", col("vid_v"), col("c_v")), 6).as("ccos"))
       .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("vid_v"), col("ccid").as("cell"), col("c_v"))
+  }
+
+  /** Residual-PQ encode of coarse-assigned vectors — THE shared
+    * encode block, used by both the in-query trainer
+    * ([[ivfPqBuildLazy]]) and the frozen-model append path
+    * ([[encodeWithIndex]]): the bit-identity contract ("a vector
+    * encodes the same whether present at training time or arriving
+    * later", IndexServeSpec) rests on this being ONE block, not two
+    * hand-synced copies.
+    */
+  private def pqEncodeAssigned(assigned: DataFrame, cb: DataFrame,
+      m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
     val resid = assigned.select(col("vid").as("vec_id"),
       zip_with(col("vid_v"), col("c_v"), (a, b) => a - b).as("embedding"))
     def gridFold(terms: Column): Column =
       aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
     val rv = castVec(resid, "vid")
-    rv.join(broadcast(index.codebook), lit(true))
+    rv.join(broadcast(cb), lit(true))
       .select(col("vid"), col("j"), col("cid"),
         gridFold(zip_with(
           slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
@@ -1269,6 +1312,14 @@ object VectorOps extends graft.QueryModule {
       .join(assigned.select(col("vid"), col("cell")), Seq("vid"))
   }
 
+  def encodeWithIndex(index: IvfPqIndex, batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val assigned = coarseScored(castVec(batch, "vid"), index.centroids)
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("vid_v"), col("ccid").as("cell"), col("c_v"))
+    pqEncodeAssigned(assigned, index.codebook, index.m, index.dims)
+  }
+
   /** Append a NEW batch to a persisted index — the daily-ingest half
     * of the serve lifecycle: the batch coarse-assigns and encodes
     * against the SAVED model halves ([[encodeWithIndex]]) and its
@@ -1280,15 +1331,35 @@ object VectorOps extends graft.QueryModule {
     * monitor between retrains).
     */
   def appendToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
-      dir: String): Unit =
+      dir: String): Unit = {
     // appends land in the latest COMPLETE version's codes table — the
-    // one readIvfPqIndex resolves. Run appends and retrains serially
-    // (the same contract the pre-versioned layout had): an append
-    // racing a retrain could land in the version the retrain is about
-    // to supersede, and the retrain re-encodes everything it was given
-    encodeWithIndex(index, batch)
-      .write.mode("append")
-      .parquet(s"${latestIndexDir(batch.sparkSession, dir)}/codes")
+    // one readIvfPqIndex resolves — as a fresh SEALED append dir: the
+    // write commits its own _SUCCESS, and readers skip unsealed dirs,
+    // so a crashed append is invisible (re-run it; the torn dir is
+    // garbage swept with the version) rather than a partial row
+    // subset that would silently drop neighbors, or a retried
+    // duplicate that would occupy two top-k ranks per vector. Run
+    // appends and retrains serially (the same contract the
+    // pre-versioned layout had): an append racing a retrain could
+    // land in the version the retrain is about to supersede.
+    val spark = batch.sparkSession
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val codesDir = s"$base/codes"
+    val existing = fs.listStatus(new org.apache.hadoop.fs.Path(codesDir))
+      .toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("append=\\d+") =>
+        s.stripPrefix("append=").toLong }
+    if (existing.isEmpty)
+      // pre-versioning flat codes table: keep the in-place append
+      // (its crash caveat is the legacy layout's own), since mixing
+      // root files with append= subdirs would break the read
+      encodeWithIndex(index, batch).write.mode("append").parquet(codesDir)
+    else
+      encodeWithIndex(index, batch).write.mode("overwrite")
+        .parquet(s"$codesDir/append=${existing.max + 1}")
+  }
 
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —
     * PlanSpec asserts the broadcast/WindowGroupLimit shape here, before
@@ -1326,15 +1397,12 @@ object VectorOps extends graft.QueryModule {
     val cent = e.orderBy("vid").limit(nCentroids)
       .withColumn("ccid", row_number().over(Window.orderBy("vid")).cast("int") - 1)
       .select(col("ccid"), col("vid_v").as("c_v"))
-    val wA = Window.partitionBy("vid").orderBy(col("ccos").desc, col("ccid"))
-    // coarse assignment (cosine, ties to the lowest cell id) — one
-    // broadcast pass; persisted because residual training, encoding,
-    // the query side and the q·c term all read it. rn kept so the
-    // query side can probe its nprobe closest cells.
-    val scoredCells = e.join(broadcast(cent), lit(true))
-      .select(col("vid"), col("vid_v"), col("ccid"), col("c_v"),
-        round(call_function("array_cosine", col("vid_v"), col("c_v")), 6).as("ccos"))
-      .withColumn("rn", row_number().over(wA))
+    // coarse assignment ([[coarseScored]], shared with
+    // encodeWithIndex) — one broadcast pass; persisted because
+    // residual training, encoding, the query side and the q·c term
+    // all read it. rn kept so the query side can probe its nprobe
+    // closest cells.
+    val scoredCells = coarseScored(e, cent)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every corpus vector lives in exactly ONE cell
     val assigned = scoredCells.filter(col("rn") === 1)
@@ -1342,23 +1410,10 @@ object VectorOps extends graft.QueryModule {
     val resid = assigned.select(col("vid").as("vec_id"),
       zip_with(col("vid_v"), col("c_v"), (a, b) => a - b).as("embedding"))
     val cb = pqTrain(resid, m, ksub, 2, dims)
-    def gridFold(terms: Column): Column =
-      aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
-    val rv = castVec(resid, "vid")
-    // residual codes, exactly the pqSearch encode shape
-    val codes = rv
-      .join(broadcast(cb), lit(true))
-      .select(col("vid"), col("j"), col("cid"),
-        gridFold(zip_with(
-          slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
-          (x, c) => (x - c) * (x - c))).as("d2q"))
-      .groupBy("vid", "j")
-      .agg(min(struct(col("d2q"), col("cid"))).as("best"))
-      .select(col("vid"), col("j"), col("best.cid").as("code"))
-      .groupBy("vid")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .join(assigned.select(col("vid"), col("cell")), Seq("vid"))
+    // residual codes via the SHARED encode block (pqEncodeAssigned) —
+    // exactly the pqSearch encode shape, and expression-identical to
+    // what a later appendToIvfPqIndex batch computes
+    val codes = pqEncodeAssigned(assigned, cb, m, dims)
     (scoredCells, cent, cb, codes)
   }
 
@@ -1537,6 +1592,11 @@ object VectorOps extends graft.QueryModule {
         .localCheckpoint(true) // feeds the share table AND the seed pick
       val shares = assign.groupBy("cid").agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // empty corpus: nothing to balance — the dial's no-op contract,
+      // not an empty.minBy crash (exit the loop, not the function, so
+      // the persisted frames still release below)
+      if (shares.isEmpty) balanced = true
+      else {
       val total = math.max(1L, shares.map(_._2).sum).toDouble
       val (fatCid, fatN) = shares.minBy { case (c, n) => (-n, c) }
       if (fatN / total <= maxShare) balanced = true
@@ -1550,6 +1610,7 @@ object VectorOps extends graft.QueryModule {
         cent = lloydRound(e, cent.unionByName(seed)).localCheckpoint(true)
         prevCent.unpersist(false)
         splits += 1
+      }
       }
       // the assign checkpoint is corpus-sized (vid_v vectors); drop it
       // every round — the next iteration rebuilds from `e`, and the

@@ -59,6 +59,9 @@ class IndexServeSpec extends AnyFunSuite {
     val thr = math.max(0.5, max0 + 0.01)
     val out = VectorOps.ivfBalanceCells(emb, cent, thr, 2)
     assert(rows(out) === rows(cent), "balanced index must come back unchanged")
+    // empty corpus: the dial is a no-op, not an empty.minBy crash
+    assert(rows(VectorOps.ivfBalanceCells(emb.filter(col("vec_id") < 0),
+      cent, thr, 2)) === rows(cent))
     assert(rows(VectorOps.ivfSearchCentroids(emb, col("vid") >= 490, out, 5, 1))
       === rows(VectorOps.ivfSearchCentroids(emb, col("vid") >= 490, cent, 5, 1)))
 
@@ -104,6 +107,16 @@ class IndexServeSpec extends AnyFunSuite {
     // the appended index serves: batch vectors answer as queries too
     assert(VectorOps.ivfPqSearchServed(ix2, emb, col("vid") >= 495, 10, 1)
       .count() > 0)
+    // a crashed append (dir written, no _SUCCESS job-commit marker)
+    // must be INVISIBLE to readers — neither a partial row subset nor
+    // retried duplicates ever reach the served top-k
+    val codesDir = s"$ixDir/v=1/codes"
+    VectorOps.encodeWithIndex(ix, batch.limit(3))
+      .write.parquet(s"$codesDir/append=9")
+    assert(new java.io.File(s"$codesDir/append=9/_SUCCESS").delete())
+    val ix3 = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(rows(ix3.codes) === rows(ix2.codes),
+      "unsealed append dir must stay invisible to readers")
   }
 
   test("IVFADC versions: retrain supersedes atomically, torn writes invisible, prune keeps serving") {
