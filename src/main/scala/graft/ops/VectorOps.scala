@@ -1211,7 +1211,13 @@ object VectorOps extends graft.QueryModule {
     * versions, delete older complete ones and any incomplete version
     * BELOW the newest complete (a crashed write a later retrain has
     * superseded). An incomplete version ABOVE the newest complete is
-    * never touched — it may be a retrain in flight right now.
+    * never touched — it may be a retrain in flight right now. Inside
+    * each KEPT version the same rule sweeps the codes table's torn
+    * append dirs: an unsealed `append=<n>` BELOW the newest sealed
+    * append is a crashed append a later retry superseded (retries
+    * allocate a fresh higher n) — readers already skip it
+    * ([[sealedCodesDirs]]), prune reclaims it; an unsealed append
+    * ABOVE the newest sealed one may be in flight and survives.
     */
   def pruneIvfPqVersions(spark: SparkSession, dir: String,
       keep: Int = 1): Unit = {
@@ -1228,6 +1234,23 @@ object VectorOps extends graft.QueryModule {
       .foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
       }
+    keepSet.foreach { v =>
+      val codesDir = s"$dir/v=$v/codes"
+      val root = new org.apache.hadoop.fs.Path(codesDir)
+      if (fs.exists(root)) {
+        val appends = fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .collect { case s if s.matches("append=\\d+") =>
+            s.stripPrefix("append=").toLong }
+        val committed = appends.filter(a => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$codesDir/append=$a/_SUCCESS")))
+        if (committed.nonEmpty)
+          appends.filter(a => !committed.contains(a) && a < committed.max)
+            .foreach { a =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$codesDir/append=$a"), true)
+            }
+      }
+    }
   }
 
   /** Serve ANN queries from a PERSISTED index: score only the query

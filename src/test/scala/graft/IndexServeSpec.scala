@@ -117,6 +117,21 @@ class IndexServeSpec extends AnyFunSuite {
     val ix3 = VectorOps.readIvfPqIndex(spark, ixDir)
     assert(rows(ix3.codes) === rows(ix2.codes),
       "unsealed append dir must stay invisible to readers")
+    // once a LATER sealed append supersedes it (retries allocate a
+    // fresh higher n), the torn dir is reclaimable garbage: prune
+    // sweeps it but never touches the highest-or-above unsealed
+    // append (possibly in flight)
+    val batch2 = emb.filter(col("vec_id") >= 450)
+      .selectExpr("vec_id + 1000 AS vec_id", "embedding")
+    VectorOps.appendToIvfPqIndex(ix3, batch2, ixDir)
+    VectorOps.pruneIvfPqVersions(spark, ixDir, keep = 1)
+    val appendDirs = new java.io.File(codesDir).listFiles()
+      .map(_.getName).filter(_.startsWith("append=")).sorted
+    assert(appendDirs === Array("append=0", "append=1", "append=10"),
+      appendDirs.mkString(","))
+    val ix4 = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(ix4.codes.count() === emb.count() + batch2.count())
+    assert(rows(ix4.codes.filter(col("vid") < 1000)) === rows(ix2.codes))
   }
 
   test("IVFADC versions: retrain supersedes atomically, torn writes invisible, prune keeps serving") {
