@@ -1285,6 +1285,30 @@ object VectorOps extends graft.QueryModule {
     rerankExact(embeddings, cand, k)
   }
 
+  /** Recall@k of an APPROXIMATE ANN result against the exact top-k —
+    * the serving-quality number every deployed index is monitored on,
+    * and the ground truth behind the dials this module exposes
+    * (nprobe via q_ann_ivf_probe2, band sizing via autoPlanesPerBand,
+    * cell skew via ivfBalanceCells). Both inputs carry (qid, vid)
+    * rows; per query, recall = |approx ∩ exact| / k. The join is
+    * tiny-on-tiny (2·|queries|·k rows), so cost is entirely in
+    * producing the inputs — at 100 TB the exact side is the only
+    * brute-force piece, which is why the monitor runs on a SAMPLE of
+    * queries (the standard recall-probe protocol: score sample ×
+    * corpus once, amortized over the serving period) while the
+    * approx side is the served index's own answer.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    exact.select("qid", "vid")
+      .join(approx.select(col("qid"), col("vid"), lit(1).as("hit")),
+        Seq("qid", "vid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   /** Encode a batch of vectors against a persisted index's SAVED model
     * halves: coarse-assign with the saved centroids (cosine, ties to
     * the lowest cell), residual-encode with the saved codebook — the
@@ -1382,6 +1406,41 @@ object VectorOps extends graft.QueryModule {
     else
       encodeWithIndex(index, batch).write.mode("overwrite")
         .parquet(s"$codesDir/append=${existing.max + 1}")
+  }
+
+  /** The REPLAY-SAFE append the streaming twin
+    * ([[graft.streaming.EmbStream.indexOnIngest]]) uses: the batch
+    * encodes against the frozen model ([[encodeWithIndex]]) and
+    * OVERWRITES the append dir named by its caller-supplied id —
+    * a redelivered micro-batch rewrites its own dir with the same
+    * deterministic content (the frozen model makes the encode a pure
+    * function of the batch), so stream replays can never duplicate
+    * codes rows, unlike [[appendToIvfPqIndex]]'s allocate-next-n
+    * (correct for one-shot batch appends, where a retry after an
+    * unsealed crash SHOULD get a fresh dir). `appendId` must be >= 1
+    * (0 is the training write) and the stream must be the index's
+    * only writer while running — the same serial-writer contract
+    * appends and retrains already carry. Refuses a pre-versioning
+    * flat codes table: per-id dirs require the sealed-append layout
+    * (rewrite the artifact with [[writeIvfPqIndex]] first).
+    */
+  def appendBatchToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
+      dir: String, appendId: Long): Unit = {
+    require(appendId >= 1,
+      s"appendId must be >= 1 (append=0 is the training write), got $appendId")
+    val spark = batch.sparkSession
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val codesDir = s"$base/codes"
+    val hasAppendDirs = fs.listStatus(new org.apache.hadoop.fs.Path(codesDir))
+      .exists(_.getPath.getName.matches("append=\\d+"))
+    require(hasAppendDirs,
+      s"appendBatchToIvfPqIndex: $codesDir is a pre-versioning flat codes " +
+        "table; per-batch append dirs would shadow its root files — " +
+        "rewrite the artifact with writeIvfPqIndex first")
+    encodeWithIndex(index, batch).write.mode("overwrite")
+      .parquet(s"$codesDir/append=$appendId")
   }
 
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —
@@ -1983,6 +2042,19 @@ object VectorOps extends graft.QueryModule {
     "q_ivfpq_rerank" -> { (spark, dir) =>
       ivfPqRerank(Tables.embeddings(spark, dir), col("vid") < 5, 8, 8, 16, 100, 10, 64, 1)
         .orderBy("qid", "rank")
+    },
+
+    // The serving-quality monitor: per-query recall@10 of the IVFADC
+    // rung against the exact top-10 — the ground-truth number the
+    // nprobe / band-size / cell-balance dials are tuned against,
+    // computed on the query sample (the exact side is the only
+    // brute-force piece; the approx side is the index's own answer).
+    "q_ann_recall" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      annRecall(
+        knn(emb, col("vec_id") < 5, 10),
+        ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64),
+        10).orderBy("qid")
     },
 
     // Embedding post-processing statistics: the mean vector and the
@@ -2640,6 +2712,29 @@ object VectorOps extends graft.QueryModule {
          |  SELECT qid, vid, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
          |  FROM rr) z WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // recall@10 of the IVFADC rung vs exact: the approx side is
+    // q_ivfpq's own CTE chain, the exact side q_knn_bruteforce's —
+    // per query, count how many exact top-10 ids the index returned
+    "q_ann_recall" ->
+      s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2)},
+         |approx AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT s.qid, s.vid,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
+         |    FROM sc s JOIN qc ON qc.qid = s.qid) z WHERE rank <= 10),
+         |exact AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) z
+         |  WHERE rank <= 10)
+         |SELECT ex.qid, CAST(count(ap.vid) AS BIGINT) AS hits,
+         |  CAST(count(ap.vid) AS DOUBLE) / 10.0 AS recall
+         |FROM exact ex LEFT JOIN approx ap
+         |  ON ap.qid = ex.qid AND ap.vid = ex.vid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
     // shortlist → exact re-rank: the same trained-ADC chain, top-100
     // shortlist per query, then true cosine over only those candidates
     "q_pq_rerank" ->

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.ops.VectorOps
+
+/** Streaming maintenance of a PERSISTED ANN index — the ingest half of
+  * the IVFADC serve lifecycle running continuously instead of as a
+  * daily batch: each arriving micro-batch of vectors encodes against
+  * the FROZEN saved model halves (coarse centroids + PQ codebook,
+  * exactly [[graft.ops.VectorOps.encodeWithIndex]] — so a vector
+  * encodes identically whether it arrived in training, in a batch
+  * append, or on the stream) and lands as its own append dir in the
+  * index's codes table. Model halves stay frozen between deliberate
+  * retrains, the standard IVF ingest contract; drift between retrains
+  * is what `q_ivf_cell_balance` / [[graft.ops.VectorOps.ivfCellShares]]
+  * monitor, and `q_ann_recall` is the end-to-end quality readout.
+  *
+  * foreachBatch is the right bridge (the [[DocStream.dedupOnIngest]]
+  * rationale): encoding is a broadcast-join batch pipeline, not a
+  * stateless streaming operator, and replay safety comes from each
+  * micro-batch OVERWRITING its own `append=<baseAppendId + batchId>`
+  * dir with deterministic content — the frozen model makes the encode
+  * a pure function of the batch, so a redelivered batch rewrites the
+  * same rows instead of duplicating them
+  * ([[graft.ops.VectorOps.appendBatchToIvfPqIndex]]).
+  */
+object EmbStream {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(embSchema)
+      .parquet(s"$sfDir/embeddings.*")
+
+  /** Maintain a persisted IVFADC index from a vector stream: the saved
+    * model is read ONCE at stream start (centroids + codebook are
+    * broadcast-sized; the codes table is never read here — per-batch
+    * cost scales with the batch, not the index). `baseAppendId`
+    * offsets the stream's micro-batch ids above the appends already in
+    * the artifact (streaming ids start at 0 on a fresh checkpoint;
+    * append=0 is the training write) — pass the SAME value when
+    * restarting from the checkpoint, since redelivered batch ids must
+    * map to the dirs they wrote before the crash. While the stream
+    * runs it must be the index's only writer (the serial-writer
+    * contract appends and retrains already carry); retraining is a
+    * deliberate stop-retrain-restart event.
+    */
+  def indexOnIngest(newVecs: DataFrame, indexDir: String,
+      checkpointDir: String,
+      baseAppendId: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = VectorOps.readIvfPqIndex(newVecs.sparkSession, indexDir)
+    newVecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        VectorOps.appendBatchToIvfPqIndex(index, batch, indexDir,
+          baseAppendId + id)
+      }
+      .start()
+  }
+}

@@ -535,4 +535,32 @@ class EvalOpsSpec extends AnyFunSuite {
     val r2 = z.getDouble(5)
     assert(r2 > 0.0 && r2 <= 1.0, s"R² out of range: $r2")
   }
+
+  test("annRecall: self-recall 1.0, disjoint 0.0, IVFADC recall agrees with driver-side overlap") {
+    val exact = VectorOps.knn(emb, col("vec_id") < 5, 10)
+    val self = VectorOps.annRecall(exact, exact, 10).collect()
+    assert(self.length === 5)
+    assert(self.forall(r => r.getAs[Long]("hits") === 10L &&
+      r.getAs[Double]("recall") === 1.0))
+    // an approx result sharing nothing with exact reads zero, and the
+    // query set stays EXACT-side-defined (a dead query still reports)
+    val disjoint = exact.withColumn("vid", col("vid") + 1000000L)
+    val zero = VectorOps.annRecall(exact, disjoint, 10).collect()
+    assert(zero.length === 5)
+    assert(zero.forall(r => r.getAs[Long]("hits") === 0L &&
+      r.getAs[Double]("recall") === 0.0))
+    // the declared query's instance: recall equals the overlap computed
+    // driver-side from the two collected top-k sets
+    val approx = VectorOps.ivfPqSearch(emb, col("vid") < 5, 8, 8, 16, 10, 64)
+    val got = VectorOps.annRecall(exact, approx, 10).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("recall")).toMap
+    val exSets = exact.collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+    val apSets = approx.collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vid")).toSet }
+    assert(got.keySet === exSets.keySet)
+    for ((q, ex) <- exSets)
+      assert(got(q) === ex.intersect(apSets.getOrElse(q, Set.empty)).size / 10.0,
+        s"qid $q recall diverges from driver-side overlap")
+  }
 }

@@ -134,6 +134,66 @@ class IndexServeSpec extends AnyFunSuite {
     assert(rows(ix4.codes.filter(col("vid") < 1000)) === rows(ix2.codes))
   }
 
+  test("IVFADC streaming maintenance: stream equals batch, replays never duplicate, guards hold") {
+    import graft.streaming.EmbStream
+    val ixDir = Files.createTempDirectory("graft-ivfpq-stream").toString + "/ix"
+    val history = emb.filter(col("vec_id") < 450)
+    val b1 = emb.filter(col("vec_id") >= 450 && col("vec_id") < 475)
+    val b2 = emb.filter(col("vec_id") >= 475)
+    VectorOps.writeIvfPqIndex(history, ixDir, 8, 8, 16, 64)
+    val ix = VectorOps.readIvfPqIndex(spark, ixDir)
+    // the replay-safe append lands each micro-batch in its own dir,
+    // encoding against the frozen model — two batches equal the
+    // one-shot encode of their union
+    VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 1)
+    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2)
+    val ix2 = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(ix2.codes.count() === emb.count())
+    // materialize the expected sets NOW: the replay below rewrites
+    // append=2's part files, so ix2's lazy file listing goes stale
+    val codesAll = rows(ix2.codes)
+    val codesAppended = rows(ix2.codes.filter(col("vid") >= 450))
+    val servedBatch =
+      rows(VectorOps.ivfPqSearchServed(ix2, emb, col("vid") >= 495, 10, 1))
+    assert(codesAppended === rows(VectorOps.encodeWithIndex(ix, b1.union(b2))))
+    // a REPLAYED batch (the only replay foreachBatch can issue)
+    // rewrites its own dir with identical content — never duplicates
+    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2)
+    val ix3 = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(rows(ix3.codes) === codesAll,
+      "replayed batch duplicated codes rows")
+    // id 0 would overwrite the training write — loud refusal
+    intercept[IllegalArgumentException] {
+      VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 0)
+    }
+    // a pre-versioning flat codes table is refused: per-id dirs would
+    // shadow its root files
+    val legacyDir = Files.createTempDirectory("graft-ivfpq-flatleg").toString + "/ix"
+    ix.centroids.write.parquet(s"$legacyDir/centroids")
+    ix.codebook.write.parquet(s"$legacyDir/codebook")
+    ix.codes.write.parquet(s"$legacyDir/codes")
+    spark.read.parquet(s"$ixDir/v=1/meta").write.parquet(s"$legacyDir/meta")
+    intercept[IllegalArgumentException] {
+      VectorOps.appendBatchToIvfPqIndex(ix, b1, legacyDir, 1)
+    }
+    // the stream twin drives the same path end-to-end: a fresh index
+    // maintained by indexOnIngest carries the same appended codes and
+    // serves the same answers as the batch-maintained one
+    val ixDirS = Files.createTempDirectory("graft-ivfpq-stream2").toString + "/ix"
+    VectorOps.writeIvfPqIndex(history, ixDirS, 8, 8, 16, 64)
+    val ckpt = Files.createTempDirectory("graft-emb-ckpt").toString
+    val q = EmbStream.indexOnIngest(
+      EmbStream.readEmbeddings(spark, dir).filter(col("vec_id") >= 450),
+      ixDirS, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val ixS = VectorOps.readIvfPqIndex(spark, ixDirS)
+    assert(ixS.codes.count() === emb.count())
+    assert(rows(ixS.codes.filter(col("vid") >= 450)) === codesAppended,
+      "stream-maintained codes diverged from the batch-maintained ones")
+    assert(rows(VectorOps.ivfPqSearchServed(ixS, emb, col("vid") >= 495, 10, 1))
+      === servedBatch)
+  }
+
   test("IVFADC versions: retrain supersedes atomically, torn writes invisible, prune keeps serving") {
     val ixDir = Files.createTempDirectory("graft-ivfpq-ver").toString + "/ix"
     VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 300), ixDir, 8, 8, 16, 64)
