@@ -353,7 +353,8 @@ object ScaleProbe {
       .createTempDirectory("graft-ivfpq-ix").toString + "/ix"
     time("ivfpq_write_index") {
       graft.ops.VectorOps.writeIvfPqIndex(emb, ixDir, 8, 8, 16, 64)
-      spark.read.parquet(s"$ixDir/codes").count()
+      // versioned artifact: resolve through the reader, not a raw path
+      graft.ops.VectorOps.readIvfPqIndex(spark, ixDir).codes.count()
     }
     val ix = graft.ops.VectorOps.readIvfPqIndex(spark, ixDir)
     time("ivfpq_serve_rerank") {
@@ -363,6 +364,17 @@ object ScaleProbe {
     time("ivfpq_train_rerank") {
       graft.ops.VectorOps.ivfPqRerank(emb, col("vid") < 5, 8, 8, 16, 100, 10, 64, 1)
         .count()
+    }
+    // index maintenance: a FIXED-size batch encodes against the frozen
+    // saved model and appends as its own dir — cost must track the
+    // batch, never the corpus or index (across factor runs this row
+    // stays flat while ivfpq_write_index grows with eFactor; the
+    // history codes are never re-read)
+    val appendBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + lit(990000000L))
+    time("ivfpq_append_batch") {
+      graft.ops.VectorOps.appendBatchToIvfPqIndex(ix, appendBatch, ixDir, 99)
+      spark.read.parquet(s"$ixDir/v=1/codes/append=99").count()
     }
     // cell-balance auto-dial (r9 verdict #6) on a DELIBERATELY skewed
     // corpus: 10 spread vectors + a near-parallel mass — one cell
