@@ -373,7 +373,8 @@ object ScaleProbe {
     val appendBatch = spark.read.parquet(s"$dir/embeddings.parquet")
       .withColumn("vec_id", col("vec_id") + lit(990000000L))
     time("ivfpq_append_batch") {
-      graft.ops.VectorOps.appendBatchToIvfPqIndex(ix, appendBatch, ixDir, 99)
+      graft.ops.VectorOps.appendBatchToIvfPqIndex(ix, appendBatch, ixDir, 99,
+        writerId = "probe")
       spark.read.parquet(s"$ixDir/v=1/codes/append=99").count()
     }
     // cell-balance auto-dial (r9 verdict #6) on a DELIBERATELY skewed

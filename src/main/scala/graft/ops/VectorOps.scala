@@ -1173,6 +1173,25 @@ object VectorOps extends graft.QueryModule {
         "point at an artifact written by writeIvfPqIndex)")
   }
 
+  /** THE one listing of a codes table's `append=<n>` dirs — (id,
+    * sealed?) pairs, id-sorted — shared by the reader
+    * ([[sealedCodesDirs]]), the pruner ([[pruneIvfPqVersions]]), and
+    * both append writers, so the dir-naming and sealing convention
+    * lives in exactly one place. Sealed = the dir's own `_SUCCESS`
+    * job-commit marker exists.
+    */
+  private def codesAppendDirs(fs: org.apache.hadoop.fs.FileSystem,
+      codesDir: String): Seq[(Long, Boolean)] = {
+    val root = new org.apache.hadoop.fs.Path(codesDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("append=\\d+") =>
+        s.stripPrefix("append=").toLong }
+      .sorted
+      .map(a => (a, fs.exists(
+        new org.apache.hadoop.fs.Path(s"$codesDir/append=$a/_SUCCESS"))))
+  }
+
   /** The codes table's SEALED append dirs: every `append=<n>` whose
     * `_SUCCESS` job-commit marker exists. An unsealed dir is a
     * crashed append — invisible garbage, never a partial row subset.
@@ -1181,17 +1200,9 @@ object VectorOps extends graft.QueryModule {
     */
   private def sealedCodesDirs(fs: org.apache.hadoop.fs.FileSystem,
       codesDir: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(codesDir)
-    val appends =
-      if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .collect { case s if s.matches("append=\\d+") =>
-          s.stripPrefix("append=").toLong }
+    val appends = codesAppendDirs(fs, codesDir)
     if (appends.isEmpty) Seq(codesDir)
-    else appends.sorted
-      .filter(a => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$codesDir/append=$a/_SUCCESS")))
-      .map(a => s"$codesDir/append=$a")
+    else appends.collect { case (a, true) => s"$codesDir/append=$a" }
   }
 
   def readIvfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
@@ -1236,20 +1247,14 @@ object VectorOps extends graft.QueryModule {
       }
     keepSet.foreach { v =>
       val codesDir = s"$dir/v=$v/codes"
-      val root = new org.apache.hadoop.fs.Path(codesDir)
-      if (fs.exists(root)) {
-        val appends = fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .collect { case s if s.matches("append=\\d+") =>
-            s.stripPrefix("append=").toLong }
-        val committed = appends.filter(a => fs.exists(
-          new org.apache.hadoop.fs.Path(s"$codesDir/append=$a/_SUCCESS")))
-        if (committed.nonEmpty)
-          appends.filter(a => !committed.contains(a) && a < committed.max)
-            .foreach { a =>
-              fs.delete(
-                new org.apache.hadoop.fs.Path(s"$codesDir/append=$a"), true)
-            }
-      }
+      val appends = codesAppendDirs(fs, codesDir)
+      val committed = appends.collect { case (a, true) => a }
+      if (committed.nonEmpty)
+        appends.collect { case (a, false) if a < committed.max => a }
+          .foreach { a =>
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$codesDir/append=$a"), true)
+          }
     }
   }
 
@@ -1296,12 +1301,18 @@ object VectorOps extends graft.QueryModule {
     * brute-force piece, which is why the monitor runs on a SAMPLE of
     * queries (the standard recall-probe protocol: score sample ×
     * corpus once, amortized over the serving period) while the
-    * approx side is the served index's own answer.
+    * approx side is the served index's own answer. Both sides are
+    * deduplicated on (qid, vid) first: raw candidate-stage input
+    * (multi-probe/LSH output before ranking) carries the same pair
+    * from several probes or bands, and without the dedup each copy
+    * would join and count again — hits > k, recall > 1.0, a broken
+    * monitor exactly when the index is at its worst.
     */
   def annRecall(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
-    exact.select("qid", "vid")
-      .join(approx.select(col("qid"), col("vid"), lit(1).as("hit")),
+    exact.select("qid", "vid").dropDuplicates("qid", "vid")
+      .join(approx.select(col("qid"), col("vid"), lit(1).as("hit"))
+          .dropDuplicates("qid", "vid"),
         Seq("qid", "vid"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
@@ -1394,10 +1405,7 @@ object VectorOps extends graft.QueryModule {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codesDir = s"$base/codes"
-    val existing = fs.listStatus(new org.apache.hadoop.fs.Path(codesDir))
-      .toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches("append=\\d+") =>
-        s.stripPrefix("append=").toLong }
+    val existing = codesAppendDirs(fs, codesDir).map(_._1)
     if (existing.isEmpty)
       // pre-versioning flat codes table: keep the in-place append
       // (its crash caveat is the legacy layout's own), since mixing
@@ -1408,39 +1416,120 @@ object VectorOps extends graft.QueryModule {
         .parquet(s"$codesDir/append=${existing.max + 1}")
   }
 
+  /** Name of the per-append ownership marker the streaming path
+    * writes AFTER the parquet job commits: its content is the
+    * writer's id, so a redelivered micro-batch can tell "my own
+    * already-committed write" (skip — idempotent) from "someone
+    * else's sealed data under the id I was about to use" (loud
+    * error, never a silent overwrite).
+    */
+  private val StreamMarker = "_STREAM_COMMIT"
+
+  private def writeStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
+      appendDir: String, writerId: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$appendDir/$StreamMarker"), true)
+    try out.write(writerId.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
+      appendDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$appendDir/$StreamMarker")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
   /** The REPLAY-SAFE append the streaming twin
     * ([[graft.streaming.EmbStream.indexOnIngest]]) uses: the batch
-    * encodes against the frozen model ([[encodeWithIndex]]) and
-    * OVERWRITES the append dir named by its caller-supplied id —
-    * a redelivered micro-batch rewrites its own dir with the same
-    * deterministic content (the frozen model makes the encode a pure
-    * function of the batch), so stream replays can never duplicate
-    * codes rows, unlike [[appendToIvfPqIndex]]'s allocate-next-n
-    * (correct for one-shot batch appends, where a retry after an
-    * unsealed crash SHOULD get a fresh dir). `appendId` must be >= 1
-    * (0 is the training write) and the stream must be the index's
-    * only writer while running — the same serial-writer contract
-    * appends and retrains already carry. Refuses a pre-versioning
-    * flat codes table: per-id dirs require the sealed-append layout
-    * (rewrite the artifact with [[writeIvfPqIndex]] first).
+    * encodes against the frozen model ([[encodeWithIndex]]) and lands
+    * in the append dir named by its caller-supplied id, with a
+    * two-step commit — the parquet job's `_SUCCESS` seals the data,
+    * then a [[StreamMarker]] file records `writerId` as the dir's
+    * owner. A redelivered micro-batch (the only replay foreachBatch
+    * can issue) finds its own sealed-and-marked dir and SKIPS — it
+    * never deletes or rewrites sealed data, so a reader lazily
+    * mid-scan over the dir is undisturbed and a crash mid-replay
+    * can't regress a committed batch out of serving. A sealed dir
+    * under the target id that is NOT ours — written by
+    * [[appendToIvfPqIndex]]'s allocate-next-n, the training write,
+    * or another stream incarnation — is a LOUD error, never a silent
+    * overwrite: restart the stream on a fresh checkpoint with
+    * `baseAppendId` above every existing append, and allocate
+    * one-shot appends outside a live stream's id range. The narrow
+    * crash window between `_SUCCESS` and the marker also errors on
+    * replay (sealed, unmarked); the message says how to clear it.
+    *
+    * Replay across a RETRAIN: if this (writerId, appendId) is already
+    * sealed in an OLDER complete version, the batch was ingested
+    * before the retrain — and a retrain's contract is to train over
+    * everything ingested ([[graft.streaming.EmbStream.indexOnIngest]])
+    * — so its vectors are in the new version's training write and the
+    * replay SKIPS instead of appending them a second time (duplicate
+    * codes rows would occupy two top-k ranks per vector). Corollary:
+    * after a retrain, [[pruneIvfPqVersions]] the old version only
+    * once the restarted stream has caught up past its pre-retrain
+    * batches (or keep >= 2), since the old version's markers are the
+    * replay-dedup evidence.
+    *
+    * `appendId` must be >= 1 (0 is the training write) and the stream
+    * must be the index's only writer while running — the same
+    * serial-writer contract appends and retrains already carry.
+    * Refuses a pre-versioning flat codes table: per-id dirs require
+    * the sealed-append layout (rewrite with [[writeIvfPqIndex]]).
     */
   def appendBatchToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
-      dir: String, appendId: Long): Unit = {
+      dir: String, appendId: Long, writerId: String): Unit = {
     require(appendId >= 1,
       s"appendId must be >= 1 (append=0 is the training write), got $appendId")
+    require(writerId.nonEmpty, "writerId must be non-empty — it is the " +
+      "ownership identity replay safety rests on (streams pass their " +
+      "checkpoint dir)")
     val spark = batch.sparkSession
     val base = latestIndexDir(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codesDir = s"$base/codes"
-    val hasAppendDirs = fs.listStatus(new org.apache.hadoop.fs.Path(codesDir))
-      .exists(_.getPath.getName.matches("append=\\d+"))
-    require(hasAppendDirs,
+    require(codesAppendDirs(fs, codesDir).nonEmpty,
       s"appendBatchToIvfPqIndex: $codesDir is a pre-versioning flat codes " +
         "table; per-batch append dirs would shadow its root files — " +
         "rewrite the artifact with writeIvfPqIndex first")
-    encodeWithIndex(index, batch).write.mode("overwrite")
-      .parquet(s"$codesDir/append=$appendId")
+    val target = s"$codesDir/append=$appendId"
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$target/_SUCCESS"))) {
+      readStreamMarker(fs, target) match {
+        case Some(w) if w == writerId => return // replay of our committed batch
+        case Some(w) => throw new IllegalStateException(
+          s"appendBatchToIvfPqIndex: $target is sealed and owned by " +
+            s"writer '$w', not '$writerId' — two stream incarnations are " +
+            "mapping different batches onto the same append id; restart on " +
+            "a fresh checkpoint with baseAppendId above every existing append")
+        case None => throw new IllegalStateException(
+          s"appendBatchToIvfPqIndex: $target is sealed but carries no " +
+            s"$StreamMarker — it was written by a one-shot append or " +
+            "training write whose id collides with this stream's range " +
+            "(overwriting would silently destroy its vectors). Restart on a " +
+            "fresh checkpoint with baseAppendId above every existing " +
+            "append, and run one-shot appends only while the stream is " +
+            "stopped AND its checkpoint is drained. If this dir is THIS " +
+            "stream's own crash between _SUCCESS and the marker, verify " +
+            "its content matches the batch, delete the dir, and restart")
+      }
+    }
+    // replay across a retrain: already committed into an older version
+    val baseVersions = indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
+    val committedBefore = baseVersions.nonEmpty &&
+      baseVersions.filter(v => s"$dir/v=$v" != base).exists { v =>
+        val old = s"$dir/v=$v/codes/append=$appendId"
+        fs.exists(new org.apache.hadoop.fs.Path(s"$old/_SUCCESS")) &&
+          readStreamMarker(fs, old).contains(writerId)
+      }
+    if (committedBefore) return
+    // target is absent or an unsealed torn write of our own earlier
+    // attempt (readers never resolve unsealed dirs) — safe to rewrite
+    encodeWithIndex(index, batch).write.mode("overwrite").parquet(target)
+    writeStreamMarker(fs, target, writerId)
   }
 
   /** The IVFADC pipeline, lazily: (result, persisted assignment) —

@@ -19,11 +19,13 @@ import graft.ops.VectorOps
   *
   * foreachBatch is the right bridge (the [[DocStream.dedupOnIngest]]
   * rationale): encoding is a broadcast-join batch pipeline, not a
-  * stateless streaming operator, and replay safety comes from each
-  * micro-batch OVERWRITING its own `append=<baseAppendId + batchId>`
-  * dir with deterministic content — the frozen model makes the encode
-  * a pure function of the batch, so a redelivered batch rewrites the
-  * same rows instead of duplicating them
+  * stateless streaming operator. Replay safety is a two-step commit
+  * per `append=<baseAppendId + batchId>` dir — parquet `_SUCCESS`
+  * seals the data, an ownership marker names this stream (its
+  * checkpoint dir) as the writer — so a redelivered batch SKIPS its
+  * own committed dir (sealed data is never deleted or rewritten under
+  * a live reader) and a foreign sealed dir under the same id is a
+  * loud error, never a silent overwrite
   * ([[graft.ops.VectorOps.appendBatchToIvfPqIndex]]).
   */
 object EmbStream {
@@ -46,10 +48,17 @@ object EmbStream {
     * the artifact (streaming ids start at 0 on a fresh checkpoint;
     * append=0 is the training write) — pass the SAME value when
     * restarting from the checkpoint, since redelivered batch ids must
-    * map to the dirs they wrote before the crash. While the stream
-    * runs it must be the index's only writer (the serial-writer
-    * contract appends and retrains already carry); retraining is a
-    * deliberate stop-retrain-restart event.
+    * map to the dirs they wrote before the crash (a FRESH checkpoint
+    * needs a fresh baseAppendId above every existing append — the
+    * ownership marker turns a stale one into a loud error, not data
+    * loss). While the stream runs it must be the index's only writer
+    * (the serial-writer contract appends and retrains already carry);
+    * retraining is a deliberate stop-retrain-restart event, the
+    * retrain MUST cover everything the stream has ingested (a replayed
+    * pre-retrain batch is deduplicated against the old version's
+    * markers on that contract), and pruning the old version waits
+    * until the restarted stream has caught up past its pre-retrain
+    * batches.
     */
   def indexOnIngest(newVecs: DataFrame, indexDir: String,
       checkpointDir: String,
@@ -59,8 +68,12 @@ object EmbStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // writerId = the checkpoint dir: the one identity that is
+        // stable across restarts of THIS stream and distinct for any
+        // other incarnation (a different checkpoint = a different
+        // batch-id numbering = a different owner)
         VectorOps.appendBatchToIvfPqIndex(index, batch, indexDir,
-          baseAppendId + id)
+          baseAppendId + id, writerId = checkpointDir)
       }
       .start()
   }

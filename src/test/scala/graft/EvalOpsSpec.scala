@@ -562,5 +562,17 @@ class EvalOpsSpec extends AnyFunSuite {
     for ((q, ex) <- exSets)
       assert(got(q) === ex.intersect(apSets.getOrElse(q, Set.empty)).size / 10.0,
         s"qid $q recall diverges from driver-side overlap")
+    // duplicate (qid, vid) pairs — raw multi-probe/LSH candidate output
+    // before ranking dedups it — must not inflate recall past 1.0 on
+    // either side of the join
+    val dupApprox = exact.union(exact)
+    val dedup1 = VectorOps.annRecall(exact, dupApprox, 10).collect()
+    assert(dedup1.forall(r => r.getAs[Long]("hits") === 10L &&
+      r.getAs[Double]("recall") === 1.0),
+      "duplicate approx pairs inflated recall")
+    val dedup2 = VectorOps.annRecall(exact.union(exact), exact, 10).collect()
+    assert(dedup2.forall(r => r.getAs[Long]("hits") === 10L &&
+      r.getAs[Double]("recall") === 1.0),
+      "duplicate exact pairs inflated recall")
   }
 }

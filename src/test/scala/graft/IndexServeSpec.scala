@@ -145,26 +145,43 @@ class IndexServeSpec extends AnyFunSuite {
     // the replay-safe append lands each micro-batch in its own dir,
     // encoding against the frozen model — two batches equal the
     // one-shot encode of their union
-    VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 1)
-    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2)
+    VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 1, "ckptA")
+    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2, "ckptA")
     val ix2 = VectorOps.readIvfPqIndex(spark, ixDir)
     assert(ix2.codes.count() === emb.count())
-    // materialize the expected sets NOW: the replay below rewrites
-    // append=2's part files, so ix2's lazy file listing goes stale
     val codesAll = rows(ix2.codes)
     val codesAppended = rows(ix2.codes.filter(col("vid") >= 450))
     val servedBatch =
       rows(VectorOps.ivfPqSearchServed(ix2, emb, col("vid") >= 495, 10, 1))
     assert(codesAppended === rows(VectorOps.encodeWithIndex(ix, b1.union(b2))))
-    // a REPLAYED batch (the only replay foreachBatch can issue)
-    // rewrites its own dir with identical content — never duplicates
-    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2)
+    // a REPLAYED batch (the only replay foreachBatch can issue) finds
+    // its own sealed-and-marked dir and SKIPS — sealed data is never
+    // deleted or rewritten, so it can't duplicate OR regress
+    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2, "ckptA")
     val ix3 = VectorOps.readIvfPqIndex(spark, ixDir)
     assert(rows(ix3.codes) === codesAll,
       "replayed batch duplicated codes rows")
+    // a DIFFERENT stream incarnation mapping another batch onto the
+    // same id must fail loud, not silently destroy ckptA's vectors
+    val eDiff = intercept[IllegalStateException] {
+      VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 2, "ckptB")
+    }
+    assert(eDiff.getMessage.contains("owned by writer 'ckptA'"))
+    // a sealed dir written by the one-shot batch path (no ownership
+    // marker) under a stream's target id: loud error, never overwrite
+    val batchX = emb.filter(col("vec_id") >= 495)
+      .selectExpr("vec_id + 5000 AS vec_id", "embedding")
+    VectorOps.appendToIvfPqIndex(ix, batchX, ixDir) // allocates append=3
+    intercept[IllegalStateException] {
+      VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 3, "ckptA")
+    }
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes
+        .filter(col("vid") >= 5000))
+      === rows(VectorOps.encodeWithIndex(ix, batchX)),
+      "one-shot append's vectors must survive the refused stream write")
     // id 0 would overwrite the training write — loud refusal
     intercept[IllegalArgumentException] {
-      VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 0)
+      VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 0, "ckptA")
     }
     // a pre-versioning flat codes table is refused: per-id dirs would
     // shadow its root files
@@ -174,8 +191,19 @@ class IndexServeSpec extends AnyFunSuite {
     ix.codes.write.parquet(s"$legacyDir/codes")
     spark.read.parquet(s"$ixDir/v=1/meta").write.parquet(s"$legacyDir/meta")
     intercept[IllegalArgumentException] {
-      VectorOps.appendBatchToIvfPqIndex(ix, b1, legacyDir, 1)
+      VectorOps.appendBatchToIvfPqIndex(ix, b1, legacyDir, 1, "ckptA")
     }
+    // replay ACROSS A RETRAIN: batch 2 committed into v=1, the retrain
+    // (over everything ingested, per the contract) writes v=2, the
+    // restarted stream replays batch 2 — it must SKIP on v=1's marker,
+    // not append those vectors a second time into v=2
+    VectorOps.writeIvfPqIndex(
+      emb.unionByName(batchX.withColumn("label", lit(0))), ixDir, 8, 8, 16, 64)
+    val ixR = VectorOps.readIvfPqIndex(spark, ixDir)
+    val beforeReplay = rows(ixR.codes)
+    VectorOps.appendBatchToIvfPqIndex(ixR, b2, ixDir, 2, "ckptA")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === beforeReplay,
+      "pre-retrain batch replayed into the new version duplicated codes rows")
     // the stream twin drives the same path end-to-end: a fresh index
     // maintained by indexOnIngest carries the same appended codes and
     // serves the same answers as the batch-maintained one
