@@ -377,6 +377,38 @@ object ScaleProbe {
         writerId = "probe")
       spark.read.parquet(s"$ixDir/v=1/codes/append=99").count()
     }
+    // storage maintenance: months of streaming leave one tiny append
+    // dir per micro-batch; serve over the fragmented codes table, fold
+    // with compactIvfPqIndex (version bump, markers carried), serve
+    // again — the file-count and serve-latency contrast is compaction's
+    // motivating number at 100 TB
+    val nFrag = 32
+    (100L until (100L + nFrag)).foreach { i =>
+      graft.ops.VectorOps.appendBatchToIvfPqIndex(ix,
+        appendBatch.filter(col("vec_id") % nFrag === (i - 100))
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)),
+        ixDir, i, writerId = "probe")
+    }
+    def codesFiles(): Long = {
+      val ixNow = graft.ops.VectorOps.readIvfPqIndex(spark, ixDir)
+      ixNow.codes.inputFiles.length.toLong
+    }
+    println(s"[scale] codes files before compaction: ${codesFiles()}")
+    time("ivfpq_serve_fragmented") {
+      graft.ops.VectorOps.ivfPqSearchServed(
+        graft.ops.VectorOps.readIvfPqIndex(spark, ixDir),
+        emb, col("vid") < 5, 10, 1).count()
+    }
+    time("ivfpq_compact") {
+      graft.ops.VectorOps.compactIvfPqIndex(spark, ixDir)
+      codesFiles()
+    }
+    println(s"[scale] codes files after compaction: ${codesFiles()}")
+    time("ivfpq_serve_compacted") {
+      graft.ops.VectorOps.ivfPqSearchServed(
+        graft.ops.VectorOps.readIvfPqIndex(spark, ixDir),
+        emb, col("vid") < 5, 10, 1).count()
+    }
     // cell-balance auto-dial (r9 verdict #6) on a DELIBERATELY skewed
     // corpus: 10 spread vectors + a near-parallel mass — one cell
     // swallows ~99%, so nprobe=1 queries landing there scan almost the

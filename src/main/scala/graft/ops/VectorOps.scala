@@ -1258,6 +1258,67 @@ object VectorOps extends graft.QueryModule {
     }
   }
 
+  /** Fold a long-ingest index's sealed codes appends into ONE sized
+    * append dir — the storage-maintenance half of the streaming serve
+    * lifecycle. Months of [[graft.streaming.EmbStream.indexOnIngest]]
+    * leave one small `append=<n>` dir per micro-batch: at 100 TB
+    * that is thousands of sub-rowgroup files every served query must
+    * open (the small-file creep [[graft.ops.Dedup.compactSignatureStore]]
+    * and `compactZordered` close for their tables). Compaction reuses
+    * the VERSION machinery instead of touching the live layout: the
+    * folded codes (coalesced to ~maxPartitionBytes files — the fold
+    * is shuffle-free, read dirs -> narrow coalesce -> write), the
+    * model halves, and `meta` (sealed LAST) land in a fresh `v=<n+1>`
+    * dir, so readers switch atomically, a crash at any point leaves
+    * the old version serving, and the old version is reclaimed later
+    * by [[pruneIvfPqVersions]] — never deleted under a live reader.
+    * Served answers are bit-identical by construction (same rows,
+    * different file layout); IndexServeSpec pins it.
+    *
+    * Stream replay stays safe ACROSS the fold and the prune: every
+    * absorbed stream-written append's `(id -> writerId)` ownership
+    * marker is carried into the new version's `absorbed_appends/`
+    * (transitively, including markers a previous compaction carried),
+    * and [[appendBatchToIvfPqIndex]] skips a replayed batch on the
+    * absorbed marker exactly as on a live one. Run it only while the
+    * index has no active writer (the serial-writer contract every
+    * maintenance event here carries): an append in flight during the
+    * fold could commit into the OLD version and be absent from the
+    * new one.
+    */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit = {
+    val base = latestIndexDir(spark, dir)
+    require(base != dir,
+      s"compactIvfPqIndex: $dir is a pre-versioning flat layout — its " +
+        "codes are a single table already; rewrite with writeIvfPqIndex " +
+        "to get the versioned layout")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val codesDir = s"$base/codes"
+    val sealedIds = codesAppendDirs(fs, codesDir).collect { case (a, true) => a }
+    if (sealedIds.size <= 1) return // already compact — keep the version
+    val srcDirs = sealedIds.map(a => s"$codesDir/append=$a")
+    // size the output like compactSignatureStore: input bytes over
+    // maxPartitionBytes, erring toward more files, never fewer than 1
+    val bytes = srcDirs.map { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }.sum
+    val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val vnew = s"$dir/v=${indexVersions(fs, dir).max + 1}"
+    spark.read.parquet(s"$base/centroids").write.parquet(s"$vnew/centroids")
+    spark.read.parquet(s"$base/codebook").write.parquet(s"$vnew/codebook")
+    spark.read.parquet(srcDirs: _*).coalesce(nOut)
+      .write.parquet(s"$vnew/codes/append=0")
+    val carried = sealedIds.flatMap(a =>
+      readStreamMarker(fs, s"$codesDir/append=$a").map(a -> _)) ++
+      absorbedMarkers(fs, base)
+    carried.foreach { case (a, w) =>
+      writeSmallFile(fs, s"$vnew/absorbed_appends/append=$a", w)
+    }
+    spark.read.parquet(s"$base/meta").write.parquet(s"$vnew/meta")
+  }
+
   /** Serve ANN queries from a PERSISTED index: score only the query
     * rows against the broadcast centroids (the corpus is never
     * touched — its cells and codes are already in the index), then
@@ -1425,21 +1486,47 @@ object VectorOps extends graft.QueryModule {
     */
   private val StreamMarker = "_STREAM_COMMIT"
 
-  private def writeStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
-      appendDir: String, writerId: String): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$appendDir/$StreamMarker"), true)
-    try out.write(writerId.getBytes("UTF-8")) finally out.close()
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
-      appendDir: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$appendDir/$StreamMarker")
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     }
+  }
+
+  private def writeStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
+      appendDir: String, writerId: String): Unit =
+    writeSmallFile(fs, s"$appendDir/$StreamMarker", writerId)
+
+  private def readStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
+      appendDir: String): Option[String] =
+    readSmallFile(fs, s"$appendDir/$StreamMarker")
+
+  /** Replay-dedup markers a COMPACTION carried forward: when
+    * [[compactIvfPqIndex]] folds stream-written append dirs into one,
+    * their `(appendId -> writerId)` ownership facts move to
+    * `absorbed_appends/append=<id>` files in the new version — the
+    * evidence [[appendBatchToIvfPqIndex]] needs to keep skipping a
+    * replay of those batches after the pre-compaction version (and
+    * its live markers) is pruned.
+    */
+  private def absorbedMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: String): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$versionDir/absorbed_appends")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("append=\\d+") =>
+        s.stripPrefix("append=").toLong }
+      .flatMap(a => readSmallFile(fs, s"$versionDir/absorbed_appends/append=$a")
+        .map(a -> _))
   }
 
   /** The REPLAY-SAFE append the streaming twin
@@ -1517,13 +1604,19 @@ object VectorOps extends graft.QueryModule {
             "its content matches the batch, delete the dir, and restart")
       }
     }
-    // replay across a retrain: already committed into an older version
-    val baseVersions = indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
-    val committedBefore = baseVersions.nonEmpty &&
-      baseVersions.filter(v => s"$dir/v=$v" != base).exists { v =>
-        val old = s"$dir/v=$v/codes/append=$appendId"
-        fs.exists(new org.apache.hadoop.fs.Path(s"$old/_SUCCESS")) &&
-          readStreamMarker(fs, old).contains(writerId)
+    // replay across a retrain or compaction: already committed into an
+    // older version's live append, or absorbed into any version by a
+    // compaction that carried the marker forward
+    val committedBefore = indexVersions(fs, dir)
+      .filter(isCompleteVersion(fs, dir, _))
+      .exists { v =>
+        val vd = s"$dir/v=$v"
+        val old = s"$vd/codes/append=$appendId"
+        (vd != base &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$old/_SUCCESS")) &&
+          readStreamMarker(fs, old).contains(writerId)) ||
+        readSmallFile(fs, s"$vd/absorbed_appends/append=$appendId")
+          .contains(writerId)
       }
     if (committedBefore) return
     // target is absent or an unsealed torn write of our own earlier
@@ -2125,6 +2218,30 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // The storage-MAINTENANCE lifecycle under the full hash gate:
+    // train on the corpus prefix (vec_id < 400 — a prefix keeps the
+    // first-8/first-16 seed rows identical to the full-corpus
+    // trainer's), append the tail in three one-shot batches against
+    // the frozen model, COMPACT the appends into one sized dir (a
+    // version bump — readers switch atomically), serve from the
+    // compacted artifact. The oracle trains on the same prefix
+    // (trainWhere) and encodes everything: append dirs, the fold, and
+    // the version bump must all be invisible to the hash.
+    "q_ivfpq_compacted" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-compact").toString + "/ix"
+      writeIvfPqIndex(emb.filter(col("vec_id") < 400), ixDir, 8, 8, 16, 64)
+      val ix = readIvfPqIndex(spark, ixDir)
+      val tail = emb.filter(col("vec_id") >= 400)
+      appendToIvfPqIndex(ix, tail.filter(col("vec_id") % 3 === 0), ixDir)
+      appendToIvfPqIndex(ix, tail.filter(col("vec_id") % 3 === 1), ixDir)
+      appendToIvfPqIndex(ix, tail.filter(col("vec_id") % 3 === 2), ixDir)
+      compactIvfPqIndex(spark, ixDir)
+      ivfPqSearchServed(readIvfPqIndex(spark, ixDir), emb, col("vid") < 5, 10, 1)
+        .orderBy("qid", "rank")
+    },
+
     // …and its served form: IVFADC top-100 shortlist → exact cosine
     // re-rank → top-10 (measured 0.22 → 0.66 recall recovery) — the
     // whole serving stack, coarse index to exact pass, under ONE hash.
@@ -2227,7 +2344,8 @@ object VectorOps extends graft.QueryModule {
     * codebook (sub = dims: one subspace IS full-vector k-means).
     */
   private def pqTrainCtes(m: Int, ksub: Int, sub: Int, iters: Int,
-      preCtes: String = "", vecSrc: String = "e"): String = {
+      preCtes: String = "", vecSrc: String = "e",
+      trainWhere: String = ""): String = {
     val d2 = s"list_sum([(x.xs[i] - c.cg[i]) * (x.xs[i] - c.cg[i]) FOR i IN range(1, ${sub + 1})])"
     val iterCtes = (1 to iters).map { it =>
       s"""asg$it AS (
@@ -2249,15 +2367,22 @@ object VectorOps extends graft.QueryModule {
          |    SELECT 1 FROM nc$it n WHERE n.j = p.j AND n.cid = p.cid))""".stripMargin
     }
     val pre = if (preCtes.isEmpty) "" else preCtes + ",\n"
+    // trainWhere (alias `s`) restricts the TRAINER's input — seeds and
+    // Lloyd means — while enc/lut still read the full vecSrc: the
+    // train-on-base/encode-everything shape q_ivfpq_compacted needs
+    val xgWhere = if (trainWhere.isEmpty) "" else s"\n  WHERE $trainWhere"
+    val seedsFrom =
+      if (trainWhere.isEmpty) s"FROM $vecSrc"
+      else s"FROM $vecSrc s WHERE $trainWhere"
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |js AS (SELECT unnest(range(0, $m)) AS j),
        |${pre}xg AS (
        |  SELECT s.vec_id AS vid, js.j,
        |    [CAST(floor(s.v[js.j*$sub + i] * 1e6 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})] AS xs
-       |  FROM $vecSrc s, js),
+       |  FROM $vecSrc s, js$xgWhere),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |  FROM $vecSrc ORDER BY vec_id LIMIT $ksub),
+       |  $seedsFrom ORDER BY vec_id LIMIT $ksub),
        |cb0 AS (SELECT x.j, CAST(s.cid AS INT) AS cid, x.xs AS cg
        |        FROM xg x JOIN seeds s ON x.vid = s.vec_id),
        |${iterCtes.mkString(",\n")},
@@ -2272,11 +2397,14 @@ object VectorOps extends graft.QueryModule {
     * the cell-restricted score join, and the per-query q·c offsets.
     * Shared by the q_ivfpq and q_ivfpq_rerank oracles.
     */
-  private def ivfPqCtes(cn: Int, m: Int, ksub: Int, sub: Int, iters: Int): String = {
+  private def ivfPqCtes(cn: Int, m: Int, ksub: Int, sub: Int, iters: Int,
+      trainWhere: String = ""): String = {
+    val ccFrom =
+      if (trainWhere.isEmpty) "FROM e" else s"FROM e s WHERE $trainWhere"
     val pre =
       s"""cc AS (
          |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS ccid
-         |  FROM e ORDER BY vec_id LIMIT $cn),
+         |  $ccFrom ORDER BY vec_id LIMIT $cn),
          |asgc AS (
          |  SELECT vid, cell, c_v FROM (
          |    SELECT a.vec_id AS vid, c.ccid AS cell, c.v AS c_v,
@@ -2290,7 +2418,7 @@ object VectorOps extends graft.QueryModule {
     val cellJoin =
       """JOIN asgc kv ON kv.vid = kd.vid
         |  JOIN asgc kq ON kq.vid = l.qid AND kq.cell = kv.cell""".stripMargin
-    s"""${pqAdcCtes(m, ksub, sub, iters, pre, "rv", cellJoin)},
+    s"""${pqAdcCtes(m, ksub, sub, iters, pre, "rv", cellJoin, trainWhere)},
        |qc AS (
        |  SELECT g.vid AS qid, g.cell,
        |    CAST(list_sum([CAST(floor(a.v[i] * g.c_v[i] * 1e12 + 0.5) AS BIGINT)
@@ -2299,10 +2427,11 @@ object VectorOps extends graft.QueryModule {
   }
 
   private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int,
-      preCtes: String = "", vecSrc: String = "e", scCellJoin: String = ""): String = {
+      preCtes: String = "", vecSrc: String = "e", scCellJoin: String = "",
+      trainWhere: String = ""): String = {
     def gsum(term: String) =
       s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
-    s"""${pqTrainCtes(m, ksub, sub, iters, preCtes, vecSrc)},
+    s"""${pqTrainCtes(m, ksub, sub, iters, preCtes, vecSrc, trainWhere)},
        |enc AS (
        |  SELECT a.vec_id AS vid, c.j, c.cid,
        |    ${gsum("(a.v[c.j*" + sub + "+i] - c.cw[i]) * (a.v[c.j*" + sub + "+i] - c.cw[i])")} AS d2q
@@ -2775,6 +2904,19 @@ object VectorOps extends graft.QueryModule {
     // invisible to the hash
     "q_ivfpq_served" ->
       s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2)}
+         |SELECT qid, cell, rank, vid, score FROM (
+         |  SELECT s.qid, qc.cell, s.vid,
+         |    CAST(s.sq + qc.qcq AS DOUBLE) / 1e12 AS score,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
+         |  FROM sc s JOIN qc ON qc.qid = s.qid) z
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // compacted-artifact serving ≡ base-trained + appended-tail
+    // serving: the trainer CTEs restrict to the prefix the Spark side
+    // trained on (trainWhere), encode/search still cover everything —
+    // the fold and version bump must be invisible to the hash
+    "q_ivfpq_compacted" ->
+      s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2, trainWhere = "s.vec_id < 400")}
          |SELECT qid, cell, rank, vid, score FROM (
          |  SELECT s.qid, qc.cell, s.vid,
          |    CAST(s.sq + qc.qcq AS DOUBLE) / 1e12 AS score,

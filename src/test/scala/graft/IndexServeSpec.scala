@@ -268,6 +268,89 @@ class IndexServeSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC compaction: one sized append, serving bit-identical, replay-safe across fold and prune") {
+    val ixDir = Files.createTempDirectory("graft-ivfpq-compact").toString + "/ix"
+    val history = emb.filter(col("vec_id") < 400)
+    val b1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    val b2 = emb.filter(col("vec_id") >= 450 && col("vec_id") < 475)
+    val b3 = emb.filter(col("vec_id") >= 475)
+    VectorOps.writeIvfPqIndex(history, ixDir, 8, 8, 16, 64)
+    val ix = VectorOps.readIvfPqIndex(spark, ixDir)
+    // two stream-written appends (ownership-marked) + one one-shot
+    VectorOps.appendBatchToIvfPqIndex(ix, b1, ixDir, 1, "ckptC")
+    VectorOps.appendBatchToIvfPqIndex(ix, b2, ixDir, 2, "ckptC")
+    VectorOps.appendToIvfPqIndex(ix, b3, ixDir)
+    val before = VectorOps.readIvfPqIndex(spark, ixDir)
+    val codesAll = rows(before.codes)
+    val servedBefore =
+      rows(VectorOps.ivfPqSearchServed(before, emb, col("vid") >= 495, 10, 1))
+    VectorOps.compactIvfPqIndex(spark, ixDir)
+    // the fold is a version bump: v=2 holds ONE sealed append dir with
+    // ONE sized part file (the three appends each wrote several)
+    val appendDirs = new java.io.File(s"$ixDir/v=2/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("append=")).toSeq
+    assert(appendDirs === Seq("append=0"), appendDirs.mkString(","))
+    val parts = new java.io.File(s"$ixDir/v=2/codes/append=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts === 1, s"expected 1 coalesced part file, got $parts")
+    val after = VectorOps.readIvfPqIndex(spark, ixDir)
+    assert(rows(after.codes) === codesAll, "compaction changed the codes rows")
+    assert(rows(VectorOps.ivfPqSearchServed(after, emb, col("vid") >= 495, 10, 1))
+      === servedBefore, "compaction changed served answers")
+    // replay of an absorbed stream batch skips on the carried marker...
+    VectorOps.appendBatchToIvfPqIndex(after, b2, ixDir, 2, "ckptC")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === codesAll,
+      "replay after compaction duplicated codes rows")
+    // ...and still skips once the pre-compaction version (and its live
+    // markers) is pruned — the carried absorbed marker is the evidence
+    VectorOps.pruneIvfPqVersions(spark, ixDir, keep = 1)
+    assert(new java.io.File(ixDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq === Seq("v=2"))
+    VectorOps.appendBatchToIvfPqIndex(after, b2, ixDir, 2, "ckptC")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === codesAll,
+      "replay after prune duplicated codes rows")
+    // an already-compact index is a no-op — no version bump
+    VectorOps.compactIvfPqIndex(spark, ixDir)
+    assert(new java.io.File(ixDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq === Seq("v=2"))
+    // second round: a post-compaction stream batch, then another fold —
+    // the carry is TRANSITIVE, so batch 1's marker survives two folds
+    val b4 = emb.filter(col("vec_id") >= 475)
+      .selectExpr("vec_id + 7000 AS vec_id", "embedding")
+    VectorOps.appendBatchToIvfPqIndex(after, b4, ixDir, 3, "ckptC")
+    val codesAll2 = rows(VectorOps.readIvfPqIndex(spark, ixDir).codes)
+    VectorOps.compactIvfPqIndex(spark, ixDir)
+    VectorOps.pruneIvfPqVersions(spark, ixDir, keep = 1)
+    // prune deleted v=2, so the stale `after` handle's lazy file
+    // listing is gone — re-read, exactly what a restarted stream does
+    // (the model halves are identical in every version)
+    val after2 = VectorOps.readIvfPqIndex(spark, ixDir)
+    VectorOps.appendBatchToIvfPqIndex(after2, b1, ixDir, 1, "ckptC")
+    VectorOps.appendBatchToIvfPqIndex(after2, b4, ixDir, 3, "ckptC")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === codesAll2,
+      "transitively carried markers failed to dedup a replay after two folds")
+    // a foreign writer's batch id colliding with an ABSORBED id is NOT
+    // skipped and NOT an error: the absorbed dir is gone, the id is
+    // free, the write lands fresh (ids only collide as dirs)
+    val b5 = emb.filter(col("vec_id") >= 495)
+      .selectExpr("vec_id + 8000 AS vec_id", "embedding")
+    VectorOps.appendBatchToIvfPqIndex(after2, b5, ixDir, 1, "ckptD")
+    assert(VectorOps.readIvfPqIndex(spark, ixDir).codes
+      .filter(col("vid") >= 8000).count() === b5.count(),
+      "foreign writer's fresh batch was wrongly skipped on an absorbed id")
+    // a pre-versioning flat layout is refused loudly: its codes are a
+    // single table already and there is no version to bump
+    val flatDir = Files.createTempDirectory("graft-ivfpq-flatcmp").toString + "/ix"
+    val ixFlatSrc = VectorOps.readIvfPqIndex(spark, ixDir)
+    ixFlatSrc.centroids.write.parquet(s"$flatDir/centroids")
+    ixFlatSrc.codebook.write.parquet(s"$flatDir/codebook")
+    ixFlatSrc.codes.write.parquet(s"$flatDir/codes")
+    spark.read.parquet(s"$ixDir/v=3/meta").write.parquet(s"$flatDir/meta")
+    intercept[IllegalArgumentException] {
+      VectorOps.compactIvfPqIndex(spark, flatDir)
+    }
+  }
+
   test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
     import graft.ops.Dedup
     val sDir = Files.createTempDirectory("graft-sig-store").toString + "/s"
