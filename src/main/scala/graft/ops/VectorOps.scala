@@ -1319,6 +1319,54 @@ object VectorOps extends graft.QueryModule {
     spark.read.parquet(s"$base/meta").write.parquet(s"$vnew/meta")
   }
 
+  /** The served index's FRAGMENTATION table: one row per sealed codes
+    * append — (append_id, n_rows, n_files) — the "when to compact"
+    * input, the [[ivfCellShares]] convention applied to physical
+    * layout instead of cell population. n_rows is parquet-footer
+    * metadata (a count() over one append touches no data pages);
+    * n_files is what every served query pays to open. A healthy
+    * streamed index trends toward many one-small-file appends — the
+    * report's row count IS the fragment count
+    * [[compactIvfPqIndexIfFragmented]] dials on.
+    */
+  def ivfFragmentation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val codesDir = s"$base/codes"
+    val appends = codesAppendDirs(fs, codesDir)
+    val rows =
+      if (appends.isEmpty) // pre-versioning flat table: one "append"
+        Seq((0L, spark.read.parquet(codesDir).count(),
+          spark.read.parquet(codesDir).inputFiles.length.toLong))
+      else appends.collect { case (a, true) =>
+        val d = s"$codesDir/append=$a"
+        val df = spark.read.parquet(d)
+        (a, df.count(), df.inputFiles.length.toLong)
+      }
+    rows.toDF("append_id", "n_rows", "n_files").orderBy("append_id")
+  }
+
+  /** Compact only when fragmented: folds the codes appends iff the
+    * sealed-append count exceeds `maxAppends` (the
+    * [[autoPlanesPerBand]] convention — measure, then act). Returns
+    * whether a fold ran. Below the threshold the artifact is untouched
+    * — not even a version bump — so a maintenance cron can call this
+    * unconditionally after each ingest window.
+    */
+  def compactIvfPqIndexIfFragmented(spark: SparkSession, dir: String,
+      maxAppends: Int = 16): Boolean = {
+    require(maxAppends >= 1, s"maxAppends must be >= 1, got $maxAppends")
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sealedIds =
+      codesAppendDirs(fs, s"$base/codes").collect { case (a, true) => a }
+    if (base == dir || sealedIds.size <= maxAppends) false
+    else { compactIvfPqIndex(spark, dir); true }
+  }
+
   /** Serve ANN queries from a PERSISTED index: score only the query
     * rows against the broadcast centroids (the corpus is never
     * touched — its cells and codes are already in the index), then
@@ -2263,6 +2311,41 @@ object VectorOps extends graft.QueryModule {
         10).orderBy("qid")
     },
 
+    // The recall monitor's 100 TB protocol itself declared: the exact
+    // side is the only brute-force piece, so the probe runs on a
+    // deterministic HASH SAMPLE of a wider query panel (vid < 50,
+    // hashBucket < 40 — the pqTrain/lsh_occupancy sampling
+    // convention) instead of every query; the approx side is the
+    // index's own answer for the same sampled queries.
+    "q_ann_recall_sampled" -> { (spark, dir) =>
+      import graft.ops.TextOps.hashBucket
+      val emb = Tables.embeddings(spark, dir)
+      annRecall(
+        knn(emb, col("vec_id") < 50 && hashBucket(col("vec_id")) < 40, 10),
+        ivfPqSearch(emb, col("vid") < 50 && hashBucket(col("vid")) < 40,
+          8, 8, 16, 10, 64),
+        10).orderBy("qid")
+    },
+
+    // The "when to compact" input: per-append row counts of the codes
+    // table after a train + three ingest appends — the report's row
+    // count is the fragment count compactIvfPqIndexIfFragmented dials
+    // on (n_files stays in the library report; file counts are
+    // partitioning-dependent and so not oracle-comparable).
+    "q_ivf_fragmentation" -> { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      val ixDir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-frag").toString + "/ix"
+      writeIvfPqIndex(emb.filter(col("vec_id") < 400), ixDir, 8, 8, 16, 64)
+      val ix = readIvfPqIndex(spark, ixDir)
+      val tail = emb.filter(col("vec_id") >= 400)
+      appendToIvfPqIndex(ix, tail.filter(col("vec_id") % 3 === 0), ixDir)
+      appendToIvfPqIndex(ix, tail.filter(col("vec_id") % 3 === 1), ixDir)
+      appendToIvfPqIndex(ix, tail.filter(col("vec_id") % 3 === 2), ixDir)
+      ivfFragmentation(spark, ixDir)
+        .select("append_id", "n_rows").orderBy("append_id")
+    },
+
     // Embedding post-processing statistics: the mean vector and the
     // top principal direction (2 power-iteration rounds), per ABTT.
     "q_pca_power" -> { (spark, dir) =>
@@ -2398,7 +2481,8 @@ object VectorOps extends graft.QueryModule {
     * Shared by the q_ivfpq and q_ivfpq_rerank oracles.
     */
   private def ivfPqCtes(cn: Int, m: Int, ksub: Int, sub: Int, iters: Int,
-      trainWhere: String = ""): String = {
+      trainWhere: String = "",
+      queryWhere: String => String = id => s"$id < 5"): String = {
     val ccFrom =
       if (trainWhere.isEmpty) "FROM e" else s"FROM e s WHERE $trainWhere"
     val pre =
@@ -2418,17 +2502,19 @@ object VectorOps extends graft.QueryModule {
     val cellJoin =
       """JOIN asgc kv ON kv.vid = kd.vid
         |  JOIN asgc kq ON kq.vid = l.qid AND kq.cell = kv.cell""".stripMargin
-    s"""${pqAdcCtes(m, ksub, sub, iters, pre, "rv", cellJoin, trainWhere)},
+    s"""${pqAdcCtes(m, ksub, sub, iters, pre, "rv", cellJoin, trainWhere,
+         queryWhere)},
        |qc AS (
        |  SELECT g.vid AS qid, g.cell,
        |    CAST(list_sum([CAST(floor(a.v[i] * g.c_v[i] * 1e12 + 0.5) AS BIGINT)
        |      FOR i IN range(1, ${m * sub + 1})]) AS BIGINT) AS qcq
-       |  FROM asgc g JOIN e a ON a.vec_id = g.vid WHERE g.vid < 5)""".stripMargin
+       |  FROM asgc g JOIN e a ON a.vec_id = g.vid WHERE ${queryWhere("g.vid")})""".stripMargin
   }
 
   private def pqAdcCtes(m: Int, ksub: Int, sub: Int, iters: Int,
       preCtes: String = "", vecSrc: String = "e", scCellJoin: String = "",
-      trainWhere: String = ""): String = {
+      trainWhere: String = "",
+      queryWhere: String => String = id => s"$id < 5"): String = {
     def gsum(term: String) =
       s"list_sum([CAST(floor(($term) * 1e12 + 0.5) AS BIGINT) FOR i IN range(1, ${sub + 1})])"
     s"""${pqTrainCtes(m, ksub, sub, iters, preCtes, vecSrc, trainWhere)},
@@ -2443,7 +2529,7 @@ object VectorOps extends graft.QueryModule {
        |lut AS (
        |  SELECT q.vec_id AS qid, c.j, c.cid,
        |    ${gsum("q.v[c.j*" + sub + "+i] * c.cw[i]")} AS lamq
-       |  FROM e q, cbf c WHERE q.vec_id < 5),
+       |  FROM e q, cbf c WHERE ${queryWhere("q.vec_id")}),
        |sc AS (
        |  SELECT l.qid, kd.vid, sum(l.lamq) AS sq
        |  FROM codes kd JOIN lut l ON kd.j = l.j AND kd.code = l.cid
@@ -2966,6 +3052,46 @@ object VectorOps extends graft.QueryModule {
          |FROM exact ex LEFT JOIN approx ap
          |  ON ap.qid = ex.qid AND ap.vid = ex.vid
          |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
+    // the sampled recall probe: both sides restrict to the same
+    // deterministic hash sample of the vid < 50 query panel (the
+    // hashBucketSql mirror of the Spark-side hashBucket)
+    "q_ann_recall_sampled" -> {
+      val sampled = (id: String) =>
+        s"$id < 50 AND ${graft.ops.TextOps.hashBucketSql(id)} < 40"
+      s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2, queryWhere = sampled)},
+         |approx AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT s.qid, s.vid,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
+         |    FROM sc s JOIN qc ON qc.qid = s.qid) z WHERE rank <= 10),
+         |exact AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.v", "c.v")} DESC, c.vec_id) AS rank
+         |    FROM e q JOIN e c ON ${sampled("q.vec_id")}
+         |      AND q.vec_id <> c.vec_id) z
+         |  WHERE rank <= 10)
+         |SELECT ex.qid, CAST(count(ap.vid) AS BIGINT) AS hits,
+         |  CAST(count(ap.vid) AS DOUBLE) / 10.0 AS recall
+         |FROM exact ex LEFT JOIN approx ap
+         |  ON ap.qid = ex.qid AND ap.vid = ex.vid
+         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+    },
+    // per-append row counts mirror the exact train/append predicates
+    // the Spark side used to build the artifact
+    "q_ivf_fragmentation" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS append_id, count(*) AS n_rows
+         |    FROM embeddings WHERE vec_id < 400
+         |  UNION ALL SELECT CAST(1 AS BIGINT), count(*)
+         |    FROM embeddings WHERE vec_id >= 400 AND vec_id % 3 = 0
+         |  UNION ALL SELECT CAST(2 AS BIGINT), count(*)
+         |    FROM embeddings WHERE vec_id >= 400 AND vec_id % 3 = 1
+         |  UNION ALL SELECT CAST(3 AS BIGINT), count(*)
+         |    FROM embeddings WHERE vec_id >= 400 AND vec_id % 3 = 2
+         |) ORDER BY append_id""".stripMargin,
     // shortlist → exact re-rank: the same trained-ADC chain, top-100
     // shortlist per query, then true cosine over only those candidates
     "q_pq_rerank" ->

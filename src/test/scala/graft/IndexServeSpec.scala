@@ -338,6 +338,20 @@ class IndexServeSpec extends AnyFunSuite {
     assert(VectorOps.readIvfPqIndex(spark, ixDir).codes
       .filter(col("vid") >= 8000).count() === b5.count(),
       "foreign writer's fresh batch was wrongly skipped on an absorbed id")
+    // fragmentation report: one row per sealed append (the fold + b5's
+    // fresh write), row counts summing to the codes table
+    val frag = VectorOps.ivfFragmentation(spark, ixDir).collect()
+    assert(frag.map(_.getAs[Long]("append_id")).toSeq === Seq(0L, 1L))
+    assert(frag.map(_.getAs[Long]("n_rows")).sum
+      === VectorOps.readIvfPqIndex(spark, ixDir).codes.count())
+    // the threshold dial: at/below maxAppends the artifact is untouched
+    // (not even a version bump); above it the fold runs
+    assert(!VectorOps.compactIvfPqIndexIfFragmented(spark, ixDir, maxAppends = 2))
+    assert(new java.io.File(ixDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq === Seq("v=3"))
+    assert(VectorOps.compactIvfPqIndexIfFragmented(spark, ixDir, maxAppends = 1))
+    assert(new java.io.File(s"$ixDir/v=4/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("append=")).toSeq === Seq("append=0"))
     // a pre-versioning flat layout is refused loudly: its codes are a
     // single table already and there is no version to bump
     val flatDir = Files.createTempDirectory("graft-ivfpq-flatcmp").toString + "/ix"
