@@ -399,9 +399,11 @@ object ScaleProbe {
         graft.ops.VectorOps.readIvfPqIndex(spark, ixDir),
         emb, col("vid") < 5, 10, 1).count()
     }
+    // compactIvfPqIndex is eager (its writes are actions) — don't fold
+    // an index re-open + file enumeration into the timed cost
     time("ivfpq_compact") {
       graft.ops.VectorOps.compactIvfPqIndex(spark, ixDir)
-      codesFiles()
+      1L
     }
     println(s"[scale] codes files after compaction: ${codesFiles()}")
     time("ivfpq_serve_compacted") {

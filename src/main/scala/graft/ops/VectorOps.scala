@@ -1310,11 +1310,17 @@ object VectorOps extends graft.QueryModule {
     spark.read.parquet(s"$base/codebook").write.parquet(s"$vnew/codebook")
     spark.read.parquet(srcDirs: _*).coalesce(nOut)
       .write.parquet(s"$vnew/codes/append=0")
-    val carried = sealedIds.flatMap(a =>
-      readStreamMarker(fs, s"$codesDir/append=$a").map(a -> _)) ++
-      absorbedMarkers(fs, base)
-    carried.foreach { case (a, w) =>
-      writeSmallFile(fs, s"$vnew/absorbed_appends/append=$a", w)
+    // carry BOTH the live markers and the previously absorbed ones,
+    // unioned per id: an id that collected several owners across fold
+    // cycles keeps every stream's replay-dedup evidence (a
+    // single-writer overwrite would silently drop one)
+    val carried = (sealedIds.flatMap(a =>
+        readStreamMarker(fs, s"$codesDir/append=$a").map(w => a -> Set(w))) ++
+        absorbedMarkers(fs, base))
+      .groupMapReduce(_._1)(_._2)(_ ++ _)
+    carried.foreach { case (a, ws) =>
+      writeSmallFile(fs, s"$vnew/absorbed_appends/append=$a",
+        ws.toSeq.sorted.mkString("\n"))
     }
     spark.read.parquet(s"$base/meta").write.parquet(s"$vnew/meta")
   }
@@ -1336,16 +1342,31 @@ object VectorOps extends graft.QueryModule {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codesDir = s"$base/codes"
     val appends = codesAppendDirs(fs, codesDir)
-    val rows =
-      if (appends.isEmpty) // pre-versioning flat table: one "append"
-        Seq((0L, spark.read.parquet(codesDir).count(),
-          spark.read.parquet(codesDir).inputFiles.length.toLong))
-      else appends.collect { case (a, true) =>
-        val d = s"$codesDir/append=$a"
-        val df = spark.read.parquet(d)
-        (a, df.count(), df.inputFiles.length.toLong)
-      }
-    rows.toDF("append_id", "n_rows", "n_files").orderBy("append_id")
+    if (appends.isEmpty) { // pre-versioning flat table: one "append"
+      val df = spark.read.parquet(codesDir)
+      Seq((0L, df.count(), df.inputFiles.length.toLong))
+        .toDF("append_id", "n_rows", "n_files")
+    } else {
+      // ONE job over the sealed dirs (basePath surfaces `append` as a
+      // partition column) — a per-append read loop would submit one
+      // listing + one job per append, serially on the driver, in
+      // exactly the thousands-of-appends regime this report monitors
+      val sealedIds = appends.collect { case (a, true) => a }
+      val byApp = spark.read.option("basePath", codesDir)
+        .parquet(sealedIds.map(a => s"$codesDir/append=$a"): _*)
+        .select(col("append").cast("long").as("append_id"),
+          input_file_name().as("f")) // projected: not legal inside agg
+        .groupBy("append_id")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("f")).as("n_files"))
+      // left join from the id list so a sealed-but-empty append (zero
+      // data rows) still reports, instead of vanishing from the group
+      sealedIds.toDF("append_id").join(byApp, Seq("append_id"), "left")
+        .select(col("append_id"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_files"), lit(0L)).as("n_files"))
+        .orderBy("append_id")
+    }
   }
 
   /** Compact only when fragmented: folds the codes appends iff the
@@ -1520,9 +1541,38 @@ object VectorOps extends graft.QueryModule {
       // (its crash caveat is the legacy layout's own), since mixing
       // root files with append= subdirs would break the read
       encodeWithIndex(index, batch).write.mode("append").parquet(codesDir)
-    else
+    else {
+      // allocate above absorbed ids too: a compaction collapses the
+      // DIRS to append=0, but streams may still map checkpointed
+      // batches onto the absorbed id range — re-entering it would
+      // manufacture the ownership collisions the markers guard against
+      val used = existing ++ absorbedMarkers(fs, base).map(_._1)
       encodeWithIndex(index, batch).write.mode("overwrite")
-        .parquet(s"$codesDir/append=${existing.max + 1}")
+        .parquet(s"$codesDir/append=${used.max + 1}")
+    }
+  }
+
+  /** The next free append id for a persisted index: one above every
+    * existing append dir AND every id a compaction absorbed, across
+    * all complete versions — after a fold the dirs collapse to
+    * `append=0` but the absorbed id range stays consumed (a stream
+    * may still map checkpointed batches onto it). This is the value
+    * a fresh-checkpoint [[graft.streaming.EmbStream.indexOnIngest]]
+    * should pass as `baseAppendId`.
+    */
+  def nextAppendId(spark: SparkSession, dir: String): Long = {
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val vds =
+      if (base == dir) Seq(dir)
+      else indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
+        .map(v => s"$dir/v=$v")
+    val used = vds.flatMap { vd =>
+      codesAppendDirs(fs, s"$vd/codes").map(_._1) ++
+        absorbedMarkers(fs, vd).map(_._1)
+    }
+    if (used.isEmpty) 1L else used.max + 1
   }
 
   /** Name of the per-append ownership marker the streaming path
@@ -1560,22 +1610,32 @@ object VectorOps extends graft.QueryModule {
 
   /** Replay-dedup markers a COMPACTION carried forward: when
     * [[compactIvfPqIndex]] folds stream-written append dirs into one,
-    * their `(appendId -> writerId)` ownership facts move to
+    * their `(appendId -> writerIds)` ownership facts move to
     * `absorbed_appends/append=<id>` files in the new version — the
     * evidence [[appendBatchToIvfPqIndex]] needs to keep skipping a
     * replay of those batches after the pre-compaction version (and
-    * its live markers) is pruned.
+    * its live markers) is pruned. Each file holds ONE WRITER PER
+    * LINE: an id can legitimately accumulate several owners across
+    * fold cycles (a fresh-checkpoint stream may land on an id an
+    * earlier stream's absorbed append once used — the dir is gone,
+    * the id is free), and a single-writer file would silently drop
+    * one stream's evidence on the next fold.
     */
   private def absorbedMarkers(fs: org.apache.hadoop.fs.FileSystem,
-      versionDir: String): Seq[(Long, String)] = {
+      versionDir: String): Seq[(Long, Set[String])] = {
     val root = new org.apache.hadoop.fs.Path(s"$versionDir/absorbed_appends")
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .collect { case s if s.matches("append=\\d+") =>
         s.stripPrefix("append=").toLong }
       .flatMap(a => readSmallFile(fs, s"$versionDir/absorbed_appends/append=$a")
-        .map(a -> _))
+        .map(c => a -> c.linesIterator.filter(_.nonEmpty).toSet))
   }
+
+  private def absorbedContains(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: String, appendId: Long, writerId: String): Boolean =
+    readSmallFile(fs, s"$versionDir/absorbed_appends/append=$appendId")
+      .exists(_.linesIterator.contains(writerId))
 
   /** The REPLAY-SAFE append the streaming twin
     * ([[graft.streaming.EmbStream.indexOnIngest]]) uses: the batch
@@ -1632,29 +1692,14 @@ object VectorOps extends graft.QueryModule {
         "table; per-batch append dirs would shadow its root files — " +
         "rewrite the artifact with writeIvfPqIndex first")
     val target = s"$codesDir/append=$appendId"
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$target/_SUCCESS"))) {
-      readStreamMarker(fs, target) match {
-        case Some(w) if w == writerId => return // replay of our committed batch
-        case Some(w) => throw new IllegalStateException(
-          s"appendBatchToIvfPqIndex: $target is sealed and owned by " +
-            s"writer '$w', not '$writerId' — two stream incarnations are " +
-            "mapping different batches onto the same append id; restart on " +
-            "a fresh checkpoint with baseAppendId above every existing append")
-        case None => throw new IllegalStateException(
-          s"appendBatchToIvfPqIndex: $target is sealed but carries no " +
-            s"$StreamMarker — it was written by a one-shot append or " +
-            "training write whose id collides with this stream's range " +
-            "(overwriting would silently destroy its vectors). Restart on a " +
-            "fresh checkpoint with baseAppendId above every existing " +
-            "append, and run one-shot appends only while the stream is " +
-            "stopped AND its checkpoint is drained. If this dir is THIS " +
-            "stream's own crash between _SUCCESS and the marker, verify " +
-            "its content matches the batch, delete the dir, and restart")
-      }
-    }
-    // replay across a retrain or compaction: already committed into an
-    // older version's live append, or absorbed into any version by a
-    // compaction that carried the marker forward
+    // FIRST: replay across a retrain or compaction — this (writerId,
+    // appendId) already committed into an older version's live append,
+    // or was absorbed into any version by a compaction that carried
+    // the marker forward. Checked BEFORE the target-ownership
+    // branches: after a fold frees the id, another writer may
+    // legitimately occupy the dir, and a replay of OUR committed batch
+    // must still be a silent no-op, not a crash-looping ownership
+    // error — the data is safely in the index either way.
     val committedBefore = indexVersions(fs, dir)
       .filter(isCompleteVersion(fs, dir, _))
       .exists { v =>
@@ -1663,10 +1708,31 @@ object VectorOps extends graft.QueryModule {
         (vd != base &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$old/_SUCCESS")) &&
           readStreamMarker(fs, old).contains(writerId)) ||
-        readSmallFile(fs, s"$vd/absorbed_appends/append=$appendId")
-          .contains(writerId)
+        absorbedContains(fs, vd, appendId, writerId)
       }
     if (committedBefore) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$target/_SUCCESS"))) {
+      readStreamMarker(fs, target) match {
+        case Some(w) if w == writerId => return // replay of our committed batch
+        case Some(w) => throw new IllegalStateException(
+          s"appendBatchToIvfPqIndex: $target is sealed and owned by " +
+            s"writer '$w', not '$writerId' — two stream incarnations are " +
+            "mapping different batches onto the same append id; restart on " +
+            "a fresh checkpoint with baseAppendId above every existing " +
+            "and absorbed append (nextAppendId gives it)")
+        case None => throw new IllegalStateException(
+          s"appendBatchToIvfPqIndex: $target is sealed but carries no " +
+            s"$StreamMarker — it was written by a one-shot append or " +
+            "training write whose id collides with this stream's range " +
+            "(overwriting would silently destroy its vectors). Restart on a " +
+            "fresh checkpoint with baseAppendId above every existing and " +
+            "absorbed append (nextAppendId gives it), and run one-shot " +
+            "appends only while the stream is stopped AND its checkpoint " +
+            "is drained. If this dir is THIS stream's own crash between " +
+            "_SUCCESS and the marker, verify its content matches the " +
+            "batch, delete the dir, and restart")
+      }
+    }
     // target is absent or an unsealed torn write of our own earlier
     // attempt (readers never resolve unsealed dirs) — safe to rewrite
     encodeWithIndex(index, batch).write.mode("overwrite").parquet(target)

@@ -49,7 +49,8 @@ object EmbStream {
     * append=0 is the training write) — pass the SAME value when
     * restarting from the checkpoint, since redelivered batch ids must
     * map to the dirs they wrote before the crash (a FRESH checkpoint
-    * needs a fresh baseAppendId above every existing append — the
+    * needs a fresh baseAppendId above every existing AND absorbed
+    * append — [[graft.ops.VectorOps.nextAppendId]] computes it; the
     * ownership marker turns a stale one into a loud error, not data
     * loss). While the stream runs it must be the index's only writer
     * (the serial-writer contract appends and retrains already carry);

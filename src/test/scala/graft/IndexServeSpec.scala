@@ -335,9 +335,16 @@ class IndexServeSpec extends AnyFunSuite {
     val b5 = emb.filter(col("vec_id") >= 495)
       .selectExpr("vec_id + 8000 AS vec_id", "embedding")
     VectorOps.appendBatchToIvfPqIndex(after2, b5, ixDir, 1, "ckptD")
+    val withB5 = rows(VectorOps.readIvfPqIndex(spark, ixDir).codes)
     assert(VectorOps.readIvfPqIndex(spark, ixDir).codes
       .filter(col("vid") >= 8000).count() === b5.count(),
       "foreign writer's fresh batch was wrongly skipped on an absorbed id")
+    // ...and a replay of the ORIGINAL writer's batch on that id must
+    // still skip on the absorbed marker — not crash on the new
+    // occupant's ownership (the absorbed check runs first)
+    VectorOps.appendBatchToIvfPqIndex(after2, b1, ixDir, 1, "ckptC")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === withB5,
+      "absorbed-id replay crashed or duplicated against the new occupant")
     // fragmentation report: one row per sealed append (the fold + b5's
     // fresh write), row counts summing to the codes table
     val frag = VectorOps.ivfFragmentation(spark, ixDir).collect()
@@ -352,6 +359,25 @@ class IndexServeSpec extends AnyFunSuite {
     assert(VectorOps.compactIvfPqIndexIfFragmented(spark, ixDir, maxAppends = 1))
     assert(new java.io.File(s"$ixDir/v=4/codes").listFiles()
       .map(_.getName).filter(_.startsWith("append=")).toSeq === Seq("append=0"))
+    // the fold absorbed an id BOTH writers used — the marker file keeps
+    // every writer's evidence (one per line), so both streams' replays
+    // of id 1 keep skipping after the fold
+    val folded = rows(VectorOps.readIvfPqIndex(spark, ixDir).codes)
+    VectorOps.appendBatchToIvfPqIndex(after2, b1, ixDir, 1, "ckptC")
+    VectorOps.appendBatchToIvfPqIndex(after2, b5, ixDir, 1, "ckptD")
+    assert(rows(VectorOps.readIvfPqIndex(spark, ixDir).codes) === folded,
+      "a multi-writer absorbed id lost one writer's replay-dedup evidence")
+    // allocation stays above the absorbed id range: dirs collapsed to
+    // append=0 but ids 1..3 are consumed — nextAppendId and the
+    // one-shot allocator must both clear them
+    assert(VectorOps.nextAppendId(spark, ixDir) === 4L)
+    val b6 = emb.filter(col("vec_id") >= 495)
+      .selectExpr("vec_id + 9000 AS vec_id", "embedding")
+    VectorOps.appendToIvfPqIndex(VectorOps.readIvfPqIndex(spark, ixDir), b6, ixDir)
+    assert(new java.io.File(s"$ixDir/v=4/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("append=")).sorted.toSeq
+      === Seq("append=0", "append=4"),
+      "one-shot allocation re-entered the absorbed id range")
     // a pre-versioning flat layout is refused loudly: its codes are a
     // single table already and there is no version to bump
     val flatDir = Files.createTempDirectory("graft-ivfpq-flatcmp").toString + "/ix"
