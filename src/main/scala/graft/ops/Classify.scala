@@ -431,6 +431,47 @@ object Classify extends graft.QueryModule {
       r.getAs[Long]("bias_micro"))
   }
 
+  /** Persist the fitted DSIR model (one row: target label +
+    * bucket→micro-lambda map, exact micro-longs so the round-trip is
+    * lossless) — the train-once half of the DSIR scoring lifecycle;
+    * serve batches or streams with
+    * [[graft.streaming.DocStream.scoreOnIngest]]. Single-table
+    * artifact with a crash caveat: see [[readDsirModel]]'s gate.
+    */
+  def writeDsirModel(docs: DataFrame, dir: String): Unit =
+    dsirModel(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted DSIR model. Gated on the `_SUCCESS` job-commit
+    * marker: unlike [[readLinearGate]] (whose collect().head fails
+    * loudly on a torn artifact), this returns a DataFrame that feeds
+    * a broadcast cross join — an empty read would make every scored
+    * batch silently empty, so a crashed overwrite must refuse here.
+    */
+  def readDsirModel(spark: SparkSession, dir: String): DataFrame =
+    readModelTable(spark, dir, "readDsirModel")
+
+  /** NB twin of [[writeDsirModel]]: the one-row [[nbModel]] serving
+    * table (classes, micro priors/defaults, likelihood map); serve
+    * with [[graft.streaming.DocStream.classifyOnIngest]].
+    */
+  def writeNbModel(docs: DataFrame, dir: String): Unit =
+    nbModel(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** NB twin of [[readDsirModel]] — same `_SUCCESS` gate, same
+    * silently-empty-broadcast rationale. */
+  def readNbModel(spark: SparkSession, dir: String): DataFrame =
+    readModelTable(spark, dir, "readNbModel")
+
+  private def readModelTable(spark: SparkSession, dir: String,
+      who: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")),
+      s"$who: $dir has no _SUCCESS job-commit marker — a crashed model " +
+        "write (or not a model artifact); retrain and rewrite")
+    spark.read.parquet(dir)
+  }
+
   /** Held-out evaluation of the trained probe: score the odd-doc_id
     * half with the final weights and report per-doc pre-activation
     * score (per token), hard-sigmoid positive probability, and the
@@ -589,6 +630,40 @@ object Classify extends graft.QueryModule {
       writeLinearGate(docs, gDir, 3)
       val (t, w, b) = readLinearGate(spark, gDir)
       linearQualityWith(docs, t, w, b).orderBy("doc_id")
+    },
+    // Persisted-DSIR lifecycle under the full hash gate: fit → write
+    // the one-row model artifact → read back → score every document
+    // with the per-row-fold scorer (the stream-serving transform run
+    // as batch). Oracle is q_dsir_weights' own SQL — artifact
+    // round-trip AND fold-vs-join-aggregate scoring must both be
+    // invisible to the hash (DocStreamSpec pins the same equality).
+    // Tokenless docs are filtered like the batch query's token stream
+    // drops them (none in this corpus, but the contract is explicit).
+    "q_dsir_served" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val mDir = java.nio.file.Files
+        .createTempDirectory("graft-dsir-served").toString + "/m"
+      writeDsirModel(docs, mDir)
+      graft.streaming.DocStream.scoreOnIngest(docs, readDsirModel(spark, mDir))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
+    },
+    // Persisted-NB lifecycle: fit → write the one-row serving table →
+    // read back → classify the held-out half per row → aggregate to
+    // the confusion matrix. Oracle is q_nb_classify's own SQL.
+    "q_nb_served" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val mDir = java.nio.file.Files
+        .createTempDirectory("graft-nb-served").toString + "/m"
+      writeNbModel(docs, mDir)
+      graft.streaming.DocStream.classifyOnIngest(
+          docs.filter(isTest(col("doc_id")))
+            .filter(size(filter(split(col("text"), " "),
+              t => t =!= "")) > 0),
+          readNbModel(spark, mDir))
+        .groupBy("source", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "predicted")
     }
   )
 
@@ -727,35 +802,11 @@ object Classify extends graft.QueryModule {
          |GROUP BY s.source, t.thr_micro
          |ORDER BY s.source, threshold""".stripMargin
     },
-    "q_dsir_weights" ->
-      s"""WITH $tokCte,
-         |tgt_src AS (SELECT min(source) AS s FROM documents),
-         |raw AS (SELECT bucket, count(*) AS raw_cnt FROM tok GROUP BY bucket),
-         |tgt AS (
-         |  SELECT bucket, count(*) AS tgt_cnt FROM tok
-         |  WHERE source = (SELECT s FROM tgt_src) GROUP BY bucket),
-         |tot AS (
-         |  SELECT count(*) AS n_raw,
-         |    sum(CASE WHEN source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END) AS n_tgt
-         |  FROM tok),
-         |lam AS (
-         |  SELECT r.bucket,
-         |    ${logp("coalesce(t.tgt_cnt, 0)", "(SELECT n_tgt FROM tot)")}
-         |    - ${logp("r.raw_cnt", "(SELECT n_raw FROM tot)")} AS lam
-         |  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket),
-         |per AS (
-         |  SELECT doc_id, source, bucket, count(*) AS cnt
-         |  FROM tok GROUP BY doc_id, source, bucket)
-         |SELECT p.doc_id, p.source,
-         |  CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
-         |  CAST(CASE WHEN p.source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END AS INT)
-         |    AS is_target,
-         |  CAST(CAST(sum(p.cnt * l.lam) AS VARCHAR) AS DOUBLE) AS weight,
-         |  CAST(CAST(sum(p.cnt * l.lam) AS VARCHAR) AS DOUBLE)
-         |    / CAST(sum(p.cnt) AS DOUBLE) AS weight_per_token
-         |FROM per p JOIN lam l ON p.bucket = l.bucket
-         |GROUP BY p.doc_id, p.source
-         |ORDER BY p.doc_id""".stripMargin,
+    "q_dsir_weights" -> dsirWeightsSql,
+    // served-from-artifact ≡ fit-in-query, so the oracle is
+    // deliberately q_dsir_weights' own SQL — the model round-trip and
+    // the fold-vs-join-aggregate scoring must be invisible to the hash
+    "q_dsir_served" -> dsirWeightsSql,
     "q_dsir_resample" -> {
       val u = s"((${Shingles.hash32Sql("'dsir:' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0"
       s"""WITH $tokCte,
@@ -794,42 +845,78 @@ object Classify extends graft.QueryModule {
          |  CAST(key_micro AS DOUBLE) / 1e6 AS sel_key
          |FROM sel ORDER BY doc_id""".stripMargin
     },
-    "q_nb_classify" ->
-      s"""WITH $tokCte,
-         |train AS (SELECT * FROM tok WHERE ${isTrainSql("doc_id")}),
-         |test AS (SELECT * FROM tok WHERE ${isTestSql("doc_id")}),
-         |cls_tok AS (
-         |  SELECT source AS cls, bucket, count(*) AS cnt FROM train GROUP BY source, bucket),
-         |cls_tot AS (SELECT cls, sum(cnt) AS tot FROM cls_tok GROUP BY cls),
-         |n_train AS (SELECT count(*) AS n FROM documents WHERE ${isTrainSql("doc_id")}),
-         |priors AS (
-         |  SELECT source AS cls,
-         |    CAST(ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM n_train))
-         |      AS DECIMAL(28,6)) AS prior
-         |  FROM documents WHERE ${isTrainSql("doc_id")} GROUP BY source),
-         |grid AS (
-         |  SELECT b.bucket, ct.cls,
-         |    ${logp("coalesce(k.cnt, 0)", "ct.tot")} AS lam
-         |  FROM (SELECT DISTINCT bucket FROM test) b
-         |  CROSS JOIN cls_tot ct
-         |  LEFT JOIN cls_tok k ON k.bucket = b.bucket AND k.cls = ct.cls),
-         |per AS (
-         |  SELECT doc_id, source, bucket, count(*) AS n
-         |  FROM test GROUP BY doc_id, source, bucket),
-         |scores AS (
-         |  SELECT p.doc_id, p.source, g.cls,
-         |    sum(p.n * g.lam) + any_value(pr.prior) AS score
-         |  FROM per p
-         |  JOIN grid g ON p.bucket = g.bucket
-         |  JOIN priors pr ON g.cls = pr.cls
-         |  GROUP BY p.doc_id, p.source, g.cls),
-         |pred AS (
-         |  SELECT doc_id, source, cls AS predicted FROM (
-         |    SELECT doc_id, source, cls,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
-         |    FROM scores) r WHERE rn = 1)
-         |SELECT source, predicted, CAST(count(*) AS BIGINT) AS n_docs
-         |FROM pred GROUP BY source, predicted
-         |ORDER BY source, predicted""".stripMargin
+    "q_nb_classify" -> nbClassifySql,
+    // the q_dsir_served convention for the NB lifecycle: the saved
+    // serving table classified per row must aggregate to exactly the
+    // confusion matrix the in-query train+classify produces
+    "q_nb_served" -> nbClassifySql
   )
+
+  private lazy val dsirWeightsSql: String =
+    s"""WITH $tokCte,
+       |tgt_src AS (SELECT min(source) AS s FROM documents),
+       |raw AS (SELECT bucket, count(*) AS raw_cnt FROM tok GROUP BY bucket),
+       |tgt AS (
+       |  SELECT bucket, count(*) AS tgt_cnt FROM tok
+       |  WHERE source = (SELECT s FROM tgt_src) GROUP BY bucket),
+       |tot AS (
+       |  SELECT count(*) AS n_raw,
+       |    sum(CASE WHEN source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END) AS n_tgt
+       |  FROM tok),
+       |lam AS (
+       |  SELECT r.bucket,
+       |    ${logp("coalesce(t.tgt_cnt, 0)", "(SELECT n_tgt FROM tot)")}
+       |    - ${logp("r.raw_cnt", "(SELECT n_raw FROM tot)")} AS lam
+       |  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket),
+       |per AS (
+       |  SELECT doc_id, source, bucket, count(*) AS cnt
+       |  FROM tok GROUP BY doc_id, source, bucket)
+       |SELECT p.doc_id, p.source,
+       |  CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN p.source = (SELECT s FROM tgt_src) THEN 1 ELSE 0 END AS INT)
+       |    AS is_target,
+       |  CAST(CAST(sum(p.cnt * l.lam) AS VARCHAR) AS DOUBLE) AS weight,
+       |  CAST(CAST(sum(p.cnt * l.lam) AS VARCHAR) AS DOUBLE)
+       |    / CAST(sum(p.cnt) AS DOUBLE) AS weight_per_token
+       |FROM per p JOIN lam l ON p.bucket = l.bucket
+       |GROUP BY p.doc_id, p.source
+       |ORDER BY p.doc_id""".stripMargin
+
+  private lazy val nbClassifySql: String =
+    s"""WITH $tokCte,
+       |train AS (SELECT * FROM tok WHERE ${isTrainSql("doc_id")}),
+       |test AS (SELECT * FROM tok WHERE ${isTestSql("doc_id")}),
+       |cls_tok AS (
+       |  SELECT source AS cls, bucket, count(*) AS cnt FROM train GROUP BY source, bucket),
+       |cls_tot AS (SELECT cls, sum(cnt) AS tot FROM cls_tok GROUP BY cls),
+       |n_train AS (SELECT count(*) AS n FROM documents WHERE ${isTrainSql("doc_id")}),
+       |priors AS (
+       |  SELECT source AS cls,
+       |    CAST(ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM n_train))
+       |      AS DECIMAL(28,6)) AS prior
+       |  FROM documents WHERE ${isTrainSql("doc_id")} GROUP BY source),
+       |grid AS (
+       |  SELECT b.bucket, ct.cls,
+       |    ${logp("coalesce(k.cnt, 0)", "ct.tot")} AS lam
+       |  FROM (SELECT DISTINCT bucket FROM test) b
+       |  CROSS JOIN cls_tot ct
+       |  LEFT JOIN cls_tok k ON k.bucket = b.bucket AND k.cls = ct.cls),
+       |per AS (
+       |  SELECT doc_id, source, bucket, count(*) AS n
+       |  FROM test GROUP BY doc_id, source, bucket),
+       |scores AS (
+       |  SELECT p.doc_id, p.source, g.cls,
+       |    sum(p.n * g.lam) + any_value(pr.prior) AS score
+       |  FROM per p
+       |  JOIN grid g ON p.bucket = g.bucket
+       |  JOIN priors pr ON g.cls = pr.cls
+       |  GROUP BY p.doc_id, p.source, g.cls),
+       |pred AS (
+       |  SELECT doc_id, source, cls AS predicted FROM (
+       |    SELECT doc_id, source, cls,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |    FROM scores) r WHERE rn = 1)
+       |SELECT source, predicted, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred GROUP BY source, predicted
+       |ORDER BY source, predicted""".stripMargin
 }

@@ -391,6 +391,27 @@ class IndexServeSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR + NB models: saved artifact serves identically; crashed writes refused") {
+    import graft.streaming.DocStream
+    val dDir = Files.createTempDirectory("graft-dsir-m").toString + "/m"
+    Classify.writeDsirModel(docs, dDir)
+    assert(rows(DocStream.scoreOnIngest(docs, Classify.readDsirModel(spark, dDir)))
+      === rows(DocStream.scoreOnIngest(docs, Classify.dsirModel(docs))),
+      "served DSIR scores diverged from the in-query model")
+    val nDir = Files.createTempDirectory("graft-nb-m").toString + "/m"
+    Classify.writeNbModel(docs, nDir)
+    assert(rows(DocStream.classifyOnIngest(docs, Classify.readNbModel(spark, nDir)))
+      === rows(DocStream.classifyOnIngest(docs, Classify.nbModel(docs))),
+      "served NB predictions diverged from the in-query model")
+    // a crashed write (no _SUCCESS job-commit marker) must refuse
+    // loudly: these models feed a broadcast cross join, where an empty
+    // read would make every scored batch SILENTLY empty
+    val torn = Files.createTempDirectory("graft-torn-m").toString + "/m"
+    new java.io.File(torn).mkdirs()
+    intercept[IllegalArgumentException] { Classify.readDsirModel(spark, torn) }
+    intercept[IllegalArgumentException] { Classify.readNbModel(spark, torn) }
+  }
+
   test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
     import graft.ops.Dedup
     val sDir = Files.createTempDirectory("graft-sig-store").toString + "/s"
