@@ -374,14 +374,9 @@ object Dedup extends graft.QueryModule {
     * crashed APPEND keeps the previous write's marker and at worst
     * duplicates rows on retry, which the candidate joins tolerate.
     */
-  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")),
-      s"readMinhashSignatures: no _SUCCESS marker under $dir — the store " +
-        "was never completely written; re-run writeMinhashSignatures")
-    spark.read.parquet(dir)
-  }
+  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.gatedRead(spark, dir, "readMinhashSignatures",
+      "re-run writeMinhashSignatures")
 
   /** MinHash band-bucket occupancy pre-flight — the third member of
     * the pricing family (q_selfjoin_cost prices the inverted-index

@@ -38,6 +38,15 @@ object DocStream {
       // glob: FileStreamSource wants the basePath to be a directory
       .parquet(s"$sfDir/documents.*")
 
+  /** THE whitespace tokenization rule every per-row serving fold
+    * shares (split on single space, drop empties) — one definition so
+    * the scorers, the curation features, and any caller filtering on
+    * token presence (q_nb_served's population) can never silently
+    * diverge from each other.
+    */
+  private[graft] def tokensCol: org.apache.spark.sql.Column =
+    filter(split(col("text"), " "), t => t =!= "")
+
   /** Ingest-time curation: token/length features, content fingerprint,
     * deterministic train/valid/test assignment, and the stateless
     * quality filters (length band + minimum token count). Identical
@@ -45,7 +54,7 @@ object DocStream {
     */
   def curate(docs: DataFrame): DataFrame =
     docs
-      .withColumn("n_tokens", size(filter(split(col("text"), " "), t => t =!= "")))
+      .withColumn("n_tokens", size(tokensCol))
       .withColumn("content_md5", md5(col("text")))
       .withColumn("split",
         when(TextOps.hashBucket(col("doc_id")) < 80, "train")
@@ -109,7 +118,7 @@ object DocStream {
     * 0 instead of failing the lookup.
     */
   def scoreOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
       .withColumn("w_micro", aggregate(col("toks"), lit(0L),
@@ -142,7 +151,7 @@ object DocStream {
     * sees it.
     */
   def classifyOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
       // hash every token ONCE: the md5-based bucket expression is the
@@ -151,14 +160,17 @@ object DocStream {
       // serving path runs n_tokens (not n_classes × n_tokens) hashes
       .withColumn("bks", transform(col("toks"), t =>
         graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)))
+      // the model's lam is a DENSE array (slot = bucket·C + classIdx,
+      // unseen slots pre-filled with the smoothing default), so each
+      // lookup is O(1) position access — a map here costs a linear
+      // scan per element_at (measured 13× on the declared q_nb_served)
       .withColumn("best",
         array_min(transform(sequence(lit(0), col("n_classes") - 1), i =>
           struct(
             (element_at(col("priors"), i + 1) * lit(-1) -
               aggregate(col("bks"), lit(0L), (acc, bk) => acc +
-                coalesce(
-                  element_at(col("lam"), bk * col("n_classes") + i),
-                  element_at(col("defaults"), i + 1)))).as("neg"),
+                element_at(col("lam"),
+                  (bk * col("n_classes") + i + 1).cast("int")))).as("neg"),
             element_at(col("classes"), i + 1).as("cls")))))
       .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))
   }
@@ -178,7 +190,7 @@ object DocStream {
     * (never 0/0 = NaN) instead of being absent.
     */
   def qualityOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
       .withColumn("zw", aggregate(
@@ -218,7 +230,7 @@ object DocStream {
     * batch query, whose vocab join never sees it.
     */
   def tokenizeOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
       .withColumn("subs", transform(col("toks"), t =>
