@@ -93,15 +93,6 @@ object Classify extends graft.QueryModule {
     * count, total and per-token weight, and the target flag — the
     * exact frame a resampler consumes.
     */
-  /** The fitted DSIR model: (target source, (bucket, lam) table).
-    * lam is the smoothed log-ratio, already DECIMAL(28,6)-quantized —
-    * ≤ B rows, broadcastable anywhere.
-    */
-  def dsirLambda(docs: DataFrame): (String, DataFrame) = {
-    val target = docs.agg(min(col("source"))).head.getString(0)
-    (target, lambdaFrom(bucketedTokens(docs), target))
-  }
-
   private def lambdaFrom(tok: DataFrame, target: String): DataFrame = {
     val raw = tok.groupBy("bucket").agg(count(lit(1)).as("raw_cnt"))
     val tgt = tok.filter(col("source") === lit(target))
@@ -279,11 +270,15 @@ object Classify extends graft.QueryModule {
   }
 
   /** The fitted NB model packed for serving, one row (same convention
-    * as [[dsirModel]]): sorted class names, aligned per-class log
-    * priors and unseen-bucket smoothing defaults (both micro-longs —
-    * 6dp decimals ·1e6, exact), and the (bucket·C + classIdx) →
-    * micro-log-likelihood map. Everything a per-row argmax scorer
-    * needs rides one broadcast; size is O(B·C) by the hashing trick.
+    * as [[dsirModel]]): sorted class names, aligned per-class micro
+    * log priors (6dp decimals ·1e6, exact), and a DENSE
+    * position-addressed micro-log-likelihood ARRAY — slot
+    * (bucket·C + classIdx), unseen (bucket, class) pairs pre-filled
+    * with the smoothing default, so the scorer's per-token lookup is
+    * O(1) array access (a map here costs a linear scan per
+    * element_at — PERF.md's measured 13× on q_nb_served). Everything
+    * a per-row argmax scorer needs rides one broadcast; size is
+    * O(B·C) longs by the hashing trick.
     */
   def nbModel(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -307,14 +302,12 @@ object Classify extends graft.QueryModule {
       .crossJoin(broadcast(nTrain))
       .select(col("ci"), col("cls"),
         micro(log(col("n_docs").cast("double") / col("n_train").cast("double"))
-          .cast(Dec)).as("prior_micro"),
-        micro(smoothedLogP(lit(0L), col("tot"))).as("default_micro"))
+          .cast(Dec)).as("prior_micro"))
       .agg(sort_array(collect_list(struct(
-        col("ci"), col("cls"), col("prior_micro"), col("default_micro")))).as("m"))
+        col("ci"), col("cls"), col("prior_micro")))).as("m"))
       .select(
         transform(col("m"), s => s.getField("cls")).as("classes"),
         transform(col("m"), s => s.getField("prior_micro")).as("priors"),
-        transform(col("m"), s => s.getField("default_micro")).as("defaults"),
         size(col("m")).as("n_classes"))
     // DENSE position-addressed likelihood ARRAY, not a map: Catalyst's
     // map element_at is a linear scan, which made the serving fold
@@ -478,16 +471,29 @@ object Classify extends graft.QueryModule {
     readModelTable(spark, dir, "readDsirModel")
 
   /** NB twin of [[writeDsirModel]]: the one-row [[nbModel]] serving
-    * table (classes, micro priors/defaults, likelihood map); serve
+    * table (classes, micro priors, dense likelihood array); serve
     * with [[graft.streaming.DocStream.classifyOnIngest]].
     */
   def writeNbModel(docs: DataFrame, dir: String): Unit =
     nbModel(docs).coalesce(1).write.mode("overwrite").parquet(dir)
 
   /** NB twin of [[readDsirModel]] — same `_SUCCESS` gate, same
-    * silently-empty-broadcast rationale. */
-  def readNbModel(spark: SparkSession, dir: String): DataFrame =
-    readModelTable(spark, dir, "readNbModel")
+    * silently-empty-broadcast rationale, plus a SCHEMA guard: the
+    * model's `lam` moved from a keyed map to a dense slot-indexed
+    * array (see [[nbModel]]), and serving an old-layout artifact
+    * through the array scorer would read class i+1's likelihood for
+    * class i — silently-garbage predictions, so a layout mismatch
+    * must refuse loudly instead.
+    */
+  def readNbModel(spark: SparkSession, dir: String): DataFrame = {
+    val df = readModelTable(spark, dir, "readNbModel")
+    val lamT = df.schema("lam").dataType
+    require(lamT.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"readNbModel: $dir holds a pre-dense-array model layout (lam is " +
+        s"${lamT.simpleString}, expected array<bigint>) — written by an " +
+        "older build; retrain with writeNbModel")
+    df
+  }
 
   private def readModelTable(spark: SparkSession, dir: String,
       who: String): DataFrame =

@@ -139,7 +139,7 @@ object DocStream {
 
   /** NB domain classification on ingest — [[scoreOnIngest]]'s argmax
     * sibling: the batch-fitted [[graft.ops.Classify.nbModel]] row
-    * (classes, priors, unseen-bucket defaults, (bucket·C+idx)→lam map)
+    * (classes, priors, dense (bucket·C+idx)-slotted likelihood array)
     * rides one broadcast, and each arriving document is classified by
     * a per-row fold per class + array_min argmax — stateless,
     * zero-shuffle, exactly the plumbing of the DSIR scorer.

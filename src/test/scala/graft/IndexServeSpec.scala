@@ -410,6 +410,13 @@ class IndexServeSpec extends AnyFunSuite {
     new java.io.File(torn).mkdirs()
     intercept[IllegalArgumentException] { Classify.readDsirModel(spark, torn) }
     intercept[IllegalArgumentException] { Classify.readNbModel(spark, torn) }
+    // a pre-dense-array NB artifact (lam as a keyed MAP) must refuse
+    // loudly: the array scorer would read class i+1's likelihood for
+    // class i — silently-garbage predictions otherwise
+    val oldDir = Files.createTempDirectory("graft-nb-old").toString + "/m"
+    Classify.nbModel(docs).withColumn("lam", map(lit(0L), lit(0L)))
+      .coalesce(1).write.parquet(oldDir)
+    intercept[IllegalArgumentException] { Classify.readNbModel(spark, oldDir) }
   }
 
   test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
