@@ -48,7 +48,16 @@ import org.apache.spark.sql.SparkSession
   *      Reversal makes the two offsets anti-correlated (sum ≈ suite
   *      length), so only mid-suite queries can be hit twice by one
   *      window; a third calibration reading between the sweeps
-  *      (`calib_nt_mid_sec`) tells the reader which sweep was dirty.
+  *      (`calib_nt_mid_sec`) tells the reader which sweep was dirty;
+  *   3. a sustained window can still cover a MID-SUITE query's position
+  *      in both sweeps (reversal maps mid-suite onto mid-suite), so
+  *      after the sweeps each query is compared against the prior
+  *      full-sweep artifact (`bench_results.json`, committed at each
+  *      round close; same data fingerprint only):
+  *      apparent ≥1.5× regressions get one extra clean-window pass,
+  *      and survivors are self-labelled `regressed_vs_prev` — the
+  *      isolated-re-measure adjudication run by the artifact itself
+  *      (the r10 q_ivf_cell_balance/q_dedup_sweep case).
   *
   * Output contract: the harness captures a bounded tail of stdout and
   * parses its LAST line, so the last line must be short. Per-query
@@ -220,12 +229,48 @@ object Bench {
         sweep(dispersed)
       else Map.empty
 
-    // the mini-sweep is ADVISORY: a pass3 failure must never flip a
-    // query both full sweeps ran clean into the error column — drop
-    // errored third passes entirely (the query simply stays
+    // extra sweeps are ADVISORY: a pass3/pass4 failure must never flip
+    // a query both full sweeps ran clean into the error column — drop
+    // errored extra passes entirely (the query simply stays
     // uncorroborated and keeps its suspect flag)
+    def passesOf(n: String,
+        extras: Map[String, (Double, Option[String])]*): Seq[(Double, Option[String])] =
+      Seq(pass1(n), pass2(n)) ++ extras.flatMap(_.get(n).filter(_._2.isEmpty))
+
+    // Cross-round self-adjudication (r10 verdict #1 hardening): a
+    // sustained load window covering a query's position in BOTH sweeps
+    // inflates both passes TOGETHER, so neither the min-of-two nor the
+    // dispersion check above can see it (r10: q_ivf_cell_balance
+    // committed 5.61 s / 5.92 s across the two passes vs 1.4–1.5 s in
+    // any clean window — the two readings corroborated each other and
+    // the flag stayed down). The one reference point that survives a
+    // window like that is the PREVIOUS round's committed artifact: when
+    // its data fingerprint matches this run's (a fingerprint shift
+    // means data-shaped deltas, not load), any query whose min landed
+    // far above its prior reading gets ONE more clean-window pass, and
+    // the ones still above threshold after it are self-labelled
+    // `regressed_vs_prev` — the isolated-re-measure adjudication
+    // PERF.md prescribes, run by the artifact itself.
+    val prev = if (sys.env.contains("SPARK_GRAFT_ONLY")) None else readPrevArtifact()
+    val fpNow = dataFingerprint(sfDir)
+    val regressCand = prev match {
+      case Some((_, pfp, pq)) if pfp == fpNow =>
+        names.filter { n =>
+          val (mn, _, err) = combineAll(passesOf(n, pass3))
+          err.isEmpty && pq.get(n).exists(regressedVsPrev(mn, _))
+        }
+      case _ => Nil
+    }
+    // same cap rationale as pass3: WIDESPREAD apparent regression under
+    // a matching fingerprint is a throttled run, and re-sweeping it all
+    // under the same sustained load would learn nothing
+    val pass4: Map[String, (Double, Option[String])] =
+      if (regressCand.nonEmpty && regressCand.size <= math.max(5, names.size / 5))
+        sweep(regressCand)
+      else Map.empty
+
     def allPasses(n: String): Seq[(Double, Option[String])] =
-      Seq(pass1(n), pass2(n)) ++ pass3.get(n).filter(_._2.isEmpty).toSeq
+      passesOf(n, pass3, pass4)
     val results = names.map { name =>
       val (min, max, err) = combineAll(allPasses(name))
       (name, min, max, err)
@@ -233,9 +278,14 @@ object Bench {
     val suspects = names.filter { n =>
       suspectLoad(allPasses(n).collect { case (t, None) => t })
     }
+    val regressed = regressCand.filter { n =>
+      val (mn, _, _) = combineAll(allPasses(n))
+      prev.exists(_._3.get(n).exists(regressedVsPrev(mn, _)))
+    }
 
     val (full, summary) =
-      render(results, sfDir, calibBefore, calibMid, calibAfter, suspects)
+      render(results, sfDir, calibBefore, calibMid, calibAfter, suspects,
+        regressed, prev.map(_._1))
     // full detail for humans/judges — file is best-effort, stdout first
     // (skipped for SPARK_GRAFT_ONLY dev runs: a partial sweep must not
     // clobber the round's full-suite artifact)
@@ -272,6 +322,40 @@ object Bench {
     else (obs.map(_._1).min, obs.map(_._1).max, err)
   }
 
+  /** The PRIOR full-sweep artifact: `bench_results.json` in the working
+    * directory — the file the previous completed sweep wrote and the
+    * round process commits (the driver's `BENCH_r<N>.json` wrapper
+    * carries only the summary line, no per-query map). Read before this
+    * run overwrites it; parsed minimally to (file name, data_fp,
+    * per-query min map). Best-effort — a missing, unreadable, or
+    * malformed artifact disables the cross-round check rather than
+    * failing the bench.
+    */
+  private[graft] def readPrevArtifact(): Option[(String, String, Map[String, Double])] = {
+    val f = new java.io.File("bench_results.json")
+    if (!f.isFile) None
+    else try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+      val fp = Option(root.get("data_fp")).map(_.asText()).getOrElse("")
+      val b = Map.newBuilder[String, Double]
+      Option(root.get("queries")).foreach { q =>
+        val it = q.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+      }
+      val qs = b.result()
+      if (fp.isEmpty || qs.isEmpty) None else Some((f.getName, fp, qs))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Apparent cross-round regression: this run's min exceeds BOTH 1.5×
+    * the prior committed artifact's reading (benchdiff's regression
+    * threshold) and the prior + 0.5 s absolute (tiny queries jitter in
+    * ratio harmlessly — the [[suspectLoad]] convention).
+    */
+  private[graft] def regressedVsPrev(cur: Double, prev: Double): Boolean =
+    cur > 1.5 * prev && cur > prev + 0.5
+
   /** Is a query's reported min still load-suspect after its passes?
     * True when the successful times are dispersed (>2× spread AND
     * >0.5 s absolute — tiny queries jitter in ratio harmlessly) and
@@ -304,7 +388,9 @@ object Bench {
   private[graft] def render(results: Seq[(String, Double, Double, Option[String])],
       sfDir: String, calibBefore: (Double, Double), calibMid: (Double, Double),
       calibAfter: (Double, Double),
-      suspects: Seq[String] = Nil): (String, String) = {
+      suspects: Seq[String] = Nil,
+      regressed: Seq[String] = Nil,
+      prevRef: Option[String] = None): (String, String) = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -329,10 +415,17 @@ object Bench {
         s""","calib_1t_mid_sec":${r3(calibMid._1)},"calib_nt_mid_sec":${r3(calibMid._2)}""" +
         s""","calib_1t_after_sec":${r3(calibAfter._1)},"calib_nt_after_sec":${r3(calibAfter._2)}"""
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_suspect":${suspects.size}"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_suspect":${suspects.size},"n_regressed":${regressed.size}"""
     val fp = s""""data_fp":${jstr(dataFingerprint(sfDir))}"""
     val susp = suspects.map(jstr).mkString("[", ",", "]")
-    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"sf":${jstr(sfDir)}}""",
+    // cross-round self-adjudication verdicts (see main): queries whose
+    // min stayed >1.5× above the prior committed artifact even after
+    // their extra clean-window pass, and which artifact they were
+    // compared against ("" = none found / fingerprint mismatch — the
+    // check was off, not green)
+    val regr = regressed.map(jstr).mkString("[", ",", "]")
+    val pref = jstr(prevRef.getOrElse(""))
+    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"regressed_vs_prev":$regr,"prev_ref":$pref,"sf":${jstr(sfDir)}}""",
       s"""{$head,$calib,$fp,"sf":${jstr(sfDir)}}""")
   }
 }

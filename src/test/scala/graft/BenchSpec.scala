@@ -92,6 +92,50 @@ newline""") else None))
     assert(!Bench.suspectLoad(Nil))
   }
 
+  test("regressed_vs_prev: ratio AND absolute thresholds both required") {
+    // 1.5x but tiny absolute spread: jitter, not a regression
+    assert(!Bench.regressedVsPrev(0.3, 0.1))
+    // big absolute but under 1.5x: within the benchdiff band
+    assert(!Bench.regressedVsPrev(5.9, 4.0))
+    // the r10 case: 0.98 -> 5.61 flags, and its clean re-measure clears
+    assert(Bench.regressedVsPrev(5.61, 0.98))
+    assert(!Bench.regressedVsPrev(1.47, 0.98))
+    assert(Bench.regressedVsPrev(2.94, 1.02))
+  }
+
+  test("render carries the cross-round adjudication fields") {
+    val results = Seq(("q_a", 1.0, 1.1, None), ("q_b", 5.6, 5.9, None))
+    val (full, summary) = Bench.render(results, "/root/testdata/sf0.1",
+      (0.4, 0.45), (0.4, 0.45), (0.4, 0.45), Nil,
+      Seq("q_b"), Some("BENCH_r10.json"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = om.readTree(full)
+    assert(f.get("regressed_vs_prev").size() === 1)
+    assert(f.get("regressed_vs_prev").get(0).asText() === "q_b")
+    assert(f.get("prev_ref").asText() === "BENCH_r10.json")
+    val s = om.readTree(summary)
+    assert(s.get("n_regressed").asInt() === 1)
+    assert(summary.length < 500 && !summary.contains("\n"))
+    // no prior artifact: the check reads as OFF ("" ref), not green
+    val (full2, _) = Bench.render(results, "/root/testdata/sf0.1",
+      (0.4, 0.45), (0.4, 0.45), (0.4, 0.45))
+    val f2 = om.readTree(full2)
+    assert(f2.get("regressed_vs_prev").size() === 0)
+    assert(f2.get("prev_ref").asText() === "")
+  }
+
+  test("readPrevArtifact parses the committed prior full-sweep artifact") {
+    // runs from the repo root, where bench_results.json is committed at
+    // each round close — the exact file the in-bench check reads
+    Bench.readPrevArtifact() match {
+      case Some((name, fp, qs)) =>
+        assert(name === "bench_results.json")
+        assert(fp.nonEmpty)
+        assert(qs.nonEmpty && qs.values.forall(_ >= 0.0))
+      case None => fail("expected a committed bench_results.json in the repo root")
+    }
+  }
+
   test("calibration loop does constant CPU work and reports sane times") {
     val (st1, nt1) = Bench.calibrate()
     val (st2, nt2) = Bench.calibrate()
