@@ -411,6 +411,29 @@ object ScaleProbe {
         graft.ops.VectorOps.readIvfPqIndex(spark, ixDir),
         emb, col("vid") < 5, 10, 1).count()
     }
+    // ONE schedulable maintenance op (r10 verdict #4): re-fragment the
+    // index with a few more stream batches, then run the whole chained
+    // lifecycle — compact-if-fragmented → balance check (threshold off,
+    // its retrain cost is the ivfpq_write_index row) → prune → sampled
+    // recall probe — exactly as a deployment cron would. The row's
+    // cost = one codes rewrite + one sample×corpus recall probe.
+    (200L until 208L).foreach { i =>
+      graft.ops.VectorOps.appendBatchToIvfPqIndex(
+        graft.ops.VectorOps.readIvfPqIndex(spark, ixDir),
+        appendBatch.filter(col("vec_id") % 8 === (i - 200))
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)),
+        ixDir, i, writerId = "probe")
+    }
+    time("ivfpq_maintain_op") {
+      val rep = graft.ops.VectorOps.maintainIndex(spark, ixDir, emb,
+        id => id < 5, maxAppends = 4, maxShare = 1.0,
+        keepVersions = 1).collect().head
+      println(s"[scale] maintain report: compacted=${rep.getAs[Boolean]("compacted")} " +
+        s"appends=${rep.getAs[Long]("n_sealed_appends")} " +
+        f"recall=${rep.getAs[Double]("mean_recall")}%.3f")
+      1L
+    }
+
     // cell-balance auto-dial (r9 verdict #6) on a DELIBERATELY skewed
     // corpus: 10 spread vectors + a near-parallel mass — one cell
     // swallows ~99%, so nprobe=1 queries landing there scan almost the

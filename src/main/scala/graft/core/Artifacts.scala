@@ -28,4 +28,69 @@ object Artifacts {
         s"was never completely written; $hint")
     spark.read.parquet(dir)
   }
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def versions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("v=\\d+") => s.stripPrefix("v=").toLong }
+  }
+
+  private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS"))
+
+  /** VERSIONED single-table model write — the `writeIvfPqIndex` scheme
+    * specialized to one table: each refresh lands in a fresh `v=<n+1>/`
+    * whose own `_SUCCESS` job-commit marker seals it, and
+    * [[readLatestVersioned]] resolves the highest complete version. A
+    * crashed refresh therefore leaves the PREVIOUS model serving
+    * (safe-and-serving), where the flat overwrite-in-place scheme left
+    * a loud refusal until retrain (safe-but-unavailable) — r10 verdict
+    * stretch #9. Old versions are reclaimed deliberately with
+    * [[pruneModelVersions]], never by the write.
+    */
+  def writeVersioned(df: DataFrame, dir: String): Unit = {
+    val fs = fsOf(df.sparkSession, dir)
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/v=${(0L +: versions(fs, dir)).max + 1}")
+  }
+
+  /** Resolve-and-read the highest COMPLETE model version; a dir with
+    * no complete version falls back to the legacy flat layout through
+    * the same [[gatedRead]] `_SUCCESS` gate (old artifacts stay
+    * readable; a torn flat dir still refuses loudly).
+    */
+  def readLatestVersioned(spark: SparkSession, dir: String, who: String,
+      hint: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val complete = versions(fs, dir).filter(isComplete(fs, dir, _))
+    if (complete.nonEmpty) spark.read.parquet(s"$dir/v=${complete.max}")
+    else gatedRead(spark, dir, who, hint)
+  }
+
+  /** Deliberate model-version cleanup — the `pruneIvfPqVersions` rule:
+    * keep the newest `keep` complete versions; delete older complete
+    * ones and incomplete versions BELOW the newest complete (crashed
+    * refreshes a later one superseded). An incomplete version ABOVE
+    * the newest complete may be a refresh in flight and survives.
+    */
+  def pruneModelVersions(spark: SparkSession, dir: String,
+      keep: Int = 1): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = fsOf(spark, dir)
+    val all = versions(fs, dir).sorted
+    val complete = all.filter(isComplete(fs, dir, _))
+    if (complete.isEmpty) return
+    val keepSet = complete.takeRight(keep).toSet
+    all.filter(v =>
+        (complete.contains(v) && !keepSet(v)) ||
+        (!complete.contains(v) && v < complete.max))
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+  }
 }

@@ -98,5 +98,15 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "adc_score_long", exprs => AdcScoreLong(exprs(0), exprs(1)), "built-in")
     }
+    val nbId = org.apache.spark.sql.catalyst.FunctionIdentifier("nb_class_sums")
+    if (!reg.functionExists(nbId)) {
+      reg.createOrReplaceTempFunction(
+        "nb_class_sums", exprs => NbClassSums(exprs(0), exprs(1), exprs(2)), "built-in")
+    }
+    val hbId = org.apache.spark.sql.catalyst.FunctionIdentifier("hash32_buckets")
+    if (!reg.functionExists(hbId)) {
+      reg.createOrReplaceTempFunction(
+        "hash32_buckets", exprs => Hash32Buckets(exprs(0), exprs(1)), "built-in")
+    }
   }
 }

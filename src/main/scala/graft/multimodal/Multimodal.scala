@@ -129,6 +129,52 @@ object Multimodal {
       useCodec: Boolean = sys.env.get("GRAFT_MULTIMODAL_CODEC").contains("1")): Dataset[MediaFeatures] =
     if (useCodec && imageCodecAvailable) decodeImage(media) else decodeStub(media)
 
+  /** REAL-CODEC round-trip as a declared, oracle-checkable op: per
+    * document, render a deterministic (3 + id%13) × (2 + id%7) RGB
+    * image, encode it to a GENUINE PNG with the JVM codec, and run the
+    * bytes back through [[decodeImage]]. The declared output is the
+    * decoder-read dimensions — which must equal the planted ones, so
+    * the DuckDB oracle states them arithmetically WITHOUT touching a
+    * codec: the hash gate then proves the real encode→decode loop
+    * preserves geometry end to end. Byte-level fields (n_bytes,
+    * checksum) are PNG-encoder-implementation-dependent and are
+    * deliberately not part of the declared output. Refuses loudly on a
+    * codec-less JVM (the environment contract the capability probe
+    * documents); both encode and decode run executor-side,
+    * partition-parallel, payloads never reach the driver.
+    */
+  def decodedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    require(imageCodecAvailable,
+      "decodedRoundTrip needs a JVM image codec (ImageIO) — this runtime " +
+        "has none; use decodeStub-based queries instead")
+    import spark.implicits._
+    val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 3 + (id % 13).toInt
+          val h = 2 + (id % 7).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id + x * 31L + y * 17L) % 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          MediaRecord(id, "image", buf.toByteArray)
+        }
+      }
+    decodeImage(media.toDF()).toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+  }
+
   /** Metadata projection that never touches a codec — pure native
     * functions over the binary column (codegen'd, oracle-checkable).
     */
@@ -304,6 +350,12 @@ object MultimodalQueries extends graft.QueryModule {
       Multimodal.frameSample(Multimodal.mediaTable(spark, dir), 64, 4)
         .orderBy("media_id", "frame_idx")
     },
+    // REAL ImageIO encode→decode round-trip under the hash gate: the
+    // decoder-read dims of genuine per-document PNGs must equal the
+    // planted arithmetic the oracle states codec-free.
+    "q_multimodal_decoded" -> { (spark, dir) =>
+      Multimodal.decodedRoundTrip(spark, dir).orderBy("media_id")
+    },
     // Perceptual-hash image dedup: dHash near-dup pairs at Hamming <= 7
     // via the lossless 8-band byte-bucket join; the oracle is the plain
     // all-pairs SQL, so the hash gate proves losslessness.
@@ -389,6 +441,14 @@ object MultimodalQueries extends graft.QueryModule {
          |WHERE bit_count(xor(a.h_hi, b.h_hi))
          |    + bit_count(xor(a.h_lo, b.h_lo)) <= 7
          |ORDER BY d1, d2""".stripMargin,
+    // the planted geometry, stated without a codec: the Spark side
+    // must reproduce it through a REAL PNG encode+decode
+    "q_multimodal_decoded" ->
+      """SELECT doc_id AS media_id,
+        |  3 + doc_id % 13 AS width,
+        |  2 + doc_id % 7 AS height,
+        |  CAST(3 AS BIGINT) AS channels
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

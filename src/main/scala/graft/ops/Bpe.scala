@@ -313,15 +313,16 @@ object Bpe extends graft.QueryModule {
     * back costs one tiny parquet scan instead of the full per-merge
     * training sweep ([[bpeMerges]] pays k corpus-vocab passes).
     */
-  /** Single-table artifact: the overwrite is not crash-atomic (a
-    * crash mid-write leaves the dir absent/partial), but unlike a
-    * multi-table index there is no silent mixed-version state — the
-    * read fails LOUDLY. For a live serving deployment, write to a
-    * fresh dir and swap, as writeIvfPqIndex's versioning does.
+  /** VERSIONED single-table artifact ([[graft.core.Artifacts
+    * .writeVersioned]]): each refresh seals a fresh `v=<n+1>/`, the
+    * reader resolves the highest complete one, so a crashed refresh
+    * leaves the previous merge table SERVING instead of a loud
+    * refusal (safe-and-serving — r10 stretch #9; legacy flat
+    * artifacts stay readable through the same `_SUCCESS` gate).
     */
   def writeBpeModel(spark: SparkSession, merges: Seq[Merge], dir: String): Unit = {
     import spark.implicits._
-    merges.toDF().coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.core.Artifacts.writeVersioned(merges.toDF(), dir)
   }
 
   /** Load a persisted merge table, step-ordered — feed to
@@ -330,7 +331,9 @@ object Bpe extends graft.QueryModule {
     */
   def readBpeModel(spark: SparkSession, dir: String): Seq[Merge] = {
     import spark.implicits._
-    spark.read.parquet(dir).as[Merge].collect().toSeq.sortBy(_.step)
+    graft.core.Artifacts.readLatestVersioned(spark, dir, "readBpeModel",
+        "retrain with writeBpeModel")
+      .as[Merge].collect().toSeq.sortBy(_.step)
   }
 
   /** Deterministic corpus hash-sample: keep doc_ids in the first
@@ -425,10 +428,12 @@ object Bpe extends graft.QueryModule {
     // lossless) must be invisible to the hash.
     "q_bpe_served" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val merges = train(docs.filter(col("doc_id") % 2 === 0), 16)._1
-      val mDir = java.nio.file.Files
-        .createTempDirectory("graft-bpe-served").toString + "/m"
-      writeBpeModel(spark, merges, mDir)
+      // shared deterministic fixture (the IVFADC convention): train +
+      // write once per sweep, serve the saved artifact thereafter —
+      // exact longs/strings round-trip, hash-invisible either way
+      val mDir = graft.core.Fixtures.artifactDir(dir, "bpe-model") { d =>
+        writeBpeModel(spark, train(docs.filter(col("doc_id") % 2 === 0), 16)._1, d)
+      }
       bpeEncodeWith(docs, readBpeModel(spark, mDir)).orderBy("doc_id")
     },
 

@@ -431,20 +431,22 @@ object Classify extends graft.QueryModule {
     * round-trip is lossless and a served scorer is bit-identical to
     * an in-query-trained one (IndexServeSpec pins it).
     */
-  /** Single-table artifact: the overwrite is not crash-atomic (a
-    * crash mid-write leaves the dir absent/partial), but there is no
-    * silent mixed-version state possible — the read fails LOUDLY.
-    * For a live serving deployment, write to a fresh dir and swap,
-    * as writeIvfPqIndex's versioning does.
+  /** VERSIONED single-table artifact ([[graft.core.Artifacts
+    * .writeVersioned]]): each refresh seals a fresh `v=<n+1>/`, the
+    * reader resolves the highest complete one, so a crashed refresh
+    * leaves the previous gate SERVING instead of a loud refusal
+    * (safe-and-serving — r10 stretch #9; legacy flat artifacts stay
+    * readable through the same `_SUCCESS` gate).
     */
   def writeLinearGate(docs: DataFrame, dir: String, iters: Int = 3): Unit =
-    linearModel(docs, iters).coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.core.Artifacts.writeVersioned(linearModel(docs, iters), dir)
 
   /** Load a persisted gate back to driver-side model form
     * (target, weights, bias) — feed to [[linearQualityWith]] or the
     * stream scorer. */
   def readLinearGate(spark: SparkSession, dir: String): (String, Array[Long], Long) = {
-    val r = spark.read.parquet(dir).collect().head
+    val r = graft.core.Artifacts.readLatestVersioned(spark, dir,
+      "readLinearGate", "retrain with writeLinearGate").collect().head
     val m = r.getAs[scala.collection.Map[Long, Long]]("w_micro")
     (r.getAs[String]("target_source"),
       Array.tabulate(B)(b => m.getOrElse(b.toLong, 0L)),
@@ -455,17 +457,21 @@ object Classify extends graft.QueryModule {
     * bucket→micro-lambda map, exact micro-longs so the round-trip is
     * lossless) — the train-once half of the DSIR scoring lifecycle;
     * serve batches or streams with
-    * [[graft.streaming.DocStream.scoreOnIngest]]. Single-table
-    * artifact with a crash caveat: see [[readDsirModel]]'s gate.
+    * [[graft.streaming.DocStream.scoreOnIngest]]. VERSIONED
+    * single-table artifact ([[graft.core.Artifacts.writeVersioned]]):
+    * a crashed refresh leaves the previous model serving — see
+    * [[readDsirModel]].
     */
   def writeDsirModel(docs: DataFrame, dir: String): Unit =
-    dsirModel(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.core.Artifacts.writeVersioned(dsirModel(docs), dir)
 
-  /** Load a persisted DSIR model. Gated on the `_SUCCESS` job-commit
-    * marker: unlike [[readLinearGate]] (whose collect().head fails
-    * loudly on a torn artifact), this returns a DataFrame that feeds
-    * a broadcast cross join — an empty read would make every scored
-    * batch silently empty, so a crashed overwrite must refuse here.
+  /** Load a persisted DSIR model: the highest COMPLETE version
+    * ([[graft.core.Artifacts.readLatestVersioned]] — a crashed
+    * refresh keeps the previous version serving), with the legacy
+    * flat layout readable through the `_SUCCESS` gate. The gate
+    * matters because this table feeds a broadcast cross join — an
+    * empty read would make every scored batch silently empty, so a
+    * dir with no complete state refuses loudly.
     */
   def readDsirModel(spark: SparkSession, dir: String): DataFrame =
     readModelTable(spark, dir, "readDsirModel")
@@ -475,7 +481,7 @@ object Classify extends graft.QueryModule {
     * with [[graft.streaming.DocStream.classifyOnIngest]].
     */
   def writeNbModel(docs: DataFrame, dir: String): Unit =
-    nbModel(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.core.Artifacts.writeVersioned(nbModel(docs), dir)
 
   /** NB twin of [[readDsirModel]] — same `_SUCCESS` gate, same
     * silently-empty-broadcast rationale, plus a SCHEMA guard: the
@@ -497,7 +503,8 @@ object Classify extends graft.QueryModule {
 
   private def readModelTable(spark: SparkSession, dir: String,
       who: String): DataFrame =
-    graft.core.Artifacts.gatedRead(spark, dir, who, "retrain and rewrite")
+    graft.core.Artifacts.readLatestVersioned(spark, dir, who,
+      "retrain and rewrite")
 
   /** Held-out evaluation of the trained probe: score the odd-doc_id
     * half with the final weights and report per-doc pre-activation
@@ -652,9 +659,13 @@ object Classify extends graft.QueryModule {
     // construction; IndexServeSpec pins the same equality).
     "q_gate_served" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val gDir = java.nio.file.Files
-        .createTempDirectory("graft-gate-served").toString + "/g"
-      writeLinearGate(docs, gDir, 3)
+      // shared deterministic fixture (the IVFADC convention,
+      // graft.core.Fixtures): the first invocation trains and writes,
+      // every later one serves the saved artifact — identical micro
+      // longs either way, so the round-trip stays hash-invisible
+      val gDir = graft.core.Fixtures.artifactDir(dir, "gate-model") { d =>
+        writeLinearGate(docs, d, 3)
+      }
       val (t, w, b) = readLinearGate(spark, gDir)
       linearQualityWith(docs, t, w, b).orderBy("doc_id")
     },
@@ -668,9 +679,9 @@ object Classify extends graft.QueryModule {
     // drops them (none in this corpus, but the contract is explicit).
     "q_dsir_served" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val mDir = java.nio.file.Files
-        .createTempDirectory("graft-dsir-served").toString + "/m"
-      writeDsirModel(docs, mDir)
+      val mDir = graft.core.Fixtures.artifactDir(dir, "dsir-model") { d =>
+        writeDsirModel(docs, d)
+      }
       graft.streaming.DocStream.scoreOnIngest(docs, readDsirModel(spark, mDir))
         .filter(col("n_tokens") > 0)
         .orderBy("doc_id")
@@ -680,9 +691,9 @@ object Classify extends graft.QueryModule {
     // the confusion matrix. Oracle is q_nb_classify's own SQL.
     "q_nb_served" -> { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val mDir = java.nio.file.Files
-        .createTempDirectory("graft-nb-served").toString + "/m"
-      writeNbModel(docs, mDir)
+      val mDir = graft.core.Fixtures.artifactDir(dir, "nb-model") { d =>
+        writeNbModel(docs, d)
+      }
       graft.streaming.DocStream.classifyOnIngest(
           docs.filter(isTest(col("doc_id")))
             // the SHARED tokenization rule, so this population filter

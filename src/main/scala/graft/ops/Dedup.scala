@@ -1043,6 +1043,32 @@ object Dedup extends graft.QueryModule {
         s"(max ${existing.max}); seed ids must stay below the stream's " +
         "baseBatchId")
     val prev = existing.filter(_ < id)
+    // TORN-WRITE gate on the prior state (the sealedCodesDirs /
+    // readMinhashSignatures convention): a crash mid-write leaves a
+    // partial, committer-dependent partition without its `_SUCCESS`
+    // job-commit marker. A same-checkpoint replay overwrites it
+    // harmlessly (id == max re-runs), but a FRESH checkpoint whose
+    // baseBatchId clears the torn id would pass the out-of-order
+    // require above and silently read the partial partition as
+    // history — a shrunken signature index that misses duplicates
+    // (sigs), or a partial assignment that re-labels clusters
+    // (assign; its torn case is a crashed replay overwrite of an
+    // already-sealed batch). Refuse loudly: skipping would be the
+    // same silent shrinkage with extra steps.
+    def sealed_(root: String, p: Long): Boolean = fsOf(root).exists(
+      new org.apache.hadoop.fs.Path(s"$root/ingest_batch=$p/_SUCCESS"))
+    val tornSigs = prev.filterNot(sealed_(sigsRoot, _))
+    require(tornSigs.isEmpty,
+      s"clustersIngestBatch: sigs partitions ${tornSigs.sorted.mkString(",")} " +
+        s"under $sigsRoot are unsealed (no _SUCCESS) — a crashed write this " +
+        "stream's fresh checkpoint skipped replaying. Re-run those batches " +
+        "through the original checkpoint, or delete the torn partitions and " +
+        "re-ingest their documents")
+    require(prev.isEmpty || sealed_(assignRoot, prev.max),
+      s"clustersIngestBatch: assignment snapshot ingest_batch=${prev.max} " +
+        s"under $assignRoot is unsealed (no _SUCCESS) — a replay crashed " +
+        "mid-overwrite after its first attempt had committed. Re-run batch " +
+        s"${prev.max} through the original checkpoint to rewrite it")
     // lifecycle note for the per-micro-batch caller (clustersOnIngest):
     // the localCheckpoint blocks here and inside the incremental path
     // hold no references past this call, so the ContextCleaner

@@ -118,14 +118,19 @@ object DocStream {
     * 0 instead of failing the lookup.
     */
   def scoreOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
-      .withColumn("w_micro", aggregate(col("toks"), lit(0L),
-        (acc, t) => acc + coalesce(
-          element_at(col("lam_micro"),
-            graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)),
-          lit(0L))))
+      // bucket hashing runs in the native kernel (one tight loop per
+      // doc) — the HOF fold below only does the map lookups, which a
+      // ≤B-entry model map serves fine (one lookup per element)
+      .withColumn("w_micro", aggregate(
+        call_function("hash32_buckets", col("toks"),
+          lit(graft.ops.Classify.B.toLong)),
+        lit(0L),
+        (acc, bk) => acc + coalesce(
+          element_at(col("lam_micro"), bk), lit(0L))))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_tokens"),
         (col("source") === col("target_source")).cast("int").as("is_target"),
@@ -151,26 +156,33 @@ object DocStream {
     * sees it.
     */
   def classifyOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
-      // hash every token ONCE: the md5-based bucket expression is the
-      // expensive part of the fold, and it is class-independent — the
-      // per-class folds below walk this precomputed long array, so the
-      // serving path runs n_tokens (not n_classes × n_tokens) hashes
-      .withColumn("bks", transform(col("toks"), t =>
-        graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)))
+      // hash every token ONCE, in the native kernel: the md5 bucket
+      // chain is class-independent AND the dominant per-row cost, and
+      // as a transform() lambda it ran through the expression
+      // interpreter (HOFs never codegen) — hash32_buckets does the
+      // whole array in one tight loop
+      .withColumn("bks", call_function("hash32_buckets", col("toks"),
+        lit(graft.ops.Classify.B.toLong)))
       // the model's lam is a DENSE array (slot = bucket·C + classIdx,
-      // unseen slots pre-filled with the smoothing default), so each
-      // lookup is O(1) position access — a map here costs a linear
-      // scan per element_at (measured 13× on the declared q_nb_served)
+      // unseen slots pre-filled with the smoothing default), and the
+      // whole n_tokens × C accumulation runs in ONE codegen'd pass
+      // (graft.functions.NbClassSums) — the interpreted HOF chain this
+      // replaces re-walked the token array once per class through the
+      // expression interpreter (r10's measured 2-3× residual vs the
+      // batch twin), and a keyed map before that cost a linear scan
+      // per lookup (r10's measured 13×). Only the C-element argmax
+      // stays interpreted — struct ordering pins the tie-break.
+      .withColumn("sums",
+        call_function("nb_class_sums", col("bks"), col("lam"), col("n_classes")))
       .withColumn("best",
         array_min(transform(sequence(lit(0), col("n_classes") - 1), i =>
           struct(
             (element_at(col("priors"), i + 1) * lit(-1) -
-              aggregate(col("bks"), lit(0L), (acc, bk) => acc +
-                element_at(col("lam"),
-                  (bk * col("n_classes") + i + 1).cast("int")))).as("neg"),
+              element_at(col("sums"), i + 1)).as("neg"),
             element_at(col("classes"), i + 1).as("cls")))))
       .select(col("doc_id"), col("source"), col("best.cls").as("predicted"))
   }
@@ -190,12 +202,13 @@ object DocStream {
     * (never 0/0 = NaN) instead of being absent.
     */
   def qualityOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
       .withColumn("zw", aggregate(
-        transform(col("toks"), t =>
-          graft.text.Shingles.hash32(t) % lit(graft.ops.Classify.B.toLong)),
+        call_function("hash32_buckets", col("toks"),
+          lit(graft.ops.Classify.B.toLong)),
         lit(0L), (acc, bk) => acc +
           coalesce(element_at(col("w_micro"), bk), lit(0L))))
       .withColumn("n_tokens", size(col("toks")).cast("long"))

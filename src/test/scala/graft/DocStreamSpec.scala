@@ -215,6 +215,99 @@ class DocStreamSpec extends AnyFunSuite {
     assert(sigIds === Array("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
   }
 
+  test("cluster maintenance refuses torn prior state: unsealed sigs/assign " +
+      "partitions error loudly for a fresh checkpoint, replay of the torn id heals") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("clusters-torn").toString
+    val b0 = docs.filter(col("doc_id") < 300)
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+    val b2 = docs.filter(col("doc_id") >= 450)
+    graft.ops.Dedup.clustersIngestBatch(b0, 0, state)
+    graft.ops.Dedup.clustersIngestBatch(b1, 1, state)
+    def unseal(sub: String, id: Long): Unit =
+      assert(new java.io.File(s"$state/$sub/ingest_batch=$id/_SUCCESS").delete())
+    // torn sigs write of batch 1 (crash mid-write, marker never
+    // committed): a fresh-checkpoint batch 2 must refuse — silently
+    // reading the partial partition would shrink the signature index
+    unseal("sigs", 1)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.clustersIngestBatch(b2, 2, state)
+    }
+    assert(e1.getMessage.contains("unsealed"), e1.getMessage)
+    // the SAME-checkpoint replay of the torn id is the healing path:
+    // id == max re-reads only < 1 state and rewrites its own dirs
+    graft.ops.Dedup.clustersIngestBatch(b1, 1, state)
+    // a torn assignment snapshot (crashed replay overwrite of an
+    // already-sealed batch) must refuse too
+    unseal("assign", 1)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.clustersIngestBatch(b2, 2, state)
+    }
+    assert(e2.getMessage.contains("unsealed"), e2.getMessage)
+    graft.ops.Dedup.clustersIngestBatch(b1, 1, state)
+    // healed state: batch 2 proceeds and matches the from-scratch run
+    graft.ops.Dedup.clustersIngestBatch(b2, 2, state)
+    val full = graft.ops.Dedup.dupClusters(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spark.read.parquet(s"$state/assign/ingest_batch=2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === full && full.nonEmpty)
+  }
+
+  test("nb_class_sums kernel: per-class sums match the interpreted fold, with " +
+      "null/out-of-range slots contributing zero") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // C=3, B=4: lam slot (bucket*3 + class) = 10*(bucket+1) + class
+    val lam = (0 until 12).map(s => 10L * (s / 3 + 1) + (s % 3))
+    val df = Seq(
+      (1L, Seq(0L, 2L, 2L, 3L)),  // repeated + max bucket
+      (2L, Seq.empty[Long]),      // tokenless: all-zero sums
+      (3L, Seq(7L))               // out-of-range bucket: contributes 0
+    ).toDF("id", "bks")
+      .withColumn("sums", call_function("nb_class_sums",
+        col("bks"), typedLit(lam), lit(3)))
+    val got = df.select("id", "sums").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def slot(bk: Long, c: Int) = 10L * (bk + 1) + c
+    assert(got(1L) === (0 until 3).map(c =>
+      slot(0, c) + 2 * slot(2, c) + slot(3, c)))
+    assert(got(2L) === Seq(0L, 0L, 0L))
+    assert(got(3L) === Seq(0L, 0L, 0L))
+    // interpreted path (the pre-codegen fold) agrees exactly on
+    // in-range buckets — the only kind a nbModel serving fold ever
+    // sees (ANSI element_at THROWS on the out-of-range row, which is
+    // exactly why the kernel's own guard contributes 0 instead)
+    val interp = df.filter(col("id") < 3).withColumn("isums",
+      transform(sequence(lit(0), lit(2)), i =>
+        aggregate(col("bks"), lit(0L), (acc, bk) =>
+          acc + coalesce(element_at(typedLit(lam),
+            (bk * 3 + i + 1).cast("int")), lit(0L)))))
+    assert(interp.filter(expr("sums <> isums")).count() === 0)
+  }
+
+  test("hash32_buckets kernel is bit-identical to the hash32 transform chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val B = graft.ops.Classify.B.toLong
+    val toks = graft.core.Tables.documents(spark, dir)
+      .withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+    val diff = toks
+      .withColumn("a", call_function("hash32_buckets", col("toks"), lit(B)))
+      .withColumn("b", transform(col("toks"), t =>
+        graft.text.Shingles.hash32(t) % lit(B)))
+      .filter(expr("a <> b")).count()
+    assert(diff === 0L, "kernel diverged from the md5 transform chain")
+    // null tokens map to null buckets, exactly like md5(null)
+    val withNull = Seq(Seq[String]("x", null, "y")).toDF("toks")
+      .select(call_function("hash32_buckets", col("toks"), lit(B)).as("a"))
+      .collect().head.getSeq[Any](0)
+    assert(withNull(1) == null && withNull(0) != null && withNull(2) != null)
+  }
+
   test("signature-store compaction folds the tail, preserves the index set, and " +
       "keeps the next batch's clustering identical") {
     import org.apache.spark.sql.functions.col

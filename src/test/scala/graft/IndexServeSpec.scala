@@ -417,6 +417,28 @@ class IndexServeSpec extends AnyFunSuite {
     Classify.nbModel(docs).withColumn("lam", map(lit(0L), lit(0L)))
       .coalesce(1).write.parquet(oldDir)
     intercept[IllegalArgumentException] { Classify.readNbModel(spark, oldDir) }
+
+    // VERSIONED refresh (r10 stretch #9): a crashed model refresh over
+    // an existing artifact leaves the previous version SERVING — not
+    // the flat scheme's loud refusal until retrain
+    val served = rows(Classify.readDsirModel(spark, dDir))
+    new java.io.File(s"$dDir/v=2/part-torn.parquet").getParentFile.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dDir/v=2/part-torn.parquet"), "torn")
+    assert(rows(Classify.readDsirModel(spark, dDir)) === served,
+      "a torn v=2 refresh must stay invisible; v=1 keeps serving")
+    // a completed second refresh supersedes; prune reclaims v=1 and
+    // the superseded torn write, keeps the newest
+    Classify.writeDsirModel(docs, dDir)
+    graft.core.Artifacts.pruneModelVersions(spark, dDir, keep = 1)
+    val vs = new java.io.File(dDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(vs === Array("v=3"), vs.mkString(","))
+    assert(rows(Classify.readDsirModel(spark, dDir)) === served)
+    // legacy flat artifacts stay readable through the same gate
+    val flat = Files.createTempDirectory("graft-dsir-flat").toString + "/m"
+    Classify.dsirModel(docs).coalesce(1).write.parquet(flat)
+    assert(rows(Classify.readDsirModel(spark, flat)) === served)
   }
 
   test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
