@@ -343,7 +343,15 @@ object Bench {
         val it = q.fields()
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
       }
-      val qs = b.result()
+      // a query that ERRORED in the prior run recorded its failed-fast
+      // duration as the min — a bogus baseline that would false-flag
+      // the query as regressed the moment it is FIXED; drop it
+      val erred = scala.collection.mutable.Set.empty[String]
+      Option(root.get("errors")).foreach { e =>
+        val it = e.fieldNames()
+        while (it.hasNext) erred += it.next()
+      }
+      val qs = b.result() -- erred
       if (fp.isEmpty || qs.isEmpty) None else Some((f.getName, fp, qs))
     } catch { case _: Throwable => None }
   }

@@ -33,7 +33,16 @@ object Artifacts {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def versions(fs: org.apache.hadoop.fs.FileSystem,
+  /** THE versioned-dir listing/seal/prune core, shared by the
+    * single-table model stores here (`seal = "_SUCCESS"` — the
+    * table's own job-commit marker) and the multi-table IVFADC index
+    * (`seal = "meta/_SUCCESS"` — meta written last seals the whole
+    * version; [[graft.ops.VectorOps]]). One implementation so the two
+    * stores' version-resolution and prune rules cannot silently
+    * drift — the gatedRead single-definition rationale applied to the
+    * versioning contract.
+    */
+  private[graft] def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(root)) Seq.empty
@@ -41,9 +50,37 @@ object Artifacts {
       .collect { case s if s.matches("v=\\d+") => s.stripPrefix("v=").toLong }
   }
 
+  private[graft] def isCompleteVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Long, seal: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/$seal"))
+
+  /** The prune rule: keep the newest `keep` COMPLETE versions, delete
+    * older complete ones and incomplete versions BELOW the newest
+    * complete (crashed writes a later one superseded); an incomplete
+    * version ABOVE the newest complete may be in flight and survives.
+    * Returns the kept complete versions (callers with per-version
+    * inner state — the index's codes appends — sweep those next).
+    */
+  private[graft] def pruneVersionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, keep: Int, seal: String): Seq[Long] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val all = versionDirs(fs, dir).sorted
+    val complete = all.filter(isCompleteVersion(fs, dir, _, seal))
+    if (complete.isEmpty) return Seq.empty
+    val keepSet = complete.takeRight(keep).toSet
+    all.filter(v =>
+        (complete.contains(v) && !keepSet(v)) ||
+        (!complete.contains(v) && v < complete.max))
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    keepSet.toSeq.sorted
+  }
+
+  private def versions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = versionDirs(fs, dir)
+
   private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/_SUCCESS"))
+    isCompleteVersion(fs, dir, v, "_SUCCESS")
 
   /** VERSIONED single-table model write — the `writeIvfPqIndex` scheme
     * specialized to one table: each refresh lands in a fresh `v=<n+1>/`
@@ -74,23 +111,12 @@ object Artifacts {
     else gatedRead(spark, dir, who, hint)
   }
 
-  /** Deliberate model-version cleanup — the `pruneIvfPqVersions` rule:
-    * keep the newest `keep` complete versions; delete older complete
-    * ones and incomplete versions BELOW the newest complete (crashed
-    * refreshes a later one superseded). An incomplete version ABOVE
-    * the newest complete may be a refresh in flight and survives.
+  /** Deliberate model-version cleanup — [[pruneVersionDirs]] with the
+    * single-table seal marker.
     */
   def pruneModelVersions(spark: SparkSession, dir: String,
       keep: Int = 1): Unit = {
-    require(keep >= 1, s"keep must be >= 1, got $keep")
-    val fs = fsOf(spark, dir)
-    val all = versions(fs, dir).sorted
-    val complete = all.filter(isComplete(fs, dir, _))
-    if (complete.isEmpty) return
-    val keepSet = complete.takeRight(keep).toSet
-    all.filter(v =>
-        (complete.contains(v) && !keepSet(v)) ||
-        (!complete.contains(v) && v < complete.max))
-      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true))
+    pruneVersionDirs(fsOf(spark, dir), dir, keep, "_SUCCESS")
+    ()
   }
 }

@@ -14,9 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with the same (data, variant) produce bit-identical artifacts and
   * serving from a cached build is invisible to the oracle hash — the
   * IndexServeSpec equality, applied as a cache. Deployment reading:
-  * the cache hit IS the deployment shape (train once, serve many);
-  * the first invocation still pays and therefore prices the full
-  * lifecycle.
+  * the cache hit IS the deployment shape (train once, serve many).
+  * Measurement accounting, stated precisely: under graft.Bench the
+  * UNTIMED warmup pass builds every fixture, so the committed
+  * artifact's timed readings price SERVING only — the build cost
+  * joins JIT/codegen in the deliberately-excluded warmup category.
+  * The train+write cost is priced separately and explicitly: the
+  * ScaleProbe `trained` rows (ivfpq_write_index et al.) and every
+  * TimeProbe COLD reading include it, and graft.Verify pays it live
+  * (no warmup pass there).
   *
   * Keys carry the SF dir's content fingerprint (name|size|mtime — the
   * bench's data_fp), so a mid-session testdata regeneration misses

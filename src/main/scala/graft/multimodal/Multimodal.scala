@@ -83,6 +83,14 @@ object Multimodal {
     try javax.imageio.ImageIO.getImageReadersByFormatName("png").hasNext
     catch { case _: Throwable => false }
 
+  /** The ENCODE-side twin of [[imageCodecAvailable]]: a PNG WRITER is
+    * registered. Probed separately because a stripped runtime can ship
+    * readers without writers, and [[decodedRoundTrip]] needs both.
+    */
+  def imageCodecWritable: Boolean =
+    try javax.imageio.ImageIO.getImageWritersByFormatName("png").hasNext
+    catch { case _: Throwable => false }
+
   /** REAL decode path: image payloads are parsed with the JVM's
     * ImageIO and report their actual width/height/channels; the
     * checksum stays the same payload-byte fold as the stub (content
@@ -144,9 +152,13 @@ object Multimodal {
     * partition-parallel, payloads never reach the driver.
     */
   def decodedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
-    require(imageCodecAvailable,
-      "decodedRoundTrip needs a JVM image codec (ImageIO) — this runtime " +
-        "has none; use decodeStub-based queries instead")
+    // both halves probed: the round-trip ENCODES (writer) then
+    // DECODES (reader); a reader-only runtime would otherwise pass
+    // here, have ImageIO.write produce nothing, and fail the oracle
+    // with a confusing corpus-wide stub-dims mismatch
+    require(imageCodecAvailable && imageCodecWritable,
+      "decodedRoundTrip needs a JVM PNG reader AND writer (ImageIO) — " +
+        "this runtime lacks one; use decodeStub-based queries instead")
     import spark.implicits._
     val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -165,7 +177,12 @@ object Multimodal {
             y += 1
           }
           val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", buf)
+          // executor-side truth (a cluster executor may not match the
+          // driver's probe): write returns false when no writer took
+          // the format — refuse loudly, never emit an empty payload
+          if (!javax.imageio.ImageIO.write(img, "png", buf))
+            throw new IllegalStateException(
+              "decodedRoundTrip: no PNG writer on this executor's JVM")
           MediaRecord(id, "image", buf.toByteArray)
         }
       }

@@ -1158,19 +1158,17 @@ object VectorOps extends graft.QueryModule {
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
   }
 
-  /** Version dirs (`v=<n>`) under an index root, complete or not. */
+  /** Version dirs (`v=<n>`) under an index root, complete or not —
+    * the shared core ([[graft.core.Artifacts.versionDirs]]); this
+    * index's versions seal on `meta/_SUCCESS` (meta written last).
+    */
   private def indexVersions(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches("v=\\d+") =>
-        s.stripPrefix("v=").toLong }
-  }
+      dir: String): Seq[Long] =
+    graft.core.Artifacts.versionDirs(fs, dir)
 
   private def isCompleteVersion(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=$v/meta/_SUCCESS"))
+    graft.core.Artifacts.isCompleteVersion(fs, dir, v, "meta/_SUCCESS")
 
   /** Resolve the highest COMPLETE version dir (meta/_SUCCESS present —
     * meta is written last, so its job-commit marker seals the whole
@@ -1252,19 +1250,13 @@ object VectorOps extends graft.QueryModule {
     */
   def pruneIvfPqVersions(spark: SparkSession, dir: String,
       keep: Int = 1): Unit = {
-    require(keep >= 1, s"keep must be >= 1, got $keep")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val all = indexVersions(fs, dir).sorted
-    val complete = all.filter(isCompleteVersion(fs, dir, _))
-    if (complete.isEmpty) return
-    val keepSet = complete.takeRight(keep).toSet
-    all.filter(v =>
-        (complete.contains(v) && !keepSet(v)) ||
-        (!complete.contains(v) && v < complete.max))
-      .foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v=$v"), true)
-      }
+    // version-level rule = the shared core (Artifacts.pruneVersionDirs,
+    // meta/_SUCCESS seal); the index adds a per-KEPT-version sweep of
+    // its codes table's torn append dirs below
+    val keepSet =
+      graft.core.Artifacts.pruneVersionDirs(fs, dir, keep, "meta/_SUCCESS")
     keepSet.foreach { v =>
       val codesDir = s"$dir/v=$v/codes"
       val appends = codesAppendDirs(fs, codesDir)
@@ -1440,34 +1432,69 @@ object VectorOps extends graft.QueryModule {
       embeddings: DataFrame, maxShare: Double = 0.5,
       maxSplits: Int = 2): Boolean = {
     val ix = readIvfPqIndex(spark, dir)
-    val cells = ix.codes.groupBy("cell").agg(count(lit(1)).as("n"))
+    fattestShareOf(ix.codes) > maxShare &&
+      rebalanceNow(spark, dir, ix, embeddings, maxShare, maxSplits)
+  }
+
+  /** Fattest-cell population share of a codes table (0.0 when empty)
+    * — one column-pruned scan, computed ONCE per maintenance run and
+    * reused by the decision and the report.
+    */
+  private def fattestShareOf(codes: DataFrame): Double = {
+    val cells = codes.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1))
-    val total = cells.sum
-    if (total == 0L || cells.max.toDouble / total <= maxShare) false
-    else {
-      val cent2 = ivfBalanceCells(embeddings,
-          ix.centroids.select(col("ccid").as("cid"), col("c_v").as("cid_v")),
-          maxShare, maxSplits)
-        .select(col("cid").cast("int").as("ccid"), col("cid_v").as("c_v"))
-        .localCheckpoint(true)
-      val n2 = cent2.count().toInt
-      val (scoredCells, cent, cb, codes) =
-        ivfPqBuildFrom(embeddings, cent2, ix.m, ix.ksub, ix.dims)
-      writeIndexVersion(spark, dir, cent, cb, codes, n2, ix.m, ix.ksub, ix.dims)
-      scoredCells.unpersist(false)
-      true
-    }
+    if (cells.isEmpty || cells.sum == 0L) 0.0
+    else cells.max.toDouble / cells.sum
+  }
+
+  /** The rebalance-retrain body, after the threshold already tripped.
+    * GUARDS the everything-ingested retrain contract mechanically: a
+    * vector in the index but absent from `embeddings` would be
+    * silently DROPPED by the retrain — and because the retrain
+    * carries the replay markers forward, a replay of its batch would
+    * skip instead of re-adding it: permanent, unrecoverable loss. So
+    * the anti-join check refuses loudly first (one vid-keyed join,
+    * paid only when a rebalance actually runs — a full retrain dwarfs
+    * it).
+    */
+  private def rebalanceNow(spark: SparkSession, dir: String, ix: IvfPqIndex,
+      embeddings: DataFrame, maxShare: Double, maxSplits: Int): Boolean = {
+    val missing = ix.codes.select(col("vid"))
+      .join(embeddings.select(col("vec_id").as("vid")), Seq("vid"), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"rebalanceIvfPqIndex: $missing indexed vectors are absent from the " +
+        "supplied embeddings frame — the rebalance RETRAINS from that frame, " +
+        "so they would be silently dropped while their carried replay " +
+        "markers keep skipping re-ingest. Pass everything ingested (the " +
+        "retrain contract: base corpus plus every appended/streamed batch)")
+    val cent2 = ivfBalanceCells(embeddings,
+        ix.centroids.select(col("ccid").as("cid"), col("c_v").as("cid_v")),
+        maxShare, maxSplits)
+      .select(col("cid").cast("int").as("ccid"), col("cid_v").as("c_v"))
+      .localCheckpoint(true)
+    val n2 = cent2.count().toInt
+    val (scoredCells, cent, cb, codes) =
+      ivfPqBuildFrom(embeddings, cent2, ix.m, ix.ksub, ix.dims)
+    writeIndexVersion(spark, dir, cent, cb, codes, n2, ix.m, ix.ksub, ix.dims)
+    scoredCells.unpersist(false)
+    true
   }
 
   /** ONE schedulable maintenance entry point (r10 verdict #4) — the op
     * a deployment cron-runs after each ingest window instead of
     * sequencing four hand-ordered calls:
     *
-    *   1. [[compactIvfPqIndexIfFragmented]] — fold small-file codes
+    *   1. [[rebalanceIvfPqIndex]]'s body — split fat cells and retrain
+    *      when the fattest share exceeds `maxShare` (checked FIRST,
+    *      from the codes table's cell counts — no corpus pass; and
+    *      guarded: `embeddings` must hold EVERYTHING ingested, base
+    *      corpus plus every appended/streamed batch, or the retrain
+    *      refuses — see [[rebalanceNow]]'s loss rationale);
+    *   2. [[compactIvfPqIndexIfFragmented]] — fold small-file codes
     *      appends when the sealed-append count exceeds `maxAppends`;
-    *   2. [[rebalanceIvfPqIndex]] — split fat cells and retrain when
-    *      the fattest share exceeds `maxShare` (checked from the codes
-    *      table, no corpus pass);
+    *      SKIPPED when the retrain ran, whose fresh single-append
+    *      codes table is compact by construction;
     *   3. [[pruneIvfPqVersions]] — reclaim superseded versions. Replay
     *      safety needs NO catch-up check here: every fold and retrain
     *      carries the absorbed-append ownership markers forward
@@ -1491,20 +1518,27 @@ object VectorOps extends graft.QueryModule {
       maxSplits: Int = 2, keepVersions: Int = 2, recallK: Int = 10,
       nprobe: Int = 1): DataFrame = {
     import spark.implicits._
-    val compacted = compactIvfPqIndexIfFragmented(spark, dir, maxAppends)
-    val rebalanced = rebalanceIvfPqIndex(spark, dir, embeddings, maxShare, maxSplits)
+    // balance decision FIRST (it reads only cell counts): when the
+    // rebalance-retrain runs, its fresh codes/append=0 is compact by
+    // construction, so running compaction before it would pay a
+    // corpus-sized codes rewrite only for the retrain to discard it
+    val ix0 = readIvfPqIndex(spark, dir)
+    val fat0 = fattestShareOf(ix0.codes)
+    val rebalanced = fat0 > maxShare &&
+      rebalanceNow(spark, dir, ix0, embeddings, maxShare, maxSplits)
+    val compacted = !rebalanced &&
+      compactIvfPqIndexIfFragmented(spark, dir, maxAppends)
     pruneIvfPqVersions(spark, dir, keepVersions)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val base = latestIndexDir(spark, dir)
-    val ix = readIvfPqIndex(spark, dir)
+    // compaction/prune never move vectors between cells, so the
+    // pre-computed share stands unless the retrain replaced the model
+    val ix =
+      if (rebalanced || compacted) readIvfPqIndex(spark, dir) else ix0
     val nAppends =
       codesAppendDirs(fs, s"$base/codes").count(_._2)
-    val cells = ix.codes.groupBy("cell").agg(count(lit(1)).as("n"))
-      .collect().map(_.getLong(1))
-    val fattest =
-      if (cells.isEmpty || cells.sum == 0L) 0.0
-      else cells.max.toDouble / cells.sum
+    val fattest = if (rebalanced) fattestShareOf(ix.codes) else fat0
     // queryPred maps the vector-id column to the probe-panel filter
     // (hash-sample it at scale — the q_ann_recall_sampled protocol);
     // applied to `vec_id` on the exact side and `vid` on the served

@@ -101,6 +101,31 @@ class IndexMaintainSpec extends AnyFunSuite {
       "replay through the maintained lifecycle duplicated vectors")
   }
 
+  test("rebalance refuses an embeddings frame missing indexed vectors — the " +
+      "everything-ingested retrain contract is mechanical, not a scaladoc rule") {
+    val ixDir = Files.createTempDirectory("graft-rebalance-guard").toString + "/ix"
+    VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 400), ixDir, 8, 8, 16, 64)
+    // a streamed batch whose vectors are NOT rows of the base corpus
+    val foreign = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .selectExpr("vec_id + 900000 AS vec_id", "embedding", "label")
+    VectorOps.appendBatchToIvfPqIndex(
+      VectorOps.readIvfPqIndex(spark, ixDir), foreign, ixDir, 1, "ckptG")
+    // forcing the rebalance with only the base corpus would retrain
+    // WITHOUT the appended vectors — and their carried replay markers
+    // would keep skipping re-ingest: permanent loss. Must refuse.
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.maintainIndex(spark, ixDir, emb.filter(col("vec_id") < 400),
+        id => id < 3, maxShare = 0.0001, keepVersions = 1).collect()
+    }
+    assert(e.getMessage.contains("absent"), e.getMessage)
+    // with everything ingested supplied, the same rebalance proceeds
+    val rep = VectorOps.maintainIndex(spark, ixDir,
+      emb.filter(col("vec_id") < 400).unionByName(foreign),
+      id => id < 3, maxShare = 0.0001, keepVersions = 1).collect().head
+    assert(rep.getAs[Boolean]("rebalanced"))
+    assert(codeVids(ixDir).size === 450)
+  }
+
   test("autoNprobe: recall is monotone in nprobe on a planted split-neighborhood " +
       "corpus and the dial picks the smallest sufficient probe count") {
     import spark.implicits._

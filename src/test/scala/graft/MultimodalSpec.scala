@@ -127,8 +127,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("codec capability: ImageIO is detected, and the real decode path reads " +
       "actual pixel dimensions from a genuine PNG while bad payloads fall back") {
     import spark.implicits._
-    // this JVM ships ImageIO — the probe must see it
+    // this JVM ships ImageIO — both probes must see it (the round-trip
+    // query needs the WRITER half too)
     assert(Multimodal.imageCodecAvailable, "JDK ImageIO readers not found")
+    assert(Multimodal.imageCodecWritable, "JDK ImageIO PNG writer not found")
 
     // a genuine 5x7 RGB PNG, built with the same codec family the
     // decode path uses (pure JDK — no external libs)
