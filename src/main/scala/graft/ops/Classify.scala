@@ -136,6 +136,69 @@ object Classify extends graft.QueryModule {
     model
   }
 
+  /** DSIR's COUNT-LEVEL sufficient statistics — the [[nbCounts]]
+    * convention for the importance-weight model: rows
+    * `(source, bucket, cnt)` of hashed-token counts per source.
+    * Integer sums over documents, so batch folds merge by union +
+    * re-sum into exactly the union's counts; the target label, the
+    * per-bucket raw/target splits, and the totals are all DERIVED at
+    * pack time ([[dsirModelFromCounts]]), which keeps even a
+    * target-source change (a later batch introducing an
+    * alphabetically-smaller source) correct — counts are
+    * target-agnostic. O(sources·B) rows at any corpus size.
+    */
+  def dsirCounts(docs: DataFrame): DataFrame =
+    bucketedTokens(docs).groupBy("source", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Pack maintained [[dsirCounts]] into the one-row serving model —
+    * the same arithmetic as [[dsirModel]] (target = min source,
+    * smoothed log-ratio per bucket, micro-long map), derived from
+    * counts instead of a corpus pass. [[IndexServeSpec]] pins
+    * bit-identity with the from-scratch fit; the declared
+    * q_dsir_incremental puts it behind the full oracle hash.
+    */
+  def dsirModelFromCounts(counts0: DataFrame): DataFrame = {
+    val counts = counts0.localCheckpoint(true)
+    val target = counts.agg(min(col("source"))).head.getString(0)
+    val raw = counts.groupBy("bucket").agg(sum(col("cnt")).as("raw_cnt"))
+    val tgt = counts.filter(col("source") === lit(target))
+      .groupBy("bucket").agg(sum(col("cnt")).as("tgt_cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_raw"),
+      sum(when(col("source") === lit(target), col("cnt")).otherwise(0L))
+        .as("n_tgt"))
+    raw
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tgt_cnt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (smoothedLogP(col("tgt_cnt"), col("n_tgt")) -
+          smoothedLogP(col("raw_cnt"), col("n_raw"))).as("lam"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        (col("lam") * lit(1000000)).cast("long")))).as("lam_micro"))
+      .withColumn("target_source", lit(target))
+  }
+
+  /** Persist / fold / read the DSIR count store — the [[writeNbCounts]]
+    * lifecycle verbatim (versioned, batch-cost folds, history never
+    * re-read, serial writer per store).
+    */
+  def writeDsirCounts(docs: DataFrame, dir: String): Unit =
+    graft.core.Artifacts.writeVersioned(dsirCounts(docs), dir)
+
+  def updateDsirCounts(spark: SparkSession, dir: String,
+      newDocs: DataFrame): Unit = {
+    val merged = readDsirCounts(spark, dir)
+      .unionByName(dsirCounts(newDocs))
+      .groupBy("source", "bucket").agg(sum(col("cnt")).as("cnt"))
+    graft.core.Artifacts.writeVersioned(merged, dir)
+  }
+
+  def readDsirCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.readLatestVersioned(spark, dir, "readDsirCounts",
+      "rebuild with writeDsirCounts")
+
   /** Per-doc weights with the sum kept EXACT (decimal wsum) — the
     * shared core of [[dsirWeights]] (display form) and
     * [[dsirResample]] (integer-micro ranking form; a double→decimal
@@ -280,24 +343,51 @@ object Classify extends graft.QueryModule {
     * a per-row argmax scorer needs rides one broadcast; size is
     * O(B·C) longs by the hashing trick.
     */
-  def nbModel(docs: DataFrame): DataFrame = {
+  def nbModel(docs: DataFrame): DataFrame =
+    nbModelFromCounts(nbCounts(docs))
+
+  /** The NB model's COUNT-LEVEL sufficient statistics — the form that
+    * makes model maintenance INCREMENTAL: rows `(cls, bucket, cnt)`
+    * where bucket >= 0 carries the class's token count in that hashed
+    * bucket and the `bucket = -1` row carries the class's train-doc
+    * count. Every value is an integer SUM over documents, so counts
+    * of two corpus slices merge by union + re-sum ([[updateNbCounts]])
+    * into EXACTLY the counts of the union — which is why
+    * incremental == from-scratch holds bit-for-bit all the way to the
+    * packed model (the derivation in [[nbModelFromCounts]] is a pure
+    * function of these counts). O(B·C + C) rows at any corpus size.
+    */
+  def nbCounts(docs: DataFrame): DataFrame = {
+    val tok = bucketedTokens(docs).filter(isTrain(col("doc_id")))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("source").as("cls"), col("bucket"), col("cnt"))
+    val doc = docs.filter(isTrain(col("doc_id")))
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .select(col("source").as("cls"), lit(-1L).as("bucket"), col("cnt"))
+    tok.unionByName(doc)
+  }
+
+  /** Pack count-level statistics ([[nbCounts]] or a maintained
+    * [[readNbCounts]] store) into the one-row serving model —
+    * THE model derivation (priors, smoothing, dense slot layout),
+    * shared by from-scratch training ([[nbModel]] delegates here) and
+    * the incremental path, so the two can never drift.
+    */
+  def nbModelFromCounts(counts0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def micro(c: Column): Column = (c * lit(1000000)).cast("long")
-    val train = bucketedTokens(docs).filter(isTrain(col("doc_id")))
-    // clsTok feeds three subtrees (totals, class index, likelihood
-    // map) — materialize the ≤B·C-row aggregate so the corpus
-    // tokenize+hash pass behind it runs once, not once per subtree
-    // (q_nb_served pays this per declared run)
-    val clsTok = train.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
-      .withColumnRenamed("source", "cls")
-      .localCheckpoint(true)
+    // counts feed four subtrees (totals, class index, priors,
+    // likelihood array) and may sit on a corpus tokenize pass —
+    // materialize the ≤(B·C + C)-row frame so that pass runs once
+    val counts = counts0.localCheckpoint(true)
+    val clsTok = counts.filter(col("bucket") >= 0)
     val clsTot = clsTok.groupBy("cls").agg(sum(col("cnt")).as("tot"))
-    val nTrain = docs.filter(isTrain(col("doc_id"))).agg(count(lit(1)).as("n_train"))
+    val docCnt = counts.filter(col("bucket") === -1)
+      .select(col("cls"), col("cnt").as("n_docs"))
+    val nTrain = docCnt.agg(sum(col("n_docs")).as("n_train"))
     val clsIdx = clsTot
       .withColumn("ci", row_number().over(Window.orderBy("cls")) - 1)
-    val meta = docs.filter(isTrain(col("doc_id")))
-      .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumnRenamed("source", "cls")
+    val meta = docCnt
       .join(clsIdx, "cls")
       .crossJoin(broadcast(nTrain))
       .select(col("ci"), col("cls"),
@@ -318,7 +408,7 @@ object Classify extends graft.QueryModule {
     // fallback lookup at all; the array is B·C longs (~2k), one
     // broadcast row.
     val lamArr = clsIdx.select(col("cls"), col("ci"), col("tot"))
-      .crossJoin(docs.sparkSession.range(B).toDF("bucket"))
+      .crossJoin(counts.sparkSession.range(B).toDF("bucket"))
       .join(clsTok, Seq("cls", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .crossJoin(broadcast(clsIdx.agg(count(lit(1)).cast("int").as("nc"))))
@@ -482,6 +572,40 @@ object Classify extends graft.QueryModule {
     */
   def writeNbModel(docs: DataFrame, dir: String): Unit =
     graft.core.Artifacts.writeVersioned(nbModel(docs), dir)
+
+  /** Persist the NB COUNT store ([[nbCounts]]) — the incremental
+    * lifecycle's base: a deployment writes counts once over history,
+    * then folds each new batch in with [[updateNbCounts]] (cost =
+    * one pass over the BATCH, never the corpus) and packs the serving
+    * model with [[nbModelFromCounts]] whenever it wants a refresh.
+    * The counting-model twin of the IVFADC append path: history is
+    * never re-read. Versioned like every model artifact (a crashed
+    * update leaves the previous counts serving).
+    */
+  def writeNbCounts(docs: DataFrame, dir: String): Unit =
+    graft.core.Artifacts.writeVersioned(nbCounts(docs), dir)
+
+  /** Fold a NEW batch's counts into the persisted store: union +
+    * integer re-sum — exactly associative, so N updates over corpus
+    * slices produce bit-identical counts (and therefore a
+    * bit-identical packed model) to one from-scratch pass over their
+    * union; the declared q_nb_incremental puts that equality behind
+    * the full oracle hash. Lands as a fresh sealed version — a
+    * crashed update is invisible and the previous counts keep
+    * serving. Serial-writer contract per store (two concurrent
+    * updates would both fold into the same base).
+    */
+  def updateNbCounts(spark: SparkSession, dir: String,
+      newDocs: DataFrame): Unit = {
+    val merged = readNbCounts(spark, dir)
+      .unionByName(nbCounts(newDocs))
+      .groupBy("cls", "bucket").agg(sum(col("cnt")).as("cnt"))
+    graft.core.Artifacts.writeVersioned(merged, dir)
+  }
+
+  def readNbCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.readLatestVersioned(spark, dir, "readNbCounts",
+      "rebuild with writeNbCounts")
 
   /** NB twin of [[readDsirModel]] — same `_SUCCESS` gate, same
     * silently-empty-broadcast rationale, plus a SCHEMA guard: the
@@ -703,6 +827,46 @@ object Classify extends graft.QueryModule {
         .groupBy("source", "predicted")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "predicted")
+    },
+    // DSIR sibling of q_nb_incremental: the importance-weight model
+    // maintained from count-level statistics — prefix write + two
+    // batch folds + pack + serve, oracle = q_dsir_weights' own
+    // from-scratch SQL.
+    "q_dsir_incremental" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val cDir = graft.core.Fixtures.artifactDir(dir, "dsir-counts-incr") { d =>
+        writeDsirCounts(docs.filter(col("doc_id") < 300), d)
+        updateDsirCounts(spark, d,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+        updateDsirCounts(spark, d, docs.filter(col("doc_id") >= 400))
+      }
+      graft.streaming.DocStream.scoreOnIngest(docs,
+          dsirModelFromCounts(readDsirCounts(spark, cDir)))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
+    },
+    // INCREMENTAL model maintenance under the full hash gate: counts
+    // written over a corpus prefix, two batch folds against the
+    // persisted store (each a batch-sized pass — history never
+    // re-read), then the model packed from the maintained counts and
+    // served. Oracle is q_nb_classify's own from-scratch SQL — the
+    // increments, the count-store round-trips, and the pack must all
+    // be invisible to the hash (integer sums are exactly associative).
+    "q_nb_incremental" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val cDir = graft.core.Fixtures.artifactDir(dir, "nb-counts-incr") { d =>
+        writeNbCounts(docs.filter(col("doc_id") < 300), d)
+        updateNbCounts(spark, d,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+        updateNbCounts(spark, d, docs.filter(col("doc_id") >= 400))
+      }
+      graft.streaming.DocStream.classifyOnIngest(
+          docs.filter(isTest(col("doc_id")))
+            .filter(size(graft.streaming.DocStream.tokensCol) > 0),
+          nbModelFromCounts(readNbCounts(spark, cDir)))
+        .groupBy("source", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "predicted")
     }
   )
 
@@ -846,6 +1010,7 @@ object Classify extends graft.QueryModule {
     // deliberately q_dsir_weights' own SQL — the model round-trip and
     // the fold-vs-join-aggregate scoring must be invisible to the hash
     "q_dsir_served" -> dsirWeightsSql,
+    "q_dsir_incremental" -> dsirWeightsSql,
     "q_dsir_resample" -> {
       val u = s"((${Shingles.hash32Sql("'dsir:' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0"
       s"""WITH $tokCte,
@@ -885,6 +1050,7 @@ object Classify extends graft.QueryModule {
          |FROM sel ORDER BY doc_id""".stripMargin
     },
     "q_nb_classify" -> nbClassifySql,
+    "q_nb_incremental" -> nbClassifySql,
     // the q_dsir_served convention for the NB lifecycle: the saved
     // serving table classified per row must aggregate to exactly the
     // confusion matrix the in-query train+classify produces

@@ -1152,7 +1152,21 @@ object VectorOps extends graft.QueryModule {
     // "prune only after the stream catches up" rule, now mechanical)
     indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
       .sorted.lastOption
-      .foreach(v => carryReplayMarkers(fs, s"$dir/v=$v", vdir))
+      .foreach { v =>
+        val prior = s"$dir/v=$v"
+        carryReplayMarkers(fs, prior, vdir)
+        // pending deletion tombstones carry too: a retrain whose input
+        // corpus still contains deleted rows must not resurrect them —
+        // the tombstones keep suppressing until a compaction
+        // materializes the deletion (see deleteFromIvfPqIndex)
+        sealedTombstoneDirs(fs, prior).foreach { t =>
+          val name = new org.apache.hadoop.fs.Path(t).getName
+          org.apache.hadoop.fs.FileUtil.copy(fs,
+            new org.apache.hadoop.fs.Path(t), fs,
+            new org.apache.hadoop.fs.Path(s"$vdir/tombstones/$name"),
+            false, spark.sessionState.newHadoopConf())
+        }
+      }
     Seq((nCentroids, m, ksub, dims))
       .toDF("n_centroids", "m", "ksub", "dims")
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
@@ -1199,16 +1213,34 @@ object VectorOps extends graft.QueryModule {
     * job-commit marker exists.
     */
   private def codesAppendDirs(fs: org.apache.hadoop.fs.FileSystem,
-      codesDir: String): Seq[(Long, Boolean)] = {
-    val root = new org.apache.hadoop.fs.Path(codesDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches("append=\\d+") =>
-        s.stripPrefix("append=").toLong }
+      codesDir: String): Seq[(Long, Boolean)] =
+    sealedFamilyDirs(fs, codesDir, "append")
+
+  /** One listing of a `<prefix>=<n>` sealed-dir family — (id, sealed?)
+    * pairs, id-sorted; sealed = the dir's own `_SUCCESS` job-commit
+    * marker. The codes table's `append=` dirs and the deletion
+    * tombstones' `del=` dirs share this convention (and therefore the
+    * same torn-write invisibility).
+    */
+  private def sealedFamilyDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, prefix: String): Seq[(Long, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches(s"$prefix=\\d+") =>
+        s.stripPrefix(s"$prefix=").toLong }
       .sorted
       .map(a => (a, fs.exists(
-        new org.apache.hadoop.fs.Path(s"$codesDir/append=$a/_SUCCESS"))))
+        new org.apache.hadoop.fs.Path(s"$root/$prefix=$a/_SUCCESS"))))
   }
+
+  /** The version's SEALED deletion-tombstone dirs (`tombstones/del=<n>`,
+    * each a one-column `vid` parquet) — empty when no deletes pend.
+    */
+  private def sealedTombstoneDirs(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: String): Seq[String] =
+    sealedFamilyDirs(fs, s"$versionDir/tombstones", "del")
+      .collect { case (a, true) => s"$versionDir/tombstones/del=$a" }
 
   /** The codes table's SEALED append dirs: every `append=<n>` whose
     * `_SUCCESS` job-commit marker exists. An unsealed dir is a
@@ -1228,12 +1260,61 @@ object VectorOps extends graft.QueryModule {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val meta = spark.read.parquet(s"$base/meta").collect().head
+    val codes0 = spark.read.parquet(sealedCodesDirs(fs, s"$base/codes"): _*)
+    // deletion tombstones suppress their vids from every consumer in
+    // ONE place — an anti-join (scales with both sides; never a
+    // driver-side NOT IN list). No tombstones → the plan is untouched.
+    val tombs = sealedTombstoneDirs(fs, base)
+    val codes =
+      if (tombs.isEmpty) codes0
+      else codes0.join(spark.read.parquet(tombs: _*).select("vid"),
+        Seq("vid"), "left_anti")
     IvfPqIndex(
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebook"),
-      spark.read.parquet(sealedCodesDirs(fs, s"$base/codes"): _*),
+      codes,
       meta.getAs[Int]("n_centroids"), meta.getAs[Int]("m"),
       meta.getAs[Int]("ksub"), meta.getAs[Int]("dims"))
+  }
+
+  /** DELETE vectors from a persisted index (the data-deletion /
+    * right-to-be-forgotten op a production index needs): `vids` (one
+    * `vid` column) lands as a fresh SEALED `tombstones/del=<n>` dir in
+    * the serving version, and [[readIvfPqIndex]] anti-joins sealed
+    * tombstones out of the codes table — so every consumer (search,
+    * rerank, recall monitors) stops returning the vectors immediately,
+    * with the corpus-sized codes table never rewritten on the delete
+    * path. Three-stage hardness, each crash-safe:
+    *
+    *   1. tombstoned (this call): suppressed from serving; bytes
+    *      remain. A crashed write is an unsealed dir readers skip —
+    *      re-run the delete.
+    *   2. compacted ([[compactIvfPqIndex]] — pending tombstones force
+    *      the fold even below the fragmentation threshold): the new
+    *      version's codes physically EXCLUDE tombstoned vids and
+    *      carry no tombstones.
+    *   3. pruned ([[pruneIvfPqVersions]]): prior versions' dirs — the
+    *      last bytes — are reclaimed.
+    *
+    * A retrain ([[writeIvfPqIndex]]/[[rebalanceIvfPqIndex]]) CARRIES
+    * pending tombstones into its new version, so retraining from a
+    * corpus that still contains deleted rows cannot resurrect them;
+    * re-ingesting a vid on purpose requires compacting first (which
+    * clears the tombstones), then appending. Same serial-writer
+    * contract as every other maintenance event.
+    */
+  def deleteFromIvfPqIndex(spark: SparkSession, dir: String,
+      vids: DataFrame): Unit = {
+    require(vids.columns.contains("vid"),
+      s"deleteFromIvfPqIndex: vids must carry a `vid` column, got " +
+        vids.columns.mkString(","))
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = sealedFamilyDirs(fs, s"$base/tombstones", "del").map(_._1)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    vids.select("vid").distinct()
+      .write.mode("overwrite").parquet(s"$base/tombstones/del=$next")
   }
 
   /** Deliberate version cleanup: keep the newest `keep` COMPLETE
@@ -1258,16 +1339,27 @@ object VectorOps extends graft.QueryModule {
     val keepSet =
       graft.core.Artifacts.pruneVersionDirs(fs, dir, keep, "meta/_SUCCESS")
     keepSet.foreach { v =>
-      val codesDir = s"$dir/v=$v/codes"
-      val appends = codesAppendDirs(fs, codesDir)
-      val committed = appends.collect { case (a, true) => a }
-      if (committed.nonEmpty)
-        appends.collect { case (a, false) if a < committed.max => a }
-          .foreach { a =>
-            fs.delete(
-              new org.apache.hadoop.fs.Path(s"$codesDir/append=$a"), true)
-          }
+      sweepTornFamily(fs, s"$dir/v=$v/codes", "append")
+      sweepTornFamily(fs, s"$dir/v=$v/tombstones", "del")
     }
+  }
+
+  /** The prune rule applied INSIDE a kept version to one sealed-dir
+    * family: an unsealed `<prefix>=<n>` BELOW the newest sealed one is
+    * a crashed write a later retry superseded (retries allocate a
+    * fresh higher n; readers already skip unsealed dirs) — reclaim it;
+    * an unsealed one ABOVE may be in flight and survives. Applied to
+    * the codes appends and the deletion tombstones alike.
+    */
+  private def sweepTornFamily(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, prefix: String): Unit = {
+    val entries = sealedFamilyDirs(fs, root, prefix)
+    val committed = entries.collect { case (a, true) => a }
+    if (committed.nonEmpty)
+      entries.collect { case (a, false) if a < committed.max => a }
+        .foreach { a =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$root/$prefix=$a"), true)
+        }
   }
 
   /** Fold a long-ingest index's sealed codes appends into ONE sized
@@ -1308,7 +1400,11 @@ object VectorOps extends graft.QueryModule {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codesDir = s"$base/codes"
     val sealedIds = codesAppendDirs(fs, codesDir).collect { case (a, true) => a }
-    if (sealedIds.size <= 1) return // already compact — keep the version
+    val tombs = sealedTombstoneDirs(fs, base)
+    // already compact AND no pending deletions — keep the version;
+    // pending tombstones force the fold regardless of append count
+    // (the fold is what materializes a deletion physically)
+    if (sealedIds.size <= 1 && tombs.isEmpty) return
     val srcDirs = sealedIds.map(a => s"$codesDir/append=$a")
     // size the output like compactSignatureStore: input bytes over
     // maxPartitionBytes, erring toward more files, never fewer than 1
@@ -1320,8 +1416,15 @@ object VectorOps extends graft.QueryModule {
     val vnew = s"$dir/v=${indexVersions(fs, dir).max + 1}"
     spark.read.parquet(s"$base/centroids").write.parquet(s"$vnew/centroids")
     spark.read.parquet(s"$base/codebook").write.parquet(s"$vnew/codebook")
-    spark.read.parquet(srcDirs: _*).coalesce(nOut)
-      .write.parquet(s"$vnew/codes/append=0")
+    // tombstoned vids are EXCLUDED from the folded codes and the
+    // tombstone dirs are NOT carried — the fold is the hard-delete
+    // step (bytes in prior versions go when those versions prune)
+    val folded0 = spark.read.parquet(srcDirs: _*)
+    val folded =
+      if (tombs.isEmpty) folded0
+      else folded0.join(spark.read.parquet(tombs: _*).select("vid"),
+        Seq("vid"), "left_anti")
+    folded.coalesce(nOut).write.parquet(s"$vnew/codes/append=0")
     carryReplayMarkers(fs, base, vnew)
     spark.read.parquet(s"$base/meta").write.parquet(s"$vnew/meta")
   }
@@ -1410,7 +1513,11 @@ object VectorOps extends graft.QueryModule {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val sealedIds =
       codesAppendDirs(fs, s"$base/codes").collect { case (a, true) => a }
-    if (base == dir || sealedIds.size <= maxAppends) false
+    // pending deletion tombstones also force the fold: compaction is
+    // what turns a suppressed-from-serving delete into a physical one
+    // (the data-deletion SLA must not wait for fragmentation)
+    if (base == dir || (sealedIds.size <= maxAppends &&
+        sealedTombstoneDirs(fs, base).isEmpty)) false
     else { compactIvfPqIndex(spark, dir); true }
   }
 
@@ -1492,9 +1599,12 @@ object VectorOps extends graft.QueryModule {
     *      corpus plus every appended/streamed batch, or the retrain
     *      refuses — see [[rebalanceNow]]'s loss rationale);
     *   2. [[compactIvfPqIndexIfFragmented]] — fold small-file codes
-    *      appends when the sealed-append count exceeds `maxAppends`;
-    *      SKIPPED when the retrain ran, whose fresh single-append
-    *      codes table is compact by construction;
+    *      appends when the sealed-append count exceeds `maxAppends`
+    *      OR pending deletion tombstones must materialize
+    *      ([[deleteFromIvfPqIndex]]); after a retrain the fresh
+    *      single-append codes table is compact by construction, so
+    *      the same window never pays two corpus-sized rewrites for
+    *      fragmentation alone;
     *   3. [[pruneIvfPqVersions]] — reclaim superseded versions. Replay
     *      safety needs NO catch-up check here: every fold and retrain
     *      carries the absorbed-append ownership markers forward
@@ -1526,8 +1636,11 @@ object VectorOps extends graft.QueryModule {
     val fat0 = fattestShareOf(ix0.codes)
     val rebalanced = fat0 > maxShare &&
       rebalanceNow(spark, dir, ix0, embeddings, maxShare, maxSplits)
-    val compacted = !rebalanced &&
-      compactIvfPqIndexIfFragmented(spark, dir, maxAppends)
+    // after a rebalance the fresh codes table is one compact append,
+    // so the dial below folds only when pending deletion tombstones
+    // (carried through the retrain) must materialize — the fragmented
+    // case never pays a second corpus-sized rewrite in one window
+    val compacted = compactIvfPqIndexIfFragmented(spark, dir, maxAppends)
     pruneIvfPqVersions(spark, dir, keepVersions)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1538,6 +1651,7 @@ object VectorOps extends graft.QueryModule {
       if (rebalanced || compacted) readIvfPqIndex(spark, dir) else ix0
     val nAppends =
       codesAppendDirs(fs, s"$base/codes").count(_._2)
+    val nTombstones = sealedTombstoneDirs(fs, base).size
     val fattest = if (rebalanced) fattestShareOf(ix.codes) else fat0
     // queryPred maps the vector-id column to the probe-panel filter
     // (hash-sample it at scale — the q_ann_recall_sampled protocol);
@@ -1549,11 +1663,12 @@ object VectorOps extends graft.QueryModule {
         recallK)
       .agg(avg(col("recall")).as("r"), count(lit(1)).as("nq"))
       .collect().headOption
-    Seq((compacted, rebalanced, nAppends.toLong, fattest,
+    Seq((compacted, rebalanced, nAppends.toLong, nTombstones.toLong, fattest,
         indexVersions(fs, dir).count(isCompleteVersion(fs, dir, _)).toLong,
         recall.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double])),
         recall.map(_.getLong(1)).getOrElse(0L)))
-      .toDF("compacted", "rebalanced", "n_sealed_appends", "fattest_share",
+      .toDF("compacted", "rebalanced", "n_sealed_appends",
+        "n_pending_tombstones", "fattest_share",
         "n_complete_versions", "mean_recall", "n_probe_queries")
   }
 
@@ -2626,6 +2741,21 @@ object VectorOps extends graft.QueryModule {
         .orderBy("qid", "rank")
     },
 
+    // DELETION under the full hash gate: tombstone the vec_id % 7 = 3
+    // vectors of the trained+appended artifact, then serve — the
+    // tombstone write and the reader's anti-join must be invisible to
+    // the hash EXCEPT for the deleted vids, which the oracle filters
+    // out of the candidate set arithmetically.
+    "q_ivfpq_deleted" -> { (spark, dir) =>
+      val ixDir = graft.core.Fixtures.copyInto(
+        ivfPqPrefixFixture(spark, dir), "ivfpq-delete")
+      val emb = Tables.embeddings(spark, dir)
+      deleteFromIvfPqIndex(spark, ixDir,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id").as("vid")))
+      ivfPqSearchServed(readIvfPqIndex(spark, ixDir), emb, col("vid") < 5, 10, 1)
+        .orderBy("qid", "rank")
+    },
+
     // …and its served form: IVFADC top-100 shortlist → exact cosine
     // re-rank → top-10 (measured 0.22 → 0.66 recall recovery) — the
     // whole serving stack, coarse index to exact pass, under ONE hash.
@@ -3346,6 +3476,20 @@ object VectorOps extends graft.QueryModule {
          |    row_number() OVER (PARTITION BY s.qid
          |      ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
          |  FROM sc s JOIN qc ON qc.qid = s.qid) z
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    // deleted-artifact serving ≡ the compacted lifecycle's trainer
+    // chain (same prefix) with the tombstoned vids filtered out of the
+    // candidate set BEFORE ranking — everything else identical, so the
+    // tombstone mechanism itself sits behind the hash
+    "q_ivfpq_deleted" ->
+      s"""WITH ${ivfPqCtes(8, 8, 16, 8, 2, trainWhere = "s.vec_id < 400")}
+         |SELECT qid, cell, rank, vid, score FROM (
+         |  SELECT s.qid, qc.cell, s.vid,
+         |    CAST(s.sq + qc.qcq AS DOUBLE) / 1e12 AS score,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY s.sq + qc.qcq DESC, s.vid) AS rank
+         |  FROM sc s JOIN qc ON qc.qid = s.qid
+         |  WHERE s.vid % 7 <> 3) z
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // the served stack under one hash: IVFADC shortlist (top-100 by
     // q·c + ADC) → exact cosine re-rank → top-10

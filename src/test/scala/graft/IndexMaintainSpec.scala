@@ -101,6 +101,38 @@ class IndexMaintainSpec extends AnyFunSuite {
       "replay through the maintained lifecycle duplicated vectors")
   }
 
+  test("deletion lifecycle: tombstone suppresses immediately, retrain cannot " +
+      "resurrect, compaction hard-deletes and frees the ids for re-ingest") {
+    import spark.implicits._
+    val ixDir = Files.createTempDirectory("graft-delete").toString + "/ix"
+    VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 400), ixDir, 8, 8, 16, 64)
+    VectorOps.appendBatchToIvfPqIndex(VectorOps.readIvfPqIndex(spark, ixDir),
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), ixDir, 1, "ckptD")
+    val before = codeVids(ixDir)
+    // delete ids spanning the training write AND the streamed append
+    val del = Seq(5L, 17L, 410L)
+    VectorOps.deleteFromIvfPqIndex(spark, ixDir, del.toDF("vid"))
+    val kept = before.filterNot(del.contains)
+    assert(codeVids(ixDir) === kept, "tombstone did not suppress immediately")
+    // a retrain over a corpus that STILL CONTAINS the deleted rows
+    // carries the tombstones — deletion survives model refreshes
+    VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 450), ixDir, 8, 8, 16, 64)
+    assert(codeVids(ixDir) === kept, "retrain resurrected deleted vectors")
+    // pending tombstones force the fold even on a compact codes table
+    assert(VectorOps.compactIvfPqIndexIfFragmented(spark, ixDir, maxAppends = 16),
+      "pending tombstones must force compaction")
+    assert(codeVids(ixDir) === kept)
+    // post-compaction the deletion is PHYSICAL and the ids are free:
+    // re-ingesting them on purpose serves again
+    VectorOps.appendToIvfPqIndex(VectorOps.readIvfPqIndex(spark, ixDir),
+      emb.filter(col("vec_id").isin(del: _*)), ixDir)
+    assert(codeVids(ixDir) === before, "re-ingest after compaction failed")
+    // …and a second fold with no pending deletions is still a no-op
+    // beyond folding the new append
+    VectorOps.compactIvfPqIndex(spark, ixDir)
+    assert(codeVids(ixDir) === before)
+  }
+
   test("rebalance refuses an embeddings frame missing indexed vectors — the " +
       "everything-ingested retrain contract is mechanical, not a scaladoc rule") {
     val ixDir = Files.createTempDirectory("graft-rebalance-guard").toString + "/ix"

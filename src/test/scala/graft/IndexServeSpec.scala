@@ -441,6 +441,47 @@ class IndexServeSpec extends AnyFunSuite {
     assert(rows(Classify.readDsirModel(spark, flat)) === served)
   }
 
+  test("NB count store: incremental folds equal from-scratch counts bit-for-bit; " +
+      "a crashed update keeps the previous counts serving") {
+    import graft.ops.Classify
+    val cDir = Files.createTempDirectory("graft-nb-counts").toString + "/c"
+    Classify.writeNbCounts(docs.filter(col("doc_id") < 300), cDir)
+    Classify.updateNbCounts(spark, cDir,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+    Classify.updateNbCounts(spark, cDir, docs.filter(col("doc_id") >= 400))
+    // counts: maintained == from-scratch (integer sums, associative)
+    assert(rows(Classify.readNbCounts(spark, cDir))
+      === rows(Classify.nbCounts(docs)),
+      "incremental counts diverged from a from-scratch pass")
+    // and the packed model is the in-query nbModel exactly
+    assert(rows(Classify.nbModelFromCounts(Classify.readNbCounts(spark, cDir)))
+      === rows(Classify.nbModel(docs)),
+      "model packed from maintained counts diverged from nbModel")
+    // a crashed (torn, unsealed) update version stays invisible
+    val served = rows(Classify.readNbCounts(spark, cDir))
+    new java.io.File(s"$cDir/v=9").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$cDir/v=9/part-torn.parquet"), "torn")
+    assert(rows(Classify.readNbCounts(spark, cDir)) === served)
+
+    // DSIR sibling: maintained counts == from-scratch, and the packed
+    // model SERVES identically (map entry order is collection-order
+    // nondeterministic, so equality is pinned on the scored output)
+    val dDir = Files.createTempDirectory("graft-dsir-counts").toString + "/c"
+    Classify.writeDsirCounts(docs.filter(col("doc_id") < 300), dDir)
+    Classify.updateDsirCounts(spark, dDir,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+    Classify.updateDsirCounts(spark, dDir, docs.filter(col("doc_id") >= 400))
+    assert(rows(Classify.readDsirCounts(spark, dDir))
+      === rows(Classify.dsirCounts(docs)),
+      "incremental DSIR counts diverged from a from-scratch pass")
+    assert(rows(graft.streaming.DocStream.scoreOnIngest(docs,
+        Classify.dsirModelFromCounts(Classify.readDsirCounts(spark, dDir))))
+      === rows(graft.streaming.DocStream.scoreOnIngest(docs,
+        Classify.dsirModel(docs))),
+      "model packed from maintained DSIR counts serves differently")
+  }
+
   test("minhash signature store: lossless round-trip; store-fed incremental dedup equals fresh") {
     import graft.ops.Dedup
     val sDir = Files.createTempDirectory("graft-sig-store").toString + "/s"
