@@ -119,4 +119,123 @@ object Artifacts {
     pruneVersionDirs(fsOf(spark, dir), dir, keep, "_SUCCESS")
     ()
   }
+
+  // ------------------------------------------------------------------ //
+  // Replay-safe BATCH-FOLDED count stores (streaming maintenance for
+  // the count-level model statistics — nbCounts/dsirCounts).
+  //
+  // A count fold (union + re-sum) is NOT idempotent: foreachBatch can
+  // redeliver a micro-batch after a crash, and re-folding it would
+  // silently double its counts — the additive cousin of the duplicate
+  // codes rows the IVFADC stream markers guard against. So every fold
+  // version carries an `_ABSORBED` marker file (one `writer|batch`
+  // line per folded micro-batch, cumulative), written AFTER the
+  // parquet job commits:
+  //
+  //   * a replayed (writer, batch) pair is found in the base version's
+  //     marker and SKIPS — counts never double;
+  //   * a crash between the parquet commit and the marker leaves a
+  //     version with data but no marker: the NEXT fold treats it as
+  //     torn (not a legal base), re-folds the same batch from the
+  //     newest MARKED version, and produces content identical to the
+  //     torn version (fold determinism) — while serving readers
+  //     ([[readLatestVersioned]]) may keep reading the torn version
+  //     safely, since its DATA is valid (it correctly includes the
+  //     batch; only the replay-dedup evidence is missing);
+  //   * the seed write stamps an EMPTY marker, so a marker-less
+  //     version is always a torn fold, never ambiguous.
+  //
+  // Serial writer per store, like every maintenance path here.
+  // ------------------------------------------------------------------ //
+
+  private val AbsorbedMarker = "_ABSORBED"
+
+  private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, content: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  /** Seed a batch-folded count store: version 1 + an EMPTY absorbed
+    * marker (the marker's presence is what lets the fold path tell a
+    * legal base from a torn fold).
+    */
+  def seedFoldedStore(df: DataFrame, dir: String): Unit = {
+    val fs = fsOf(df.sparkSession, dir)
+    writeVersioned(df, dir)
+    val v = versionDirs(fs, dir).filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
+    writeSmall(fs, s"$dir/v=$v/$AbsorbedMarker", "")
+  }
+
+  /** The newest version that is BOTH job-committed and marker-sealed —
+    * the only legal fold base — with its absorbed (writer|batch) set.
+    * None on an empty/unseeded store.
+    */
+  private def latestMarkedVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Long, Set[String])] =
+    versionDirs(fs, dir).sorted.reverse
+      .find(v => isCompleteVersion(fs, dir, v, "_SUCCESS") &&
+        isCompleteVersion(fs, dir, v, AbsorbedMarker))
+      .map { v =>
+        (v, readSmall(fs, s"$dir/v=$v/$AbsorbedMarker")
+          .map(_.linesIterator.filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty))
+      }
+
+  /** Version write that CARRIES the newest marked base's absorbed set
+    * unchanged — for non-batch (caller-managed, e.g. one-shot
+    * backfill) folds on a store that batch folds also maintain: the
+    * new version stays a legal fold base and keeps every replay-dedup
+    * fact. A store with no marked version yet (legacy, pre-marker)
+    * gets an empty marker, upgrading it in place.
+    */
+  def writeVersionedCarryMarker(df: DataFrame, dir: String): Unit = {
+    val fs = fsOf(df.sparkSession, dir)
+    val absorbed = latestMarkedVersion(fs, dir).map(_._2).getOrElse(Set.empty)
+    writeVersioned(df, dir)
+    val v = versionDirs(fs, dir)
+      .filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
+    writeSmall(fs, s"$dir/v=$v/$AbsorbedMarker",
+      absorbed.toSeq.sorted.mkString("\n"))
+  }
+
+  /** Replay-safe fold of one micro-batch's `delta` counts into the
+    * store: skip if this (writerId, batchId) was already absorbed;
+    * otherwise merge (union + re-sum over `keyCols`, exact integer
+    * arithmetic) into a fresh version carrying the cumulative marker.
+    * Returns whether a fold ran (false = replay skip).
+    */
+  def foldCountsBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      keyCols: Seq[String], batchId: Long, writerId: String): Boolean = {
+    import org.apache.spark.sql.functions.{col, sum}
+    require(writerId.nonEmpty && !writerId.contains("|") && !writerId.contains("\n"),
+      s"foldCountsBatch: writerId must be non-empty without '|'/newlines, got '$writerId'")
+    val fs = fsOf(spark, dir)
+    val (baseV, absorbed) = latestMarkedVersion(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"foldCountsBatch: $dir has no marker-sealed base version — seed the " +
+          "store with seedFoldedStore (a plain writeVersioned store cannot " +
+          "prove which batches it already contains)"))
+    val pair = s"$writerId|$batchId"
+    if (absorbed.contains(pair)) return false
+    val merged = spark.read.parquet(s"$dir/v=$baseV")
+      .unionByName(delta)
+      .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+    writeVersioned(merged, dir)
+    val vnew = versionDirs(fs, dir)
+      .filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
+    writeSmall(fs, s"$dir/v=$vnew/$AbsorbedMarker",
+      (absorbed + pair).toSeq.sorted.mkString("\n"))
+    true
+  }
 }

@@ -185,15 +185,21 @@ object Classify extends graft.QueryModule {
     * re-read, serial writer per store).
     */
   def writeDsirCounts(docs: DataFrame, dir: String): Unit =
-    graft.core.Artifacts.writeVersioned(dsirCounts(docs), dir)
+    graft.core.Artifacts.seedFoldedStore(dsirCounts(docs), dir)
 
   def updateDsirCounts(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
     val merged = readDsirCounts(spark, dir)
       .unionByName(dsirCounts(newDocs))
       .groupBy("source", "bucket").agg(sum(col("cnt")).as("cnt"))
-    graft.core.Artifacts.writeVersioned(merged, dir)
+    graft.core.Artifacts.writeVersionedCarryMarker(merged, dir)
   }
+
+  /** DSIR twin of [[updateNbCountsBatch]] — same replay-safe fold. */
+  def updateDsirCountsBatch(spark: SparkSession, dir: String,
+      newDocs: DataFrame, batchId: Long, writerId: String): Boolean =
+    graft.core.Artifacts.foldCountsBatch(spark, dir, dsirCounts(newDocs),
+      Seq("source", "bucket"), batchId, writerId)
 
   def readDsirCounts(spark: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.readLatestVersioned(spark, dir, "readDsirCounts",
@@ -583,7 +589,7 @@ object Classify extends graft.QueryModule {
     * update leaves the previous counts serving).
     */
   def writeNbCounts(docs: DataFrame, dir: String): Unit =
-    graft.core.Artifacts.writeVersioned(nbCounts(docs), dir)
+    graft.core.Artifacts.seedFoldedStore(nbCounts(docs), dir)
 
   /** Fold a NEW batch's counts into the persisted store: union +
     * integer re-sum — exactly associative, so N updates over corpus
@@ -600,8 +606,25 @@ object Classify extends graft.QueryModule {
     val merged = readNbCounts(spark, dir)
       .unionByName(nbCounts(newDocs))
       .groupBy("cls", "bucket").agg(sum(col("cnt")).as("cnt"))
-    graft.core.Artifacts.writeVersioned(merged, dir)
+    // marker carried so the store stays a legal base for the
+    // replay-safe streaming folds ([[updateNbCountsBatch]])
+    graft.core.Artifacts.writeVersionedCarryMarker(merged, dir)
   }
+
+  /** REPLAY-SAFE fold of one micro-batch into the count store — the
+    * streaming-maintenance twin of [[updateNbCounts]]: a count fold is
+    * NOT idempotent (a redelivered foreachBatch micro-batch would
+    * silently DOUBLE its counts — the additive cousin of duplicate
+    * codes rows), so each fold version carries the cumulative
+    * `(writer|batch)` absorbed marker and a replay skips on it
+    * ([[graft.core.Artifacts.foldCountsBatch]]; crash points analyzed
+    * there). Returns whether a fold ran. Serve via
+    * [[graft.streaming.DocStream.nbCountsOnIngest]].
+    */
+  def updateNbCountsBatch(spark: SparkSession, dir: String,
+      newDocs: DataFrame, batchId: Long, writerId: String): Boolean =
+    graft.core.Artifacts.foldCountsBatch(spark, dir, nbCounts(newDocs),
+      Seq("cls", "bucket"), batchId, writerId)
 
   def readNbCounts(spark: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.readLatestVersioned(spark, dir, "readNbCounts",

@@ -331,4 +331,30 @@ object DocStream {
           stateDir, minEstJaccard)
       }
       .start()
+
+  /** STREAMING classifier-model maintenance: each arriving micro-batch
+    * folds its count-level NB statistics into the persisted store via
+    * the replay-safe [[graft.ops.Classify.updateNbCountsBatch]] (a
+    * redelivered batch skips on its `(writer|batch)` absorbed marker —
+    * a count fold is not idempotent, and a silent replay would DOUBLE
+    * the batch's counts). Seed a deployment with
+    * `Classify.writeNbCounts(history, countsDir)` first; pack a fresh
+    * serving model any time with `Classify.nbModelFromCounts
+    * (Classify.readNbCounts(...))` — history is never re-read by
+    * either step. The checkpoint dir doubles as the writer identity,
+    * the [[graft.streaming.EmbStream]] convention; `baseBatchId`
+    * offsets a fresh checkpoint's ids above a previous incarnation's.
+    */
+  def nbCountsOnIngest(newDocs: DataFrame, countsDir: String,
+      checkpointDir: String,
+      baseBatchId: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.ops.Classify.updateNbCountsBatch(batch.sparkSession,
+          countsDir, batch, id + baseBatchId, checkpointDir)
+        ()
+      }
+      .start()
 }

@@ -288,6 +288,77 @@ class DocStreamSpec extends AnyFunSuite {
     assert(interp.filter(expr("sums <> isums")).count() === 0)
   }
 
+  test("NB count-store maintenance is replay-safe: folds equal from-scratch, " +
+      "a replayed batch never double-counts, a torn marker heals by re-fold") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Classify
+    val docs = graft.core.Tables.documents(spark, dir)
+    val cDir = java.nio.file.Files.createTempDirectory("nb-fold").toString + "/c"
+    def stored = spark.read.parquet(
+      new java.io.File(cDir).listFiles().map(_.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        .sorted.reverse.map(v => s"$cDir/v=$v").head)
+      .collect().map(_.toString).sorted.toSeq
+    Classify.writeNbCounts(docs.filter(col("doc_id") < 300), cDir)
+    assert(Classify.updateNbCountsBatch(spark, cDir,
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 0, "ckptN"))
+    assert(Classify.updateNbCountsBatch(spark, cDir,
+      docs.filter(col("doc_id") >= 400), 1, "ckptN"))
+    val full = Classify.nbCounts(docs).collect().map(_.toString).sorted.toSeq
+    assert(Classify.readNbCounts(spark, cDir)
+      .collect().map(_.toString).sorted.toSeq === full)
+    // foreachBatch redelivery: the SAME (writer, batch) pair skips —
+    // a silent re-fold would double batch 1's counts
+    assert(!Classify.updateNbCountsBatch(spark, cDir,
+      docs.filter(col("doc_id") >= 400), 1, "ckptN"))
+    assert(Classify.readNbCounts(spark, cDir)
+      .collect().map(_.toString).sorted.toSeq === full)
+    // crash between the parquet commit and the marker write: the torn
+    // version's DATA still serves (it validly includes batch 1)…
+    val vmax = new java.io.File(cDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(new java.io.File(s"$cDir/v=$vmax/_ABSORBED").delete())
+    assert(Classify.readNbCounts(spark, cDir)
+      .collect().map(_.toString).sorted.toSeq === full)
+    // …and the replay RE-FOLDS from the newest marked base, landing a
+    // marker-sealed version with identical content (fold determinism)
+    assert(Classify.updateNbCountsBatch(spark, cDir,
+      docs.filter(col("doc_id") >= 400), 1, "ckptN"))
+    assert(Classify.readNbCounts(spark, cDir)
+      .collect().map(_.toString).sorted.toSeq === full)
+    assert(stored === full)
+    // an unseeded (marker-less) store refuses the batch API loudly
+    val bare = java.nio.file.Files.createTempDirectory("nb-bare").toString + "/c"
+    graft.core.Artifacts.writeVersioned(
+      Classify.nbCounts(docs.filter(col("doc_id") < 100)), bare)
+    intercept[IllegalArgumentException] {
+      Classify.updateNbCountsBatch(spark, bare,
+        docs.filter(col("doc_id") >= 100), 0, "ckptN")
+    }
+  }
+
+  test("streaming NB count maintenance equals the batch fold end-to-end") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Classify
+    val docs = graft.core.Tables.documents(spark, dir)
+    val cDir = java.nio.file.Files.createTempDirectory("nb-stream").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("nb-stream-ckpt").toString
+    Classify.writeNbCounts(docs.filter(col("doc_id") < 400), cDir)
+    val q = DocStream.nbCountsOnIngest(
+      DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // maintained counts == one from-scratch pass over everything, and
+    // the packed model classifies identically to in-query training
+    assert(Classify.readNbCounts(spark, cDir)
+        .collect().map(_.toString).sorted.toSeq
+      === Classify.nbCounts(docs).collect().map(_.toString).sorted.toSeq)
+    val servedM = Classify.nbModelFromCounts(Classify.readNbCounts(spark, cDir))
+    assert(DocStream.classifyOnIngest(docs, servedM)
+        .collect().map(_.toString).sorted.toSeq
+      === DocStream.classifyOnIngest(docs, Classify.nbModel(docs))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("hash32_buckets kernel is bit-identical to the hash32 transform chain") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
