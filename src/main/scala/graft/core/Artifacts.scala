@@ -128,12 +128,14 @@ object Artifacts {
   // redeliver a micro-batch after a crash, and re-folding it would
   // silently double its counts — the additive cousin of the duplicate
   // codes rows the IVFADC stream markers guard against. So every fold
-  // version carries an `_ABSORBED` marker file (one `writer|batch`
-  // line per folded micro-batch, cumulative), written AFTER the
-  // parquet job commits:
+  // version carries an `_ABSORBED` marker file holding the absorbed
+  // WATERMARK map (one `writer|maxBatchId` line per writer — bounded
+  // at O(writers), since a serial writer's replay can only redeliver
+  // ids at or below its last committed one), written atomically AFTER
+  // the parquet job commits:
   //
-  //   * a replayed (writer, batch) pair is found in the base version's
-  //     marker and SKIPS — counts never double;
+  //   * a replayed batch (id <= its writer's watermark) SKIPS —
+  //     counts never double;
   //   * a crash between the parquet commit and the marker leaves a
   //     version with data but no marker: the NEXT fold treats it as
   //     torn (not a legal base), re-folds the same batch from the
@@ -150,13 +152,18 @@ object Artifacts {
 
   private val AbsorbedMarker = "_ABSORBED"
 
-  private def writeSmall(fs: org.apache.hadoop.fs.FileSystem,
+  /** THE small-marker-file primitives, shared with the IVFADC stream
+    * markers ([[graft.ops.VectorOps]] delegates here) — one definition
+    * so a fix to the I/O (like the atomic write below) cannot land in
+    * one store's markers and not the other's.
+    */
+  private[graft] def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       path: String, content: String): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) None
@@ -164,6 +171,23 @@ object Artifacts {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     }
+  }
+
+  /** Atomic small-file write: temp + rename, so a crash mid-write can
+    * never leave a PRESENT-but-truncated file (a truncated absorbed
+    * marker would seal a version with replay evidence missing —
+    * silently double-counted replays). Rename is atomic on HDFS and
+    * local filesystems; the leftover temp of a crashed write is inert
+    * (never read) and swept with its version dir.
+    */
+  private[graft] def writeSmallFileAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, content: String): Unit = {
+    val tmp = s"$path.tmp"
+    writeSmallFile(fs, tmp, content)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"writeSmallFileAtomic: rename $tmp -> $path failed")
   }
 
   /** Seed a batch-folded count store: version 1 + an EMPTY absorbed
@@ -174,46 +198,106 @@ object Artifacts {
     val fs = fsOf(df.sparkSession, dir)
     writeVersioned(df, dir)
     val v = versionDirs(fs, dir).filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
-    writeSmall(fs, s"$dir/v=$v/$AbsorbedMarker", "")
+    writeSmallFileAtomic(fs, s"$dir/v=$v/$AbsorbedMarker", "")
   }
 
   /** The newest version that is BOTH job-committed and marker-sealed —
-    * the only legal fold base — with its absorbed (writer|batch) set.
-    * None on an empty/unseeded store.
+    * the only legal fold base — with its absorbed watermark map
+    * (writer → highest folded batch id; BOUNDED at O(writers) because
+    * a serial writer's replay can only redeliver ids at or below its
+    * last committed one, so the per-writer maximum is the whole
+    * evidence). None on an empty/unseeded store.
     */
   private def latestMarkedVersion(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(Long, Set[String])] =
+      dir: String): Option[(Long, Map[String, Long])] =
     versionDirs(fs, dir).sorted.reverse
       .find(v => isCompleteVersion(fs, dir, v, "_SUCCESS") &&
         isCompleteVersion(fs, dir, v, AbsorbedMarker))
       .map { v =>
-        (v, readSmall(fs, s"$dir/v=$v/$AbsorbedMarker")
-          .map(_.linesIterator.filter(_.nonEmpty).toSet)
-          .getOrElse(Set.empty))
+        (v, readSmallFile(fs, s"$dir/v=$v/$AbsorbedMarker")
+          .map(_.linesIterator.filter(_.nonEmpty).map { line =>
+            val i = line.lastIndexOf('|')
+            line.take(i) -> line.drop(i + 1).toLong
+          }.toSeq
+            // max per writer, not last-line-wins: robust to a marker
+            // holding several lines for one writer (the pre-watermark
+            // per-batch format), where lexical order would understate
+            // the watermark and let a replay double-count
+            .groupMapReduce(_._1)(_._2)(math.max))
+          .getOrElse(Map.empty))
       }
 
-  /** Version write that CARRIES the newest marked base's absorbed set
-    * unchanged — for non-batch (caller-managed, e.g. one-shot
-    * backfill) folds on a store that batch folds also maintain: the
-    * new version stays a legal fold base and keeps every replay-dedup
-    * fact. A store with no marked version yet (legacy, pre-marker)
-    * gets an empty marker, upgrading it in place.
+  private def renderMarker(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (w, b) => s"$w|$b" }.mkString("\n")
+
+  /** Version write that CARRIES the fold base's absorbed watermarks —
+    * for non-batch (caller-managed, e.g. one-shot backfill) folds on a
+    * store that batch folds also maintain. IMPORTANT: the caller must
+    * have built `df` from [[readLatestFoldBase]]'s frame, NOT from a
+    * plain [[readLatestVersioned]] read — the latter can resolve a
+    * TORN fold version (data committed, marker crashed), and merging
+    * from it while carrying the older marker would keep that batch's
+    * counts but drop its replay evidence: the replay would then
+    * double-count. A store with no marked version yet (legacy) gets an
+    * empty marker, upgrading it in place.
     */
   def writeVersionedCarryMarker(df: DataFrame, dir: String): Unit = {
     val fs = fsOf(df.sparkSession, dir)
-    val absorbed = latestMarkedVersion(fs, dir).map(_._2).getOrElse(Set.empty)
+    val absorbed = latestMarkedVersion(fs, dir).map(_._2).getOrElse(Map.empty)
     writeVersioned(df, dir)
     val v = versionDirs(fs, dir)
       .filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
-    writeSmall(fs, s"$dir/v=$v/$AbsorbedMarker",
-      absorbed.toSeq.sorted.mkString("\n"))
+    writeSmallFileAtomic(fs, s"$dir/v=$v/$AbsorbedMarker", renderMarker(absorbed))
   }
 
+  /** The frame every FOLD (batch or caller-managed) must merge from:
+    * the newest MARKER-SEALED version — never a torn fold version,
+    * whose data validly serves readers but whose replay evidence died
+    * with the crash (merging from it would make the marker lie).
+    * Falls back to the plain versioned/legacy read when the store has
+    * no marked version (pre-marker stores being upgraded in place).
+    */
+  def readLatestFoldBase(spark: SparkSession, dir: String, who: String,
+      hint: String): DataFrame =
+    latestMarkedVersion(fsOf(spark, dir), dir) match {
+      case Some((v, _)) => spark.read.parquet(s"$dir/v=$v")
+      case None => readLatestVersioned(spark, dir, who, hint)
+    }
+
+  /** Prune for a BATCH-FOLDED store: completeness = the absorbed
+    * marker (written last, and implying `_SUCCESS`), so a torn fold
+    * version above the newest marked one survives as in-flight and —
+    * crucially — the newest MARKED base is never deleted in its favor.
+    * [[pruneModelVersions]] (seal = `_SUCCESS`) must NOT be used on a
+    * folded store: it would count a torn fold as complete and could
+    * reclaim the only legal fold base under it.
+    */
+  def pruneFoldedStore(spark: SparkSession, dir: String,
+      keep: Int = 1): Unit = {
+    pruneVersionDirs(fsOf(spark, dir), dir, keep, AbsorbedMarker)
+    ()
+  }
+
+  /** The next safe batch id for a NEW writer incarnation on a folded
+    * store: one above every absorbed watermark. A recreated checkpoint
+    * at the SAME path restarts foreachBatch ids at 0, and those ids
+    * are indistinguishable from replays of the old incarnation's
+    * batches — they would be silently skipped (the store cannot tell
+    * content apart, only identity; same limitation as the IVFADC
+    * stream markers). Streams restarted on a fresh checkpoint MUST
+    * pass `baseBatchId = nextBatchId(...)`.
+    */
+  def nextBatchId(spark: SparkSession, dir: String): Long =
+    latestMarkedVersion(fsOf(spark, dir), dir)
+      .map(_._2.values.foldLeft(-1L)(math.max) + 1).getOrElse(0L)
+
   /** Replay-safe fold of one micro-batch's `delta` counts into the
-    * store: skip if this (writerId, batchId) was already absorbed;
+    * store: skip when `batchId` is at or below this writer's absorbed
+    * watermark (a serial writer's replay can only redeliver such ids);
     * otherwise merge (union + re-sum over `keyCols`, exact integer
-    * arithmetic) into a fresh version carrying the cumulative marker.
-    * Returns whether a fold ran (false = replay skip).
+    * arithmetic) from the marker-sealed base into a fresh version
+    * carrying the advanced watermark. Returns whether a fold ran
+    * (false = replay skip).
     */
   def foldCountsBatch(spark: SparkSession, dir: String, delta: DataFrame,
       keyCols: Seq[String], batchId: Long, writerId: String): Boolean = {
@@ -226,16 +310,15 @@ object Artifacts {
         s"foldCountsBatch: $dir has no marker-sealed base version — seed the " +
           "store with seedFoldedStore (a plain writeVersioned store cannot " +
           "prove which batches it already contains)"))
-    val pair = s"$writerId|$batchId"
-    if (absorbed.contains(pair)) return false
+    if (absorbed.get(writerId).exists(batchId <= _)) return false
     val merged = spark.read.parquet(s"$dir/v=$baseV")
       .unionByName(delta)
       .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("cnt"))
     writeVersioned(merged, dir)
     val vnew = versionDirs(fs, dir)
       .filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
-    writeSmall(fs, s"$dir/v=$vnew/$AbsorbedMarker",
-      (absorbed + pair).toSeq.sorted.mkString("\n"))
+    writeSmallFileAtomic(fs, s"$dir/v=$vnew/$AbsorbedMarker",
+      renderMarker(absorbed.updated(writerId, batchId)))
     true
   }
 }

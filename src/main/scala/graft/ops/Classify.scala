@@ -189,7 +189,9 @@ object Classify extends graft.QueryModule {
 
   def updateDsirCounts(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
-    val merged = readDsirCounts(spark, dir)
+    val merged = graft.core.Artifacts
+      .readLatestFoldBase(spark, dir, "updateDsirCounts",
+        "rebuild with writeDsirCounts")
       .unionByName(dsirCounts(newDocs))
       .groupBy("source", "bucket").agg(sum(col("cnt")).as("cnt"))
     graft.core.Artifacts.writeVersionedCarryMarker(merged, dir)
@@ -603,11 +605,15 @@ object Classify extends graft.QueryModule {
     */
   def updateNbCounts(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
-    val merged = readNbCounts(spark, dir)
+    // fold FROM the marker-sealed base (never a torn batch-fold
+    // version) and carry its watermarks, so this one-shot path
+    // composes with the replay-safe streaming folds
+    // ([[updateNbCountsBatch]]) without ever dropping replay evidence
+    val merged = graft.core.Artifacts
+      .readLatestFoldBase(spark, dir, "updateNbCounts",
+        "rebuild with writeNbCounts")
       .unionByName(nbCounts(newDocs))
       .groupBy("cls", "bucket").agg(sum(col("cnt")).as("cnt"))
-    // marker carried so the store stays a legal base for the
-    // replay-safe streaming folds ([[updateNbCountsBatch]])
     graft.core.Artifacts.writeVersionedCarryMarker(merged, dir)
   }
 
@@ -615,8 +621,8 @@ object Classify extends graft.QueryModule {
     * streaming-maintenance twin of [[updateNbCounts]]: a count fold is
     * NOT idempotent (a redelivered foreachBatch micro-batch would
     * silently DOUBLE its counts — the additive cousin of duplicate
-    * codes rows), so each fold version carries the cumulative
-    * `(writer|batch)` absorbed marker and a replay skips on it
+    * codes rows), so each fold version carries the per-writer
+    * absorbed-watermark marker and a replay skips on it
     * ([[graft.core.Artifacts.foldCountsBatch]]; crash points analyzed
     * there). Returns whether a fold ran. Serve via
     * [[graft.streaming.DocStream.nbCountsOnIngest]].

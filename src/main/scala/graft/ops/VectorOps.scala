@@ -1917,21 +1917,16 @@ object VectorOps extends graft.QueryModule {
     */
   private val StreamMarker = "_STREAM_COMMIT"
 
+  // marker-file primitives live in ONE place (Artifacts — shared with
+  // the folded count stores' absorbed markers), so an I/O fix there
+  // reaches every store's markers at once
   private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, content: String): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
+      path: String, content: String): Unit =
+    graft.core.Artifacts.writeSmallFile(fs, path, content)
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-    }
-  }
+      path: String): Option[String] =
+    graft.core.Artifacts.readSmallFile(fs, path)
 
   private def writeStreamMarker(fs: org.apache.hadoop.fs.FileSystem,
       appendDir: String, writerId: String): Unit =

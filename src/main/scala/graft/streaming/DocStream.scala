@@ -342,8 +342,17 @@ object DocStream {
     * serving model any time with `Classify.nbModelFromCounts
     * (Classify.readNbCounts(...))` — history is never re-read by
     * either step. The checkpoint dir doubles as the writer identity,
-    * the [[graft.streaming.EmbStream]] convention; `baseBatchId`
-    * offsets a fresh checkpoint's ids above a previous incarnation's.
+    * the [[graft.streaming.EmbStream]] convention.
+    *
+    * RESTART CONTRACT: a stream resumed on its ORIGINAL checkpoint
+    * needs nothing — redelivered ids skip on the watermark. But a
+    * RECREATED checkpoint at the same path restarts foreachBatch ids
+    * at 0, and the store cannot tell those fresh batches from replays
+    * of the old incarnation's (identity, not content, is the
+    * evidence — the same limitation the IVFADC stream markers have):
+    * they would be SILENTLY SKIPPED. Fresh incarnations MUST pass
+    * `baseBatchId = Artifacts.nextBatchId(spark, countsDir)` (one
+    * above every absorbed watermark).
     */
   def nbCountsOnIngest(newDocs: DataFrame, countsDir: String,
       checkpointDir: String,

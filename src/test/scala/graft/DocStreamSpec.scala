@@ -313,6 +313,8 @@ class DocStreamSpec extends AnyFunSuite {
       docs.filter(col("doc_id") >= 400), 1, "ckptN"))
     assert(Classify.readNbCounts(spark, cDir)
       .collect().map(_.toString).sorted.toSeq === full)
+    // a fresh incarnation's safe base id is one above every watermark
+    assert(graft.core.Artifacts.nextBatchId(spark, cDir) === 2L)
     // crash between the parquet commit and the marker write: the torn
     // version's DATA still serves (it validly includes batch 1)…
     val vmax = new java.io.File(cDir).listFiles().map(_.getName)
@@ -320,6 +322,11 @@ class DocStreamSpec extends AnyFunSuite {
     assert(new java.io.File(s"$cDir/v=$vmax/_ABSORBED").delete())
     assert(Classify.readNbCounts(spark, cDir)
       .collect().map(_.toString).sorted.toSeq === full)
+    // …the folded-store prune (completeness = the marker) must NOT
+    // reclaim the marked base in the torn version's favor…
+    graft.core.Artifacts.pruneFoldedStore(spark, cDir, keep = 1)
+    assert(new java.io.File(s"$cDir/v=${vmax - 1}/_ABSORBED").isFile,
+      "prune deleted the only legal fold base")
     // …and the replay RE-FOLDS from the newest marked base, landing a
     // marker-sealed version with identical content (fold determinism)
     assert(Classify.updateNbCountsBatch(spark, cDir,
@@ -327,6 +334,14 @@ class DocStreamSpec extends AnyFunSuite {
     assert(Classify.readNbCounts(spark, cDir)
       .collect().map(_.toString).sorted.toSeq === full)
     assert(stored === full)
+    // one-shot backfill after batch folds: composes through the same
+    // marked base, watermarks carried (batch 1 still skips after it)
+    Classify.updateNbCounts(spark, cDir,
+      docs.filter(col("doc_id") < 0)) // empty delta: content unchanged
+    assert(!Classify.updateNbCountsBatch(spark, cDir,
+      docs.filter(col("doc_id") >= 400), 1, "ckptN"))
+    assert(Classify.readNbCounts(spark, cDir)
+      .collect().map(_.toString).sorted.toSeq === full)
     // an unseeded (marker-less) store refuses the batch API loudly
     val bare = java.nio.file.Files.createTempDirectory("nb-bare").toString + "/c"
     graft.core.Artifacts.writeVersioned(
