@@ -214,9 +214,20 @@ object Artifacts {
       .find(v => isCompleteVersion(fs, dir, v, "_SUCCESS") &&
         isCompleteVersion(fs, dir, v, AbsorbedMarker))
       .map { v =>
-        (v, readSmallFile(fs, s"$dir/v=$v/$AbsorbedMarker")
+        val path = s"$dir/v=$v/$AbsorbedMarker"
+        (v, readSmallFile(fs, path)
           .map(_.linesIterator.filter(_.nonEmpty).map { line =>
             val i = line.lastIndexOf('|')
+            // a malformed line is a pre-atomic-write crash artifact:
+            // REFUSE loudly — treating a truncated marker as a valid
+            // partial watermark map could understate a watermark and
+            // let a replay silently double-count
+            require(i > 0 && line.drop(i + 1).nonEmpty &&
+                line.drop(i + 1).forall(_.isDigit),
+              s"corrupt absorbed marker line '$line' in $path (a " +
+                "pre-atomic marker write crashed mid-file); verify the " +
+                "version's content against its writers, rewrite the " +
+                "marker, or delete the version dir")
             line.take(i) -> line.drop(i + 1).toLong
           }.toSeq
             // max per writer, not last-line-wins: robust to a marker
@@ -232,37 +243,64 @@ object Artifacts {
 
   /** Version write that CARRIES the fold base's absorbed watermarks —
     * for non-batch (caller-managed, e.g. one-shot backfill) folds on a
-    * store that batch folds also maintain. IMPORTANT: the caller must
-    * have built `df` from [[readLatestFoldBase]]'s frame, NOT from a
-    * plain [[readLatestVersioned]] read — the latter can resolve a
-    * TORN fold version (data committed, marker crashed), and merging
-    * from it while carrying the older marker would keep that batch's
-    * counts but drop its replay evidence: the replay would then
-    * double-count. A store with no marked version yet (legacy) gets an
-    * empty marker, upgrading it in place.
+    * store that batch folds also maintain. The caller passes the
+    * `absorbed` map it got from [[readLatestFoldBase]] — PINNING the
+    * base it actually merged from, instead of re-resolving here: a
+    * stream fold landing between the caller's read and this write
+    * would otherwise advance the marker past a batch whose counts the
+    * caller's frame does not contain, and that batch's redelivery
+    * would skip on the carried watermark — counts silently lost.
     */
-  def writeVersionedCarryMarker(df: DataFrame, dir: String): Unit = {
+  def writeVersionedCarryMarker(df: DataFrame, dir: String,
+      absorbed: Map[String, Long]): Unit = {
     val fs = fsOf(df.sparkSession, dir)
-    val absorbed = latestMarkedVersion(fs, dir).map(_._2).getOrElse(Map.empty)
     writeVersioned(df, dir)
     val v = versionDirs(fs, dir)
       .filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
     writeSmallFileAtomic(fs, s"$dir/v=$v/$AbsorbedMarker", renderMarker(absorbed))
   }
 
-  /** The frame every FOLD (batch or caller-managed) must merge from:
-    * the newest MARKER-SEALED version — never a torn fold version,
-    * whose data validly serves readers but whose replay evidence died
-    * with the crash (merging from it would make the marker lie).
-    * Falls back to the plain versioned/legacy read when the store has
-    * no marked version (pre-marker stores being upgraded in place).
+  /** The (frame, absorbed watermarks) every ONE-SHOT fold must merge
+    * from: the newest MARKER-SEALED version — never a torn fold
+    * version, whose data validly serves readers but whose replay
+    * evidence died with the crash. And because a one-shot caller has
+    * NO checkpoint to redeliver a torn version's batch (unlike the
+    * stream path, where the redelivery re-folds it), a torn fold
+    * version sitting ABOVE the marked base REFUSES loudly here:
+    * superseding it silently would discard that batch's counts
+    * forever. The operator re-runs the crashed batch fold (heals it
+    * into a marked version) or deletes the torn dir deliberately.
+    * Falls back to the plain versioned/legacy read (empty watermarks)
+    * when the store has no marked version at all.
     */
   def readLatestFoldBase(spark: SparkSession, dir: String, who: String,
-      hint: String): DataFrame =
-    latestMarkedVersion(fsOf(spark, dir), dir) match {
-      case Some((v, _)) => spark.read.parquet(s"$dir/v=$v")
-      case None => readLatestVersioned(spark, dir, who, hint)
+      hint: String): (DataFrame, Map[String, Long]) = {
+    val fs = fsOf(spark, dir)
+    latestMarkedVersion(fs, dir) match {
+      case Some((v, absorbed)) =>
+        val tornAbove = versionDirs(fs, dir)
+          .filter(u => u > v && isCompleteVersion(fs, dir, u, "_SUCCESS") &&
+            !isCompleteVersion(fs, dir, u, AbsorbedMarker))
+        require(tornAbove.isEmpty,
+          s"$who: version(s) ${tornAbove.sorted.mkString(",")} under $dir " +
+            "are torn batch folds (data committed, watermark marker crashed) " +
+            "ABOVE the marked base v=" + v + " — a one-shot fold from the " +
+            "base would silently discard their batches' counts (no " +
+            "checkpoint exists to redeliver them). Re-run the crashed batch " +
+            "fold to heal, or delete the torn version dir(s) deliberately")
+        (spark.read.parquet(s"$dir/v=$v"), absorbed)
+      case None => (readLatestVersioned(spark, dir, who, hint), Map.empty)
     }
+  }
+
+  /** This writer's absorbed watermark on a folded store, if any — the
+    * fresh-incarnation guard's input ([[graft.streaming.DocStream
+    * .nbCountsOnIngest]] refuses to start a fresh checkpoint whose
+    * ids would be silently skipped as replays).
+    */
+  def writerWatermark(spark: SparkSession, dir: String,
+      writerId: String): Option[Long] =
+    latestMarkedVersion(fsOf(spark, dir), dir).flatMap(_._2.get(writerId))
 
   /** Prune for a BATCH-FOLDED store: completeness = the absorbed
     * marker (written last, and implying `_SUCCESS`), so a torn fold

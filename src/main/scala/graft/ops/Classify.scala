@@ -189,12 +189,12 @@ object Classify extends graft.QueryModule {
 
   def updateDsirCounts(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
-    val merged = graft.core.Artifacts
+    val (base, absorbed) = graft.core.Artifacts
       .readLatestFoldBase(spark, dir, "updateDsirCounts",
         "rebuild with writeDsirCounts")
-      .unionByName(dsirCounts(newDocs))
+    val merged = base.unionByName(dsirCounts(newDocs))
       .groupBy("source", "bucket").agg(sum(col("cnt")).as("cnt"))
-    graft.core.Artifacts.writeVersionedCarryMarker(merged, dir)
+    graft.core.Artifacts.writeVersionedCarryMarker(merged, dir, absorbed)
   }
 
   /** DSIR twin of [[updateNbCountsBatch]] — same replay-safe fold. */
@@ -606,15 +606,16 @@ object Classify extends graft.QueryModule {
   def updateNbCounts(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
     // fold FROM the marker-sealed base (never a torn batch-fold
-    // version) and carry its watermarks, so this one-shot path
-    // composes with the replay-safe streaming folds
+    // version — refused loudly, since a one-shot fold has no
+    // redelivery to heal it) and carry THAT base's watermarks, so
+    // this path composes with the replay-safe streaming folds
     // ([[updateNbCountsBatch]]) without ever dropping replay evidence
-    val merged = graft.core.Artifacts
+    val (base, absorbed) = graft.core.Artifacts
       .readLatestFoldBase(spark, dir, "updateNbCounts",
         "rebuild with writeNbCounts")
-      .unionByName(nbCounts(newDocs))
+    val merged = base.unionByName(nbCounts(newDocs))
       .groupBy("cls", "bucket").agg(sum(col("cnt")).as("cnt"))
-    graft.core.Artifacts.writeVersionedCarryMarker(merged, dir)
+    graft.core.Artifacts.writeVersionedCarryMarker(merged, dir, absorbed)
   }
 
   /** REPLAY-SAFE fold of one micro-batch into the count store — the

@@ -1918,11 +1918,15 @@ object VectorOps extends graft.QueryModule {
   private val StreamMarker = "_STREAM_COMMIT"
 
   // marker-file primitives live in ONE place (Artifacts — shared with
-  // the folded count stores' absorbed markers), so an I/O fix there
-  // reaches every store's markers at once
+  // the folded count stores' absorbed markers); all marker writes here
+  // go through the ATOMIC variant: a crash mid-write must leave the
+  // marker absent (the already-handled sealed-unmarked state, whose
+  // error message says how to clear it), never present-but-truncated
+  // (a garbled owner id reads as "someone else's sealed data" — a
+  // permanent loud error needing manual forensics)
   private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       path: String, content: String): Unit =
-    graft.core.Artifacts.writeSmallFile(fs, path, content)
+    graft.core.Artifacts.writeSmallFileAtomic(fs, path, content)
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Option[String] =

@@ -356,7 +356,26 @@ object DocStream {
     */
   def nbCountsOnIngest(newDocs: DataFrame, countsDir: String,
       checkpointDir: String,
-      baseBatchId: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      baseBatchId: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
+    // MECHANICAL guard for the restart contract above — a docstring
+    // alone left the dangerous case (fresh checkpoint, default base)
+    // failing SILENTLY: a fresh checkpoint restarts ids at 0, and if
+    // the store already holds a watermark for this writer at or above
+    // baseBatchId, every new batch would be skipped as a replay.
+    // Detected before start(): checkpoint absent + watermark covers
+    // the base → refuse loudly.
+    val spark = newDocs.sparkSession
+    val ckptExists = new org.apache.hadoop.fs.Path(checkpointDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(checkpointDir))
+    if (!ckptExists)
+      graft.core.Artifacts.writerWatermark(spark, countsDir, checkpointDir)
+        .foreach(wm => require(baseBatchId > wm,
+          s"nbCountsOnIngest: fresh checkpoint $checkpointDir but the store " +
+            s"already holds watermark $wm for this writer — the new " +
+            "incarnation's batches (ids from " + baseBatchId + ") would be " +
+            "silently skipped as replays. Pass baseBatchId = " +
+            "Artifacts.nextBatchId(spark, countsDir)"))
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -366,4 +385,5 @@ object DocStream {
         ()
       }
       .start()
+  }
 }

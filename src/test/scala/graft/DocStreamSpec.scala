@@ -350,6 +350,36 @@ class DocStreamSpec extends AnyFunSuite {
       Classify.updateNbCountsBatch(spark, bare,
         docs.filter(col("doc_id") >= 100), 0, "ckptN")
     }
+    // a ONE-SHOT fold refuses a torn fold version above the marked
+    // base: no checkpoint exists to redeliver its batch, so silently
+    // superseding it would discard that batch's counts forever
+    val t2 = java.nio.file.Files.createTempDirectory("nb-torn2").toString + "/c"
+    Classify.writeNbCounts(docs.filter(col("doc_id") < 300), t2)
+    assert(Classify.updateNbCountsBatch(spark, t2,
+      docs.filter(col("doc_id") >= 300), 0, "ckptT"))
+    val t2max = new java.io.File(t2).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(new java.io.File(s"$t2/v=$t2max/_ABSORBED").delete())
+    val eTorn = intercept[IllegalArgumentException] {
+      Classify.updateNbCounts(spark, t2, docs.filter(col("doc_id") < 0))
+    }
+    assert(eTorn.getMessage.contains("torn"), eTorn.getMessage)
+    // …while the STREAM path heals the same state by re-fold
+    assert(Classify.updateNbCountsBatch(spark, t2,
+      docs.filter(col("doc_id") >= 300), 0, "ckptT"))
+    // a corrupt (truncated pre-atomic) marker line refuses loudly
+    // instead of silently understating a watermark
+    val t3max = new java.io.File(t2).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$t2/v=$t3max/_ABSORBED"), "ckptT|")
+    // drop the Hadoop checksum sidecar so the corrupted CONTENT (not a
+    // checksum mismatch) is what the reader sees
+    new java.io.File(s"$t2/v=$t3max/._ABSORBED.crc").delete()
+    val eCorrupt = intercept[IllegalArgumentException] {
+      graft.core.Artifacts.nextBatchId(spark, t2)
+    }
+    assert(eCorrupt.getMessage.contains("corrupt"), eCorrupt.getMessage)
   }
 
   test("streaming NB count maintenance equals the batch fold end-to-end") {
@@ -372,6 +402,25 @@ class DocStreamSpec extends AnyFunSuite {
         .collect().map(_.toString).sorted.toSeq
       === DocStream.classifyOnIngest(docs, Classify.nbModel(docs))
         .collect().map(_.toString).sorted.toSeq)
+    // a RECREATED checkpoint at the same path must refuse to start
+    // with the default base: its fresh ids would be skipped as replays
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+    deleteRec(java.nio.file.Paths.get(ckpt))
+    val eFresh = intercept[IllegalArgumentException] {
+      DocStream.nbCountsOnIngest(
+        DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir, ckpt)
+    }
+    assert(eFresh.getMessage.contains("watermark"), eFresh.getMessage)
+    // …and the documented restart recipe starts cleanly
+    val q2 = DocStream.nbCountsOnIngest(
+      DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir, ckpt,
+      baseBatchId = graft.core.Artifacts.nextBatchId(spark, cDir))
+    try q2.processAllAvailable() finally q2.stop()
   }
 
   test("hash32_buckets kernel is bit-identical to the hash32 transform chain") {
