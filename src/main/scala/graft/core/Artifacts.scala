@@ -78,6 +78,123 @@ object Artifacts {
   private def versions(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Seq[Long] = versionDirs(fs, dir)
 
+  /** One listing of a `<prefix>=<n>` sealed-dir family — (id, sealed?)
+    * pairs, id-sorted; sealed = the dir's own `_SUCCESS` job-commit
+    * marker. Shared by the IVFADC codes appends / deletion tombstones
+    * ([[graft.ops.VectorOps]]) and the dedup state's tombstones
+    * ([[graft.ops.Dedup]]) so the dir-naming and sealing convention —
+    * and therefore torn-write invisibility — lives in one place.
+    */
+  private[graft] def sealedFamilyDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, prefix: String): Seq[(Long, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches(s"$prefix=\\d+") =>
+        s.stripPrefix(s"$prefix=").toLong }
+      .sorted
+      .map(a => (a, fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/$prefix=$a/_SUCCESS"))))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Crash-safe IN-PLACE rewrite of one directory-shaped artifact part
+  // (a partition of a partitioned store) — for maintenance that must
+  // REWRITE an existing dir's content (tombstone materialization in the
+  // dedup signature store / cluster-assignment heal), where neither
+  // append-then-delete (content must shrink, not grow) nor whole-store
+  // versioning (the store's layout is the partition dirs themselves)
+  // applies. Protocol, with every crash window recoverable:
+  //
+  //   1. write the new content to `_rw_tmp_<name>` (parquet job commit
+  //      seals it with its own _SUCCESS; the `_` prefix hides it from
+  //      Spark's file listing, so readers never see it);
+  //   2. rename `<name>` -> `_rw_old_<name>`   (atomic park);
+  //   3. rename `_rw_tmp_<name>` -> `<name>`   (atomic swap-in);
+  //   4. delete `_rw_old_<name>`.
+  //
+  // A crash before 2 leaves the original serving (stale tmp swept by
+  // [[healRewrites]]); between 2 and 3 the original is parked and the
+  // sealed tmp is the sole complete copy (healRewrites completes the
+  // swap); after 3 only the park remains to sweep. The ONLY dangerous
+  // window for a reader is 2->3, where `<name>` is missing and a plain
+  // read would silently see a shrunken store — which is why every
+  // reader of a rewrite-maintained store must refuse while a
+  // `_rw_old_*` park exists ([[rewriteParks]]). Serial-writer contract:
+  // a rewrite must not race another writer of the same dir.
+  // ------------------------------------------------------------------ //
+
+  private[graft] def rewriteDirInPlace(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String)(write: String => Unit): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_rw_tmp_$name")
+    val park = new org.apache.hadoop.fs.Path(s"$root/_rw_old_$name")
+    val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
+    require(!fs.exists(park),
+      s"rewriteDirInPlace: leftover park $park from a crashed rewrite — " +
+        "run healRewrites first")
+    fs.delete(tmp, true) // stale tmp of a crashed pre-swap attempt
+    write(tmp.toString)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_SUCCESS")),
+      s"rewriteDirInPlace: $tmp has no _SUCCESS after write — the writer " +
+        "must commit a job marker before the swap")
+    require(fs.rename(cur, park), s"rewriteDirInPlace: rename $cur -> $park failed")
+    require(fs.rename(tmp, cur), s"rewriteDirInPlace: rename $tmp -> $cur failed")
+    fs.delete(park, true)
+  }
+
+  /** The `_rw_old_*` parks under `root` — non-empty means a rewrite
+    * crashed in its only reader-dangerous window (original parked, swap
+    * not yet completed) OR just before its final cleanup; readers of a
+    * rewrite-maintained store must REFUSE while any exist (a plain read
+    * would silently miss the parked dir's rows) and point the operator
+    * at the maintenance op that heals ([[healRewrites]]).
+    */
+  private[graft] def rewriteParks(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_rw_old_")).sorted
+  }
+
+  /** Heal crashed [[rewriteDirInPlace]] attempts under `root`: complete
+    * a swap whose original is parked (the sealed tmp is the sole
+    * complete copy — roll FORWARD), sweep parks whose swap completed,
+    * and sweep stale pre-swap tmps (original intact — the rewrite
+    * simply re-runs). Idempotent; run on entry of every maintenance op
+    * that uses the protocol.
+    */
+  private[graft] def healRewrites(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootP)) return
+    val entries = fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+    entries.filter(_.startsWith("_rw_old_")).foreach { parkName =>
+      val name = parkName.stripPrefix("_rw_old_")
+      val cur = new org.apache.hadoop.fs.Path(s"$root/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_rw_tmp_$name")
+      if (!fs.exists(cur)) {
+        // crashed between park and swap-in: the tmp was sealed BEFORE
+        // the park happened (protocol order), so it is the complete
+        // new content — roll forward
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/_SUCCESS")),
+          s"healRewrites: $root/$parkName is parked but $tmp is missing or " +
+            "unsealed — state violates the protocol order; restore the park " +
+            s"manually (rename $parkName back to $name)")
+        require(fs.rename(tmp, cur), s"healRewrites: rename $tmp -> $cur failed")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$parkName"), true)
+    }
+    entries.filter(_.startsWith("_rw_tmp_")).foreach { tmpName =>
+      val name = tmpName.stripPrefix("_rw_tmp_")
+      // sole remaining case after the park sweep above: original intact,
+      // swap never started — the tmp is stale (its content may predate
+      // later deletes); the rewrite re-runs from the original
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/$name")))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$tmpName"), true)
+    }
+  }
+
   private def isComplete(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, v: Long): Boolean =
     isCompleteVersion(fs, dir, v, "_SUCCESS")
@@ -193,9 +310,29 @@ object Artifacts {
   /** Seed a batch-folded count store: version 1 + an EMPTY absorbed
     * marker (the marker's presence is what lets the fold path tell a
     * legal base from a torn fold).
+    *
+    * REFUSES on a store that already has a marked version: re-seeding
+    * stamps a fresh EMPTY marker, silently discarding every writer's
+    * replay watermark — a stream resumed on its old checkpoint would
+    * then re-fold already-absorbed batches and DOUBLE their counts.
+    * A deliberate rebuild passes `overwrite = true` and owns the
+    * consequence: every writer must restart on a fresh checkpoint
+    * (or the rebuild must not include the batches those checkpoints
+    * would redeliver).
     */
-  def seedFoldedStore(df: DataFrame, dir: String): Unit = {
+  def seedFoldedStore(df: DataFrame, dir: String,
+      overwrite: Boolean = false): Unit = {
     val fs = fsOf(df.sparkSession, dir)
+    if (!overwrite)
+      latestMarkedVersion(fs, dir).foreach { case (v, absorbed) =>
+        throw new IllegalArgumentException(
+          s"seedFoldedStore: $dir already holds marker-sealed version v=$v " +
+            s"with ${absorbed.size} writer watermark(s) — re-seeding would " +
+            "reset them to empty and let a stream resumed on its old " +
+            "checkpoint double-count its replayed batches. Pass " +
+            "overwrite=true only for a deliberate rebuild whose writers " +
+            "all restart on fresh checkpoints")
+      }
     writeVersioned(df, dir)
     val v = versionDirs(fs, dir).filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max
     writeSmallFileAtomic(fs, s"$dir/v=$v/$AbsorbedMarker", "")
@@ -338,20 +475,70 @@ object Artifacts {
     * (false = replay skip).
     */
   def foldCountsBatch(spark: SparkSession, dir: String, delta: DataFrame,
-      keyCols: Seq[String], batchId: Long, writerId: String): Boolean = {
+      keyCols: Seq[String], batchId: Long, writerId: String): Boolean =
+    foldBatch(spark, dir, delta, keyCols, batchId, writerId, negate = false)
+
+  /** Replay-safe RETRACTION fold — [[foldCountsBatch]] with the batch's
+    * counts SUBTRACTED: the takedown / bad-batch-scrub path of a
+    * maintained count store (r11 verdict #2). Integer counts are as
+    * associative under subtraction as under addition, so
+    * add-batch-then-retract-batch is bit-identical to never-added —
+    * the declared q_nb_retracted / q_dsir_retracted put that equality
+    * behind the from-scratch oracle hash. Two guards addition never
+    * needs:
+    *
+    *   - a key whose merged count would go NEGATIVE refuses loudly
+    *     (the retraction does not match what was added — silently
+    *     clamping would corrupt every later fold);
+    *   - keys whose count reaches exactly ZERO are dropped (a
+    *     from-scratch fit over the scrubbed corpus has no row at all
+    *     for them, and the zero row would otherwise shift smoothing
+    *     denominators derived from row counts).
+    *
+    * Replay machinery is the SAME absorbed-watermark map — a retraction
+    * writer (use a DISTINCT writerId from the ingest stream, e.g.
+    * `"<checkpoint>#retract"`) skips redelivered retractions exactly as
+    * an ingest writer skips redelivered adds, so the scrub is
+    * replay-safe in both directions.
+    */
+  def retractCountsBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      keyCols: Seq[String], batchId: Long, writerId: String): Boolean =
+    foldBatch(spark, dir, delta, keyCols, batchId, writerId, negate = true)
+
+  private def foldBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      keyCols: Seq[String], batchId: Long, writerId: String,
+      negate: Boolean): Boolean = {
     import org.apache.spark.sql.functions.{col, sum}
+    val who = if (negate) "retractCountsBatch" else "foldCountsBatch"
     require(writerId.nonEmpty && !writerId.contains("|") && !writerId.contains("\n"),
-      s"foldCountsBatch: writerId must be non-empty without '|'/newlines, got '$writerId'")
+      s"$who: writerId must be non-empty without '|'/newlines, got '$writerId'")
     val fs = fsOf(spark, dir)
     val (baseV, absorbed) = latestMarkedVersion(fs, dir).getOrElse(
       throw new IllegalArgumentException(
-        s"foldCountsBatch: $dir has no marker-sealed base version — seed the " +
+        s"$who: $dir has no marker-sealed base version — seed the " +
           "store with seedFoldedStore (a plain writeVersioned store cannot " +
           "prove which batches it already contains)"))
     if (absorbed.get(writerId).exists(batchId <= _)) return false
-    val merged = spark.read.parquet(s"$dir/v=$baseV")
-      .unionByName(delta)
+    val signed =
+      if (negate) delta.withColumn("cnt", -col("cnt")) else delta
+    val merged0 = spark.read.parquet(s"$dir/v=$baseV")
+      .unionByName(signed)
       .groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+    val merged =
+      if (!negate) merged0
+      else {
+        // the guards need the merged frame twice (negative probe +
+        // zero-drop write) — materialize the model-sized result once
+        val m = merged0.localCheckpoint(true)
+        val bad = m.filter(col("cnt") < 0).limit(1).collect()
+        require(bad.isEmpty,
+          s"$who: retraction would drive key " +
+            s"${bad.headOption.map(_.toString).getOrElse("")} in $dir " +
+            "NEGATIVE — the retracted batch does not match what was added " +
+            "(wrong batch content, or it was already retracted); refusing " +
+            "rather than clamping")
+        m.filter(col("cnt") > 0)
+      }
     writeVersioned(merged, dir)
     val vnew = versionDirs(fs, dir)
       .filter(isCompleteVersion(fs, dir, _, "_SUCCESS")).max

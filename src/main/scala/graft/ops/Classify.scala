@@ -138,18 +138,27 @@ object Classify extends graft.QueryModule {
 
   /** DSIR's COUNT-LEVEL sufficient statistics — the [[nbCounts]]
     * convention for the importance-weight model: rows
-    * `(source, bucket, cnt)` of hashed-token counts per source.
-    * Integer sums over documents, so batch folds merge by union +
-    * re-sum into exactly the union's counts; the target label, the
-    * per-bucket raw/target splits, and the totals are all DERIVED at
-    * pack time ([[dsirModelFromCounts]]), which keeps even a
-    * target-source change (a later batch introducing an
-    * alphabetically-smaller source) correct — counts are
-    * target-agnostic. O(sources·B) rows at any corpus size.
+    * `(source, bucket, cnt)` where bucket >= 0 carries the source's
+    * hashed-token count in that bucket and the `bucket = -1` row the
+    * source's DOC count (the nbCounts convention). Integer sums over
+    * documents, so batch folds merge by union + re-sum into exactly
+    * the union's counts; the target label, the per-bucket raw/target
+    * splits, and the totals are all DERIVED at pack time
+    * ([[dsirModelFromCounts]]), which keeps even a target-source
+    * change (a later batch introducing an alphabetically-smaller
+    * source) correct — counts are target-agnostic. The doc-count rows
+    * exist so the pack derives the target as min(source) over DOCS
+    * exactly like [[dsirModel]] does — a source whose documents all
+    * tokenize to zero tokens has no token rows, and deriving the
+    * target from token rows alone would shift it between the two
+    * paths (r11 ADVICE). O(sources·B) rows at any corpus size.
     */
   def dsirCounts(docs: DataFrame): DataFrame =
     bucketedTokens(docs).groupBy("source", "bucket")
       .agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.groupBy("source")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("source"), lit(-1L).as("bucket"), col("cnt")))
 
   /** Pack maintained [[dsirCounts]] into the one-row serving model —
     * the same arithmetic as [[dsirModel]] (target = min source,
@@ -159,8 +168,19 @@ object Classify extends graft.QueryModule {
     * q_dsir_incremental puts it behind the full oracle hash.
     */
   def dsirModelFromCounts(counts0: DataFrame): DataFrame = {
-    val counts = counts0.localCheckpoint(true)
-    val target = counts.agg(min(col("source"))).head.getString(0)
+    val all = counts0.localCheckpoint(true)
+    // target = min(source) over the bucket=-1 DOC-count rows — exactly
+    // [[dsirModel]]'s min over docs, robust to a source whose documents
+    // all tokenize to zero tokens (it has doc rows but no token rows).
+    // A legacy store without doc rows falls back to min over token
+    // rows, which is identical under that path's documented ≥1-token
+    // assumption.
+    val targetRow = all.filter(col("bucket") === -1)
+      .agg(min(col("source"))).head
+    val target =
+      if (targetRow.isNullAt(0)) all.agg(min(col("source"))).head.getString(0)
+      else targetRow.getString(0)
+    val counts = all.filter(col("bucket") >= 0)
     val raw = counts.groupBy("bucket").agg(sum(col("cnt")).as("raw_cnt"))
     val tgt = counts.filter(col("source") === lit(target))
       .groupBy("bucket").agg(sum(col("cnt")).as("tgt_cnt"))
@@ -201,6 +221,24 @@ object Classify extends graft.QueryModule {
   def updateDsirCountsBatch(spark: SparkSession, dir: String,
       newDocs: DataFrame, batchId: Long, writerId: String): Boolean =
     graft.core.Artifacts.foldCountsBatch(spark, dir, dsirCounts(newDocs),
+      Seq("source", "bucket"), batchId, writerId)
+
+  /** RETRACT a previously-folded batch's DSIR counts from the store —
+    * the takedown/bad-batch scrub (r11 verdict #2): recompute the
+    * batch's sufficient statistics from its documents and SUBTRACT
+    * them (integer decrement fold, [[graft.core.Artifacts
+    * .retractCountsBatch]] — negative results refuse loudly, zero
+    * rows drop). Scrubbing therefore costs one pass over the BATCH,
+    * never the 100 TB history the store exists to avoid re-reading,
+    * and add-then-retract is bit-identical to never-added — the
+    * declared q_dsir_retracted pins that behind the from-scratch
+    * oracle on the scrubbed corpus. `docs` must be EXACTLY the
+    * batch's original content (the negative-count refusal catches a
+    * mismatch); use a writerId distinct from the ingest stream's.
+    */
+  def retractDsirCountsBatch(spark: SparkSession, dir: String,
+      docs: DataFrame, batchId: Long, writerId: String): Boolean =
+    graft.core.Artifacts.retractCountsBatch(spark, dir, dsirCounts(docs),
       Seq("source", "bucket"), batchId, writerId)
 
   def readDsirCounts(spark: SparkSession, dir: String): DataFrame =
@@ -633,6 +671,19 @@ object Classify extends graft.QueryModule {
     graft.core.Artifacts.foldCountsBatch(spark, dir, nbCounts(newDocs),
       Seq("cls", "bucket"), batchId, writerId)
 
+  /** RETRACT a previously-folded batch's NB counts from the store —
+    * [[retractDsirCountsBatch]]'s NB twin (same integer decrement
+    * fold, same negative-refusal/zero-drop guards, same replay-safe
+    * watermark skip under the retraction writer's own id). Scrub cost
+    * is one pass over the batch; add-then-retract == never-added is
+    * pinned by the declared q_nb_retracted against the from-scratch
+    * oracle on the scrubbed corpus.
+    */
+  def retractNbCountsBatch(spark: SparkSession, dir: String,
+      docs: DataFrame, batchId: Long, writerId: String): Boolean =
+    graft.core.Artifacts.retractCountsBatch(spark, dir, nbCounts(docs),
+      Seq("cls", "bucket"), batchId, writerId)
+
   def readNbCounts(spark: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.readLatestVersioned(spark, dir, "readNbCounts",
       "rebuild with writeNbCounts")
@@ -897,16 +948,72 @@ object Classify extends graft.QueryModule {
         .groupBy("source", "predicted")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source", "predicted")
+    },
+    // RETRACTION under the full hash gate (r11 verdict #2): counts
+    // seeded over a prefix, two replay-safe batch folds, then the
+    // MIDDLE batch retracted (integer decrement fold — one pass over
+    // the batch, history never re-read). The oracle is the
+    // from-scratch SQL on the SCRUBBED corpus, so
+    // add-then-retract == never-added is what the hash itself proves.
+    "q_nb_retracted" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val cDir = graft.core.Fixtures.artifactDir(dir, "nb-counts-retract") { d =>
+        writeNbCounts(docs.filter(col("doc_id") < 300), d)
+        updateNbCountsBatch(spark, d,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 0L, "ingest")
+        updateNbCountsBatch(spark, d,
+          docs.filter(col("doc_id") >= 400), 1L, "ingest")
+        retractNbCountsBatch(spark, d,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 0L, "scrub")
+      }
+      graft.streaming.DocStream.classifyOnIngest(
+          docs.filter(col("doc_id") < 300 || col("doc_id") >= 400)
+            .filter(isTest(col("doc_id")))
+            .filter(size(graft.streaming.DocStream.tokensCol) > 0),
+          nbModelFromCounts(readNbCounts(spark, cDir)))
+        .groupBy("source", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "predicted")
+    },
+    // DSIR sibling of q_nb_retracted — same scrub lifecycle, oracle =
+    // q_dsir_weights' from-scratch SQL on the scrubbed corpus.
+    "q_dsir_retracted" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val cDir = graft.core.Fixtures.artifactDir(dir, "dsir-counts-retract") { d =>
+        writeDsirCounts(docs.filter(col("doc_id") < 300), d)
+        updateDsirCountsBatch(spark, d,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 0L, "ingest")
+        updateDsirCountsBatch(spark, d,
+          docs.filter(col("doc_id") >= 400), 1L, "ingest")
+        retractDsirCountsBatch(spark, d,
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), 0L, "scrub")
+      }
+      graft.streaming.DocStream.scoreOnIngest(
+          docs.filter(col("doc_id") < 300 || col("doc_id") >= 400),
+          dsirModelFromCounts(readDsirCounts(spark, cDir)))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
     }
   )
 
-  private def tokCte: String =
+  /** The corpus source expression for an oracle, optionally SCRUBBED by
+    * a doc predicate — the retraction oracles run the exact from-scratch
+    * SQL on the scrubbed corpus, so add-batch-then-retract-batch ==
+    * never-added sits behind the hash gate itself.
+    */
+  private def docsSrc(where: String): String =
+    if (where == "TRUE") "documents"
+    else s"(SELECT * FROM documents WHERE $where) scrubbed_docs"
+
+  private def tokCteWhere(where: String): String =
     s"""tok AS (
        |  SELECT doc_id, source, ${Shingles.hash32Sql("term")} % $B AS bucket
        |  FROM (
        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
-       |    FROM documents) z
+       |    FROM ${docsSrc(where)}) z
        |  WHERE term <> '')""".stripMargin
+
+  private def tokCte: String = tokCteWhere("TRUE")
 
   private def logp(cnt: String, tot: String): String =
     s"CAST(ln((CAST($cnt AS DOUBLE) + 1.0) / (CAST($tot AS DOUBLE) + $B.0)) AS DECIMAL(28,6))"
@@ -1041,6 +1148,11 @@ object Classify extends graft.QueryModule {
     // the fold-vs-join-aggregate scoring must be invisible to the hash
     "q_dsir_served" -> dsirWeightsSql,
     "q_dsir_incremental" -> dsirWeightsSql,
+    // from-scratch SQL over the SCRUBBED corpus: the retraction fold,
+    // the zero-row drops, and the store round-trip must all be
+    // invisible to the hash
+    "q_dsir_retracted" ->
+      dsirWeightsSqlWhere("doc_id < 300 OR doc_id >= 400"),
     "q_dsir_resample" -> {
       val u = s"((${Shingles.hash32Sql("'dsir:' || CAST(doc_id AS VARCHAR)")}) + 0.5) / 4294967296.0"
       s"""WITH $tokCte,
@@ -1081,15 +1193,19 @@ object Classify extends graft.QueryModule {
     },
     "q_nb_classify" -> nbClassifySql,
     "q_nb_incremental" -> nbClassifySql,
+    "q_nb_retracted" ->
+      nbClassifySqlWhere("doc_id < 300 OR doc_id >= 400"),
     // the q_dsir_served convention for the NB lifecycle: the saved
     // serving table classified per row must aggregate to exactly the
     // confusion matrix the in-query train+classify produces
     "q_nb_served" -> nbClassifySql
   )
 
-  private lazy val dsirWeightsSql: String =
-    s"""WITH $tokCte,
-       |tgt_src AS (SELECT min(source) AS s FROM documents),
+  private lazy val dsirWeightsSql: String = dsirWeightsSqlWhere("TRUE")
+
+  private def dsirWeightsSqlWhere(where: String): String =
+    s"""WITH ${tokCteWhere(where)},
+       |tgt_src AS (SELECT min(source) AS s FROM ${docsSrc(where)}),
        |raw AS (SELECT bucket, count(*) AS raw_cnt FROM tok GROUP BY bucket),
        |tgt AS (
        |  SELECT bucket, count(*) AS tgt_cnt FROM tok
@@ -1117,19 +1233,21 @@ object Classify extends graft.QueryModule {
        |GROUP BY p.doc_id, p.source
        |ORDER BY p.doc_id""".stripMargin
 
-  private lazy val nbClassifySql: String =
-    s"""WITH $tokCte,
+  private lazy val nbClassifySql: String = nbClassifySqlWhere("TRUE")
+
+  private def nbClassifySqlWhere(where: String): String =
+    s"""WITH ${tokCteWhere(where)},
        |train AS (SELECT * FROM tok WHERE ${isTrainSql("doc_id")}),
        |test AS (SELECT * FROM tok WHERE ${isTestSql("doc_id")}),
        |cls_tok AS (
        |  SELECT source AS cls, bucket, count(*) AS cnt FROM train GROUP BY source, bucket),
        |cls_tot AS (SELECT cls, sum(cnt) AS tot FROM cls_tok GROUP BY cls),
-       |n_train AS (SELECT count(*) AS n FROM documents WHERE ${isTrainSql("doc_id")}),
+       |n_train AS (SELECT count(*) AS n FROM ${docsSrc(where)} WHERE ${isTrainSql("doc_id")}),
        |priors AS (
        |  SELECT source AS cls,
        |    CAST(ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM n_train))
        |      AS DECIMAL(28,6)) AS prior
-       |  FROM documents WHERE ${isTrainSql("doc_id")} GROUP BY source),
+       |  FROM ${docsSrc(where)} WHERE ${isTrainSql("doc_id")} GROUP BY source),
        |grid AS (
        |  SELECT b.bucket, ct.cls,
        |    ${logp("coalesce(k.cnt, 0)", "ct.tot")} AS lam

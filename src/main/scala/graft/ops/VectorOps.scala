@@ -1223,16 +1223,8 @@ object VectorOps extends graft.QueryModule {
     * same torn-write invisibility).
     */
   private def sealedFamilyDirs(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, prefix: String): Seq[(Long, Boolean)] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches(s"$prefix=\\d+") =>
-        s.stripPrefix(s"$prefix=").toLong }
-      .sorted
-      .map(a => (a, fs.exists(
-        new org.apache.hadoop.fs.Path(s"$root/$prefix=$a/_SUCCESS"))))
-  }
+      root: String, prefix: String): Seq[(Long, Boolean)] =
+    graft.core.Artifacts.sealedFamilyDirs(fs, root, prefix)
 
   /** The version's SEALED deletion-tombstone dirs (`tombstones/del=<n>`,
     * each a one-column `vid` parquet) — empty when no deletes pend.
