@@ -874,6 +874,24 @@ object ScaleProbe {
       val diff = aOut.exceptAll(bOut).count() + bOut.exceptAll(aOut).count()
       println(s"[scale] maintain: compacted fold assignment identical: " +
         s"${diff == 0} (diff=$diff)")
+      // ONE schedulable dedup maintenance op (r11 verdict #6 — the
+      // ivfpq_maintain_op twin): a pending delete lands on the creeped
+      // stateA copy, then maintainDedupState chains heal → compact
+      // (materializing the tombstones) → sampled dup-recall probe.
+      // Row cost = heal (O(touched clusters)) + the store rewrite +
+      // one panel×store candidate pass.
+      graft.ops.Dedup.deleteFromDedupState(spark, stateA,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+      time("dedup_maintain_op") {
+        val rep = graft.ops.Dedup.maintainDedupState(spark, stateA)
+          .collect().head
+        println(s"[scale] dedup maintain report: " +
+          s"parts=${rep.getAs[Long]("n_sig_partitions_before")}->" +
+          s"${rep.getAs[Long]("n_sig_partitions_after")} " +
+          s"tombstoned=${rep.getAs[Long]("n_tombstoned_docs")} " +
+          f"dup_recall=${rep.getAs[Double]("dup_recall")}%.3f")
+        1L
+      }
       docs.unpersist(); probe.unpersist()
     }
     spark.stop()

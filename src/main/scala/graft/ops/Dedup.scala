@@ -1069,6 +1069,22 @@ object Dedup extends graft.QueryModule {
         s"under $assignRoot is unsealed (no _SUCCESS) — a replay crashed " +
         "mid-overwrite after its first attempt had committed. Re-run batch " +
         s"${prev.max} through the original checkpoint to rewrite it")
+    // deletion-lifecycle gates: refuse on a crashed maintenance rewrite
+    // (parked partition = a plain read would silently shrink the store)
+    // and on tombstones whose assignment heal never ran (folding from a
+    // stale base would resurrect deleted memberships)
+    requireNoParks(spark, sigsRoot, "clustersIngestBatch")
+    requireNoParks(spark, assignRoot, "clustersIngestBatch")
+    val tombsOpt = pendingTombstones(spark, stateDir)
+    tombsOpt.foreach(t =>
+      requireAssignmentsHealed(spark, stateDir, t, "clustersIngestBatch"))
+    // a batch may REDELIVER (or deliberately re-present) a doc deleted
+    // since its first run: while tombstones pend the doc stays deleted —
+    // its signatures are filtered before both use and store, so the
+    // replayed write cannot resurrect it (re-ingest becomes legal once
+    // compaction materializes the deletion and clears the tombstones)
+    def dropTombstoned(df: DataFrame): DataFrame =
+      tombsOpt.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     // lifecycle note for the per-micro-batch caller (clustersOnIngest):
     // the localCheckpoint blocks here and inside the incremental path
     // hold no references past this call, so the ContextCleaner
@@ -1076,14 +1092,14 @@ object Dedup extends graft.QueryModule {
     // periodic-GC interval) — the same convention as the
     // star-contraction loop's per-round checkpoints. persist()-ed
     // frames, by contrast, are explicitly unpersisted by their owners.
-    val newSigs = minhashSignatures(batch).localCheckpoint(true)
+    val newSigs = dropTombstoned(minhashSignatures(batch)).localCheckpoint(true)
     val out =
       if (prev.isEmpty)
         clustersFromCandidates(candidatesFromSignatures(newSigs, minEstJaccard))
           .localCheckpoint(true)
       else {
-        val oldSigs = spark.read.parquet(sigsRoot)
-          .filter(col("ingest_batch") < id).drop("ingest_batch")
+        val oldSigs = dropTombstoned(spark.read.parquet(sigsRoot)
+          .filter(col("ingest_batch") < id).drop("ingest_batch"))
         val oldAssign = spark.read
           .parquet(s"$assignRoot/ingest_batch=${prev.max}")
         incrementalClustersFromSigs(oldAssign, oldSigs, newSigs, minEstJaccard)
@@ -1136,37 +1152,413 @@ object Dedup extends graft.QueryModule {
     val root = new org.apache.hadoop.fs.Path(sigsRoot)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
-    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    // heal any crashed maintenance rewrite first (roll a sealed swap
+    // forward, sweep stale tmps) — this op is the sigs store's healer
+    graft.core.Artifacts.healRewrites(fs, sigsRoot)
+    def listIds(): Seq[Long] = fs.listStatus(root).toSeq.map(_.getPath.getName)
       .collect { case s if s.matches("ingest_batch=\\d+") =>
         s.stripPrefix("ingest_batch=").toLong }
       .sorted
-    if (ids.length <= 3) return // already at {base, previous, current}
-    val base = ids.head
-    val absorb = ids.slice(1, ids.length - 2)
-    // coalesce the appended rows to ~maxPartitionBytes-sized output
-    // files — a plain append is shuffle-free and so preserves one
-    // output file per input file, which would reduce only the
-    // DIRECTORY count and leave the small-file creep itself intact
-    // (measured: 20 -> 20 files without this). coalesce() only
-    // narrows, so the merge stays shuffle-free; the input-bytes
-    // estimate ignores recompression, erring toward slightly more
-    // files, never fewer than one
-    val absorbBytes = absorb.map { i =>
-      fs.getContentSummary(
-        new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$i")).getLength
-    }.sum
+    val ids = listIds()
+    val tombsOpt = pendingTombstones(spark, stateDir).map(_.localCheckpoint(true))
+    if (ids.length <= 3 && tombsOpt.isEmpty) return // {base, prev, current}, no deletes
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val nOut = math.max(1L, (absorbBytes + targetBytes - 1) / targetBytes).toInt
-    // read the absorbed dirs DIRECTLY (not root + partition filter):
-    // the read set and the append target are then disjoint directories
-    // by construction, so no materialization barrier is needed
-    val moved = spark.read.parquet(
-      absorb.map(i => s"$sigsRoot/ingest_batch=$i"): _*).coalesce(nOut)
-    moved.write.mode("append").parquet(s"$sigsRoot/ingest_batch=$base")
-    absorb.foreach { old =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
+    def bytesOf(dirs: Seq[String]): Long = dirs.map { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }.sum
+    // coalesce folded rows to ~maxPartitionBytes-sized output files —
+    // a shuffle-free merge preserves one output file per input file,
+    // which would reduce only the DIRECTORY count and leave the
+    // small-file creep itself intact (measured: 20 -> 20 files without
+    // this). coalesce() only narrows; the input-bytes estimate ignores
+    // recompression, erring toward more files, never fewer than one.
+    def nOut(dirs: Seq[String]): Int =
+      math.max(1L, (bytesOf(dirs) + targetBytes - 1) / targetBytes).toInt
+    tombsOpt match {
+      case None =>
+        // no deletions pending: the original APPEND-THEN-DELETE fold —
+        // crash-safe because no step deletes a sole-copy row before a
+        // durable second copy exists (append-mode only ADDS files to
+        // the base partition; absorbed dirs are deleted only after the
+        // append job commits; a crash duplicates rows, which candidate
+        // joins tolerate — distinct()/per-node min downstream).
+        val base = ids.head
+        val absorb = ids.slice(1, ids.length - 2)
+        // read the absorbed dirs DIRECTLY (not root + partition
+        // filter): the read set and the append target are disjoint
+        // directories by construction, so no barrier is needed
+        val srcs = absorb.map(i => s"$sigsRoot/ingest_batch=$i")
+        spark.read.parquet(srcs: _*).coalesce(nOut(srcs))
+          .write.mode("append").parquet(s"$sigsRoot/ingest_batch=$base")
+        absorb.foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
+        }
+      case Some(tombs) =>
+        // deletions pending: this fold is the MATERIALIZATION step, so
+        // it must REWRITE partitions (append-then-delete can only grow
+        // them). Refuse if the assignment heal hasn't run — clearing
+        // the tombstones below would discard the only evidence the
+        // heal needs.
+        requireAssignmentsHealed(spark, stateDir, tombs, "compactSignatureStore")
+        requireNoParks(spark, s"$stateDir/assign", "compactSignatureStore")
+        val base = ids.head
+        val absorb = if (ids.length <= 3) Seq.empty[Long]
+          else ids.slice(1, ids.length - 2)
+        val keep = ids.filterNot(absorb.contains)
+        keep.foreach { id =>
+          val own = s"$sigsRoot/ingest_batch=$id"
+          val srcs = if (id == base) own +: absorb.map(i =>
+            s"$sigsRoot/ingest_batch=$i") else Seq(own)
+          // rewrite only when there is something to change: the base
+          // when it absorbs folded partitions, any partition that
+          // physically holds a tombstoned row
+          val holdsDeleted = spark.read.parquet(own)
+            .join(broadcast(tombs), Seq("doc_id"), "semi").head(1).nonEmpty
+          if (srcs.length > 1 || holdsDeleted) {
+            val data = spark.read.parquet(srcs: _*)
+              .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+              .coalesce(nOut(srcs))
+            // crash-safe in-place swap (rewriteDirInPlace): a crash at
+            // any point either leaves the original serving or parks it
+            // behind a sealed replacement that the next run (or any
+            // reader's loud refusal -> this op) rolls forward
+            graft.core.Artifacts.rewriteDirInPlace(fs, sigsRoot,
+              s"ingest_batch=$id") { tmp => data.write.parquet(tmp) }
+          }
+        }
+        absorb.foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
+        }
+        // clear tombstones LAST — every partition is now physically
+        // scrubbed, so the deleted ids are free for deliberate
+        // re-ingest. A crash mid-clear leaves some tombstones pending:
+        // harmless (they filter already-absent rows; the next
+        // compaction's semi-probe finds nothing to rewrite and clears
+        // the rest). Unsealed tombstone dirs below the newest sealed
+        // one are crashed deletes a re-run superseded — swept; one
+        // ABOVE may be a delete in flight and survives (the
+        // sweepTornFamily convention).
+        val tombRoot = s"$stateDir/tombstones"
+        val entries = graft.core.Artifacts.sealedFamilyDirs(fs, tombRoot, "del")
+        val sealedMax = entries.collect { case (a, true) => a }.max
+        entries.foreach { case (a, sealedA) =>
+          if (sealedA || a < sealedMax)
+            fs.delete(new org.apache.hadoop.fs.Path(s"$tombRoot/del=$a"), true)
+        }
     }
   }
+
+  // ------------------------------------------------------------------ //
+  // DELETION LIFECYCLE for the dedup state (r11 verdict #1) — the
+  // IVFADC tombstone design ([[VectorOps.deleteFromIvfPqIndex]])
+  // mirrored onto the signature store + cluster assignment. Layout
+  // addition under `stateDir`:
+  //
+  //   tombstones/del=<n>/   sealed one-column (doc_id) parquet dirs
+  //
+  // Three-stage hardness, each crash-safe:
+  //   1. deleted ([[deleteFromDedupState]]): tombstones land sealed;
+  //      every signature read anti-joins them out IMMEDIATELY
+  //      ([[readSignatureStoreState]], the [[clustersIngestBatch]]
+  //      reads); every retained assignment snapshot HEALS to exactly
+  //      the from-scratch clustering of the scrubbed corpus
+  //      ([[healAssignments]] — the declared q_dedup_deleted puts that
+  //      equality behind the full recompute oracle hash). Bytes remain.
+  //   2. compacted ([[compactSignatureStore]] — pending tombstones
+  //      force the rewrite even below the small-file threshold): the
+  //      signature partitions physically EXCLUDE tombstoned docs and
+  //      the tombstone dirs clear — which is what frees the ids for
+  //      DELIBERATE re-ingest (while tombstones pend, a re-ingested
+  //      doc_id stays deleted: batch sigs are filtered too).
+  //   3. nothing to prune — the rewrite reclaimed the bytes in place.
+  //
+  // Serial-writer contract like every maintenance event here: deletes
+  // and compactions run between batches, never against an in-flight
+  // [[clustersIngestBatch]].
+  // ------------------------------------------------------------------ //
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** All sealed tombstoned doc ids as one distinct frame; None when no
+    * deletions pend. Unsealed `del=` dirs are crashed deletes —
+    * invisible (re-run the delete), the sealed-family convention.
+    */
+  private def pendingTombstones(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val root = s"$stateDir/tombstones"
+    val dirs = graft.core.Artifacts
+      .sealedFamilyDirs(fsFor(spark, stateDir), root, "del")
+      .collect { case (a, true) => s"$root/del=$a" }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
+  }
+
+  /** Refuse while a crashed in-place rewrite has a partition PARKED —
+    * the one window where a plain read would silently see a shrunken
+    * store (missed duplicates forever). Heals via the maintenance ops.
+    */
+  private def requireNoParks(spark: SparkSession, root: String,
+      who: String): Unit = {
+    val parks = graft.core.Artifacts.rewriteParks(fsFor(spark, root), root)
+    require(parks.isEmpty,
+      s"$who: $root holds parked partition(s) ${parks.mkString(",")} from a " +
+        "crashed maintenance rewrite — a plain read would silently miss " +
+        "their rows. Run compactSignatureStore (sigs) or healAssignments " +
+        "(assign) to heal, then retry")
+  }
+
+  /** Read the [[clustersIngestBatch]] signature store with sealed
+    * tombstones anti-joined out — THE store-level entry point for
+    * incremental dedup against persisted state
+    * ([[incrementalCandidatesFromSigs]] takes its output): a deleted
+    * document stops generating candidates the moment its tombstone
+    * seals, with the corpus-sized store never rewritten on the delete
+    * path (the rewrite is compaction's job). `beforeId` restricts to
+    * partitions `ingest_batch < id` (the replay read shape).
+    */
+  def readSignatureStoreState(spark: SparkSession, stateDir: String,
+      beforeId: Option[Long] = None): DataFrame = {
+    val sigsRoot = s"$stateDir/sigs"
+    requireNoParks(spark, sigsRoot, "readSignatureStoreState")
+    val all = spark.read.parquet(sigsRoot)
+    val ranged = beforeId.fold(all)(id => all.filter(col("ingest_batch") < id))
+      .drop("ingest_batch")
+    pendingTombstones(spark, stateDir).fold(ranged)(t =>
+      ranged.join(broadcast(t), Seq("doc_id"), "left_anti"))
+  }
+
+  /** The latest sealed cluster-assignment snapshot of a
+    * [[clustersIngestBatch]] state dir — the serving read.
+    */
+  def readClusterAssignment(spark: SparkSession, stateDir: String): DataFrame = {
+    val assignRoot = s"$stateDir/assign"
+    requireNoParks(spark, assignRoot, "readClusterAssignment")
+    val fs = fsFor(spark, stateDir)
+    val sealedIds = graft.core.Artifacts
+      .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
+      .collect { case (a, true) => a }
+    require(sealedIds.nonEmpty,
+      s"readClusterAssignment: no sealed assignment snapshot under " +
+        s"$assignRoot — run clustersIngestBatch first")
+    spark.read.parquet(s"$assignRoot/ingest_batch=${sealedIds.max}")
+  }
+
+  /** DELETE documents from the dedup state (the takedown /
+    * right-to-be-forgotten op — r11 verdict #1): `docIds` (one
+    * `doc_id` column) lands as a fresh sealed `tombstones/del=<n>`
+    * dir, then every retained assignment snapshot heals
+    * ([[healAssignments]]). Crash between the two steps: tombstones
+    * sealed but assignments stale — every ingest/compaction entry
+    * point detects the unhealed state and refuses loudly until
+    * healAssignments runs (the evidence to heal from is durable, so
+    * nothing is lost). `minEstJaccard` must be the state's own
+    * clustering threshold.
+    */
+  def deleteFromDedupState(spark: SparkSession, stateDir: String,
+      docIds: DataFrame, minEstJaccard: Double = 0.5): Unit = {
+    require(docIds.columns.contains("doc_id"),
+      s"deleteFromDedupState: docIds must carry a `doc_id` column, got " +
+        docIds.columns.mkString(","))
+    val root = s"$stateDir/tombstones"
+    val existing = graft.core.Artifacts
+      .sealedFamilyDirs(fsFor(spark, stateDir), root, "del").map(_._1)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    docIds.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/del=$next")
+    healAssignments(spark, stateDir, minEstJaccard)
+  }
+
+  /** Heal every retained assignment snapshot after a delete: a removed
+    * document's cluster must RE-DERIVE from the surviving edges — the
+    * doc may have been the component's min-id label, or its only
+    * bridge (the component splits), and sizes shrink; an anti-join
+    * alone would leave all of that stale. Per snapshot, O(touched
+    * clusters), never O(corpus):
+    *
+    *   - touched = clusters holding a tombstoned doc (broadcast semi
+    *     against the delete-sized tombstone set);
+    *   - their surviving members' signatures (partition-pruned to the
+    *     snapshot's own `ingest_batch <= id` prefix) re-run the exact
+    *     candidate->components chain ([[candidatesFromSignatures]] ->
+    *     [[clustersFromCandidates]]) — edges are pairwise functions of
+    *     signatures, so no cross-cluster edge can appear and the
+    *     sub-result is bit-identical to the scrubbed-corpus recompute
+    *     restricted to those docs (q_dedup_deleted's oracle IS that
+    *     full recompute);
+    *   - untouched rows pass through verbatim; the snapshot rewrites
+    *     in place crash-safely ([[graft.core.Artifacts
+    *     .rewriteDirInPlace]] — readers refuse on a parked original,
+    *     this op heals leftovers on entry).
+    *
+    * EVERY retained snapshot heals, not just the serving one: the
+    * previous snapshot is what a replay of the latest batch folds
+    * from, and folding from an unhealed base would resurrect the
+    * deleted docs' memberships. Idempotent (already-healed snapshots
+    * have no touched clusters).
+    */
+  def healAssignments(spark: SparkSession, stateDir: String,
+      minEstJaccard: Double = 0.5): Unit = {
+    val assignRoot = s"$stateDir/assign"
+    val sigsRoot = s"$stateDir/sigs"
+    val fs = fsFor(spark, stateDir)
+    graft.core.Artifacts.healRewrites(fs, assignRoot)
+    val tombs = pendingTombstones(spark, stateDir).getOrElse(return)
+      .localCheckpoint(true)
+    requireNoParks(spark, sigsRoot, "healAssignments")
+    val snapIds = graft.core.Artifacts
+      .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
+      .collect { case (a, true) => a }
+    snapIds.foreach { id =>
+      val snap = s"$assignRoot/ingest_batch=$id"
+      val assign = spark.read.parquet(snap)
+      val touched = assign.join(broadcast(tombs), Seq("doc_id"), "semi")
+        .select("cluster_id").distinct().localCheckpoint(true)
+      if (touched.head(1).nonEmpty) {
+        val members = assign.join(broadcast(touched), Seq("cluster_id"), "semi")
+        val survivors = members
+          .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+          .select("doc_id").localCheckpoint(true)
+        val subSigs = spark.read.parquet(sigsRoot)
+          .filter(col("ingest_batch") <= id).drop("ingest_batch")
+          .join(broadcast(survivors), Seq("doc_id"), "semi")
+        val subAssign = clustersFromCandidates(
+          candidatesFromSignatures(subSigs, minEstJaccard))
+        val healed = assign
+          .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+          .select("doc_id", "cluster_id", "cluster_size")
+          .unionByName(subAssign.select("doc_id", "cluster_id", "cluster_size"))
+          // fully materialize BEFORE the rewrite parks the dir this
+          // plan reads from (the write itself would otherwise race its
+          // own input's rename)
+          .localCheckpoint(true)
+        graft.core.Artifacts.rewriteDirInPlace(fs, assignRoot,
+          s"ingest_batch=$id") { tmp => healed.write.parquet(tmp) }
+      }
+    }
+  }
+
+  /** Loud unhealed-state gate shared by ingest and compaction: while
+    * tombstones pend, every sealed assignment snapshot must already be
+    * healed (no tombstoned doc holds a membership row) — ingest folding
+    * from a stale base would resurrect memberships, and compaction
+    * clearing the tombstones would discard the only evidence the heal
+    * needs.
+    */
+  private def requireAssignmentsHealed(spark: SparkSession, stateDir: String,
+      tombs: DataFrame, who: String): Unit = {
+    val assignRoot = s"$stateDir/assign"
+    val fs = fsFor(spark, stateDir)
+    graft.core.Artifacts
+      .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
+      .collect { case (a, true) => a }
+      .foreach { id =>
+        val stale = spark.read.parquet(s"$assignRoot/ingest_batch=$id")
+          .join(broadcast(tombs), Seq("doc_id"), "semi")
+        require(stale.head(1).isEmpty,
+          s"$who: assignment snapshot ingest_batch=$id still holds " +
+            "tombstoned docs — a delete crashed before its heal; run " +
+            "healAssignments(stateDir) first")
+      }
+  }
+
+  /** ONE schedulable maintenance op for the dedup state — the
+    * [[VectorOps.maintainIndex]] twin (r11 verdict #6): what a
+    * deployment cron runs between ingest windows, chaining every
+    * maintenance event in its safe order and returning a one-row
+    * report (report-only — reading it never mutates further state):
+    *
+    *   1. heal crashed maintenance rewrites (both roots);
+    *   2. heal the assignment if a crashed delete left tombstones
+    *      without their heal ([[healAssignments]] — idempotent);
+    *   3. compact the signature store ([[compactSignatureStore]] —
+    *      folds small-file creep AND materializes pending deletions,
+    *      clearing the tombstones);
+    *   4. sampled dup-recall probe: every stored signature with
+    *      doc_id ≡ 0 (mod `probeModulus`) is re-presented under a
+    *      fresh id against the store via [[incrementalCandidatesFromSigs]]
+    *      — an identical signature shares every band bucket, so a
+    *      healthy store returns its own twin at est_jaccard 1.0 for
+    *      EVERY panel doc (dup_recall = 1.0; anything less means the
+    *      banding, the store read, or the tombstone filter is broken).
+    *      Cost scales with the panel (hash-sampled — the
+    *      q_ann_recall_sampled protocol), never the corpus.
+    *
+    * Report: (healed_delete, n_sig_partitions_before/after,
+    * n_sig_files_after, n_tombstoned_docs, n_assign_rows, panel_n,
+    * dup_recall). Serial-writer contract: run between batches.
+    */
+  def maintainDedupState(spark: SparkSession, stateDir: String,
+      minEstJaccard: Double = 0.5, probeModulus: Long = 101L): DataFrame = {
+    import spark.implicits._
+    require(probeModulus > 0, s"probeModulus must be > 0, got $probeModulus")
+    val sigsRoot = s"$stateDir/sigs"
+    val assignRoot = s"$stateDir/assign"
+    val fs = fsFor(spark, stateDir)
+    graft.core.Artifacts.healRewrites(fs, sigsRoot)
+    graft.core.Artifacts.healRewrites(fs, assignRoot)
+    def sigPartitions(): Seq[Long] = graft.core.Artifacts
+      .sealedFamilyDirs(fs, sigsRoot, "ingest_batch").map(_._1)
+    val partsBefore = sigPartitions().size.toLong
+    // a crashed deleteFromDedupState left tombstones without the heal:
+    // heal FIRST (compaction would refuse), and report it
+    val pending = pendingTombstones(spark, stateDir)
+    val nTombstoned = pending.map(_.count()).getOrElse(0L)
+    val healed = pending.isDefined
+    if (healed) healAssignments(spark, stateDir, minEstJaccard)
+    compactSignatureStore(spark, stateDir)
+    val partsAfter = sigPartitions().size.toLong
+    val nFiles = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(sigsRoot), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val nAssign =
+      if (graft.core.Artifacts.sealedFamilyDirs(fs, assignRoot, "ingest_batch")
+          .exists(_._2)) readClusterAssignment(spark, stateDir).count()
+      else 0L
+    // sampled self-recall probe against the maintained store
+    val sigs = readSignatureStoreState(spark, stateDir).localCheckpoint(true)
+    val panel0 = sigs.filter(col("doc_id") % probeModulus === 0)
+    val maxId = sigs.agg(max(col("doc_id"))).head
+    val (panelN, recall) =
+      if (maxId.isNullAt(0)) (0L, None)
+      else {
+        val offset = maxId.getLong(0) + 1
+        val panel = panel0.withColumn("doc_id", col("doc_id") + lit(offset))
+          .localCheckpoint(true)
+        val n = panel.count()
+        if (n == 0) (0L, None)
+        else {
+          val hits = incrementalCandidatesFromSigs(panel, sigs, minEstJaccard)
+            .filter(col("d2") >= offset && col("d1") === col("d2") - lit(offset))
+            .select("d2").distinct().count()
+          (n, Some(hits.toDouble / n))
+        }
+      }
+    Seq((healed, partsBefore, partsAfter, nFiles, nTombstoned, nAssign,
+        panelN, recall))
+      .toDF("healed_delete", "n_sig_partitions_before", "n_sig_partitions_after",
+        "n_sig_files_after", "n_tombstoned_docs", "n_assign_rows",
+        "panel_n", "dup_recall")
+  }
+
+  /** The shared two-batch [[clustersIngestBatch]] state fixture the
+    * deletion-lifecycle queries serve from (built once per JVM per SF —
+    * the [[graft.core.Fixtures]] accounting: Bench's untimed warmup
+    * pays the build, timed passes price the lifecycle op itself).
+    */
+  private[ops] def dedupStateFixture(spark: SparkSession, dir: String): String =
+    graft.core.Fixtures.artifactDir(dir, "dedup-state") { d =>
+      val docs = Tables.documents(spark, dir)
+      clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, d, 0.5)
+      clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, d, 0.5)
+    }
 
   /** The deduplicated corpus itself: drop every non-canonical member of
     * a near-dup cluster (keep the min-doc_id representative), keep all
@@ -1658,6 +2050,24 @@ object Dedup extends graft.QueryModule {
       out
     },
 
+    // DELETION lifecycle under the full hash gate (r11 verdict #1):
+    // a two-batch state dir (the q_dedup_clusters_incr split,
+    // persisted), then every doc_id ≡ 3 (mod 7) deleted — tombstones
+    // land, the assignment HEALS (touched clusters re-derive from
+    // surviving edges through the same candidate->components chain).
+    // The oracle is the from-scratch recursive-CTE clustering of the
+    // SCRUBBED corpus, so delete+heal == never-ingested is what the
+    // hash itself proves. The shared state fixture is copied first
+    // (the delete mutates it — the q_ivfpq_deleted convention).
+    "q_dedup_deleted" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val st = graft.core.Fixtures.copyInto(
+        dedupStateFixture(spark, dir), "dedup-delete")
+      deleteFromDedupState(spark, st,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), 0.5)
+      readClusterAssignment(spark, st).orderBy("doc_id")
+    },
+
     // PageRank centrality over the near-dup candidate graph (3 fixed
     // iterations, d = 0.85): which member of each duplicate
     // neighborhood is the hub copy. Deterministic decimal-summed
@@ -1752,13 +2162,16 @@ object Dedup extends graft.QueryModule {
     // shared by q_dedup_clusters AND q_dedup_clusters_incr: the
     // incremental path's declared contract is bit-equality with a full
     // from-scratch re-cluster, so both queries sit behind the SAME
-    // recompute oracle
-    val dedupClustersSql =
+    // recompute oracle. q_dedup_deleted reuses it with a SCRUB
+    // predicate: per-doc signatures are independent, so filtering the
+    // per-doc hashes by doc_id is exactly clustering the scrubbed
+    // corpus from scratch — which is the delete+heal contract.
+    def dedupClustersSqlFor(docWhere: String): String =
       s"""WITH RECURSIVE $shingleHashCte,
          |sigs AS (
          |  SELECT doc_id,
          |    $sigColsSql
-         |  FROM hashes GROUP BY doc_id),
+         |  FROM hashes WHERE $docWhere GROUP BY doc_id),
          |bands AS (
          |  $bandSelects),
          |cand AS (
@@ -1783,6 +2196,7 @@ object Dedup extends graft.QueryModule {
          |SELECT node AS doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM labels ORDER BY doc_id""".stripMargin
+    val dedupClustersSql = dedupClustersSqlFor("TRUE")
     Map(
       "q_exact_dedup" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
@@ -2306,6 +2720,9 @@ object Dedup extends graft.QueryModule {
       // the incremental maintenance path must equal a from-scratch
       // re-cluster of the full corpus — same oracle text by design
       "q_dedup_clusters_incr" -> dedupClustersSql,
+      // delete+heal == never-ingested: the SAME full recompute, run on
+      // the scrubbed corpus
+      "q_dedup_deleted" -> dedupClustersSqlFor("doc_id % 7 <> 3"),
       // same candidate-edge chain as q_dedup_clusters; PageRank is
       // unrolled (3 iterations) with the decimal-summed contributions
       // and the VARCHAR-mediated decimal→double cast (DuckDB's direct

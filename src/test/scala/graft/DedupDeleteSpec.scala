@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Deletion lifecycle for the dedup state (r11 verdict #1): the IVFADC
+  * tombstone design mirrored onto the signature store + cluster
+  * assignment. Contract under test, end to end:
+  *
+  *   delete -> tombstones land sealed; every retained assignment
+  *   snapshot HEALS to exactly the from-scratch clustering of the
+  *   scrubbed corpus; incremental candidates stop pairing against the
+  *   deleted docs immediately; compaction MATERIALIZES the deletion
+  *   (signatures physically gone, tombstones cleared), freeing the ids
+  *   for deliberate re-ingest; replay of the latest batch cannot
+  *   resurrect anything.
+  */
+class DedupDeleteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = graft.core.Tables.documents(spark, dir)
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def assignSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_id", "cluster_id", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Deleted ids: every doc in some near-dup cluster's MIDDLE plus the
+    * MIN-id (label) of at least one cluster — doc_id % 7 == 3 hits both
+    * at sf0.001 (asserted below so the fixture can't silently weaken).
+    */
+  private val delPred = col("doc_id") % 7 === 3
+
+  test("delete heals every retained assignment snapshot to the scrubbed-corpus " +
+      "from-scratch clustering; candidates exclude deleted docs immediately") {
+    val state = tmp("dedup-del-state")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    // the fixture must actually exercise the heal: at least one deleted
+    // doc is a cluster member, and at least one is a cluster LABEL
+    val before = spark.read.parquet(s"$state/assign/ingest_batch=1")
+    val deletedMembers = before.filter(delPred)
+    assert(deletedMembers.count() > 0, "delete set hits no cluster member")
+    assert(deletedMembers.filter(col("doc_id") === col("cluster_id")).count() > 0,
+      "delete set hits no cluster label (relabeling untested)")
+
+    Dedup.deleteFromDedupState(spark, state, docs.filter(delPred).select("doc_id"))
+
+    val scrubbed = docs.filter(!delPred)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "healed latest assignment != from-scratch clustering of the scrubbed corpus")
+    // BOTH retained snapshots healed (snapshot 0 serves replay of batch 1)
+    assert(assignSet(spark.read.parquet(s"$state/assign/ingest_batch=0"))
+      === assignSet(Dedup.dupClusters(scrubbed.filter(col("doc_id") < 400), 0.5)),
+      "healed prior snapshot != scrubbed clustering of its own batch prefix")
+
+    // candidates against the store stop pairing with deleted docs NOW
+    // (tombstones pending, nothing materialized yet)
+    val sigs = Dedup.readSignatureStoreState(spark, state)
+    assert(sigs.filter(delPred).count() === 0,
+      "state reader still serves deleted signatures")
+    val cand = Dedup.incrementalCandidatesFromSigs(
+      Dedup.minhashSignatures(docs.filter(col("doc_id") >= 400)), sigs)
+    assert(cand.filter(col("d1") % 7 === 3 || col("d2") % 7 === 3).count() === 0)
+
+    // replay of the latest batch cannot resurrect: the batch itself
+    // contains deleted docs, but its re-run reads tombstone-filtered
+    // state and re-heals nothing because the written sigs are filtered
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "replay of the latest batch resurrected deleted state")
+
+    // compaction MATERIALIZES: signatures physically scrubbed from
+    // every partition, tombstones cleared
+    Dedup.compactSignatureStore(spark, state)
+    assert(spark.read.parquet(s"$state/sigs").filter(delPred).count() === 0,
+      "compaction left deleted signatures on disk")
+    assert(graft.core.Artifacts.sealedFamilyDirs(
+        new org.apache.hadoop.fs.Path(state)
+          .getFileSystem(spark.sessionState.newHadoopConf()),
+        s"$state/tombstones", "del").isEmpty,
+      "compaction did not clear materialized tombstones")
+
+    // deliberate re-ingest after materialization: the ids are free again
+    Dedup.clustersIngestBatch(docs.filter(delPred), 2, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs, 0.5)),
+      "re-ingest after compaction did not restore full-corpus clustering")
+  }
+
+  test("batch ingest refuses while assignments are unhealed (tombstones pend " +
+      "but a crashed delete never ran the heal)") {
+    val state = tmp("dedup-del-unhealed")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    // simulate the crash window: tombstone landed, heal never ran —
+    // land the tombstone dir directly instead of via deleteFromDedupState
+    docs.filter(delPred).select("doc_id").distinct()
+      .write.parquet(s"$state/tombstones/del=1")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    }
+    assert(e.getMessage.contains("healAssignments"), e.getMessage)
+    // compaction refuses to materialize-and-clear for the same reason
+    // (clearing would discard the only evidence the heal needs)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, state)
+    }
+    assert(e2.getMessage.contains("healAssignments"), e2.getMessage)
+    // healing unblocks both
+    Dedup.healAssignments(spark, state)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!delPred), 0.5)))
+  }
+
+  test("crashed in-place rewrite: readers refuse on the parked original; " +
+      "healRewrites rolls the sealed swap forward") {
+    val state = tmp("dedup-del-crash")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    Dedup.deleteFromDedupState(spark, state, docs.filter(delPred).select("doc_id"))
+    val scrubbedAssign = assignSet(Dedup.readClusterAssignment(spark, state))
+    // simulate a crash between park and swap-in on a sigs partition:
+    // copy the partition to a sealed tmp, then park the original
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sigsRoot = s"$state/sigs"
+    val part = "ingest_batch=0"
+    spark.read.parquet(s"$sigsRoot/$part").write.parquet(s"$sigsRoot/_rw_tmp_$part")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$sigsRoot/$part"),
+      new org.apache.hadoop.fs.Path(s"$sigsRoot/_rw_old_$part")))
+    // reader refuses LOUDLY (a plain read would silently see an empty store)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readSignatureStoreState(spark, state)
+    }
+    assert(e.getMessage.contains("crashed"), e.getMessage)
+    // compaction heals on entry: swap rolled forward, reads serve again
+    Dedup.compactSignatureStore(spark, state)
+    assert(Dedup.readSignatureStoreState(spark, state).count() > 0)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state)) === scrubbedAssign)
+  }
+
+  test("maintainDedupState: one op heals a crashed delete, compacts small-file " +
+      "creep, materializes tombstones, and reports dup_recall 1.0; replay-safe") {
+    val state = tmp("dedup-maintain")
+    // two fold cycles' worth of small batches -> small-file creep
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 200), 0, state)
+    Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), 1, state)
+    Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 600), 2, state)
+    Dedup.clustersIngestBatch(
+      docs.filter(col("doc_id") >= 600 && col("doc_id") < 800), 3, state)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 800), 4, state)
+    // crashed delete: tombstone landed, heal never ran
+    docs.filter(delPred).select("doc_id").distinct()
+      .write.parquet(s"$state/tombstones/del=1")
+
+    val rep = Dedup.maintainDedupState(spark, state).collect().head
+    assert(rep.getAs[Boolean]("healed_delete"))
+    assert(rep.getAs[Long]("n_tombstoned_docs") > 0)
+    assert(rep.getAs[Long]("n_sig_partitions_before") === 5L)
+    assert(rep.getAs[Long]("n_sig_partitions_after") === 3L,
+      "compaction did not settle the store at {base, previous, current}")
+    assert(rep.getAs[Double]("dup_recall") === 1.0,
+      s"self-recall probe missed stored twins: ${rep}")
+    assert(rep.getAs[Long]("panel_n") > 0)
+
+    val scrubbed = docs.filter(!delPred)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "maintain's heal diverged from the scrubbed-corpus recompute")
+    assert(spark.read.parquet(s"$state/sigs").filter(delPred).count() === 0,
+      "maintain did not materialize the deletion")
+
+    // replay of the latest batch after maintenance: state re-derives
+    // identically (the replayed write is tombstone-free by now — the
+    // tombstones cleared — but the batch content itself re-sketches)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 800), 4, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(
+        docs.filter(col("doc_id") < 800).filter(!delPred)
+          .unionByName(docs.filter(col("doc_id") >= 800)), 0.5)),
+      "replay after maintenance diverged")
+
+    // a second maintain run on settled state is a stable no-op
+    val rep2 = Dedup.maintainDedupState(spark, state).collect().head
+    assert(!rep2.getAs[Boolean]("healed_delete"))
+    assert(rep2.getAs[Long]("n_tombstoned_docs") === 0L)
+    assert(rep2.getAs[Double]("dup_recall") === 1.0)
+  }
+
+  test("deleting docs that never clustered (or repeating a delete) is a no-op " +
+      "for the assignment and still filters their signatures") {
+    val state = tmp("dedup-del-noop")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    val before = assignSet(Dedup.readClusterAssignment(spark, state))
+    // pick docs with no assignment row (singletons)
+    val singletons = docs.filter(col("doc_id") < 400)
+      .join(spark.read.parquet(s"$state/assign/ingest_batch=0")
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").limit(3).localCheckpoint(true)
+    assert(singletons.count() > 0)
+    Dedup.deleteFromDedupState(spark, state, singletons)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state)) === before)
+    assert(Dedup.readSignatureStoreState(spark, state)
+      .join(singletons, Seq("doc_id"), "semi").count() === 0)
+    // idempotent second delete of the same ids
+    Dedup.deleteFromDedupState(spark, state, singletons)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state)) === before)
+  }
+}
