@@ -1137,35 +1137,46 @@ object VectorOps extends graft.QueryModule {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val vdir = s"$dir/v=${(0L +: indexVersions(fs, dir)).max + 1}"
+    val priorOpt = indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
+      .sorted.lastOption.map(v => s"$dir/v=$v")
     cent.write.mode("overwrite").parquet(s"$vdir/centroids")
     cb.write.mode("overwrite").parquet(s"$vdir/codebook")
     // codes live in SEALED append dirs (append=0 is the training
     // write): readers take only dirs whose _SUCCESS committed, so a
     // crashed later append is invisible instead of a partial,
-    // committer-dependent row subset — see appendToIvfPqIndex
-    codes.write.mode("overwrite").parquet(s"$vdir/codes/append=0")
+    // committer-dependent row subset — see appendToIvfPqIndex.
+    // MATERIALIZED deletions stay deleted across the retrain: the
+    // prior version's deletion log anti-joins the fresh codes (the
+    // retrain corpus may legitimately still contain the rows — r11
+    // ADVICE: durability must not depend on the operator purging them)
+    priorOpt.map(p => dropLogged(spark, p, codes)).getOrElse(codes)
+      .write.mode("overwrite").parquet(s"$vdir/codes/append=0")
     // a RETRAIN carries the prior version's replay-dedup evidence
     // forward exactly like a compaction does: without it, a replayed
     // pre-retrain stream batch is only skippable while the OLD
     // version's live markers survive, making prune timing a silent
     // correctness dependency (r10 ADVICE #2 — the scaladoc's manual
     // "prune only after the stream catches up" rule, now mechanical)
-    indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
-      .sorted.lastOption
-      .foreach { v =>
-        val prior = s"$dir/v=$v"
+    priorOpt
+      .foreach { prior =>
         carryReplayMarkers(fs, prior, vdir)
-        // pending deletion tombstones carry too: a retrain whose input
+        // PENDING deletion tombstones carry too: a retrain whose input
         // corpus still contains deleted rows must not resurrect them —
         // the tombstones keep suppressing until a compaction
-        // materializes the deletion (see deleteFromIvfPqIndex)
-        sealedTombstoneDirs(fs, prior).foreach { t =>
-          val name = new org.apache.hadoop.fs.Path(t).getName
-          org.apache.hadoop.fs.FileUtil.copy(fs,
-            new org.apache.hadoop.fs.Path(t), fs,
-            new org.apache.hadoop.fs.Path(s"$vdir/tombstones/$name"),
-            false, spark.sessionState.newHadoopConf())
-        }
+        // materializes the deletion (see deleteFromIvfPqIndex); the
+        // deletion LOG carries the already-materialized ones
+        (sealedTombstoneDirs(fs, prior) ++
+            Some(s"$prior/$DeletionLogDir").filter(d => fs.exists(
+              new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))))
+          .foreach { t =>
+            val name = new org.apache.hadoop.fs.Path(t).getName
+            val dst = if (name == DeletionLogDir) s"$vdir/$DeletionLogDir"
+              else s"$vdir/tombstones/$name"
+            org.apache.hadoop.fs.FileUtil.copy(fs,
+              new org.apache.hadoop.fs.Path(t), fs,
+              new org.apache.hadoop.fs.Path(dst),
+              false, spark.sessionState.newHadoopConf())
+          }
       }
     Seq((nCentroids, m, ksub, dims))
       .toDF("n_centroids", "m", "ksub", "dims")
@@ -1234,6 +1245,77 @@ object VectorOps extends graft.QueryModule {
     sealedFamilyDirs(fs, s"$versionDir/tombstones", "del")
       .collect { case (a, true) => s"$versionDir/tombstones/del=$a" }
 
+  private val DeletionLogDir = "deletion_log"
+
+  /** The version's durable DELETION LOG (r11 ADVICE): a one-column
+    * `vid` parquet dir recording every deletion a compaction has
+    * MATERIALIZED. Tombstones alone made deletion durable only while
+    * pending — once a compaction cleared them, a retrain or append fed
+    * an unpurged corpus would silently resurrect the rows. The log is
+    * carried across versions like the replay markers, every writer
+    * (retrain, rebalance, one-shot and streamed appends) anti-joins
+    * its input against it, and a vid leaves it only through the
+    * explicit [[allowReingest]] — deletion is durable BY DEFAULT,
+    * re-admission is a deliberate operator event. Takedown-sized, so
+    * the anti-joins broadcast. None = empty log (incl. an unsealed
+    * dir: only a crashed [[allowReingest]] REWRITE could leave one,
+    * and that protocol parks the original rather than damaging it —
+    * the park refusal below keeps that window loud).
+    */
+  private def deletionLog(spark: SparkSession,
+      versionDir: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(versionDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val parks = graft.core.Artifacts.rewriteParks(fs, versionDir)
+    require(parks.isEmpty,
+      s"deletionLog: $versionDir holds parked dir(s) ${parks.mkString(",")} " +
+        "from a crashed allowReingest rewrite — run allowReingest (it heals " +
+        "on entry) or compactIvfPqIndex before writing to this index")
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$versionDir/$DeletionLogDir/_SUCCESS")))
+      Some(spark.read.parquet(s"$versionDir/$DeletionLogDir").select("vid"))
+    else None
+  }
+
+  /** Anti-join a codes-shaped frame (`vid` column) against the
+    * version's deletion log — the single suppression point every
+    * writer shares.
+    */
+  private def dropLogged(spark: SparkSession, versionDir: String,
+      codes: DataFrame): DataFrame =
+    deletionLog(spark, versionDir).fold(codes)(l =>
+      codes.join(broadcast(l), Seq("vid"), "left_anti"))
+
+  /** Re-admit vids to the index (the deliberate inverse of
+    * [[deleteFromIvfPqIndex]] + compaction): remove them from the
+    * serving version's deletion log so future appends/retrains accept
+    * them again. Crash-safe via the in-place rewrite protocol (a
+    * parked log refuses loudly everywhere and this op heals on
+    * entry). Serial-writer contract like every maintenance event.
+    */
+  def allowReingest(spark: SparkSession, dir: String, vids: DataFrame): Unit = {
+    require(vids.columns.contains("vid"),
+      s"allowReingest: vids must carry a `vid` column, got " +
+        vids.columns.mkString(","))
+    val base = latestIndexDir(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.core.Artifacts.healRewrites(fs, base)
+    deletionLog(spark, base).foreach { l =>
+      val remaining = l.join(vids.select("vid").distinct(), Seq("vid"),
+        "left_anti").localCheckpoint(true)
+      if (remaining.head(1).isEmpty)
+        // drop-all: deleting the sealed dir is crash-safe here — a
+        // partial delete leaves it unsealed, which reads as absent
+        // (exactly the intended empty log)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/$DeletionLogDir"), true)
+      else
+        graft.core.Artifacts.rewriteDirInPlace(fs, base, DeletionLogDir) {
+          tmp => remaining.coalesce(1).write.parquet(tmp)
+        }
+    }
+  }
+
   /** The codes table's SEALED append dirs: every `append=<n>` whose
     * `_SUCCESS` job-commit marker exists. An unsealed dir is a
     * crashed append — invisible garbage, never a partial row subset.
@@ -1283,17 +1365,21 @@ object VectorOps extends graft.QueryModule {
     *      re-run the delete.
     *   2. compacted ([[compactIvfPqIndex]] — pending tombstones force
     *      the fold even below the fragmentation threshold): the new
-    *      version's codes physically EXCLUDE tombstoned vids and
-    *      carry no tombstones.
+    *      version's codes physically EXCLUDE tombstoned vids, the
+    *      tombstone dirs drop, and the vids move into the version's
+    *      durable DELETION LOG.
     *   3. pruned ([[pruneIvfPqVersions]]): prior versions' dirs — the
     *      last bytes — are reclaimed.
     *
     * A retrain ([[writeIvfPqIndex]]/[[rebalanceIvfPqIndex]]) CARRIES
-    * pending tombstones into its new version, so retraining from a
-    * corpus that still contains deleted rows cannot resurrect them;
-    * re-ingesting a vid on purpose requires compacting first (which
-    * clears the tombstones), then appending. Same serial-writer
-    * contract as every other maintenance event.
+    * pending tombstones into its new version, and every writer
+    * (retrain, rebalance, both append paths) anti-joins its input
+    * against the deletion log — so deletion survives model refreshes,
+    * compactions, AND later writes fed a corpus that still contains
+    * the deleted rows (r11 ADVICE: durability must not depend on the
+    * operator purging the embeddings frame). Re-ingesting a vid on
+    * purpose is the explicit [[allowReingest]] event. Same
+    * serial-writer contract as every other maintenance event.
     */
   def deleteFromIvfPqIndex(spark: SparkSession, dir: String,
       vids: DataFrame): Unit = {
@@ -1410,7 +1496,10 @@ object VectorOps extends graft.QueryModule {
     spark.read.parquet(s"$base/codebook").write.parquet(s"$vnew/codebook")
     // tombstoned vids are EXCLUDED from the folded codes and the
     // tombstone dirs are NOT carried — the fold is the hard-delete
-    // step (bytes in prior versions go when those versions prune)
+    // step (bytes in prior versions go when those versions prune).
+    // The materialized vids move into the new version's DELETION LOG
+    // (union with the carried prior log), so durability does not end
+    // here: writers keep refusing the vids until allowReingest
     val folded0 = spark.read.parquet(srcDirs: _*)
     val folded =
       if (tombs.isEmpty) folded0
@@ -1418,6 +1507,14 @@ object VectorOps extends graft.QueryModule {
         Seq("vid"), "left_anti")
     folded.coalesce(nOut).write.parquet(s"$vnew/codes/append=0")
     carryReplayMarkers(fs, base, vnew)
+    val priorLog = deletionLog(spark, base)
+    val newLog = (priorLog, if (tombs.isEmpty) None
+        else Some(spark.read.parquet(tombs: _*).select("vid"))) match {
+      case (Some(l), Some(t)) => Some(l.unionByName(t).distinct())
+      case (l, t) => l.orElse(t.map(_.distinct()))
+    }
+    newLog.foreach(
+      _.coalesce(1).write.parquet(s"$vnew/$DeletionLogDir"))
     spark.read.parquet(s"$base/meta").write.parquet(s"$vnew/meta")
   }
 
@@ -1618,7 +1715,7 @@ object VectorOps extends graft.QueryModule {
   def maintainIndex(spark: SparkSession, dir: String, embeddings: DataFrame,
       queryPred: Column => Column, maxAppends: Int = 16, maxShare: Double = 0.5,
       maxSplits: Int = 2, keepVersions: Int = 2, recallK: Int = 10,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1, targetRecall: Option[Double] = None): DataFrame = {
     import spark.implicits._
     // balance decision FIRST (it reads only cell counts): when the
     // rebalance-retrain runs, its fresh codes/append=0 is compact by
@@ -1655,13 +1752,31 @@ object VectorOps extends graft.QueryModule {
         recallK)
       .agg(avg(col("recall")).as("r"), count(lit(1)).as("nq"))
       .collect().headOption
-    Seq((compacted, rebalanced, nAppends.toLong, nTombstones.toLong, fattest,
+    val meanRecall = recall.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    // close the recall→dial loop (r11 verdict #4): when the sampled
+    // recall misses the operator's target, run the autoNprobe sweep on
+    // the SAME probe panel and REPORT the dial it picks — report-only,
+    // so the op stays side-effect-bounded (the operator applies the
+    // dial to the serving config; nothing here silently changes plans)
+    val auto = targetRecall
+      .filter(t => meanRecall.exists(_ < t))
+      .map { t =>
+        val (np, priced) = autoNprobe(ix, embeddings, queryPred, t, recallK)
+        val achieved = priced.filter(col("nprobe") === np)
+          .collect().headOption.map(_.getAs[Double]("mean_recall"))
+        (np, achieved)
+      }
+    val nLogged = deletionLog(spark, base).map(_.count()).getOrElse(0L)
+    Seq((compacted, rebalanced, nAppends.toLong, nTombstones.toLong, nLogged,
+        fattest,
         indexVersions(fs, dir).count(isCompleteVersion(fs, dir, _)).toLong,
-        recall.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double])),
-        recall.map(_.getLong(1)).getOrElse(0L)))
+        meanRecall,
+        recall.map(_.getLong(1)).getOrElse(0L),
+        targetRecall, auto.map(_._1), auto.flatMap(_._2)))
       .toDF("compacted", "rebalanced", "n_sealed_appends",
-        "n_pending_tombstones", "fattest_share",
-        "n_complete_versions", "mean_recall", "n_probe_queries")
+        "n_pending_tombstones", "n_logged_deletions", "fattest_share",
+        "n_complete_versions", "mean_recall", "n_probe_queries",
+        "target_recall", "recommended_nprobe", "recommended_recall")
   }
 
   /** Serve ANN queries from a PERSISTED index: score only the query
@@ -1861,18 +1976,21 @@ object VectorOps extends graft.QueryModule {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val codesDir = s"$base/codes"
     val existing = codesAppendDirs(fs, codesDir).map(_._1)
+    // logged (materialized) deletions stay deleted: an append fed an
+    // unpurged corpus must not resurrect them (allowReingest re-admits)
+    val encoded = dropLogged(spark, base, encodeWithIndex(index, batch))
     if (existing.isEmpty)
       // pre-versioning flat codes table: keep the in-place append
       // (its crash caveat is the legacy layout's own), since mixing
       // root files with append= subdirs would break the read
-      encodeWithIndex(index, batch).write.mode("append").parquet(codesDir)
+      encoded.write.mode("append").parquet(codesDir)
     else {
       // allocate above absorbed ids too: a compaction collapses the
       // DIRS to append=0, but streams may still map checkpointed
       // batches onto the absorbed id range — re-entering it would
       // manufacture the ownership collisions the markers guard against
       val used = existing ++ absorbedMarkers(fs, base).map(_._1)
-      encodeWithIndex(index, batch).write.mode("overwrite")
+      encoded.write.mode("overwrite")
         .parquet(s"$codesDir/append=${used.max + 1}")
     }
   }
@@ -2058,8 +2176,12 @@ object VectorOps extends graft.QueryModule {
       }
     }
     // target is absent or an unsealed torn write of our own earlier
-    // attempt (readers never resolve unsealed dirs) — safe to rewrite
-    encodeWithIndex(index, batch).write.mode("overwrite").parquet(target)
+    // attempt (readers never resolve unsealed dirs) — safe to rewrite.
+    // Logged (materialized) deletions anti-join out: a stream replay —
+    // or a source that keeps emitting a taken-down vector — must not
+    // resurrect it (allowReingest is the deliberate re-admission)
+    dropLogged(spark, base, encodeWithIndex(index, batch))
+      .write.mode("overwrite").parquet(target)
     writeStreamMarker(fs, target, writerId)
   }
 
