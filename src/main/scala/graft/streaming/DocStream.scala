@@ -362,13 +362,23 @@ object DocStream {
     // failing SILENTLY: a fresh checkpoint restarts ids at 0, and if
     // the store already holds a watermark for this writer at or above
     // baseBatchId, every new batch would be skipped as a replay.
-    // Detected before start(): checkpoint absent + watermark covers
-    // the base → refuse loudly.
+    // Detected before start(). "Fresh" keys on checkpoint CONTENT (the
+    // offsets/ subdir Structured Streaming writes on its first commit),
+    // not bare directory existence: pre-creating the empty directory
+    // (mkdir -p before start, a common ops pattern) must not skip the
+    // guard — an empty dir IS a fresh incarnation (r11 ADVICE).
     val spark = newDocs.sparkSession
-    val ckptExists = new org.apache.hadoop.fs.Path(checkpointDir)
+    // writerId = the checkpoint dir; the store's marker format forbids
+    // '|'/newlines in it — validate HERE so a bad path fails at
+    // start(), not minutes later inside the first micro-batch
+    require(checkpointDir.nonEmpty && !checkpointDir.contains("|") &&
+        !checkpointDir.contains("\n"),
+      s"nbCountsOnIngest: checkpointDir doubles as the store's writerId " +
+        s"and must be non-empty without '|'/newlines, got '$checkpointDir'")
+    val ckptHasState = new org.apache.hadoop.fs.Path(checkpointDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-      .exists(new org.apache.hadoop.fs.Path(checkpointDir))
-    if (!ckptExists)
+      .exists(new org.apache.hadoop.fs.Path(s"$checkpointDir/offsets"))
+    if (!ckptHasState)
       graft.core.Artifacts.writerWatermark(spark, countsDir, checkpointDir)
         .foreach(wm => require(baseBatchId > wm,
           s"nbCountsOnIngest: fresh checkpoint $checkpointDir but the store " +

@@ -416,6 +416,25 @@ class DocStreamSpec extends AnyFunSuite {
         DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir, ckpt)
     }
     assert(eFresh.getMessage.contains("watermark"), eFresh.getMessage)
+    // a PRE-CREATED EMPTY checkpoint dir (mkdir -p before start — a
+    // common ops pattern) is still a fresh incarnation and must hit
+    // the same guard: the check keys on checkpoint CONTENT (offsets/),
+    // not bare directory existence (r11 ADVICE). The dir is already
+    // gone (the guard above fired before start() recreated anything).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+    val ePre = intercept[IllegalArgumentException] {
+      DocStream.nbCountsOnIngest(
+        DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir, ckpt)
+    }
+    assert(ePre.getMessage.contains("watermark"), ePre.getMessage)
+    // a writerId-invalid checkpoint path fails AT start(), not minutes
+    // later inside the first micro-batch
+    val eBad = intercept[IllegalArgumentException] {
+      DocStream.nbCountsOnIngest(
+        DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir,
+        s"$ckpt/bad|pipe")
+    }
+    assert(eBad.getMessage.contains("writerId"), eBad.getMessage)
     // …and the documented restart recipe starts cleanly
     val q2 = DocStream.nbCountsOnIngest(
       DocStream.readDocs(spark, dir).filter(col("doc_id") >= 400), cDir, ckpt,
