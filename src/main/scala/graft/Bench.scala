@@ -210,24 +210,38 @@ object Bench {
     // still uncorroborated as suspect_load, so a driver artifact
     // self-labels its own load-inflated readings the way benchdiff
     // already self-labels data shifts.
-    val drifted =
-      math.max(calibMid._2, calibAfter._2) > 1.3 * calibBefore._2
     val dispersed = names.filter { n =>
       suspectLoad(Seq(pass1(n), pass2(n)).collect { case (t, None) => t })
     }
-    // a MINORITY of dispersed queries (JIT hiccup, one GC, a dirty
-    // stretch of one sweep) always earns the corroborating pass — the
-    // resweep costs only those queries' own (small) times; WIDESPREAD
-    // dispersion only does when the calibration confirms real load
-    // drift (a third full-suite-sized sweep under the same sustained
-    // conditions learns nothing and costs half a run). The 20% cap is
-    // calibrated from the r9 full run, where a single dirty sweep
-    // stretch dispersed 19/168 queries under flat calibration.
+    // EVERY dispersed query earns the corroborating pass (r11 verdict
+    // #3 — the r11 driver run skipped it for 45/189 widespread suspects
+    // and committed low-trust numbers that poisoned the next round's
+    // cross-round baseline), but the re-measure budget is BOUNDED: when
+    // dispersion is widespread, re-time the biggest potential
+    // inflations first (max−min gap over the two sweeps) and stop once
+    // the re-measured queries' own expected cost (their min so far)
+    // exceeds max(30 s, 30% of the suite's min total) — a throttled
+    // run re-prices its worst numbers without paying half a run.
+    // Queries the budget leaves out are reported in
+    // `adjudication_saturated` so a reader can tell "re-measured clean"
+    // from "never adjudicated" (the ADVICE distinguishability fix).
+    val remeasureBudgetSec =
+      math.max(30.0, 0.3 * names.map(n => combineAll(Seq(pass1(n), pass2(n)))._1).sum)
+    def underBudget(cands: Seq[String]): (Seq[String], Seq[String]) = {
+      val ordered = cands.sortBy { n =>
+        val (mn, mx, _) = combineAll(Seq(pass1(n), pass2(n)))
+        -(mx - mn)
+      }
+      var spent = 0.0
+      val taken = ordered.takeWhile { n =>
+        spent += combineAll(Seq(pass1(n), pass2(n)))._1
+        spent <= remeasureBudgetSec
+      }
+      (taken, ordered.drop(taken.size))
+    }
+    val (disp3, dispSkipped) = underBudget(dispersed)
     val pass3: Map[String, (Double, Option[String])] =
-      if (dispersed.nonEmpty &&
-          (drifted || dispersed.size <= math.max(5, names.size / 5)))
-        sweep(dispersed)
-      else Map.empty
+      if (disp3.nonEmpty) sweep(disp3) else Map.empty
 
     // extra sweeps are ADVISORY: a pass3/pass4 failure must never flip
     // a query both full sweeps ran clean into the error column — drop
@@ -261,13 +275,17 @@ object Bench {
         }
       case _ => Nil
     }
-    // same cap rationale as pass3: WIDESPREAD apparent regression under
-    // a matching fingerprint is a throttled run, and re-sweeping it all
-    // under the same sustained load would learn nothing
+    // regressions get the same bounded clean-window treatment; the ones
+    // the budget leaves out are flagged saturated instead of silently
+    // keeping an unadjudicated regressed_vs_prev label (r11 ADVICE —
+    // a throttled run must be distinguishable from N real regressions)
+    val (regr4, regrSkipped) = underBudget(regressCand)
     val pass4: Map[String, (Double, Option[String])] =
-      if (regressCand.nonEmpty && regressCand.size <= math.max(5, names.size / 5))
-        sweep(regressCand)
-      else Map.empty
+      if (regr4.nonEmpty) sweep(regr4) else Map.empty
+    // calibration ledger entry for the extra passes: whether the
+    // re-measure window itself was clean is part of the record
+    val calibExtra =
+      if (pass3.nonEmpty || pass4.nonEmpty) Some(calibrate()) else None
 
     def allPasses(n: String): Seq[(Double, Option[String])] =
       passesOf(n, pass3, pass4)
@@ -282,10 +300,21 @@ object Bench {
       val (mn, _, _) = combineAll(allPasses(n))
       prev.exists(_._3.get(n).exists(regressedVsPrev(mn, _)))
     }
+    // which committed values came from a re-measure: the reported min
+    // was achieved only in an extra clean-window pass, not in the two
+    // full sweeps (the r11 verdict's provenance ask)
+    val minFromRemeasure = names.filter { n =>
+      val (mn, _, err) = combineAll(allPasses(n))
+      err.isEmpty && {
+        val sweepsMin = combineAll(Seq(pass1(n), pass2(n)))._1
+        mn < sweepsMin
+      }
+    }
 
     val (full, summary) =
       render(results, sfDir, calibBefore, calibMid, calibAfter, suspects,
-        regressed, prev.map(_._1))
+        regressed, prev.map(_._1), calibExtra, dispSkipped, regrSkipped,
+        minFromRemeasure)
     // full detail for humans/judges — file is best-effort, stdout first
     // (skipped for SPARK_GRAFT_ONLY dev runs: a partial sweep must not
     // clobber the round's full-suite artifact)
@@ -398,7 +427,11 @@ object Bench {
       calibAfter: (Double, Double),
       suspects: Seq[String] = Nil,
       regressed: Seq[String] = Nil,
-      prevRef: Option[String] = None): (String, String) = {
+      prevRef: Option[String] = None,
+      calibExtra: Option[(Double, Double)] = None,
+      suspectSaturated: Seq[String] = Nil,
+      regressionSaturated: Seq[String] = Nil,
+      minFromRemeasure: Seq[String] = Nil): (String, String) = {
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -423,7 +456,7 @@ object Bench {
         s""","calib_1t_mid_sec":${r3(calibMid._1)},"calib_nt_mid_sec":${r3(calibMid._2)}""" +
         s""","calib_1t_after_sec":${r3(calibAfter._1)},"calib_nt_after_sec":${r3(calibAfter._2)}"""
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_suspect":${suspects.size},"n_regressed":${regressed.size}"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(_._4.isDefined)},"n_suspect":${suspects.size},"n_regressed":${regressed.size},"n_saturated":${suspectSaturated.size + regressionSaturated.size}"""
     val fp = s""""data_fp":${jstr(dataFingerprint(sfDir))}"""
     val susp = suspects.map(jstr).mkString("[", ",", "]")
     // cross-round self-adjudication verdicts (see main): queries whose
@@ -433,7 +466,18 @@ object Bench {
     // check was off, not green)
     val regr = regressed.map(jstr).mkString("[", ",", "]")
     val pref = jstr(prevRef.getOrElse(""))
-    (s"""{$head,$calib,$fp,"queries":$qs,"queries_max":$qsMax,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"regressed_vs_prev":$regr,"prev_ref":$pref,"sf":${jstr(sfDir)}}""",
-      s"""{$head,$calib,$fp,"sf":${jstr(sfDir)}}""")
+    // re-measure provenance (r11 verdict #3 + ADVICE): the extra-pass
+    // calibration reading, which queries' committed mins came from a
+    // re-measure, and which wanted one but were left out by the
+    // bounded budget (their flags are load-unadjudicated — a reader
+    // must discount them, not read N real regressions)
+    val extraCalib = calibExtra.map { case (a, b) =>
+      s""","calib_1t_extra_sec":${r3(a)},"calib_nt_extra_sec":${r3(b)}"""
+    }.getOrElse("")
+    val remeas = minFromRemeasure.map(jstr).mkString("[", ",", "]")
+    val satS = suspectSaturated.map(jstr).mkString("[", ",", "]")
+    val satR = regressionSaturated.map(jstr).mkString("[", ",", "]")
+    (s"""{$head,$calib$extraCalib,$fp,"queries":$qs,"queries_max":$qsMax,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"regressed_vs_prev":$regr,"min_from_remeasure":$remeas,"suspect_check_saturated":$satS,"regression_check_saturated":$satR,"prev_ref":$pref,"sf":${jstr(sfDir)}}""",
+      s"""{$head,$calib$extraCalib,$fp,"sf":${jstr(sfDir)}}""")
   }
 }

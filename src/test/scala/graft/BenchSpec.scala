@@ -124,6 +124,32 @@ newline""") else None))
     assert(f2.get("prev_ref").asText() === "")
   }
 
+  test("render carries the re-measure provenance fields (r11 verdict #3 + " +
+      "ADVICE saturation distinguishability)") {
+    val results = Seq(("q_a", 1.0, 1.1, None), ("q_b", 5.6, 5.9, None))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (full, summary) = Bench.render(results, "/root/testdata/sf0.1",
+      (0.4, 0.45), (0.4, 0.45), (0.4, 0.45), Seq("q_b"),
+      Nil, Some("BENCH_r11.json"), calibExtra = Some((0.41, 0.46)),
+      suspectSaturated = Seq("q_a"), regressionSaturated = Seq("q_b"),
+      minFromRemeasure = Seq("q_b"))
+    val f = om.readTree(full)
+    assert(f.get("calib_nt_extra_sec").asDouble() === 0.46)
+    assert(f.get("min_from_remeasure").get(0).asText() === "q_b")
+    assert(f.get("suspect_check_saturated").get(0).asText() === "q_a")
+    assert(f.get("regression_check_saturated").get(0).asText() === "q_b")
+    val s = om.readTree(summary)
+    assert(s.get("n_saturated").asInt() === 2)
+    assert(summary.length < 600 && !summary.contains("\n"))
+    // no extra passes ran: the ledger entry and the lists stay absent/empty
+    val (full2, summary2) = Bench.render(results, "/root/testdata/sf0.1",
+      (0.4, 0.45), (0.4, 0.45), (0.4, 0.45))
+    val f2 = om.readTree(full2)
+    assert(f2.get("calib_nt_extra_sec") == null)
+    assert(f2.get("min_from_remeasure").size() === 0)
+    assert(om.readTree(summary2).get("n_saturated").asInt() === 0)
+  }
+
   test("readPrevArtifact parses the committed prior full-sweep artifact") {
     // runs from the repo root, where bench_results.json is committed at
     // each round close — the exact file the in-bench check reads
