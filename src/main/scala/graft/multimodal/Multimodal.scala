@@ -192,6 +192,153 @@ object Multimodal {
         col("channels").cast("long").as("channels"))
   }
 
+  /** Pixel-level dHash over REAL decoded PNGs (r11 verdict #5 — the
+    * perceptual-hash chain's remaining stub gap): per document, render
+    * a deterministic 9×8 RGB image (pixel (x,y) =
+    * (id·2654435761 + 31x + 17y) mod 2²⁴ — the [[decodedRoundTrip]]
+    * planted-geometry pattern, sized to dHash's canonical grid so no
+    * implementation-defined resize enters the chain), encode it to a
+    * GENUINE PNG, decode it back with ImageIO, and compute the
+    * canonical dHash over the DECODED pixels: integer luma
+    * ⌊(299r+587g+114b)/1000⌋, one bit per horizontally-adjacent pair,
+    * packed as two nonnegative 32-bit halves (the [[imageDHash]]
+    * layout, so [[phashPairs]]' banded join consumes this table
+    * unchanged). PNG is lossless, so the DuckDB oracle states the
+    * expected hash purely arithmetically from the planted RGB — the
+    * hash gate then proves the real encode→decode loop preserves
+    * EVERY pixel and the pixel→luma→bits chain end to end, not just
+    * the dimensions [[decodedRoundTrip]] pins. Executor-side and
+    * partition-parallel like every decode stage here; refuses loudly
+    * on a codec-less JVM (capability contract).
+    */
+  def decodedDHash(spark: SparkSession, sfDir: String): DataFrame = {
+    require(imageCodecAvailable && imageCodecWritable,
+      "decodedDHash needs a JVM PNG reader AND writer (ImageIO) — " +
+        "this runtime lacks one; use imageDHash-based queries instead")
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              img.setRGB(x, y,
+                ((id * 2654435761L + x * 31L + y * 17L) % 0x1000000).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(img, "png", buf))
+            throw new IllegalStateException(
+              "decodedDHash: no PNG writer on this executor's JVM")
+          // REAL decode — the pixels below come from the codec, not
+          // from the render buffer
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          def gray(x: Int, y: Int): Int = {
+            val v = back.getRGB(x, y) & 0xffffff
+            (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) +
+              114 * (v & 255)) / 1000
+          }
+          var hi = 0L
+          var lo = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              if (gray(xx + 1, yy) > gray(xx, yy)) {
+                val bit = 1L << ((yy % 4) * 8 + xx)
+                if (yy < 4) hi |= bit else lo |= bit
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, hi, lo)
+        }
+      }.toDF("media_id", "h_hi", "h_lo")
+  }
+
+  /** Audio-codec capability probe (the [[imageCodecAvailable]] contract
+    * for javax.sound): can this JVM WRITE and READ a WAV? Probed by an
+    * actual one-frame in-memory round-trip, not a registry lookup —
+    * a stripped runtime degrades to stub-only audio instead of failing
+    * tasks.
+    */
+  def audioCodecAvailable: Boolean =
+    try {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(Array[Byte](0, 0)), fmt, 1),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray)).getFrameLength == 1L
+    } catch { case _: Throwable => false }
+
+  /** REAL audio codec round-trip (r11 verdict stretch #9 — the
+    * [[decodedRoundTrip]] pattern for the remaining stub-only
+    * modality): per document, synthesize a genuine PCM-16 mono WAV
+    * with planted parameters (sample rate 8000 + 1000·(id mod 8),
+    * 16 + id mod 32 frames, sample i = ((31·id + 7i) mod 2¹⁶) − 2¹⁵),
+    * encode it with javax.sound's WAV writer, then parse the BYTES
+    * back through the real reader: header fields (rate, channels,
+    * bits, frame count) and the decoded samples' sum must equal the
+    * planted arithmetic, which the DuckDB oracle states codec-free —
+    * the hash gate proves the header parse AND the PCM payload decode
+    * end to end. Executor-side, partition-parallel; refuses loudly on
+    * a codec-less JVM.
+    */
+  def decodedWavRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    require(audioCodecAvailable,
+      "decodedWavRoundTrip needs a JVM WAV writer AND reader " +
+        "(javax.sound.sampled) — this runtime lacks one; use the stub " +
+        "audio queries instead")
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val rate = 8000 + (id % 8).toInt * 1000
+          val frames = 16 + (id % 32).toInt
+          val pcm = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val s = (((31L * id + 7L * i) % 65536L) - 32768L).toShort
+            pcm(2 * i) = (s & 0xff).toByte // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+            true, false)
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+          // REAL parse — header and samples below come from the codec
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(buf.toByteArray))
+          val f = in.getFormat
+          val nFrames = in.getFrameLength
+          val data = in.readAllBytes()
+          var sum = 0L
+          var j = 0
+          while (j + 1 < data.length) {
+            sum += ((data(j) & 0xff) | (data(j + 1) << 8)).toShort.toLong
+            j += 2
+          }
+          (id, f.getSampleRate.toLong, f.getChannels.toLong,
+            f.getSampleSizeInBits.toLong, nFrames, sum)
+        }
+      }.toDF("media_id", "sample_rate", "channels", "bits", "n_frames",
+        "sample_sum")
+  }
+
   /** Metadata projection that never touches a codec — pure native
     * functions over the binary column (codegen'd, oracle-checkable).
     */
@@ -373,6 +520,21 @@ object MultimodalQueries extends graft.QueryModule {
     "q_multimodal_decoded" -> { (spark, dir) =>
       Multimodal.decodedRoundTrip(spark, dir).orderBy("media_id")
     },
+    // Pixel-level perceptual hash on REAL decoded pixels: canonical
+    // 9×8 dHash of genuine PNGs through a real ImageIO decode — the
+    // oracle restates the planted RGB arithmetic codec-free, so the
+    // hash gate proves pixel-exact decode + the luma/bit chain. The
+    // pair join over this table is q_phash_pairs' own banded machinery
+    // (same two-half layout).
+    "q_phash_decoded" -> { (spark, dir) =>
+      Multimodal.decodedDHash(spark, dir).orderBy("media_id")
+    },
+    // REAL audio codec round-trip: genuine WAVs through javax.sound's
+    // writer and reader — planted header fields and the decoded PCM
+    // sample sum, stated codec-free by the oracle.
+    "q_audio_decoded" -> { (spark, dir) =>
+      Multimodal.decodedWavRoundTrip(spark, dir).orderBy("media_id")
+    },
     // Perceptual-hash image dedup: dHash near-dup pairs at Hamming <= 7
     // via the lossless 8-band byte-bucket join; the oracle is the plain
     // all-pairs SQL, so the hash gate proves losslessness.
@@ -399,6 +561,24 @@ object MultimodalQueries extends graft.QueryModule {
         val shift = (r % 4) * 8 + c
         s"CASE WHEN ${dhashPxSql(r * 9 + c + 1)} > ${dhashPxSql(r * 9 + c)}" +
           s" THEN ${1L << shift} ELSE 0 END"
+      }
+    }
+    "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
+  }
+
+  // q_phash_decoded oracle fragments: the planted pixel is pure
+  // arithmetic (v = (id·2654435761 + 31x + 17y) mod 2²⁴), so its luma —
+  // and therefore every dHash bit the decoder-side chain computes from
+  // the REAL decoded pixels — is SQL-stateable without a codec.
+  private def plantedGraySql(x: Int, y: Int): String = {
+    val v = s"((doc_id * 2654435761 + ${x * 31} + ${y * 17}) % 16777216)"
+    s"((299 * ($v // 65536) + 587 * (($v // 256) % 256) + 114 * ($v % 256)) // 1000)"
+  }
+  private def plantedDhashHalfSql(ylo: Int): String = {
+    val terms = (ylo until ylo + 4).flatMap { y =>
+      (0 until 8).map { x =>
+        s"CASE WHEN ${plantedGraySql(x + 1, y)} > ${plantedGraySql(x, y)}" +
+          s" THEN ${1L << ((y % 4) * 8 + x)} ELSE 0 END"
       }
     }
     "CAST(" + terms.mkString(" + ") + " AS BIGINT)"
@@ -458,6 +638,28 @@ object MultimodalQueries extends graft.QueryModule {
          |WHERE bit_count(xor(a.h_hi, b.h_hi))
          |    + bit_count(xor(a.h_lo, b.h_lo)) <= 7
          |ORDER BY d1, d2""".stripMargin,
+    // the planted pixels' dHash, stated without a codec: the Spark
+    // side must reproduce every bit through a REAL PNG encode+decode
+    "q_phash_decoded" ->
+      s"""SELECT doc_id AS media_id,
+         |  ${plantedDhashHalfSql(0)} AS h_hi,
+         |  ${plantedDhashHalfSql(4)} AS h_lo
+         |FROM documents ORDER BY media_id""".stripMargin,
+    // the planted WAV parameters and PCM sum, stated without a codec:
+    // the Spark side must reproduce them through a REAL javax.sound
+    // encode+parse round-trip
+    "q_audio_decoded" ->
+      """WITH f AS (
+        |  SELECT doc_id, 16 + doc_id % 32 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM f)
+        |SELECT doc_id AS media_id,
+        |  8000 + (doc_id % 8) * 1000 AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  n AS n_frames,
+        |  CAST(SUM((31 * doc_id + 7 * i) % 65536 - 32768) AS BIGINT) AS sample_sum
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
     // the planted geometry, stated without a codec: the Spark side
     // must reproduce it through a REAL PNG encode+decode
     "q_multimodal_decoded" ->
