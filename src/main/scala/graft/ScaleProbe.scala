@@ -892,6 +892,31 @@ object ScaleProbe {
           f"dup_recall=${rep.getAs[Double]("dup_recall")}%.3f")
         1L
       }
+      // count-store fold is O(batch), not O(history) (r11 verdict
+      // stretch #8, measured): the store holds COUNT-LEVEL sufficient
+      // statistics (O(B·C) rows regardless of corpus), so folding the
+      // SAME probe batch into a store seeded over 1× vs 8× the corpus
+      // should cost the same — the whole point of maintaining counts
+      // instead of re-reading history. Seeding is untimed (it is the
+      // one-time backfill); only the per-batch folds are contrasted.
+      val docsFull = spark.read.parquet(s"$dir/documents.parquet")
+      val nbProbe = docsFull.filter(col("doc_id") % 17 === 0).persist()
+      println(s"[scale] count-fold probe batch: ${nbProbe.count()} docs")
+      val nb1 = s"$root/nb1"; val nb8 = s"$root/nb8"
+      graft.ops.Classify.writeNbCounts(docsFull, nb1)
+      graft.ops.Classify.writeNbCounts(
+        (0 until 8).map(i => docsFull.withColumn("doc_id",
+          col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _), nb8)
+      graft.ops.Classify.updateNbCountsBatch(spark, nb1, nbProbe, 0L, "warm")
+      time("nb_fold_hist1x") {
+        graft.ops.Classify.updateNbCountsBatch(spark, nb1, nbProbe, 1L, "probe")
+        1L
+      }
+      time("nb_fold_hist8x") {
+        graft.ops.Classify.updateNbCountsBatch(spark, nb8, nbProbe, 1L, "probe")
+        1L
+      }
+      nbProbe.unpersist()
       docs.unpersist(); probe.unpersist()
     }
     spark.stop()
