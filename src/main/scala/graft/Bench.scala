@@ -227,19 +227,30 @@ object Bench {
     // from "never adjudicated" (the ADVICE distinguishability fix).
     val remeasureBudgetSec =
       math.max(30.0, 0.3 * names.map(n => combineAll(Seq(pass1(n), pass2(n)))._1).sum)
-    def underBudget(cands: Seq[String]): (Seq[String], Seq[String]) = {
+    // knapsack-greedy, not takeWhile: one over-budget candidate at the
+    // head must not starve every cheap query behind it (the exact
+    // committed-low-trust failure this budget exists to fix); items
+    // that do not fit are SKIPPED and the walk continues. Returns
+    // (taken, skipped, spent) — the spend carries into the next
+    // adjudication pool so the combined extra passes respect ONE
+    // budget, not one each.
+    def underBudget(cands: Seq[String],
+        budget: Double): (Seq[String], Seq[String], Double) = {
       val ordered = cands.sortBy { n =>
         val (mn, mx, _) = combineAll(Seq(pass1(n), pass2(n)))
         -(mx - mn)
       }
       var spent = 0.0
-      val taken = ordered.takeWhile { n =>
-        spent += combineAll(Seq(pass1(n), pass2(n)))._1
-        spent <= remeasureBudgetSec
+      val taken = Seq.newBuilder[String]
+      val skipped = Seq.newBuilder[String]
+      ordered.foreach { n =>
+        val cost = combineAll(Seq(pass1(n), pass2(n)))._1
+        if (spent + cost <= budget) { spent += cost; taken += n }
+        else skipped += n
       }
-      (taken, ordered.drop(taken.size))
+      (taken.result(), skipped.result(), spent)
     }
-    val (disp3, dispSkipped) = underBudget(dispersed)
+    val (disp3, dispSkipped, spent3) = underBudget(dispersed, remeasureBudgetSec)
     val pass3: Map[String, (Double, Option[String])] =
       if (disp3.nonEmpty) sweep(disp3) else Map.empty
 
@@ -279,7 +290,8 @@ object Bench {
     // the budget leaves out are flagged saturated instead of silently
     // keeping an unadjudicated regressed_vs_prev label (r11 ADVICE —
     // a throttled run must be distinguishable from N real regressions)
-    val (regr4, regrSkipped) = underBudget(regressCand)
+    val (regr4, regrSkipped, _) = underBudget(regressCand,
+      remeasureBudgetSec - spent3)
     val pass4: Map[String, (Double, Option[String])] =
       if (regr4.nonEmpty) sweep(regr4) else Map.empty
     // calibration ledger entry for the extra passes: whether the

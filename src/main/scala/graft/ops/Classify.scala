@@ -169,17 +169,15 @@ object Classify extends graft.QueryModule {
     */
   def dsirModelFromCounts(counts0: DataFrame): DataFrame = {
     val all = counts0.localCheckpoint(true)
-    // target = min(source) over the bucket=-1 DOC-count rows — exactly
-    // [[dsirModel]]'s min over docs, robust to a source whose documents
-    // all tokenize to zero tokens (it has doc rows but no token rows).
-    // A legacy store without doc rows falls back to min over token
-    // rows, which is identical under that path's documented ≥1-token
-    // assumption.
-    val targetRow = all.filter(col("bucket") === -1)
-      .agg(min(col("source"))).head
-    val target =
-      if (targetRow.isNullAt(0)) all.agg(min(col("source"))).head.getString(0)
-      else targetRow.getString(0)
+    // target = min(source) over ALL rows — with the bucket=-1 doc rows
+    // present this is min over every source with >= 1 DOC (exactly
+    // [[dsirModel]]'s min over docs, covering zero-token sources, r11
+    // ADVICE), and it degrades correctly on legacy or MIXED stores: a
+    // legacy-seeded store folded with new-format batches contributes
+    // its sources through their token rows, so the target can never
+    // silently narrow to the new batches' sources (review finding, r12
+    // — a doc-rows-only derivation would).
+    val target = all.agg(min(col("source"))).head.getString(0)
     val counts = all.filter(col("bucket") >= 0)
     val raw = counts.groupBy("bucket").agg(sum(col("cnt")).as("raw_cnt"))
     val tgt = counts.filter(col("source") === lit(target))

@@ -1069,22 +1069,28 @@ object Dedup extends graft.QueryModule {
         s"under $assignRoot is unsealed (no _SUCCESS) — a replay crashed " +
         "mid-overwrite after its first attempt had committed. Re-run batch " +
         s"${prev.max} through the original checkpoint to rewrite it")
+    // the state's clustering threshold is a durable property: written
+    // at first ingest, required equal ever after (a mismatched heal or
+    // fold would silently re-derive wrong clusters)
+    requireThreshold(spark, stateDir, minEstJaccard, "clustersIngestBatch",
+      writeIfAbsent = true)
     // deletion-lifecycle gates: refuse on a crashed maintenance rewrite
     // (parked partition = a plain read would silently shrink the store)
     // and on tombstones whose assignment heal never ran (folding from a
     // stale base would resurrect deleted memberships)
     requireNoParks(spark, sigsRoot, "clustersIngestBatch")
     requireNoParks(spark, assignRoot, "clustersIngestBatch")
-    val tombsOpt = pendingTombstones(spark, stateDir)
-    tombsOpt.foreach(t =>
+    pendingTombstones(spark, stateDir).foreach(t =>
       requireAssignmentsHealed(spark, stateDir, t, "clustersIngestBatch"))
-    // a batch may REDELIVER (or deliberately re-present) a doc deleted
-    // since its first run: while tombstones pend the doc stays deleted —
-    // its signatures are filtered before both use and store, so the
-    // replayed write cannot resurrect it (re-ingest becomes legal once
-    // compaction materializes the deletion and clears the tombstones)
-    def dropTombstoned(df: DataFrame): DataFrame =
-      tombsOpt.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    // a batch may REDELIVER (or a source keep emitting) a doc deleted
+    // since its first run: deleted docs stay deleted — signatures are
+    // filtered against (pending tombstones ∪ deletion log) before both
+    // use and store, so neither a replayed write nor a post-compaction
+    // redelivery can resurrect a takedown (allowReingestDocs is the
+    // deliberate re-admission)
+    val delOpt = deletedDocs(spark, stateDir)
+    def dropDeleted(df: DataFrame): DataFrame =
+      delOpt.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     // lifecycle note for the per-micro-batch caller (clustersOnIngest):
     // the localCheckpoint blocks here and inside the incremental path
     // hold no references past this call, so the ContextCleaner
@@ -1092,14 +1098,15 @@ object Dedup extends graft.QueryModule {
     // periodic-GC interval) — the same convention as the
     // star-contraction loop's per-round checkpoints. persist()-ed
     // frames, by contrast, are explicitly unpersisted by their owners.
-    val newSigs = dropTombstoned(minhashSignatures(batch)).localCheckpoint(true)
+    val newSigs = dropDeleted(minhashSignatures(batch)).localCheckpoint(true)
     val out =
       if (prev.isEmpty)
         clustersFromCandidates(candidatesFromSignatures(newSigs, minEstJaccard))
           .localCheckpoint(true)
       else {
-        val oldSigs = dropTombstoned(spark.read.parquet(sigsRoot)
-          .filter(col("ingest_batch") < id).drop("ingest_batch"))
+        // THE replay read shape — the same filtered store read every
+        // consumer uses (one tombstone/log-filter definition)
+        val oldSigs = readSignatureStoreState(spark, stateDir, Some(id))
         val oldAssign = spark.read
           .parquet(s"$assignRoot/ingest_batch=${prev.max}")
         incrementalClustersFromSigs(oldAssign, oldSigs, newSigs, minEstJaccard)
@@ -1155,11 +1162,27 @@ object Dedup extends graft.QueryModule {
     // heal any crashed maintenance rewrite first (roll a sealed swap
     // forward, sweep stale tmps) — this op is the sigs store's healer
     graft.core.Artifacts.healRewrites(fs, sigsRoot)
-    def listIds(): Seq[Long] = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .collect { case s if s.matches("ingest_batch=\\d+") =>
-        s.stripPrefix("ingest_batch=").toLong }
-      .sorted
-    val ids = listIds()
+    graft.core.Artifacts.healRewrites(fs, stateDir) // deletion_log parks
+    // TORN partitions refuse loudly BEFORE any fold or rewrite
+    // (review finding, r12): an unsealed partition is a crashed
+    // ingest write holding a committer-dependent partial row subset —
+    // folding it into base (append path) or rewriting it (materialize
+    // path) would stamp a fresh _SUCCESS over the partial content and
+    // LAUNDER the tear past clustersIngestBatch's torn-write gate: a
+    // silently shrunken signature index that misses duplicates
+    // forever, where the gate previously refused. Same heal recipe as
+    // the ingest gate: re-run the torn batch through its checkpoint,
+    // or delete the torn partition and re-ingest its documents.
+    val entries = graft.core.Artifacts
+      .sealedFamilyDirs(fs, sigsRoot, "ingest_batch")
+    val torn = entries.collect { case (a, false) => a }
+    require(torn.isEmpty,
+      s"compactSignatureStore: sigs partitions ${torn.sorted.mkString(",")} " +
+        s"under $sigsRoot are unsealed (no _SUCCESS — a crashed ingest " +
+        "write); compacting would re-seal partial content. Re-run those " +
+        "batches through their checkpoint, or delete the torn partitions " +
+        "and re-ingest their documents")
+    val ids = entries.map(_._1).sorted
     val tombsOpt = pendingTombstones(spark, stateDir).map(_.localCheckpoint(true))
     if (ids.length <= 3 && tombsOpt.isEmpty) return // {base, prev, current}, no deletes
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
@@ -1229,19 +1252,34 @@ object Dedup extends graft.QueryModule {
         absorb.foreach { old =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$sigsRoot/ingest_batch=$old"), true)
         }
+        // materialized docs move into the durable DELETION LOG before
+        // the tombstones clear — durability must not end at
+        // compaction: a checkpointed replay of the latest batch
+        // redelivers its original content (deleted docs included), and
+        // only the log keeps the ingest filter suppressing them
+        // (allowReingestDocs is the deliberate re-admission). Crash
+        // between the log write and the tombstone clear: both filters
+        // active, harmless overlap healed by the next clear.
+        val newLog = deletionLogDocs(spark, stateDir)
+          .fold(tombs)(l => tombs.unionByName(l).distinct())
+          .localCheckpoint(true)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/deletion_log")))
+          graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
+            tmp => newLog.coalesce(1).write.parquet(tmp)
+          }
+        else newLog.coalesce(1).write.parquet(s"$stateDir/deletion_log")
         // clear tombstones LAST — every partition is now physically
-        // scrubbed, so the deleted ids are free for deliberate
-        // re-ingest. A crash mid-clear leaves some tombstones pending:
-        // harmless (they filter already-absent rows; the next
-        // compaction's semi-probe finds nothing to rewrite and clears
-        // the rest). Unsealed tombstone dirs below the newest sealed
-        // one are crashed deletes a re-run superseded — swept; one
-        // ABOVE may be a delete in flight and survives (the
-        // sweepTornFamily convention).
+        // scrubbed and the log carries the ids. A crash mid-clear
+        // leaves some tombstones pending: harmless (they filter
+        // already-absent rows; the next compaction's semi-probe finds
+        // nothing to rewrite and clears the rest). Unsealed tombstone
+        // dirs below the newest sealed one are crashed deletes a
+        // re-run superseded — swept; one ABOVE may be a delete in
+        // flight and survives (the sweepTornFamily convention).
         val tombRoot = s"$stateDir/tombstones"
-        val entries = graft.core.Artifacts.sealedFamilyDirs(fs, tombRoot, "del")
-        val sealedMax = entries.collect { case (a, true) => a }.max
-        entries.foreach { case (a, sealedA) =>
+        val tombEntries = graft.core.Artifacts.sealedFamilyDirs(fs, tombRoot, "del")
+        val sealedMax = tombEntries.collect { case (a, true) => a }.max
+        tombEntries.foreach { case (a, sealedA) =>
           if (sealedA || a < sealedMax)
             fs.delete(new org.apache.hadoop.fs.Path(s"$tombRoot/del=$a"), true)
         }
@@ -1266,10 +1304,12 @@ object Dedup extends graft.QueryModule {
   //      equality behind the full recompute oracle hash). Bytes remain.
   //   2. compacted ([[compactSignatureStore]] — pending tombstones
   //      force the rewrite even below the small-file threshold): the
-  //      signature partitions physically EXCLUDE tombstoned docs and
-  //      the tombstone dirs clear — which is what frees the ids for
-  //      DELIBERATE re-ingest (while tombstones pend, a re-ingested
-  //      doc_id stays deleted: batch sigs are filtered too).
+  //      signature partitions physically EXCLUDE tombstoned docs, the
+  //      tombstone dirs clear, and the docs move into the durable
+  //      DELETION LOG (`deletion_log/`) — so a checkpointed replay or
+  //      a source that keeps emitting a taken-down doc cannot
+  //      resurrect it. Re-admission is the explicit
+  //      [[allowReingestDocs]] event.
   //   3. nothing to prune — the rewrite reclaimed the bytes in place.
   //
   // Serial-writer contract like every maintenance event here: deletes
@@ -1293,6 +1333,99 @@ object Dedup extends graft.QueryModule {
       .collect { case (a, true) => s"$root/del=$a" }
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
+  }
+
+  /** The state's durable DELETION LOG — the
+    * [[VectorOps.deleteFromIvfPqIndex]] deletion_log mirrored (review
+    * finding, r12): docs whose deletion a compaction has MATERIALIZED.
+    * Without it, durability ended when compaction cleared the
+    * tombstones: a checkpointed stream REPLAY of the latest batch (its
+    * source redelivers the original content, deleted docs included)
+    * would re-sketch and re-cluster a taken-down document with no
+    * operator action. Every signature read and every batch sketch
+    * anti-joins (tombstones ∪ log); re-admission is the explicit
+    * [[allowReingestDocs]]. Takedown-sized; absent/unsealed = empty
+    * (a crashed [[allowReingestDocs]] rewrite parks the original, so
+    * the park refusal keeps that window loud, never silent-empty).
+    */
+  private def deletionLogDocs(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val fs = fsFor(spark, stateDir)
+    // a parked log (crashed allowReingestDocs between park and swap)
+    // would otherwise read as ABSENT — deleted docs silently
+    // resurfacing in every consumer; refuse loudly instead
+    val parks = graft.core.Artifacts.rewriteParks(fs, stateDir)
+    require(parks.isEmpty,
+      s"deletionLogDocs: $stateDir holds parked dir(s) ${parks.mkString(",")} " +
+        "from a crashed allowReingestDocs rewrite — run allowReingestDocs " +
+        "(it heals on entry) or maintainDedupState before reading this state")
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$stateDir/deletion_log/_SUCCESS")))
+      Some(spark.read.parquet(s"$stateDir/deletion_log").select("doc_id"))
+    else None
+  }
+
+  /** (pending tombstones ∪ deletion log) — THE deleted-doc filter
+    * every consumer shares: one definition so the ingest sketch, the
+    * store reads, and the candidate paths can never silently diverge
+    * on which docs count as deleted.
+    */
+  private def deletedDocs(spark: SparkSession,
+      stateDir: String): Option[DataFrame] =
+    (pendingTombstones(spark, stateDir), deletionLogDocs(spark, stateDir)) match {
+      case (Some(t), Some(l)) => Some(t.unionByName(l).distinct())
+      case (t, l) => t.orElse(l)
+    }
+
+  /** Re-admit previously-deleted docs (the deliberate inverse of
+    * [[deleteFromDedupState]] + compaction): remove them from the
+    * deletion log so future ingest batches accept them again.
+    * Crash-safe via the in-place rewrite protocol; heals its own
+    * crashed predecessor on entry. Serial-writer contract.
+    */
+  def allowReingestDocs(spark: SparkSession, stateDir: String,
+      docIds: DataFrame): Unit = {
+    require(docIds.columns.contains("doc_id"),
+      s"allowReingestDocs: docIds must carry a `doc_id` column, got " +
+        docIds.columns.mkString(","))
+    val fs = fsFor(spark, stateDir)
+    graft.core.Artifacts.healRewrites(fs, stateDir)
+    deletionLogDocs(spark, stateDir).foreach { l =>
+      val remaining = l.join(docIds.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      if (remaining.head(1).isEmpty)
+        // drop-all: a partial delete leaves the dir unsealed, which
+        // reads as absent — exactly the intended empty log
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/deletion_log"), true)
+      else
+        graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
+          tmp => remaining.coalesce(1).write.parquet(tmp)
+        }
+    }
+  }
+
+  /** The state's clustering-threshold marker: written once at first
+    * ingest, and every later maintenance/ingest call must pass the
+    * SAME value — a heal re-deriving clusters at a different threshold
+    * would silently merge (or split) components the state's own
+    * clustering kept apart (review finding, r12). Legacy state dirs
+    * without the marker adopt the first value passed after upgrade.
+    */
+  private def requireThreshold(spark: SparkSession, stateDir: String,
+      minEstJaccard: Double, who: String, writeIfAbsent: Boolean): Unit = {
+    val fs = fsFor(spark, stateDir)
+    val path = s"$stateDir/_THRESHOLD"
+    graft.core.Artifacts.readSmallFile(fs, path) match {
+      case Some(s) =>
+        require(s.trim.toDouble == minEstJaccard,
+          s"$who: this state dir was built with minEstJaccard=${s.trim} " +
+            s"but was called with $minEstJaccard — a threshold mismatch " +
+            "would silently re-derive wrong clusters; pass the stored value")
+      case None =>
+        if (writeIfAbsent)
+          graft.core.Artifacts.writeSmallFileAtomic(fs, path,
+            minEstJaccard.toString)
+    }
   }
 
   /** Refuse while a crashed in-place rewrite has a partition PARKED —
@@ -1325,7 +1458,7 @@ object Dedup extends graft.QueryModule {
     val all = spark.read.parquet(sigsRoot)
     val ranged = beforeId.fold(all)(id => all.filter(col("ingest_batch") < id))
       .drop("ingest_batch")
-    pendingTombstones(spark, stateDir).fold(ranged)(t =>
+    deletedDocs(spark, stateDir).fold(ranged)(t =>
       ranged.join(broadcast(t), Seq("doc_id"), "left_anti"))
   }
 
@@ -1361,6 +1494,8 @@ object Dedup extends graft.QueryModule {
     require(docIds.columns.contains("doc_id"),
       s"deleteFromDedupState: docIds must carry a `doc_id` column, got " +
         docIds.columns.mkString(","))
+    requireThreshold(spark, stateDir, minEstJaccard, "deleteFromDedupState",
+      writeIfAbsent = false)
     val root = s"$stateDir/tombstones"
     val existing = graft.core.Artifacts
       .sealedFamilyDirs(fsFor(spark, stateDir), root, "del").map(_._1)
@@ -1403,6 +1538,8 @@ object Dedup extends graft.QueryModule {
     val assignRoot = s"$stateDir/assign"
     val sigsRoot = s"$stateDir/sigs"
     val fs = fsFor(spark, stateDir)
+    requireThreshold(spark, stateDir, minEstJaccard, "healAssignments",
+      writeIfAbsent = false)
     graft.core.Artifacts.healRewrites(fs, assignRoot)
     val tombs = pendingTombstones(spark, stateDir).getOrElse(return)
       .localCheckpoint(true)
@@ -1496,8 +1633,11 @@ object Dedup extends graft.QueryModule {
     val sigsRoot = s"$stateDir/sigs"
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
+    requireThreshold(spark, stateDir, minEstJaccard, "maintainDedupState",
+      writeIfAbsent = false)
     graft.core.Artifacts.healRewrites(fs, sigsRoot)
     graft.core.Artifacts.healRewrites(fs, assignRoot)
+    graft.core.Artifacts.healRewrites(fs, stateDir) // deletion_log parks
     def sigPartitions(): Seq[Long] = graft.core.Artifacts
       .sealedFamilyDirs(fs, sigsRoot, "ingest_batch").map(_._1)
     val partsBefore = sigPartitions().size.toLong

@@ -1139,6 +1139,9 @@ object VectorOps extends graft.QueryModule {
     val vdir = s"$dir/v=${(0L +: indexVersions(fs, dir)).max + 1}"
     val priorOpt = indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
       .sorted.lastOption.map(v => s"$dir/v=$v")
+    // heal a crashed allowReingest before touching the prior version's
+    // deletion log (the compactIvfPqIndex rationale)
+    priorOpt.foreach(p => graft.core.Artifacts.healRewrites(fs, p))
     cent.write.mode("overwrite").parquet(s"$vdir/centroids")
     cb.write.mode("overwrite").parquet(s"$vdir/codebook")
     // codes live in SEALED append dirs (append=0 is the training
@@ -1476,6 +1479,12 @@ object VectorOps extends graft.QueryModule {
         "to get the versioned layout")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // heal a crashed allowReingest's parked deletion_log BEFORE the
+    // corpus-sized codes rewrite below — deletionLog() refuses on a
+    // park, and hitting that refusal after the fold would waste the
+    // whole rewrite and strand an incomplete version dir (review
+    // finding, r12)
+    graft.core.Artifacts.healRewrites(fs, base)
     val codesDir = s"$base/codes"
     val sealedIds = codesAppendDirs(fs, codesDir).collect { case (a, true) => a }
     val tombs = sealedTombstoneDirs(fs, base)
@@ -1978,6 +1987,7 @@ object VectorOps extends graft.QueryModule {
     val existing = codesAppendDirs(fs, codesDir).map(_._1)
     // logged (materialized) deletions stay deleted: an append fed an
     // unpurged corpus must not resurrect them (allowReingest re-admits)
+    graft.core.Artifacts.healRewrites(fs, base)
     val encoded = dropLogged(spark, base, encodeWithIndex(index, batch))
     if (existing.isEmpty)
       // pre-versioning flat codes table: keep the in-place append
@@ -2180,6 +2190,7 @@ object VectorOps extends graft.QueryModule {
     // Logged (materialized) deletions anti-join out: a stream replay —
     // or a source that keeps emitting a taken-down vector — must not
     // resurrect it (allowReingest is the deliberate re-admission)
+    graft.core.Artifacts.healRewrites(fs, base)
     dropLogged(spark, base, encodeWithIndex(index, batch))
       .write.mode("overwrite").parquet(target)
     writeStreamMarker(fs, target, writerId)

@@ -87,11 +87,20 @@ class DedupDeleteSpec extends AnyFunSuite {
         s"$state/tombstones", "del").isEmpty,
       "compaction did not clear materialized tombstones")
 
-    // deliberate re-ingest after materialization: the ids are free again
+    // deletion is DURABLE past the compaction (the deletion log — the
+    // ANN deletion_log mirrored): re-presenting the deleted docs
+    // without allowReingestDocs must NOT resurrect them
     Dedup.clustersIngestBatch(docs.filter(delPred), 2, state)
     assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "re-presented docs resurrected past the deletion log")
+    // deliberate re-admission: allowReingestDocs clears the log, then
+    // the same batch restores full-corpus clustering
+    Dedup.allowReingestDocs(spark, state, docs.filter(delPred).select("doc_id"))
+    Dedup.clustersIngestBatch(docs.filter(delPred), 3, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
       === assignSet(Dedup.dupClusters(docs, 0.5)),
-      "re-ingest after compaction did not restore full-corpus clustering")
+      "re-ingest after allowReingestDocs did not restore full-corpus clustering")
   }
 
   test("batch ingest refuses while assignments are unhealed (tombstones pend " +
@@ -178,15 +187,14 @@ class DedupDeleteSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$state/sigs").filter(delPred).count() === 0,
       "maintain did not materialize the deletion")
 
-    // replay of the latest batch after maintenance: state re-derives
-    // identically (the replayed write is tombstone-free by now — the
-    // tombstones cleared — but the batch content itself re-sketches)
+    // replay of the latest batch after maintenance: the checkpointed
+    // source redelivers the ORIGINAL content, deleted docs included —
+    // the deletion log must keep suppressing them (the resurrection
+    // window tombstone-clearing alone left open)
     Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 800), 4, state)
     assert(assignSet(Dedup.readClusterAssignment(spark, state))
-      === assignSet(Dedup.dupClusters(
-        docs.filter(col("doc_id") < 800).filter(!delPred)
-          .unionByName(docs.filter(col("doc_id") >= 800)), 0.5)),
-      "replay after maintenance diverged")
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "replay after maintenance resurrected deleted docs past the log")
 
     // a second maintain run on settled state is a stable no-op
     val rep2 = Dedup.maintainDedupState(spark, state).collect().head
