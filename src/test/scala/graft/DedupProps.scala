@@ -59,4 +59,41 @@ object DedupProps extends Properties("Dedup") {
     forAll(genCorpus) { c =>
       Dedup.exactDupGroups(df(c)).collect().map(_.getLong(1)).sum == c.size
     }
+
+  // richer dup structure for the deletion property: several mutated
+  // copies so clusters have 2-4 members and a random delete set can
+  // hit labels, bridges, middles, and singletons in one shot
+  private val genDeleteCase: Gen[(List[(Long, String)], Set[Long])] = for {
+    n <- Gen.chooseNum(3, 5)
+    base <- Gen.listOfN(n, Gen.chooseNum(4, 8).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    m <- Gen.chooseNum(1, 3)
+    copies <- Gen.listOfN(m, Gen.chooseNum(0, n - 1))
+    docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      copies.zipWithIndex.map { case (src, j) =>
+        ((n + j).toLong, base(src) + " zz") }
+    // delete any subset EXCEPT everything (an empty corpus is not the
+    // lifecycle under test)
+    del <- Gen.someOf(docs.map(_._1)).map(_.toSet)
+      .suchThat(_.size < docs.size)
+  } yield (docs, del)
+
+  property("delete+heal == from-scratch clustering of the scrubbed corpus, " +
+      "for ARBITRARY delete sets (labels, bridges, whole clusters, singletons)") =
+    forAll(genDeleteCase) { case (docs, del) =>
+      import spark.implicits._
+      val state = java.nio.file.Files
+        .createTempDirectory("dedup-prop-del").toString
+      val (b0, b1) = docs.partition(_._1 < docs.size / 2)
+      Dedup.clustersIngestBatch(df(b0), 0, state)
+      Dedup.clustersIngestBatch(df(b1), 1, state)
+      if (del.nonEmpty)
+        Dedup.deleteFromDedupState(spark, state, del.toSeq.toDF("doc_id"))
+      val healed = Dedup.readClusterAssignment(spark, state)
+        .collect().map(_.toString).sorted.toSeq
+      val scrubbed = docs.filterNot(d => del.contains(d._1))
+      val fromScratch = Dedup.dupClusters(df(scrubbed), 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      healed == fromScratch
+    }
 }
