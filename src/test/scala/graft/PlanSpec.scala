@@ -474,4 +474,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("deleted-doc suppression rides a BROADCAST anti-join: the takedown " +
+      "set must never force a corpus-sized shuffle of the signature store") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val state = java.nio.file.Files
+      .createTempDirectory("plan-dedup-del").toString
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    graft.ops.Dedup.deleteFromDedupState(spark, state,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    val p = graft.ops.Dedup.readSignatureStoreState(spark, state)
+      .queryExecution.executedPlan.toString
+    // anti-join present, broadcast-shaped, no shuffle of the store side
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
