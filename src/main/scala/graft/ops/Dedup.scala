@@ -1087,8 +1087,10 @@ object Dedup extends graft.QueryModule {
     // filtered against (pending tombstones ∪ deletion log) before both
     // use and store, so neither a replayed write nor a post-compaction
     // redelivery can resurrect a takedown (allowReingestDocs is the
-    // deliberate re-admission)
-    val delOpt = deletedDocs(spark, stateDir)
+    // deliberate re-admission). Derived ONCE per batch (materialized —
+    // it is takedown-sized) and threaded through both the batch sketch
+    // and the history read below.
+    val delOpt = deletedDocs(spark, stateDir).map(_.localCheckpoint(true))
     def dropDeleted(df: DataFrame): DataFrame =
       delOpt.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
     // lifecycle note for the per-micro-batch caller (clustersOnIngest):
@@ -1105,8 +1107,9 @@ object Dedup extends graft.QueryModule {
           .localCheckpoint(true)
       else {
         // THE replay read shape — the same filtered store read every
-        // consumer uses (one tombstone/log-filter definition)
-        val oldSigs = readSignatureStoreState(spark, stateDir, Some(id))
+        // consumer uses, with the filter this batch already derived
+        val oldSigs = readSignatureStoreStateWith(spark, stateDir, Some(id),
+          delOpt)
         val oldAssign = spark.read
           .parquet(s"$assignRoot/ingest_batch=${prev.max}")
         incrementalClustersFromSigs(oldAssign, oldSigs, newSigs, minEstJaccard)
@@ -1163,25 +1166,34 @@ object Dedup extends graft.QueryModule {
     // forward, sweep stale tmps) — this op is the sigs store's healer
     graft.core.Artifacts.healRewrites(fs, sigsRoot)
     graft.core.Artifacts.healRewrites(fs, stateDir) // deletion_log parks
-    // TORN partitions refuse loudly BEFORE any fold or rewrite
-    // (review finding, r12): an unsealed partition is a crashed
+    // TORN partitions must refuse BEFORE any fold or rewrite TOUCHES
+    // them (review finding, r12): an unsealed partition is a crashed
     // ingest write holding a committer-dependent partial row subset —
     // folding it into base (append path) or rewriting it (materialize
     // path) would stamp a fresh _SUCCESS over the partial content and
     // LAUNDER the tear past clustersIngestBatch's torn-write gate: a
     // silently shrunken signature index that misses duplicates
-    // forever, where the gate previously refused. Same heal recipe as
-    // the ingest gate: re-run the torn batch through its checkpoint,
-    // or delete the torn partition and re-ingest its documents.
+    // forever, where the gate previously refused. The gate is scoped
+    // to the partitions each branch actually touches (second review
+    // pass): a torn NEWEST partition is the crashed-stream state the
+    // ingest gate deliberately tolerates pending replay (id == max
+    // overwrites it), and the append path never touches the top two —
+    // scheduled maintenance must keep succeeding there instead of
+    // paging until the stream restarts. Heal recipe when the gate does
+    // fire: re-run the torn batch through its checkpoint, or delete
+    // the torn partition and re-ingest its documents.
     val entries = graft.core.Artifacts
       .sealedFamilyDirs(fs, sigsRoot, "ingest_batch")
-    val torn = entries.collect { case (a, false) => a }
-    require(torn.isEmpty,
-      s"compactSignatureStore: sigs partitions ${torn.sorted.mkString(",")} " +
-        s"under $sigsRoot are unsealed (no _SUCCESS — a crashed ingest " +
-        "write); compacting would re-seal partial content. Re-run those " +
-        "batches through their checkpoint, or delete the torn partitions " +
-        "and re-ingest their documents")
+    val torn = entries.collect { case (a, false) => a }.toSet
+    def requireNotTorn(touched: Seq[Long]): Unit = {
+      val bad = touched.filter(torn)
+      require(bad.isEmpty,
+        s"compactSignatureStore: sigs partitions ${bad.sorted.mkString(",")} " +
+          s"under $sigsRoot are unsealed (no _SUCCESS — a crashed ingest " +
+          "write) and this compaction would re-seal their partial content. " +
+          "Re-run those batches through their checkpoint, or delete the " +
+          "torn partitions and re-ingest their documents")
+    }
     val ids = entries.map(_._1).sorted
     val tombsOpt = pendingTombstones(spark, stateDir).map(_.localCheckpoint(true))
     if (ids.length <= 3 && tombsOpt.isEmpty) return // {base, prev, current}, no deletes
@@ -1207,6 +1219,7 @@ object Dedup extends graft.QueryModule {
         // joins tolerate — distinct()/per-node min downstream).
         val base = ids.head
         val absorb = ids.slice(1, ids.length - 2)
+        requireNotTorn(base +: absorb) // top two untouched, may be torn
         // read the absorbed dirs DIRECTLY (not root + partition
         // filter): the read set and the append target are disjoint
         // directories by construction, so no barrier is needed
@@ -1224,6 +1237,11 @@ object Dedup extends graft.QueryModule {
         // heal needs.
         requireAssignmentsHealed(spark, stateDir, tombs, "compactSignatureStore")
         requireNoParks(spark, s"$stateDir/assign", "compactSignatureStore")
+        // the materialize path may rewrite ANY partition (wherever
+        // tombstoned rows hide — and a torn partition's partial read
+        // cannot certify their absence), so here every partition must
+        // be sealed
+        requireNotTorn(ids)
         val base = ids.head
         val absorb = if (ids.length <= 3) Seq.empty[Long]
           else ids.slice(1, ids.length - 2)
@@ -1390,14 +1408,31 @@ object Dedup extends graft.QueryModule {
         docIds.columns.mkString(","))
     val fs = fsFor(spark, stateDir)
     graft.core.Artifacts.healRewrites(fs, stateDir)
+    // refuse while any requested doc's deletion is still PENDING (not
+    // yet compacted): those ids are in the tombstones, not the log, so
+    // a log-only edit would silently no-op here and the next
+    // compaction would move them INTO the log — suppressed forever
+    // with no error anywhere, the opposite of what the caller asked
+    pendingTombstones(spark, stateDir).foreach { t =>
+      val stillPending = t.join(docIds.select("doc_id").distinct(),
+        Seq("doc_id"), "semi")
+      require(stillPending.head(1).isEmpty,
+        "allowReingestDocs: some requested docs have PENDING (uncompacted) " +
+          "deletions — run compactSignatureStore / maintainDedupState to " +
+          "materialize them first, then re-admit")
+    }
     deletionLogDocs(spark, stateDir).foreach { l =>
       val remaining = l.join(docIds.select("doc_id").distinct(),
         Seq("doc_id"), "left_anti").localCheckpoint(true)
-      if (remaining.head(1).isEmpty)
-        // drop-all: a partial delete leaves the dir unsealed, which
-        // reads as absent — exactly the intended empty log
+      if (remaining.head(1).isEmpty) {
+        // drop-all: unseal FIRST (recursive-delete file ordering is
+        // unspecified — _SUCCESS surviving a partial delete would gate
+        // a truncated log as present), then the unsealed dir reads as
+        // absent whether or not the recursive delete completes
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$stateDir/deletion_log/_SUCCESS"), false)
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/deletion_log"), true)
-      else
+      } else
         graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
           tmp => remaining.coalesce(1).write.parquet(tmp)
         }
@@ -1405,11 +1440,13 @@ object Dedup extends graft.QueryModule {
   }
 
   /** The state's clustering-threshold marker: written once at first
-    * ingest, and every later maintenance/ingest call must pass the
-    * SAME value — a heal re-deriving clusters at a different threshold
-    * would silently merge (or split) components the state's own
-    * clustering kept apart (review finding, r12). Legacy state dirs
-    * without the marker adopt the first value passed after upgrade.
+    * touch (ingest OR any maintenance entry point — every caller
+    * adopts-and-writes, so a legacy state dir is pinned by the first
+    * post-upgrade call instead of leaving maintenance unguarded until
+    * its next ingest), and every later call must pass the SAME value —
+    * a heal re-deriving clusters at a different threshold would
+    * silently merge (or split) components the state's own clustering
+    * kept apart (review findings, r12).
     */
   private def requireThreshold(spark: SparkSession, stateDir: String,
       minEstJaccard: Double, who: String, writeIfAbsent: Boolean): Unit = {
@@ -1452,13 +1489,25 @@ object Dedup extends graft.QueryModule {
     * partitions `ingest_batch < id` (the replay read shape).
     */
   def readSignatureStoreState(spark: SparkSession, stateDir: String,
-      beforeId: Option[Long] = None): DataFrame = {
+      beforeId: Option[Long] = None): DataFrame =
+    readSignatureStoreStateWith(spark, stateDir, beforeId,
+      deletedDocs(spark, stateDir))
+
+  /** [[readSignatureStoreState]] with a PRECOMPUTED deleted-doc filter
+    * — the per-micro-batch path derives the filter once and threads it
+    * through both the batch sketch and this read, instead of paying
+    * the tombstone/log directory listings and union plan twice per
+    * ingest batch (second review pass).
+    */
+  private def readSignatureStoreStateWith(spark: SparkSession,
+      stateDir: String, beforeId: Option[Long],
+      deleted: Option[DataFrame]): DataFrame = {
     val sigsRoot = s"$stateDir/sigs"
     requireNoParks(spark, sigsRoot, "readSignatureStoreState")
     val all = spark.read.parquet(sigsRoot)
     val ranged = beforeId.fold(all)(id => all.filter(col("ingest_batch") < id))
       .drop("ingest_batch")
-    deletedDocs(spark, stateDir).fold(ranged)(t =>
+    deleted.fold(ranged)(t =>
       ranged.join(broadcast(t), Seq("doc_id"), "left_anti"))
   }
 
@@ -1495,7 +1544,7 @@ object Dedup extends graft.QueryModule {
       s"deleteFromDedupState: docIds must carry a `doc_id` column, got " +
         docIds.columns.mkString(","))
     requireThreshold(spark, stateDir, minEstJaccard, "deleteFromDedupState",
-      writeIfAbsent = false)
+      writeIfAbsent = true)
     val root = s"$stateDir/tombstones"
     val existing = graft.core.Artifacts
       .sealedFamilyDirs(fsFor(spark, stateDir), root, "del").map(_._1)
@@ -1539,7 +1588,7 @@ object Dedup extends graft.QueryModule {
     val sigsRoot = s"$stateDir/sigs"
     val fs = fsFor(spark, stateDir)
     requireThreshold(spark, stateDir, minEstJaccard, "healAssignments",
-      writeIfAbsent = false)
+      writeIfAbsent = true)
     graft.core.Artifacts.healRewrites(fs, assignRoot)
     val tombs = pendingTombstones(spark, stateDir).getOrElse(return)
       .localCheckpoint(true)
@@ -1634,7 +1683,7 @@ object Dedup extends graft.QueryModule {
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
     requireThreshold(spark, stateDir, minEstJaccard, "maintainDedupState",
-      writeIfAbsent = false)
+      writeIfAbsent = true)
     graft.core.Artifacts.healRewrites(fs, sigsRoot)
     graft.core.Artifacts.healRewrites(fs, assignRoot)
     graft.core.Artifacts.healRewrites(fs, stateDir) // deletion_log parks

@@ -1304,15 +1304,31 @@ object VectorOps extends graft.QueryModule {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     graft.core.Artifacts.healRewrites(fs, base)
+    // refuse while any requested vid's deletion is still PENDING (an
+    // uncompacted tombstone): a log-only edit would silently no-op and
+    // the next compaction would move the vid INTO the log — suppressed
+    // forever with no error anywhere
+    val tombs = sealedTombstoneDirs(fs, base)
+    if (tombs.nonEmpty) {
+      val stillPending = spark.read.parquet(tombs: _*).select("vid")
+        .join(vids.select("vid").distinct(), Seq("vid"), "semi")
+      require(stillPending.head(1).isEmpty,
+        "allowReingest: some requested vids have PENDING (uncompacted) " +
+          "deletion tombstones — run compactIvfPqIndex / maintainIndex to " +
+          "materialize them first, then re-admit")
+    }
     deletionLog(spark, base).foreach { l =>
       val remaining = l.join(vids.select("vid").distinct(), Seq("vid"),
         "left_anti").localCheckpoint(true)
-      if (remaining.head(1).isEmpty)
-        // drop-all: deleting the sealed dir is crash-safe here — a
-        // partial delete leaves it unsealed, which reads as absent
-        // (exactly the intended empty log)
+      if (remaining.head(1).isEmpty) {
+        // drop-all: unseal FIRST (recursive-delete ordering is
+        // unspecified — _SUCCESS surviving a partial delete would gate
+        // a truncated log as present), then the unsealed dir reads as
+        // absent whether or not the recursive delete completes
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$base/$DeletionLogDir/_SUCCESS"), false)
         fs.delete(new org.apache.hadoop.fs.Path(s"$base/$DeletionLogDir"), true)
-      else
+      } else
         graft.core.Artifacts.rewriteDirInPlace(fs, base, DeletionLogDir) {
           tmp => remaining.coalesce(1).write.parquet(tmp)
         }

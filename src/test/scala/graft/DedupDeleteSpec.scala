@@ -203,6 +203,57 @@ class DedupDeleteSpec extends AnyFunSuite {
     assert(rep2.getAs[Double]("dup_recall") === 1.0)
   }
 
+  test("allowReingestDocs refuses while a deletion is still pending (a log-only " +
+      "edit would silently no-op and the next compaction would suppress forever)") {
+    val state = tmp("dedup-reingest-pending")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    Dedup.deleteFromDedupState(spark, state, docs.filter(delPred).select("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.allowReingestDocs(spark, state, docs.filter(delPred).select("doc_id"))
+    }
+    assert(e.getMessage.contains("PENDING"), e.getMessage)
+    // after materialization the same call succeeds and re-opens ingest
+    Dedup.compactSignatureStore(spark, state)
+    Dedup.allowReingestDocs(spark, state, docs.filter(delPred).select("doc_id"))
+    Dedup.clustersIngestBatch(docs.filter(delPred && col("doc_id") < 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(col("doc_id") < 400), 0.5)))
+  }
+
+  test("compaction tolerates a torn NEWEST partition in the append path (the " +
+      "crashed-stream state replay heals) but refuses to materialize over it") {
+    val state = tmp("dedup-torn-newest")
+    (0 until 5).foreach { b =>
+      Dedup.clustersIngestBatch(
+        docs.filter(col("doc_id") % 5 === b), b, state)
+    }
+    // crash the newest sigs write (the state clustersIngestBatch's own
+    // torn gate tolerates pending replay of id == max)
+    assert(new java.io.File(s"$state/sigs/ingest_batch=4/_SUCCESS").delete())
+    // append-path compaction (no tombstones) succeeds: it never touches
+    // the top two partitions
+    Dedup.compactSignatureStore(spark, state)
+    val parts = new java.io.File(s"$state/sigs").listFiles()
+      .map(_.getName).filter(_.matches("ingest_batch=\\d+")).sorted
+    assert(parts === Array("ingest_batch=0", "ingest_batch=3", "ingest_batch=4"),
+      parts.mkString(","))
+    // but a MATERIALIZING compaction may rewrite any partition, and a
+    // torn one cannot certify its tombstoned rows — refuse loudly
+    // (heal the torn batch first, then delete materializes)
+    spark.createDataFrame(Seq(Tuple1(0L))).toDF("doc_id")
+      .write.parquet(s"$state/tombstones/del=1")
+    Dedup.healAssignments(spark, state)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, state)
+    }
+    assert(e.getMessage.contains("unsealed"), e.getMessage)
+    // replay of the torn id heals it; materialization then proceeds
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") % 5 === 4), 4, state)
+    Dedup.compactSignatureStore(spark, state)
+    assert(spark.read.parquet(s"$state/sigs")
+      .filter(col("doc_id") === 0).count() === 0)
+  }
+
   test("deleting docs that never clustered (or repeating a delete) is a no-op " +
       "for the assignment and still filters their signatures") {
     val state = tmp("dedup-del-noop")

@@ -118,6 +118,13 @@ class IndexMaintainSpec extends AnyFunSuite {
     // carries the tombstones — deletion survives model refreshes
     VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 450), ixDir, 8, 8, 16, 64)
     assert(codeVids(ixDir) === kept, "retrain resurrected deleted vectors")
+    // re-admission REFUSES while the deletion is still pending: a
+    // log-only edit would silently no-op and the next compaction would
+    // move the vids into the log — suppressed forever with no error
+    val ePend = intercept[IllegalArgumentException] {
+      VectorOps.allowReingest(spark, ixDir, del.toDF("vid"))
+    }
+    assert(ePend.getMessage.contains("PENDING"), ePend.getMessage)
     // pending tombstones force the fold even on a compact codes table
     assert(VectorOps.compactIvfPqIndexIfFragmented(spark, ixDir, maxAppends = 16),
       "pending tombstones must force compaction")
