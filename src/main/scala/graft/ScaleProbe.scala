@@ -917,6 +917,38 @@ object ScaleProbe {
         1L
       }
       nbProbe.unpersist()
+      // deletion heal is O(touched clusters), not O(corpus): the SAME
+      // delete set against a 1x and a 4x state should cost ~the same —
+      // only one broadcast-semi assignment scan grows with the corpus,
+      // the sub-clustering term is bounded by the touched clusters.
+      // Replicas salt EVERY token with the replica id, so shingle
+      // vocabularies are replica-disjoint and the dup-cluster structure
+      // (and therefore the touched set, drawn from replica 0's ids) is
+      // IDENTICAL across multiplicities — replication grows the
+      // corpus, never the clusters.
+      def saltedCorpus(mult: Int) = (0 until mult).map { i =>
+        docsFull.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$i"))), " ").as("text"))
+      }.reduce(_ unionByName _)
+      val healDel = docsFull.filter(col("doc_id") % 23 === 3)
+        .select("doc_id").persist()
+      println(s"[scale] heal probe delete set: ${healDel.count()} docs")
+      Seq(1, 4).foreach { mult =>
+        val st = s"$root/heal$mult"
+        val corpus = saltedCorpus(mult).persist()
+        val half = corpus.count() / 2
+        graft.ops.Dedup.clustersIngestBatch(
+          corpus.filter(col("doc_id") % 2 === 0), 0, st)
+        graft.ops.Dedup.clustersIngestBatch(
+          corpus.filter(col("doc_id") % 2 === 1), 1, st)
+        time(f"dedup_delete_heal_${mult}%dx") {
+          graft.ops.Dedup.deleteFromDedupState(spark, st, healDel)
+          half // the timed op is the delete+heal; half only types the row
+        }
+        corpus.unpersist()
+      }
+      healDel.unpersist()
       docs.unpersist(); probe.unpersist()
     }
     spark.stop()
