@@ -373,6 +373,13 @@ object Dedup extends graft.QueryModule {
     * with no `_SUCCESS` job-commit marker rather than serve it. A
     * crashed APPEND keeps the previous write's marker and at worst
     * duplicates rows on retry, which the candidate joins tolerate.
+    *
+    * DELETION: this FLAT single-dir store has no tombstone layout — a
+    * deployment that needs the takedown lifecycle (tombstones, heal,
+    * materialization, deletion log, [[allowReingestDocs]]) should hold
+    * its signatures in the [[clustersIngestBatch]] state-dir store and
+    * read through [[readSignatureStoreState]]; callers of this flat
+    * reader who delete docs must anti-join their own takedown set.
     */
   def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.gatedRead(spark, dir, "readMinhashSignatures",

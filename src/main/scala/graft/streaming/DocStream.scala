@@ -320,6 +320,13 @@ object DocStream {
     * pins the maintained assignment equal to the from-scratch batch
     * clustering of everything ingested.
     */
+  /** Deletion interplay: [[graft.ops.Dedup.deleteFromDedupState]] and
+    * [[graft.ops.Dedup.maintainDedupState]] run BETWEEN batches (the
+    * serial-writer contract); each micro-batch then filters deleted
+    * docs out of its own sketch and its history read, so a replay
+    * redelivering a taken-down doc cannot resurrect it (the
+    * deletion-log durability analyzed in clustersIngestBatch).
+    */
   def clustersOnIngest(newDocs: DataFrame, stateDir: String,
       checkpointDir: String, minEstJaccard: Double = 0.5,
       baseBatchId: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
