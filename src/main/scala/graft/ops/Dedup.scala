@@ -1088,7 +1088,8 @@ object Dedup extends graft.QueryModule {
     requireNoParks(spark, sigsRoot, "clustersIngestBatch")
     requireNoParks(spark, assignRoot, "clustersIngestBatch")
     pendingTombstones(spark, stateDir).foreach(t =>
-      requireAssignmentsHealed(spark, stateDir, t, "clustersIngestBatch"))
+      requireAssignmentsHealed(spark, stateDir, t, "clustersIngestBatch",
+        overwrites = Some(id)))
     // a batch may REDELIVER (or a source keep emitting) a doc deleted
     // since its first run: deleted docs stay deleted — signatures are
     // filtered against (pending tombstones ∪ deletion log) before both
@@ -1239,7 +1240,16 @@ object Dedup extends graft.QueryModule {
       case Some(tombs) =>
         // deletions pending: this fold is the MATERIALIZATION step, so
         // it must REWRITE partitions (append-then-delete can only grow
-        // them). Refuse if the assignment heal hasn't run — clearing
+        // them). Reachable with ZERO signature partitions via the
+        // documented torn-heal recipe ("delete the torn partitions and
+        // re-ingest") on a single-partition store — refuse with the
+        // recipe rather than a bare ids.head crash (r12 ADVICE).
+        require(ids.nonEmpty,
+          s"compactSignatureStore: tombstones pend under $stateDir but the " +
+            s"store holds no signature partitions under $sigsRoot — " +
+            "re-ingest the corpus first, then compact to materialize the " +
+            "deletions")
+        // Refuse if the assignment heal hasn't run — clearing
         // the tombstones below would discard the only evidence the
         // heal needs.
         requireAssignmentsHealed(spark, stateDir, tombs, "compactSignatureStore")
@@ -1546,7 +1556,8 @@ object Dedup extends graft.QueryModule {
     * clustering threshold.
     */
   def deleteFromDedupState(spark: SparkSession, stateDir: String,
-      docIds: DataFrame, minEstJaccard: Double = 0.5): Unit = {
+      docIds: DataFrame, minEstJaccard: Double = 0.5,
+      broadcastRowBudget: Long = 2000000L): Unit = {
     require(docIds.columns.contains("doc_id"),
       s"deleteFromDedupState: docIds must carry a `doc_id` column, got " +
         docIds.columns.mkString(","))
@@ -1558,7 +1569,7 @@ object Dedup extends graft.QueryModule {
     val next = if (existing.isEmpty) 1L else existing.max + 1
     docIds.select("doc_id").distinct()
       .write.mode("overwrite").parquet(s"$root/del=$next")
-    healAssignments(spark, stateDir, minEstJaccard)
+    healAssignments(spark, stateDir, minEstJaccard, broadcastRowBudget)
   }
 
   /** Heal every retained assignment snapshot after a delete: a removed
@@ -1588,9 +1599,21 @@ object Dedup extends graft.QueryModule {
     * from, and folding from an unhealed base would resurrect the
     * deleted docs' memberships. Idempotent (already-healed snapshots
     * have no touched clusters).
+    *
+    * MEGA-CLUSTER guard (r12 verdict #2): the tombstone set, the
+    * touched-cluster set, and the surviving members are all broadcast
+    * in the normal case (takedown-sized), but ONE degenerate cluster —
+    * boilerplate shingles gluing millions of docs — makes `survivors`
+    * broadcast-sized and a mass compliance purge makes the tombstones
+    * so. Each broadcast is therefore size-gated on a cheap count of
+    * the already-checkpointed frame: above `broadcastRowBudget` rows
+    * the same join runs shuffled (identical output — semi/anti joins
+    * are strategy-independent), so the heal stays O(touched) under
+    * hostile shapes instead of OOMing the driver mid-takedown.
     */
   def healAssignments(spark: SparkSession, stateDir: String,
-      minEstJaccard: Double = 0.5): Unit = {
+      minEstJaccard: Double = 0.5,
+      broadcastRowBudget: Long = 2000000L): Unit = {
     val assignRoot = s"$stateDir/assign"
     val sigsRoot = s"$stateDir/sigs"
     val fs = fsFor(spark, stateDir)
@@ -1600,26 +1623,57 @@ object Dedup extends graft.QueryModule {
     val tombs = pendingTombstones(spark, stateDir).getOrElse(return)
       .localCheckpoint(true)
     requireNoParks(spark, sigsRoot, "healAssignments")
-    val snapIds = graft.core.Artifacts
+    // TORN-partition gate (r12 ADVICE, medium): the ingest gate
+    // deliberately tolerates a torn NEWEST sigs partition pending its
+    // checkpoint replay, but this heal re-derives touched clusters
+    // from each snapshot's own `ingest_batch <= id` prefix — reading a
+    // torn partition there would re-cluster from a partial row subset
+    // and silently DROP surviving docs whose signature rows were lost
+    // (serving shrunken state where every other entry point refuses).
+    // Scoped PER SNAPSHOT (the requireNotTorn convention): snapshots
+    // whose prefix is fully sealed heal normally FIRST — each heal is
+    // individually complete, so a partial pass is safe and idempotent
+    // — then the blocked ones refuse loudly. That ordering is what
+    // breaks the torn-newest deadlock: the prior snapshot heals, the
+    // torn batch's replay rebuilds its own snapshot from that healed
+    // base (clustersIngestBatch exempts the snapshot it overwrites
+    // from the unhealed gate), and a re-run of this op finds nothing
+    // left to do.
+    val tornSigs = graft.core.Artifacts
+      .sealedFamilyDirs(fs, sigsRoot, "ingest_batch")
+      .collect { case (a, false) => a }
+    val allSnapIds = graft.core.Artifacts
       .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
-      .collect { case (a, true) => a }
+      .collect { case (a, true) => a }.sorted
+    val (blocked, snapIds) =
+      allSnapIds.partition(id => tornSigs.exists(_ <= id))
+    // gated-broadcast helper: identical join, strategy picked by the
+    // measured row count of the (checkpointed) build side. The
+    // fallback carries an explicit merge hint — without it Spark's
+    // size estimate could re-broadcast the very frame the gate just
+    // measured as over budget (the dropSide rationale)
+    def gated(left: DataFrame, right: DataFrame, key: String,
+        how: String, fits: Boolean): DataFrame =
+      if (fits) left.join(broadcast(right), Seq(key), how)
+      else left.join(right.hint("merge"), Seq(key), how)
+    val tombsFit = tombs.count() <= broadcastRowBudget
     snapIds.foreach { id =>
       val snap = s"$assignRoot/ingest_batch=$id"
       val assign = spark.read.parquet(snap)
-      val touched = assign.join(broadcast(tombs), Seq("doc_id"), "semi")
+      val touched = gated(assign, tombs, "doc_id", "semi", tombsFit)
         .select("cluster_id").distinct().localCheckpoint(true)
       if (touched.head(1).nonEmpty) {
-        val members = assign.join(broadcast(touched), Seq("cluster_id"), "semi")
-        val survivors = members
-          .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+        val touchedFit = touched.count() <= broadcastRowBudget
+        val members = gated(assign, touched, "cluster_id", "semi", touchedFit)
+        val survivors = gated(members, tombs, "doc_id", "left_anti", tombsFit)
           .select("doc_id").localCheckpoint(true)
-        val subSigs = spark.read.parquet(sigsRoot)
+        val survivorsFit = survivors.count() <= broadcastRowBudget
+        val subSigs0 = spark.read.parquet(sigsRoot)
           .filter(col("ingest_batch") <= id).drop("ingest_batch")
-          .join(broadcast(survivors), Seq("doc_id"), "semi")
+        val subSigs = gated(subSigs0, survivors, "doc_id", "semi", survivorsFit)
         val subAssign = clustersFromCandidates(
           candidatesFromSignatures(subSigs, minEstJaccard))
-        val healed = assign
-          .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+        val healed = gated(assign, touched, "cluster_id", "left_anti", touchedFit)
           .select("doc_id", "cluster_id", "cluster_size")
           .unionByName(subAssign.select("doc_id", "cluster_id", "cluster_size"))
           // fully materialize BEFORE the rewrite parks the dir this
@@ -1630,6 +1684,15 @@ object Dedup extends graft.QueryModule {
           s"ingest_batch=$id") { tmp => healed.write.parquet(tmp) }
       }
     }
+    require(blocked.isEmpty,
+      s"healAssignments: sigs partitions ${tornSigs.sorted.mkString(",")} " +
+        s"under $sigsRoot are unsealed (no _SUCCESS — a crashed ingest " +
+        s"write), blocking the heal of assignment snapshot(s) " +
+        s"${blocked.mkString(",")} whose read prefix they sit under " +
+        "(every clean-prefix snapshot healed before this refusal). " +
+        "Replay the torn batches through their checkpoint (or delete the " +
+        "torn partitions and re-ingest their documents), then re-run the " +
+        "heal")
   }
 
   /** Loud unhealed-state gate shared by ingest and compaction: while
@@ -1638,14 +1701,24 @@ object Dedup extends graft.QueryModule {
     * from a stale base would resurrect memberships, and compaction
     * clearing the tombstones would discard the only evidence the heal
     * needs.
+    *
+    * `overwrites`: a REPLAY's own snapshot id is exempt — the replay
+    * never folds FROM it (it folds from prev.max, which the gate still
+    * checks) and rebuilds it entirely from deleted-filtered reads, so
+    * a stale copy about to be overwritten is harmless. Without the
+    * exemption, a torn-newest partition whose heal refused (the r12
+    * ADVICE gate) could never be replayed: heal waits on replay,
+    * replay waits on heal.
     */
   private def requireAssignmentsHealed(spark: SparkSession, stateDir: String,
-      tombs: DataFrame, who: String): Unit = {
+      tombs: DataFrame, who: String,
+      overwrites: Option[Long] = None): Unit = {
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
     graft.core.Artifacts
       .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
       .collect { case (a, true) => a }
+      .filterNot(overwrites.contains)
       .foreach { id =>
         val stale = spark.read.parquet(s"$assignRoot/ingest_batch=$id")
           .join(broadcast(tombs), Seq("doc_id"), "semi")
@@ -1683,7 +1756,8 @@ object Dedup extends graft.QueryModule {
     * dup_recall). Serial-writer contract: run between batches.
     */
   def maintainDedupState(spark: SparkSession, stateDir: String,
-      minEstJaccard: Double = 0.5, probeModulus: Long = 101L): DataFrame = {
+      minEstJaccard: Double = 0.5, probeModulus: Long = 101L,
+      broadcastRowBudget: Long = 2000000L): DataFrame = {
     import spark.implicits._
     require(probeModulus > 0, s"probeModulus must be > 0, got $probeModulus")
     val sigsRoot = s"$stateDir/sigs"
@@ -1702,7 +1776,8 @@ object Dedup extends graft.QueryModule {
     val pending = pendingTombstones(spark, stateDir)
     val nTombstoned = pending.map(_.count()).getOrElse(0L)
     val healed = pending.isDefined
-    if (healed) healAssignments(spark, stateDir, minEstJaccard)
+    if (healed) healAssignments(spark, stateDir, minEstJaccard,
+      broadcastRowBudget)
     compactSignatureStore(spark, stateDir)
     val partsAfter = sigPartitions().size.toLong
     val nFiles = {
@@ -1759,23 +1834,80 @@ object Dedup extends graft.QueryModule {
   /** The deduplicated corpus itself: drop every non-canonical member of
     * a near-dup cluster (keep the min-doc_id representative), keep all
     * docs without a near-dup partner. This is the step that actually
-    * emits training data — [[dupClusters]] is its decision table. The
-    * drop set (cluster members ≠ label) is tiny relative to the corpus,
-    * so the anti-join broadcasts it and the corpus never shuffles.
+    * emits training data — [[dupClusters]] is its decision table.
+    *
+    * `broadcastDrop` is the join-strategy dial (the
+    * [[graft.sim.Semantic]] `broadcastQuery` pattern — r12 verdict #1):
+    * at benchmark-corpus dup rates the drop set (cluster members ≠
+    * label) is tiny, so the default broadcasts it and the corpus never
+    * shuffles. At web-crawl dup rates 30–50 % of docs are non-canonical
+    * members — the drop set is CORPUS-ORDER and a broadcast would OOM
+    * the driver exactly at the scale this engine targets; pass `false`
+    * and the same anti-join runs shuffled (identical output, pinned by
+    * PlanSpec for both shapes and by q_dedup_keep_shuffled's shared
+    * oracle hash).
     */
-  def dedupedCorpus(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
-    dedupedCorpus(docs, dupClusters(docs, minEstJaccard))
+  def dedupedCorpus(docs: DataFrame, minEstJaccard: Double = 0.5,
+      broadcastDrop: Boolean = true): DataFrame =
+    dedupedCorpus(docs, dupClusters(docs, minEstJaccard), broadcastDrop)
 
   /** Corpus emission against a precomputed cluster decision table
     * ([[dupClusters]] / [[clustersFromCandidates]] output) — the reuse
     * entry point: a pipeline that just built the clusters feeds them
     * here instead of re-running the whole sketch→LSH→CC chain.
     */
-  def dedupedCorpus(docs: DataFrame, clusters: DataFrame): DataFrame = {
+  def dedupedCorpus(docs: DataFrame, clusters: DataFrame): DataFrame =
+    dedupedCorpus(docs, clusters, broadcastDrop = true)
+
+  /** The drop-set side under the emission strategy dial: a broadcast
+    * hint, or a forced SHUFFLE_MERGE — without the explicit merge hint
+    * Spark's size estimate would quietly re-broadcast a small drop set
+    * anyway, so `broadcastDrop = false` could never be trusted as "the
+    * driver will not materialize this" at scale (and PlanSpec could
+    * not pin the fallback shape).
+    */
+  private def dropSide(drop: DataFrame, broadcastDrop: Boolean): DataFrame =
+    if (broadcastDrop) broadcast(drop) else drop.hint("merge")
+
+  /** [[dedupedCorpus]] with both the precomputed decision table and the
+    * drop-set join strategy explicit.
+    */
+  def dedupedCorpus(docs: DataFrame, clusters: DataFrame,
+      broadcastDrop: Boolean): DataFrame = {
     val drop = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    docs.join(dropSide(drop, broadcastDrop), Seq("doc_id"), "left_anti")
+  }
+
+  /** Corpus emission under the [[keepBestPerCluster]] policy: drop
+    * every cluster member that is not its cluster's kept (best-quality)
+    * doc; docs outside any cluster pass through. The drop set is the
+    * same corpus-order-at-crawl-dup-rates object as [[dedupedCorpus]]'s,
+    * so it takes the same `broadcastDrop` dial (r12 verdict #1).
+    */
+  def keepBestCorpus(docs: DataFrame, clusters: DataFrame,
+      quality: DataFrame, broadcastDrop: Boolean = true): DataFrame = {
+    val keep = keepBestPerCluster(clusters, quality)
+      .select(col("cluster_id"), col("keep_doc_id"))
+    val drop = clusters.join(keep, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select("doc_id")
+    docs.join(dropSide(drop, broadcastDrop), Seq("doc_id"), "left_anti")
+  }
+
+  /** Corpus emission under the [[softDedupQuota]] policy: keep each
+    * cluster's quota-many best members, drop the rest; docs outside any
+    * cluster pass through. Same `broadcastDrop` dial as
+    * [[dedupedCorpus]] (r12 verdict #1).
+    */
+  def softDedupCorpus(docs: DataFrame, clusters: DataFrame,
+      quality: DataFrame, maxKeep: Int = 64,
+      broadcastDrop: Boolean = true): DataFrame = {
+    val kept = softDedupQuota(clusters, quality, maxKeep).select("doc_id")
+    val drop = clusters.select("doc_id")
+      .join(kept, Seq("doc_id"), "left_anti")
+    docs.join(dropSide(drop, broadcastDrop), Seq("doc_id"), "left_anti")
   }
 
   /** Quality-aware canonical selection: per near-dup cluster, keep the
@@ -2284,6 +2416,18 @@ object Dedup extends graft.QueryModule {
         .orderBy("lang")
     },
 
+    // Same emission contract with the drop-set anti-join forced
+    // SHUFFLED (broadcastDrop=false) — the web-crawl dup-rate shape
+    // where the drop set is corpus-order and a broadcast would OOM the
+    // driver (r12 verdict #1). Shares q_dedup_keep's oracle text: join
+    // strategy never changes the rows, and the hash gate proves it.
+    "q_dedup_keep_shuffled" -> { (spark, dir) =>
+      dedupedCorpus(Tables.documents(spark, dir), 0.5, broadcastDrop = false)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
+    },
+
     "q_simhash" -> { (spark, dir) =>
       simhashFingerprints(Tables.documents(spark, dir)).orderBy("doc_id")
     },
@@ -2334,6 +2478,30 @@ object Dedup extends graft.QueryModule {
       val docs = Tables.documents(spark, dir)
       softDedupQuota(dupClusters(docs, 0.5), TextOps.qualityScores(docs))
         .orderBy("doc_id")
+    },
+
+    // The EMITTED corpus under the keep-best policy (default broadcast
+    // drop set), per-lang summary — the q_dedup_keep contract for the
+    // quality-aware canonical (r12 verdict #1's emission mirror).
+    "q_keep_best_corpus" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      keepBestCorpus(docs, dupClusters(docs, 0.5), TextOps.qualityScores(docs))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
+    },
+
+    // The emitted corpus under the soft-dedup quota policy, with the
+    // drop-set anti-join SHUFFLED — this policy's drop set shrinks
+    // least (it keeps log-many copies), so it is the one most likely
+    // to need the non-broadcast shape at crawl dup rates.
+    "q_soft_dedup_corpus" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      softDedupCorpus(docs, dupClusters(docs, 0.5), TextOps.qualityScores(docs),
+          64, broadcastDrop = false)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
     },
 
     // Embedding near-dup: top-20 most-cosine-similar vector pairs.
@@ -2393,7 +2561,75 @@ object Dedup extends graft.QueryModule {
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM labels ORDER BY doc_id""".stripMargin
     val dedupClustersSql = dedupClustersSqlFor("TRUE")
-    Map(
+    // cluster labels x quality chain, ranked per cluster — the shared
+    // prefix of the quality-aware EMISSION oracles (q_keep_best_corpus /
+    // q_soft_dedup_corpus); identical fragments to q_keep_best /
+    // q_soft_dedup's own oracles
+    val clusterQualityRankedCtes =
+      s"""$shingleHashCte,
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $sigColsSql
+         |  FROM hashes GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges0 AS (
+         |  SELECT d1, d2 FROM (
+         |    SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS ej
+         |    FROM cand c
+         |    JOIN sigs s1 ON c.d1 = s1.doc_id
+         |    JOIN sigs s2 ON c.d2 = s2.doc_id) t
+         |  WHERE ej >= 0.5),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM edges0
+         |  UNION ALL SELECT d2, d1 FROM edges0),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.node = e.src),
+         |labels AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |tok AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> ''),
+         |stop AS (
+         |  SELECT term AS stop_term FROM (
+         |    SELECT term, count(*) AS n FROM tok GROUP BY term
+         |    ORDER BY n DESC, term LIMIT 10)),
+         |stats AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens, count(DISTINCT t.term) AS n_types,
+         |    sum(CASE WHEN s.stop_term IS NOT NULL THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok t LEFT JOIN stop s ON t.term = s.stop_term
+         |  GROUP BY t.doc_id),
+         |qual AS (
+         |  SELECT doc_id,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+         |      + (CAST(n_types AS DOUBLE) / n_tokens) * 0.3
+         |      + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 AS quality
+         |  FROM stats),
+         |ranked AS (
+         |  SELECT l.doc_id, l.cluster_id,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY coalesce(q.quality, -1.0) DESC, l.doc_id) AS rn
+         |  FROM labels l LEFT JOIN qual q ON l.doc_id = q.doc_id)""".stripMargin
+    // the shared per-lang emission summary over a `keeps(doc_id)` CTE:
+    // drop cluster members not kept, everything outside a cluster stays
+    val emissionSummarySql =
+      """,
+        |drops AS (
+        |  SELECT doc_id FROM labels
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM keeps))
+        |SELECT d.lang, count(*) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    val m = Map(
       "q_exact_dedup" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies, min(doc_id) AS keep_doc_id
           |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
@@ -3098,6 +3334,29 @@ object Dedup extends graft.QueryModule {
            |JOIN e e2 ON c.v2 = e2.vec_id
            |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
       },
+      // quality-aware emission: kept = each cluster's rn=1 best member
+      "q_keep_best_corpus" ->
+        s"""WITH RECURSIVE $clusterQualityRankedCtes,
+           |keeps AS (SELECT doc_id FROM ranked WHERE rn = 1)$emissionSummarySql""".stripMargin,
+      // quota emission: kept = rn ≤ 1+⌊log₂ size⌋ (integer CASE, the
+      // q_soft_dedup convention), under the 64-row literal cap
+      "q_soft_dedup_corpus" ->
+        s"""WITH RECURSIVE $clusterQualityRankedCtes,
+           |quota AS (
+           |  SELECT doc_id,
+           |    CASE WHEN cluster_size >= 64 THEN 7
+           |         WHEN cluster_size >= 32 THEN 6
+           |         WHEN cluster_size >= 16 THEN 5
+           |         WHEN cluster_size >= 8 THEN 4
+           |         WHEN cluster_size >= 4 THEN 3
+           |         WHEN cluster_size >= 2 THEN 2
+           |         ELSE 1 END AS quota, rn
+           |  FROM ranked WHERE rn <= 64),
+           |keeps AS (SELECT doc_id FROM quota WHERE rn <= quota)$emissionSummarySql""".stripMargin,
     )
+    // the forced-shuffled emission twin shares q_dedup_keep's oracle
+    // TEXT verbatim: join strategy must not change the rows, and the
+    // shared hash gate proves it
+    m + ("q_dedup_keep_shuffled" -> m("q_dedup_keep"))
   }
 }

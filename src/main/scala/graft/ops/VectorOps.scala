@@ -1118,8 +1118,12 @@ object VectorOps extends graft.QueryModule {
     */
   def writeIvfPqIndex(embeddings: DataFrame, dir: String, nCentroids: Int = 8,
       m: Int = 8, ksub: Int = 16, dims: Int = 64): Unit = {
+    // deleted vectors must not influence the retrained quantizer model
+    // either — not just the served codes (r12 ADVICE; scaladoc on
+    // scrubDeletedTraining)
+    val train = scrubDeletedTraining(embeddings.sparkSession, dir, embeddings)
     val (scoredCells, cent, cb, codes) =
-      ivfPqBuildLazy(embeddings, nCentroids, m, ksub, dims)
+      ivfPqBuildLazy(train, nCentroids, m, ksub, dims)
     writeIndexVersion(embeddings.sparkSession, dir, cent, cb, codes,
       nCentroids, m, ksub, dims)
     scoredCells.unpersist(false)
@@ -1288,6 +1292,41 @@ object VectorOps extends graft.QueryModule {
       codes: DataFrame): DataFrame =
     deletionLog(spark, versionDir).fold(codes)(l =>
       codes.join(broadcast(l), Seq("vid"), "left_anti"))
+
+  /** Scrub a retrain's TRAINING corpus (`vec_id` keyed) against the
+    * latest complete version's deleted set — deletion log ∪ sealed
+    * pending tombstones (r12 ADVICE): [[writeIndexVersion]] already
+    * anti-joins the fresh CODES against the log, which keeps deleted
+    * vids out of serving, but without this the centroids/codebook
+    * would still be FIT on their embeddings — logged-deleted vectors
+    * influencing the quantizer model after every retrain, a gap in
+    * the takedown-durability claim that nothing depends on the
+    * operator purging the corpus. Takedown-sized → broadcast anti-join;
+    * no prior version → input unchanged.
+    */
+  private def scrubDeletedTraining(spark: SparkSession, dir: String,
+      embeddings: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    indexVersions(fs, dir).filter(isCompleteVersion(fs, dir, _))
+      .sorted.lastOption.map(v => s"$dir/v=$v").fold(embeddings) { prior =>
+        // heal a crashed allowReingest park before reading the log
+        // (the writeIndexVersion convention — this runs on the same
+        // maintenance entry paths)
+        graft.core.Artifacts.healRewrites(fs, prior)
+        val tombDirs = sealedTombstoneDirs(fs, prior)
+        val tombDf =
+          if (tombDirs.isEmpty) None
+          else Some(spark.read.parquet(tombDirs: _*).select("vid"))
+        val deleted = (tombDf, deletionLog(spark, prior)) match {
+          case (Some(t), Some(l)) => Some(t.unionByName(l).distinct())
+          case (t, l) => t.orElse(l)
+        }
+        deleted.fold(embeddings)(d => embeddings.join(
+          broadcast(d.select(col("vid").as("vec_id"))),
+          Seq("vec_id"), "left_anti"))
+      }
+  }
 
   /** Re-admit vids to the index (the deliberate inverse of
     * [[deleteFromIvfPqIndex]] + compaction): remove them from the
@@ -1679,7 +1718,12 @@ object VectorOps extends graft.QueryModule {
     * it).
     */
   private def rebalanceNow(spark: SparkSession, dir: String, ix: IvfPqIndex,
-      embeddings: DataFrame, maxShare: Double, maxSplits: Int): Boolean = {
+      embeddings0: DataFrame, maxShare: Double, maxSplits: Int): Boolean = {
+    // same takedown-durability scrub as writeIvfPqIndex: the rebalance
+    // REFITS centroids, and deleted vectors must not shape them. The
+    // missing-check below still holds — ix.codes already excludes
+    // tombstoned vids (read filter) and logged vids (physical rewrite)
+    val embeddings = scrubDeletedTraining(spark, dir, embeddings0)
     val missing = ix.codes.select(col("vid"))
       .join(embeddings.select(col("vec_id").as("vid")), Seq("vid"), "left_anti")
       .count()

@@ -319,13 +319,17 @@ object DocStream {
     * (streaming ids start at 0 on a fresh checkpoint). DocStreamSpec
     * pins the maintained assignment equal to the from-scratch batch
     * clustering of everything ingested.
-    */
-  /** Deletion interplay: [[graft.ops.Dedup.deleteFromDedupState]] and
+    *
+    * Deletion interplay: [[graft.ops.Dedup.deleteFromDedupState]] and
     * [[graft.ops.Dedup.maintainDedupState]] run BETWEEN batches (the
     * serial-writer contract); each micro-batch then filters deleted
     * docs out of its own sketch and its history read, so a replay
     * redelivering a taken-down doc cannot resurrect it (the
-    * deletion-log durability analyzed in clustersIngestBatch).
+    * deletion-log durability analyzed in clustersIngestBatch) — and
+    * [[graft.ops.Dedup.clustersIngestBatch]] itself refuses at batch
+    * entry while tombstones pend unhealed, so a delete that crashed
+    * before its heal stops the stream loudly instead of folding from
+    * a stale base.
     */
   def clustersOnIngest(newDocs: DataFrame, stateDir: String,
       checkpointDir: String, minEstJaccard: Double = 0.5,

@@ -242,16 +242,34 @@ class DedupDeleteSpec extends AnyFunSuite {
     // (heal the torn batch first, then delete materializes)
     spark.createDataFrame(Seq(Tuple1(0L))).toDF("doc_id")
       .write.parquet(s"$state/tombstones/del=1")
-    Dedup.healAssignments(spark, state)
+    // the heal itself refuses over the torn prefix (r12 ADVICE): the
+    // newest snapshot's re-derive would read the partial partition —
+    // but every CLEAN-prefix snapshot heals before the refusal, so the
+    // prior snapshot is already scrubbed
+    val eh = intercept[IllegalArgumentException] {
+      Dedup.healAssignments(spark, state)
+    }
+    assert(eh.getMessage.contains("unsealed"), eh.getMessage)
+    assert(spark.read.parquet(s"$state/assign/ingest_batch=3")
+      .filter(col("doc_id") === 0).count() === 0,
+      "clean-prefix snapshot did not heal before the torn refusal")
+    // compaction refuses too: the newest snapshot is still unhealed
     val e = intercept[IllegalArgumentException] {
       Dedup.compactSignatureStore(spark, state)
     }
-    assert(e.getMessage.contains("unsealed"), e.getMessage)
-    // replay of the torn id heals it; materialization then proceeds
+    assert(e.getMessage.contains("healAssignments"), e.getMessage)
+    // replay of the torn id is NOT deadlocked by the unhealed gate
+    // (its own snapshot is exempt — it rebuilds from the healed prior
+    // base with deleted-filtered reads); the tear re-seals, the
+    // remaining heal is a no-op, materialization proceeds
     Dedup.clustersIngestBatch(docs.filter(col("doc_id") % 5 === 4), 4, state)
+    Dedup.healAssignments(spark, state)
     Dedup.compactSignatureStore(spark, state)
     assert(spark.read.parquet(s"$state/sigs")
       .filter(col("doc_id") === 0).count() === 0)
+    assert(spark.read.parquet(s"$state/assign/ingest_batch=4")
+      .filter(col("doc_id") === 0).count() === 0,
+      "replayed snapshot resurrected the deleted doc")
   }
 
   test("deleting docs that never clustered (or repeating a delete) is a no-op " +
@@ -272,5 +290,81 @@ class DedupDeleteSpec extends AnyFunSuite {
     // idempotent second delete of the same ids
     Dedup.deleteFromDedupState(spark, state, singletons)
     assert(assignSet(Dedup.readClusterAssignment(spark, state)) === before)
+  }
+
+  test("mega-cluster heal: a degenerate cluster over the broadcast row budget " +
+      "falls back to shuffled joins and still heals to the scrubbed clustering " +
+      "(r12 verdict #2)") {
+    import spark.implicits._
+    // planted hostile shape: one boilerplate text glues 300 docs into a
+    // single cluster whose survivors exceed any sane broadcast budget
+    val giant = (0L until 300L)
+      .map(i => (i, "the same boilerplate navigation footer text on every page"))
+    val uniq = (1000L until 1010L)
+      .map(i => (i, s"unique document $i carrying tokens w${i * 17} w${i * 31} w${i * 53}"))
+    val corpus = (giant ++ uniq).toDF("doc_id", "text").localCheckpoint(true)
+    val state = tmp("dedup-mega")
+    Dedup.clustersIngestBatch(corpus, 0, state)
+    assert(Dedup.readClusterAssignment(spark, state)
+      .filter(col("cluster_size") >= 300).count() >= 300,
+      "fixture did not plant a giant cluster")
+    // budget 0 forces EVERY gated join (tombs semi, touched semi/anti,
+    // survivors semi) onto the shuffled path; deleting doc 0 — the
+    // giant cluster's min-id LABEL — also forces a full relabel
+    Dedup.deleteFromDedupState(spark, state, Seq(0L).toDF("doc_id"), 0.5,
+      broadcastRowBudget = 0L)
+    val scrubbed = corpus.filter(col("doc_id") =!= 0L)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "shuffled-path heal != from-scratch clustering of the scrubbed corpus")
+  }
+
+  test("healAssignments refuses while a torn sigs partition sits under a " +
+      "retained snapshot's read prefix (r12 ADVICE)") {
+    val state = tmp("dedup-torn-heal")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    // tear batch 0's sigs (crash mid-ingest-write shape): its rows are
+    // a committer-dependent partial subset a heal must never re-derive
+    // clusters from
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$state/sigs/ingest_batch=0/_SUCCESS"), false)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deleteFromDedupState(spark, state,
+        docs.filter(delPred).select("doc_id"))
+    }
+    assert(e.getMessage.contains("unsealed"), e.getMessage)
+    // re-sealing (the replay's effect on the torn partition) unblocks;
+    // tombstones from the refused delete are still pending, so the
+    // heal completes on retry
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$state/sigs/ingest_batch=0/_SUCCESS"), true).close()
+    Dedup.healAssignments(spark, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!delPred), 0.5)))
+  }
+
+  test("compaction with pending tombstones but an empty signature store " +
+      "refuses with the re-ingest recipe, not a bare head crash (r12 ADVICE)") {
+    val state = tmp("dedup-empty-compact")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 200), 0, state)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the documented torn-heal recipe on a single-partition store:
+    // delete the torn partition (here: the only one) — then a pending
+    // tombstone must not crash compaction with NoSuchElementException
+    Dedup.deleteFromDedupState(spark, state,
+      docs.filter(col("doc_id") === 5).select("doc_id"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/sigs/ingest_batch=0"), true)
+    // the assignment still holds rows for other docs; clear it the way
+    // the recipe's re-ingest would not have yet — the guard must fire
+    // BEFORE any heal/assignment logic touches ids.head
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/assign"), true)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, state)
+    }
+    assert(e.getMessage.contains("no signature partitions"), e.getMessage)
   }
 }

@@ -491,4 +491,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("dedupedCorpus drop-set emission: broadcast anti-join by default, " +
+      "forced shuffled (merge) under broadcastDrop=false — same rows either way") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val clusters = graft.ops.Dedup.dupClusters(docs, 0.5)
+      .localCheckpoint(true)
+    val bc = graft.ops.Dedup.dedupedCorpus(docs, clusters, broadcastDrop = true)
+    val sh = graft.ops.Dedup.dedupedCorpus(docs, clusters, broadcastDrop = false)
+    val pBc = bc.queryExecution.executedPlan.toString
+    val pSh = sh.queryExecution.executedPlan.toString
+    // default: the drop set rides a broadcast; the corpus never shuffles
+    assert(pBc.contains("BroadcastHashJoin") && pBc.contains("LeftAnti"), pBc)
+    assert(!pBc.contains("SortMergeJoin"), pBc)
+    // crawl-dup-rate shape: the SAME anti-join, shuffled — no broadcast
+    // of a potentially corpus-order drop set anywhere in the plan
+    assert(pSh.contains("SortMergeJoin") && pSh.contains("LeftAnti"), pSh)
+    assert(!pSh.contains("BroadcastHashJoin"), pSh)
+    // output identity: strategy is invisible in the rows
+    val a = bc.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = sh.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("keepBestCorpus / softDedupCorpus honor the same broadcastDrop dial") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val clusters = graft.ops.Dedup.dupClusters(docs, 0.5)
+      .localCheckpoint(true)
+    val q = graft.ops.TextOps.qualityScores(docs).localCheckpoint(true)
+    val kbSh = graft.ops.Dedup
+      .keepBestCorpus(docs, clusters, q, broadcastDrop = false)
+    val sdSh = graft.ops.Dedup
+      .softDedupCorpus(docs, clusters, q, 64, broadcastDrop = false)
+    for (df <- Seq(kbSh, sdSh)) {
+      val p = df.queryExecution.executedPlan.toString
+      // the final drop-set anti-join is shuffled; smaller interior
+      // joins (keep table, quota window input) may still broadcast
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"), p)
+    }
+    // identity vs the broadcast default
+    val kbBc = graft.ops.Dedup.keepBestCorpus(docs, clusters, q)
+    assert(kbSh.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      kbBc.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
