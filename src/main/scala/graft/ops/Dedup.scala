@@ -1164,7 +1164,18 @@ object Dedup extends graft.QueryModule {
     * compaction itself, only tolerated. Run it between batches (it
     * must not race an in-flight [[clustersIngestBatch]] write).
     */
-  def compactSignatureStore(spark: SparkSession, stateDir: String): Unit = {
+  def compactSignatureStore(spark: SparkSession, stateDir: String): Unit =
+    graft.core.Artifacts.withMaintenanceLease(fsFor(spark, stateDir),
+      stateDir, "compactSignatureStore") {
+      compactSignatureStoreImpl(spark, stateDir)
+    }
+
+  /** [[compactSignatureStore]] without the lease wrapper — the internal
+    * path for [[maintainDedupState]], which already holds the state's
+    * maintenance lease for its whole chain.
+    */
+  private def compactSignatureStoreImpl(spark: SparkSession,
+      stateDir: String): Unit = {
     val sigsRoot = s"$stateDir/sigs"
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(sigsRoot)
@@ -1294,15 +1305,20 @@ object Dedup extends graft.QueryModule {
         // only the log keeps the ingest filter suppressing them
         // (allowReingestDocs is the deliberate re-admission). Crash
         // between the log write and the tombstone clear: both filters
-        // active, harmless overlap healed by the next clear.
-        val newLog = deletionLogDocs(spark, stateDir)
-          .fold(tombs)(l => tombs.unionByName(l).distinct())
-          .localCheckpoint(true)
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/deletion_log")))
-          graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
-            tmp => newLog.coalesce(1).write.parquet(tmp)
-          }
-        else newLog.coalesce(1).write.parquet(s"$stateDir/deletion_log")
+        // active, harmless overlap healed by the next clear. The write
+        // APPENDS one sealed `log=<n>` dir (r12 verdict #5): parallel,
+        // O(this takedown) — the old single-dir rewrite funnelled a
+        // mass compliance purge through one coalesce(1) task and
+        // re-paid the accumulated log on every compaction.
+        val logRoot = s"$stateDir/deletion_log"
+        val logIds = graft.core.Artifacts.sealedFamilyDirs(fs, logRoot, "log")
+        tombs.write.mode("overwrite")
+          .parquet(s"$logRoot/log=${(0L +: logIds.map(_._1)).max + 1}")
+        // bound the reader's union width over a long takedown history:
+        // fold the family to one dir once it fragments (amortized —
+        // not per compaction)
+        if (logIds.count(_._2) + 1 > LogFoldThreshold)
+          foldDeletionLog(spark, stateDir)
         // clear tombstones LAST — every partition is now physically
         // scrubbed and the log carries the ids. A crash mid-clear
         // leaves some tombstones pending: harmless (they filter
@@ -1379,9 +1395,22 @@ object Dedup extends graft.QueryModule {
     * would re-sketch and re-cluster a taken-down document with no
     * operator action. Every signature read and every batch sketch
     * anti-joins (tombstones ∪ log); re-admission is the explicit
-    * [[allowReingestDocs]]. Takedown-sized; absent/unsealed = empty
-    * (a crashed [[allowReingestDocs]] rewrite parks the original, so
-    * the park refusal keeps that window loud, never silent-empty).
+    * [[allowReingestDocs]].
+    *
+    * VERSIONED layout (r12 verdict #5): `deletion_log/log=<n>/` sealed
+    * dirs — the tombstone family convention. Each compaction APPENDS
+    * one sealed dir (parallel write, O(takedown) — the old
+    * single-file rewrite funnelled a mass compliance purge through one
+    * coalesce(1) task and re-paid the whole log per compaction); the
+    * reader unions sealed dirs; [[allowReingestDocs]] still rewrites
+    * the family park/swap-atomically for removal, and the family folds
+    * back to one dir once it fragments past [[LogFoldThreshold]].
+    * An UNSEALED log dir is a crashed compaction append — invisible,
+    * harmless: its tombstones never cleared (the clear runs after the
+    * log write), so suppression holds via the tombstone side until the
+    * next compaction re-appends. A crashed allowReingestDocs rewrite
+    * parks the whole family, and the park refusal keeps that window
+    * loud, never silent-empty.
     */
   private def deletionLogDocs(spark: SparkSession,
       stateDir: String): Option[DataFrame] = {
@@ -1394,11 +1423,18 @@ object Dedup extends graft.QueryModule {
       s"deletionLogDocs: $stateDir holds parked dir(s) ${parks.mkString(",")} " +
         "from a crashed allowReingestDocs rewrite — run allowReingestDocs " +
         "(it heals on entry) or maintainDedupState before reading this state")
-    if (fs.exists(new org.apache.hadoop.fs.Path(
-        s"$stateDir/deletion_log/_SUCCESS")))
-      Some(spark.read.parquet(s"$stateDir/deletion_log").select("doc_id"))
-    else None
+    val root = s"$stateDir/deletion_log"
+    val dirs = graft.core.Artifacts.sealedFamilyDirs(fs, root, "log")
+      .collect { case (a, true) => s"$root/log=$a" }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
   }
+
+  /** Fold the deletion-log family back to one sealed dir once it holds
+    * more than this many — bounds the reader's union width over a long
+    * takedown history without re-paying the fold on every compaction.
+    */
+  private val LogFoldThreshold = 8
 
   /** (pending tombstones ∪ deletion log) — THE deleted-doc filter
     * every consumer shares: one definition so the ingest sketch, the
@@ -1442,17 +1478,37 @@ object Dedup extends graft.QueryModule {
       val remaining = l.join(docIds.select("doc_id").distinct(),
         Seq("doc_id"), "left_anti").localCheckpoint(true)
       if (remaining.head(1).isEmpty) {
-        // drop-all: unseal FIRST (recursive-delete file ordering is
-        // unspecified — _SUCCESS surviving a partial delete would gate
-        // a truncated log as present), then the unsealed dir reads as
-        // absent whether or not the recursive delete completes
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$stateDir/deletion_log/_SUCCESS"), false)
+        // drop-all: delete the whole family. A partial recursive
+        // delete leaves some log dirs sealed — ids still SUPPRESSED
+        // (the safe direction: deletion holds, nothing resurfaces
+        // silently) and the crashed re-admission simply re-runs
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/deletion_log"), true)
       } else
+        // removal rewrites the family as ONE unit via park/swap: the
+        // union minus the re-admitted ids lands as a fresh single
+        // `log=1` dir (this is also the fold shape, so re-admission
+        // defragments the family for free)
         graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
-          tmp => remaining.coalesce(1).write.parquet(tmp)
+          tmp =>
+            remaining.write.parquet(s"$tmp/log=1")
+            graft.core.Artifacts.writeSmallFile(fs, s"$tmp/_SUCCESS", "")
         }
+    }
+  }
+
+  /** Fold the deletion-log family back to one sealed dir (amortized —
+    * compaction triggers it past [[LogFoldThreshold]]): the whole
+    * family is the park/swap rewrite unit, so a crash at any point
+    * either leaves the old family serving or heals forward.
+    */
+  private def foldDeletionLog(spark: SparkSession, stateDir: String): Unit = {
+    val fs = fsFor(spark, stateDir)
+    val all = deletionLogDocs(spark, stateDir).getOrElse(return)
+      .localCheckpoint(true)
+    graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
+      tmp =>
+        all.write.parquet(s"$tmp/log=1")
+        graft.core.Artifacts.writeSmallFile(fs, s"$tmp/_SUCCESS", "")
     }
   }
 
@@ -1763,6 +1819,11 @@ object Dedup extends graft.QueryModule {
     val sigsRoot = s"$stateDir/sigs"
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
+    // the serial-writer contract, mechanical (r12 verdict #3): a
+    // second overlapping cron refuses at entry instead of racing the
+    // park/swap rewrites below
+    graft.core.Artifacts.withMaintenanceLease(fs, stateDir,
+        "maintainDedupState") {
     requireThreshold(spark, stateDir, minEstJaccard, "maintainDedupState",
       writeIfAbsent = true)
     graft.core.Artifacts.healRewrites(fs, sigsRoot)
@@ -1778,7 +1839,7 @@ object Dedup extends graft.QueryModule {
     val healed = pending.isDefined
     if (healed) healAssignments(spark, stateDir, minEstJaccard,
       broadcastRowBudget)
-    compactSignatureStore(spark, stateDir)
+    compactSignatureStoreImpl(spark, stateDir) // lease already held
     val partsAfter = sigPartitions().size.toLong
     val nFiles = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(sigsRoot), true)
@@ -1817,6 +1878,7 @@ object Dedup extends graft.QueryModule {
       .toDF("healed_delete", "n_sig_partitions_before", "n_sig_partitions_after",
         "n_sig_files_after", "n_tombstoned_docs", "n_assign_rows",
         "panel_n", "dup_recall")
+    } // lease released
   }
 
   /** The shared two-batch [[clustersIngestBatch]] state fixture the

@@ -1786,6 +1786,13 @@ object VectorOps extends graft.QueryModule {
       maxSplits: Int = 2, keepVersions: Int = 2, recallK: Int = 10,
       nprobe: Int = 1, targetRecall: Option[Double] = None): DataFrame = {
     import spark.implicits._
+    // the serial-writer contract, mechanical (r12 verdict #3): a second
+    // overlapping cron refuses at entry instead of racing the retrain /
+    // compaction / prune writes below
+    graft.core.Artifacts.withMaintenanceLease(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      dir, "maintainIndex") {
     // balance decision FIRST (it reads only cell counts): when the
     // rebalance-retrain runs, its fresh codes/append=0 is compact by
     // construction, so running compaction before it would pay a
@@ -1846,6 +1853,7 @@ object VectorOps extends graft.QueryModule {
         "n_pending_tombstones", "n_logged_deletions", "fattest_share",
         "n_complete_versions", "mean_recall", "n_probe_queries",
         "target_recall", "recommended_nprobe", "recommended_recall")
+    } // lease released
   }
 
   /** Serve ANN queries from a PERSISTED index: score only the query

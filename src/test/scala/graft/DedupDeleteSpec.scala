@@ -346,6 +346,97 @@ class DedupDeleteSpec extends AnyFunSuite {
       === assignSet(Dedup.dupClusters(docs.filter(!delPred), 0.5)))
   }
 
+  test("versioned deletion log (r12 verdict #5): compactions APPEND sealed " +
+      "log dirs, suppression spans all of them, the family folds past the " +
+      "threshold, and re-admission removes exactly the requested ids") {
+    import spark.implicits._
+    val state = tmp("dedup-log-family")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def sealedLogs = graft.core.Artifacts
+      .sealedFamilyDirs(fs, s"$state/deletion_log", "log").count(_._2)
+    // two takedown events, two compactions → two sealed log dirs, no
+    // rewrite of the first event's log on the second compaction
+    val del1 = col("doc_id") % 11 === 1
+    val del2 = col("doc_id") % 11 === 2
+    Dedup.deleteFromDedupState(spark, state, docs.filter(del1).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state)
+    assert(sealedLogs === 1)
+    Dedup.deleteFromDedupState(spark, state, docs.filter(del2).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state)
+    assert(sealedLogs === 2, "second compaction did not append its own log dir")
+    // suppression spans BOTH events: re-presenting either set cannot
+    // resurrect past the (multi-dir) log
+    Dedup.clustersIngestBatch(docs.filter(del1 || del2), 2, state)
+    val scrubbed = docs.filter(!del1 && !del2)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(scrubbed, 0.5)),
+      "re-presented docs resurrected past the versioned deletion log")
+    // re-admit ONLY the first event's ids: the family rewrites to one
+    // dir holding exactly the second set, which stays suppressed
+    Dedup.allowReingestDocs(spark, state, docs.filter(del1).select("doc_id"))
+    assert(sealedLogs === 1, "re-admission did not rewrite the family")
+    Dedup.clustersIngestBatch(docs.filter(del1 || del2), 3, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!del2), 0.5)),
+      "partial re-admission suppressed the wrong ids")
+
+    // FOLD: plant a long takedown history (ids outside the corpus —
+    // suppressing absent docs is inert), then one more delete+compact
+    // folds the family to a single dir without losing any suppression
+    (1 to 8).foreach { i =>
+      Seq(1000000L + i).toDF("doc_id")
+        .write.parquet(s"$state/deletion_log/log=${100 + i}")
+    }
+    val del3 = col("doc_id") % 11 === 3
+    Dedup.deleteFromDedupState(spark, state, docs.filter(del3).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state)
+    assert(sealedLogs === 1,
+      s"family did not fold past the threshold (got $sealedLogs dirs)")
+    // folded log still carries every id: planted + both live sets
+    Dedup.clustersIngestBatch(docs.filter(del2 || del3), 4, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!del2 && !del3), 0.5)),
+      "fold lost suppression for a pre-fold takedown")
+  }
+
+  test("maintenance lease (r12 verdict #3): a live concurrent holder refuses; " +
+      "a crashed holder heals by TTL or explicit break; the op releases on exit") {
+    val state = tmp("dedup-lease")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 200), 0, state)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$state/_MAINT_LEASE")
+    def plantLease(holder: String, expiresAt: Long): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s"$holder|$expiresAt".getBytes("UTF-8")) finally out.close()
+    }
+    // a LIVE holder (overlapping cron): both maintenance entry points refuse
+    plantLease("other-cron", System.currentTimeMillis() + 3600000L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.maintainDedupState(spark, state)
+    }
+    assert(e.getMessage.contains("under maintenance"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, state)
+    }
+    assert(e2.getMessage.contains("under maintenance"), e2.getMessage)
+    // explicit break (holder known dead before its TTL) unblocks
+    graft.core.Artifacts.breakMaintenanceLease(spark, state)
+    Dedup.maintainDedupState(spark, state)
+    assert(!fs.exists(p), "maintenance did not release its lease on exit")
+    // a crashed holder whose TTL lapsed heals by timeout
+    plantLease("dead-cron", System.currentTimeMillis() - 1000L)
+    Dedup.maintainDedupState(spark, state)
+    assert(!fs.exists(p))
+    // a TORN lease (crashed mid-write) reads as an expired holder
+    val out = fs.create(p, true); out.close()
+    Dedup.maintainDedupState(spark, state)
+    assert(!fs.exists(p))
+  }
+
   test("compaction with pending tombstones but an empty signature store " +
       "refuses with the re-ingest recipe, not a bare head crash (r12 ADVICE)") {
     val state = tmp("dedup-empty-compact")

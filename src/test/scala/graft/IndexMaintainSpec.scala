@@ -241,4 +241,26 @@ class IndexMaintainSpec extends AnyFunSuite {
     assert(rep2.isNullAt(rep2.fieldIndex("recommended_nprobe")),
       s"sweep ran despite the target being met: $rep2")
   }
+
+  test("maintainIndex refuses under a live concurrent maintenance lease and " +
+      "releases its own on exit (r12 verdict #3)") {
+    val ixDir = Files.createTempDirectory("graft-maintain-lease").toString + "/ix"
+    VectorOps.writeIvfPqIndex(emb.filter(col("vec_id") < 400), ixDir, 8, 8, 16, 64)
+    val fs = new org.apache.hadoop.fs.Path(ixDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$ixDir/_MAINT_LEASE")
+    val out = fs.create(p, true)
+    try out.write(
+      s"other-cron|${System.currentTimeMillis() + 3600000L}".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.maintainIndex(spark, ixDir, emb.filter(col("vec_id") < 400),
+        id => id % 50 === 0, maxShare = 1.0)
+    }
+    assert(e.getMessage.contains("under maintenance"), e.getMessage)
+    graft.core.Artifacts.breakMaintenanceLease(spark, ixDir)
+    VectorOps.maintainIndex(spark, ixDir, emb.filter(col("vec_id") < 400),
+      id => id % 50 === 0, maxShare = 1.0)
+    assert(!fs.exists(p), "maintainIndex did not release its lease on exit")
+  }
 }
