@@ -215,6 +215,88 @@ class DocStreamSpec extends AnyFunSuite {
     assert(sigIds === Array("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"))
   }
 
+  test("streaming deletion interplay (r12 verdict #7): a between-batches delete " +
+      "holds through later micro-batches; a crashed (unhealed) delete stops the " +
+      "NEXT batch loudly; heal + restart converges to the scrubbed clustering") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("clusters-del-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clusters-del-ckpt").toString
+    def chunk(lo: Long, hi: Long): Seq[(Long, String)] =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .as[(Long, String)].collect().toSeq
+    def served: Set[(Long, Long, Long)] =
+      graft.ops.Dedup.readClusterAssignment(spark, state)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def fromScratch(pred: org.apache.spark.sql.Column): Set[(Long, Long, Long)] =
+      graft.ops.Dedup.dupClusters(docs.filter(pred), 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 300), 0, state)
+    val del1 = col("doc_id") % 9 === 2
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = DocStream.clustersOnIngest(
+        mem.toDF().toDF("doc_id", "text"), state, ckpt)
+      try {
+        mem.addData(chunk(300, 400): _*)
+        q.processAllAvailable()
+        // takedown BETWEEN micro-batches, stream live: delete + heal
+        // run synchronously, later batches filter the deleted docs
+        graft.ops.Dedup.deleteFromDedupState(spark, state,
+          docs.filter(del1).select("doc_id"))
+        mem.addData(chunk(400, 450): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(served === fromScratch(col("doc_id") < 450 && !del1),
+      "between-batches delete did not hold through later micro-batches")
+
+    // CRASHED delete (tombstones landed, heal never ran — the window
+    // the gate mechanizes): the next micro-batch must stop the stream
+    // loudly instead of folding from the stale base
+    val del2 = col("doc_id") % 9 === 3
+    docs.filter(del2).select("doc_id").distinct()
+      .write.parquet(s"$state/tombstones/del=99")
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("clusters-del-ckpt2").toString
+      val q = DocStream.clustersOnIngest(
+        mem.toDF().toDF("doc_id", "text"), state, ckpt2, baseBatchId = 10L)
+      try {
+        mem.addData(chunk(450, 500): _*)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(e.getMessage.contains("healAssignments"), e.getMessage)
+      } finally q.stop()
+    }
+    // heal, restart (failed batch never committed → fresh checkpoint,
+    // same base id), converge: scrubbed from-scratch clustering of
+    // everything ingested under BOTH takedowns
+    graft.ops.Dedup.healAssignments(spark, state)
+    locally {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val ckpt3 = java.nio.file.Files
+        .createTempDirectory("clusters-del-ckpt3").toString
+      val q = DocStream.clustersOnIngest(
+        mem.toDF().toDF("doc_id", "text"), state, ckpt3, baseBatchId = 10L)
+      try {
+        mem.addData(chunk(450, 500): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(served === fromScratch(!del1 && !del2),
+      "post-heal restart did not converge to the scrubbed clustering")
+  }
+
   test("cluster maintenance refuses torn prior state: unsealed sigs/assign " +
       "partitions error loudly for a fresh checkpoint, replay of the torn id heals") {
     import org.apache.spark.sql.functions.col

@@ -163,4 +163,27 @@ class MultimodalSpec extends AnyFunSuite {
       .map(f => f.media_id -> f).toMap
     assert(off === stub)
   }
+
+  test("video container (r12 verdict #4): multi-frame GIF codec detected; the " +
+      "real round-trip preserves frame count, order, and every pixel") {
+    assert(Multimodal.videoCodecAvailable,
+      "JDK ImageIO animated-GIF writer/reader not found")
+    val rows = Multimodal.decodedGifFrames(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // planted frame plan reproduced through the DECODER for every doc
+    rows.foreach { case (id, r) =>
+      assert(r.getLong(1) === 2 + id % 4, s"frame count wrong for doc $id")
+      assert(r.getLong(2) === 8 && r.getLong(3) === 8)
+      val expected = (0 until (2 + id % 4).toInt).map { f =>
+        (f + 1).toLong * (0 until 64).map { p =>
+          (id * 2654435761L + 31 * (p % 8) + 17 * (p / 8) + 97 * f) % 256
+        }.sum
+      }.sum
+      assert(r.getLong(4) === expected, s"pixel checksum wrong for doc $id")
+    }
+    // the (f+1) weighting is ORDER-sensitive: any two planted frames
+    // of the same doc differ somewhere (97·Δf mod 256 ≠ 0 for Δf in
+    // 1..3), so a swap must change the checksum the decoder reproduces
+    assert((1 to 3).forall(df => (97 * df) % 256 != 0))
+  }
 }
