@@ -210,9 +210,18 @@ object Bench {
     // still uncorroborated as suspect_load, so a driver artifact
     // self-labels its own load-inflated readings the way benchdiff
     // already self-labels data shifts.
-    val dispersed = names.filter { n =>
+    // read the prior artifact BEFORE the adjudication pools are built:
+    // besides the cross-round regression check below, it seeds the
+    // re-measure knapsack with the queries the PREVIOUS run committed
+    // as suspect_load (r12 verdict #6) — their carried numbers are
+    // low-trust for this run's diff, so they earn a clean-window pass
+    // FIRST, regardless of this run's own dispersion ordering
+    val prev = if (sys.env.contains("SPARK_GRAFT_ONLY")) None else readPrevArtifact()
+    val carriedSuspects = prev.map(_._4.filter(pass1.contains)).getOrElse(Nil)
+    val dispersed0 = names.filter { n =>
       suspectLoad(Seq(pass1(n), pass2(n)).collect { case (t, None) => t })
     }
+    val dispersed = (carriedSuspects ++ dispersed0).distinct
     // EVERY dispersed query earns the corroborating pass (r11 verdict
     // #3 — the r11 driver run skipped it for 45/189 widespread suspects
     // and committed low-trust numbers that poisoned the next round's
@@ -235,10 +244,15 @@ object Bench {
     // adjudication pool so the combined extra passes respect ONE
     // budget, not one each.
     def underBudget(cands: Seq[String],
-        budget: Double): (Seq[String], Seq[String], Double) = {
+        budget: Double,
+        priority: Set[String] = Set.empty): (Seq[String], Seq[String], Double) = {
       val ordered = cands.sortBy { n =>
         val (mn, mx, _) = combineAll(Seq(pass1(n), pass2(n)))
-        -(mx - mn)
+        // carried-over suspects from the prior artifact outrank this
+        // run's own dispersion gaps (r12 verdict #6): their committed
+        // values are already known-low-trust, so they must not lose
+        // the budget walk to a fresh, possibly benign gap
+        (if (priority(n)) 0 else 1, -(mx - mn))
       }
       var spent = 0.0
       val taken = Seq.newBuilder[String]
@@ -250,7 +264,8 @@ object Bench {
       }
       (taken.result(), skipped.result(), spent)
     }
-    val (disp3, dispSkipped, spent3) = underBudget(dispersed, remeasureBudgetSec)
+    val (disp3, dispSkipped, spent3) = underBudget(dispersed, remeasureBudgetSec,
+      priority = carriedSuspects.toSet)
     val pass3: Map[String, (Double, Option[String])] =
       if (disp3.nonEmpty) sweep(disp3) else Map.empty
 
@@ -276,10 +291,9 @@ object Bench {
     // the ones still above threshold after it are self-labelled
     // `regressed_vs_prev` — the isolated-re-measure adjudication
     // PERF.md prescribes, run by the artifact itself.
-    val prev = if (sys.env.contains("SPARK_GRAFT_ONLY")) None else readPrevArtifact()
     val fpNow = dataFingerprint(sfDir)
     val regressCand = prev match {
-      case Some((_, pfp, pq)) if pfp == fpNow =>
+      case Some((_, pfp, pq, _)) if pfp == fpNow =>
         names.filter { n =>
           val (mn, _, err) = combineAll(passesOf(n, pass3))
           err.isEmpty && pq.get(n).exists(regressedVsPrev(mn, _))
@@ -368,11 +382,14 @@ object Bench {
     * round process commits (the driver's `BENCH_r<N>.json` wrapper
     * carries only the summary line, no per-query map). Read before this
     * run overwrites it; parsed minimally to (file name, data_fp,
-    * per-query min map). Best-effort — a missing, unreadable, or
-    * malformed artifact disables the cross-round check rather than
-    * failing the bench.
+    * per-query min map, prior suspect_load list — the carried-over
+    * low-trust queries the next sweep's knapsack seeds with, r12
+    * verdict #6). Best-effort — a missing, unreadable, or malformed
+    * artifact disables the cross-round check rather than failing the
+    * bench.
     */
-  private[graft] def readPrevArtifact(): Option[(String, String, Map[String, Double])] = {
+  private[graft] def readPrevArtifact()
+      : Option[(String, String, Map[String, Double], Seq[String])] = {
     val f = new java.io.File("bench_results.json")
     if (!f.isFile) None
     else try {
@@ -392,8 +409,14 @@ object Bench {
         val it = e.fieldNames()
         while (it.hasNext) erred += it.next()
       }
+      val suspects = Seq.newBuilder[String]
+      Option(root.get("suspect_load")).foreach { s =>
+        val it = s.elements()
+        while (it.hasNext) suspects += it.next().asText()
+      }
       val qs = b.result() -- erred
-      if (fp.isEmpty || qs.isEmpty) None else Some((f.getName, fp, qs))
+      if (fp.isEmpty || qs.isEmpty) None
+      else Some((f.getName, fp, qs, suspects.result()))
     } catch { case _: Throwable => None }
   }
 

@@ -25,7 +25,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
         "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout",
-        "maintain")
+        "maintain", "emission")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,6 +112,36 @@ object ScaleProbe {
       .persist()
     println(s"[scale] candidate edges ${c.count()} rows")
     c
+    }
+
+    if (sections("emission")) {
+      // planted crawl-dup-rate corpus (r12 verdict #1's hostile shape):
+      // half the docs collapse onto 64 boilerplate templates, so the
+      // drop set is CORPUS-ORDER (~50% of rows) — exactly where the
+      // broadcast default must be abandoned. Clusters are the decision
+      // table built once outside the timers; the timed contrast is the
+      // emission anti-join alone, both strategies, identical output.
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("shared boilerplate template nr "),
+            (col("doc_id") % 64).cast("string"),
+            lit(" repeated navigation footer body text")))
+          .otherwise(col("text")))
+        .persist()
+      val clusters = graft.ops.Dedup.dupClusters(planted, 0.5)
+        .localCheckpoint(true)
+      val dropRows = clusters
+        .filter(col("doc_id") =!= col("cluster_id")).count()
+      println(s"[scale] emission corpus=${planted.count()} drop_set=$dropRows")
+      time("emit_drop_broadcast") {
+        graft.ops.Dedup.dedupedCorpus(planted, clusters,
+          broadcastDrop = true).count()
+      }
+      time("emit_drop_shuffled") {
+        graft.ops.Dedup.dedupedCorpus(planted, clusters,
+          broadcastDrop = false).count()
+      }
+      planted.unpersist()
     }
 
     if (sections("dedup")) {
@@ -945,6 +975,25 @@ object ScaleProbe {
         time(f"dedup_delete_heal_${mult}%dx") {
           graft.ops.Dedup.deleteFromDedupState(spark, st, healDel)
           half // the timed op is the delete+heal; half only types the row
+        }
+        corpus.unpersist()
+      }
+      // the same 4x heal THROUGH the mega-cluster fallback (r12 verdict
+      // #2): broadcastRowBudget=0 forces every gated join onto the
+      // shuffled path — the hostile-shape guard must keep the heal
+      // O(touched), not O(corpus), costing at most the extra shuffles
+      locally {
+        val st = s"$root/healsh"
+        val corpus = saltedCorpus(4).persist()
+        corpus.count()
+        graft.ops.Dedup.clustersIngestBatch(
+          corpus.filter(col("doc_id") % 2 === 0), 0, st)
+        graft.ops.Dedup.clustersIngestBatch(
+          corpus.filter(col("doc_id") % 2 === 1), 1, st)
+        time("dedup_delete_heal_4x_shuf") {
+          graft.ops.Dedup.deleteFromDedupState(spark, st, healDel, 0.5,
+            broadcastRowBudget = 0L)
+          1L
         }
         corpus.unpersist()
       }

@@ -154,10 +154,15 @@ newline""") else None))
     // runs from the repo root, where bench_results.json is committed at
     // each round close — the exact file the in-bench check reads
     Bench.readPrevArtifact() match {
-      case Some((name, fp, qs)) =>
+      case Some((name, fp, qs, suspects)) =>
         assert(name === "bench_results.json")
         assert(fp.nonEmpty)
         assert(qs.nonEmpty && qs.values.forall(_ >= 0.0))
+        // carried suspects (r12 verdict #6): whatever the prior sweep
+        // flagged must parse into the knapsack's priority seed — and
+        // every entry must name a query the artifact itself carries
+        assert(suspects.forall(qs.contains),
+          s"suspect_load names unknown queries: $suspects")
       case None => fail("expected a committed bench_results.json in the repo root")
     }
   }
