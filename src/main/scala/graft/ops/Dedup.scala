@@ -2458,6 +2458,25 @@ object Dedup extends graft.QueryModule {
       readClusterAssignment(spark, st).orderBy("doc_id")
     },
 
+    // The WHOLE maintenance chain under the hash gate: delete, then
+    // maintainDedupState (heal-if-needed → compaction MATERIALIZES the
+    // tombstones into the deletion log → sampled self-recall probe),
+    // then serve. The oracle is the from-scratch recompute of the
+    // scrubbed corpus, so the gate proves the full
+    // delete→heal→compact→serve lifecycle leaves exactly the
+    // never-ingested clustering — priced as one lifecycle op in Bench.
+    "q_dedup_maintained" -> { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val st = graft.core.Fixtures.copyInto(
+        dedupStateFixture(spark, dir), "dedup-maintain")
+      deleteFromDedupState(spark, st,
+        docs.filter(col("doc_id") % 13 === 4).select("doc_id"), 0.5)
+      val rep = maintainDedupState(spark, st, 0.5).collect().head
+      require(rep.getAs[Double]("dup_recall") == 1.0,
+        s"maintenance self-probe failed: $rep")
+      readClusterAssignment(spark, st).orderBy("doc_id")
+    },
+
     // PageRank centrality over the near-dup candidate graph (3 fixed
     // iterations, d = 0.85): which member of each duplicate
     // neighborhood is the hub copy. Deterministic decimal-summed
@@ -3217,6 +3236,9 @@ object Dedup extends graft.QueryModule {
       // delete+heal == never-ingested: the SAME full recompute, run on
       // the scrubbed corpus
       "q_dedup_deleted" -> dedupClustersSqlFor("doc_id % 7 <> 3"),
+      // delete+heal+COMPACT (tombstones materialized, deletion log
+      // landed) == never-ingested, same recompute convention
+      "q_dedup_maintained" -> dedupClustersSqlFor("doc_id % 13 <> 4"),
       // same candidate-edge chain as q_dedup_clusters; PageRank is
       // unrolled (3 iterations) with the decimal-summed contributions
       // and the VARCHAR-mediated decimal→double cast (DuckDB's direct
