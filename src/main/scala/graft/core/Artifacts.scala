@@ -321,8 +321,11 @@ object Artifacts {
     if (fs.exists(p)) {
       val (holder, expires) = readSmallFile(fs, p.toString)
         .map(_.trim.split('|')) match {
-        case Some(Array(h, e)) => (h, e.toLong)
-        case _ => ("<torn lease>", 0L) // truncated write = crashed holder
+        // parsing is TOTAL: any corrupt/truncated content (a crashed
+        // holder's torn write) reads as an expired lease, never a crash
+        case Some(Array(h, e)) if e.nonEmpty && e.forall(_.isDigit) =>
+          (h, e.toLong)
+        case _ => ("<torn lease>", 0L)
       }
       require(expires < System.currentTimeMillis(),
         s"$who: $root is under maintenance by '$holder' (lease expires " +
@@ -332,9 +335,10 @@ object Artifacts {
       fs.delete(p, false) // expired: crashed holder, heal by timeout
     }
     val out = try fs.create(p, false) catch {
-      case _: java.io.IOException => throw new IllegalArgumentException(
-        s"$who: lost the maintenance-lease race on $root — another writer " +
-          "acquired it concurrently; retry after it finishes")
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"$who: could not acquire the maintenance lease on $root " +
+          s"(${e.getMessage}) — if another writer took it concurrently, " +
+          "retry after it finishes")
     }
     try out.write(s"$who|${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
     finally out.close()

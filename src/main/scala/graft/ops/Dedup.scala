@@ -1314,6 +1314,12 @@ object Dedup extends graft.QueryModule {
         val logIds = graft.core.Artifacts.sealedFamilyDirs(fs, logRoot, "log")
         tombs.write.mode("overwrite")
           .parquet(s"$logRoot/log=${(0L +: logIds.map(_._1)).max + 1}")
+        // sweep unsealed log dirs: each is a CRASHED compaction append
+        // whose tombstones never cleared — the sealed dir just written
+        // carries every pending id, so the garbage is superseded
+        logIds.collect { case (a, false) => a }.foreach { a =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$logRoot/log=$a"), true)
+        }
         // bound the reader's union width over a long takedown history:
         // fold the family to one dir once it fragments (amortized —
         // not per compaction)
