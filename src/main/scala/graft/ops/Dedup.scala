@@ -1099,8 +1099,9 @@ object Dedup extends graft.QueryModule {
     // it is takedown-sized) and threaded through both the batch sketch
     // and the history read below.
     val delOpt = deletedDocs(spark, stateDir).map(_.localCheckpoint(true))
+    val delFits = delOpt.forall(_.count() <= DeletedBroadcastRows)
     def dropDeleted(df: DataFrame): DataFrame =
-      delOpt.fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      delOpt.fold(df)(t => gatedJoin(df, t, "doc_id", "left_anti", delFits))
     // lifecycle note for the per-micro-batch caller (clustersOnIngest):
     // the localCheckpoint blocks here and inside the incremental path
     // hold no references past this call, so the ContextCleaner
@@ -1274,6 +1275,10 @@ object Dedup extends graft.QueryModule {
         val absorb = if (ids.length <= 3) Seq.empty[Long]
           else ids.slice(1, ids.length - 2)
         val keep = ids.filterNot(absorb.contains)
+        // the tombstone set is takedown-sized normally, corpus-order
+        // under a mass purge — gate its broadcasts like every other
+        // deletion-path consumer (tombs is checkpointed above)
+        val tombsFit = tombs.count() <= DeletedBroadcastRows
         keep.foreach { id =>
           val own = s"$sigsRoot/ingest_batch=$id"
           val srcs = if (id == base) own +: absorb.map(i =>
@@ -1281,11 +1286,11 @@ object Dedup extends graft.QueryModule {
           // rewrite only when there is something to change: the base
           // when it absorbs folded partitions, any partition that
           // physically holds a tombstoned row
-          val holdsDeleted = spark.read.parquet(own)
-            .join(broadcast(tombs), Seq("doc_id"), "semi").head(1).nonEmpty
+          val holdsDeleted = gatedJoin(spark.read.parquet(own),
+            tombs, "doc_id", "semi", tombsFit).head(1).nonEmpty
           if (srcs.length > 1 || holdsDeleted) {
-            val data = spark.read.parquet(srcs: _*)
-              .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+            val data = gatedJoin(spark.read.parquet(srcs: _*),
+              tombs, "doc_id", "left_anti", tombsFit)
               .coalesce(nOut(srcs))
             // crash-safe in-place swap (rewriteDirInPlace): a crash at
             // any point either leaves the original serving or parks it
@@ -1377,6 +1382,29 @@ object Dedup extends graft.QueryModule {
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Broadcast ceiling for deletion-path frames (pending tombstones ∪
+    * deletion log, touched clusters, surviving members): takedown-sized
+    * in normal operation, CORPUS-ORDER under a mass compliance purge —
+    * so every consumer size-gates its broadcast on a cheap count of the
+    * (small-parquet or checkpointed) frame and falls back to the same
+    * join shuffled (r12 verdict #2, generalized from the heal to the
+    * whole deletion path). The fallback carries an explicit merge hint:
+    * Spark's size estimate would otherwise quietly re-broadcast the
+    * very frame the gate measured as over budget.
+    */
+  private def DeletedBroadcastRows: Long =
+    // JVM-property override (`graft.deleted.broadcast.rows`): the
+    // operational dial for deployments whose purges are routinely
+    // huge, and the hook the spec uses to drive the fallback without a
+    // 2M-row fixture
+    sys.props.get("graft.deleted.broadcast.rows").map(_.toLong)
+      .getOrElse(2000000L)
+
+  private def gatedJoin(left: DataFrame, right: DataFrame, key: String,
+      how: String, fits: Boolean): DataFrame =
+    if (fits) left.join(broadcast(right), Seq(key), how)
+    else left.join(right.hint("merge"), Seq(key), how)
 
   /** All sealed tombstoned doc ids as one distinct frame; None when no
     * deletions pend. Unsealed `del=` dirs are crashed deletes —
@@ -1586,8 +1614,8 @@ object Dedup extends graft.QueryModule {
     val all = spark.read.parquet(sigsRoot)
     val ranged = beforeId.fold(all)(id => all.filter(col("ingest_batch") < id))
       .drop("ingest_batch")
-    deleted.fold(ranged)(t =>
-      ranged.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    deleted.fold(ranged)(t => gatedJoin(ranged, t, "doc_id", "left_anti",
+      t.count() <= DeletedBroadcastRows))
   }
 
   /** The latest sealed cluster-assignment snapshot of a
@@ -1710,14 +1738,13 @@ object Dedup extends graft.QueryModule {
     val (blocked, snapIds) =
       allSnapIds.partition(id => tornSigs.exists(_ <= id))
     // gated-broadcast helper: identical join, strategy picked by the
-    // measured row count of the (checkpointed) build side. The
-    // fallback carries an explicit merge hint — without it Spark's
-    // size estimate could re-broadcast the very frame the gate just
-    // measured as over budget (the dropSide rationale)
+    // measured row count of the (checkpointed) build side — see
+    // [[gatedJoin]]/[[DeletedBroadcastRows]] for the rationale; this
+    // op takes the budget as a parameter so a caller that KNOWS its
+    // purge is huge can force the shuffled path outright
     def gated(left: DataFrame, right: DataFrame, key: String,
         how: String, fits: Boolean): DataFrame =
-      if (fits) left.join(broadcast(right), Seq(key), how)
-      else left.join(right.hint("merge"), Seq(key), how)
+      gatedJoin(left, right, key, how, fits)
     val tombsFit = tombs.count() <= broadcastRowBudget
     snapIds.foreach { id =>
       val snap = s"$assignRoot/ingest_batch=$id"
@@ -1777,13 +1804,15 @@ object Dedup extends graft.QueryModule {
       overwrites: Option[Long] = None): Unit = {
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
+    val tombsFit = tombs.count() <= DeletedBroadcastRows
     graft.core.Artifacts
       .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
       .collect { case (a, true) => a }
       .filterNot(overwrites.contains)
       .foreach { id =>
-        val stale = spark.read.parquet(s"$assignRoot/ingest_batch=$id")
-          .join(broadcast(tombs), Seq("doc_id"), "semi")
+        val stale = gatedJoin(
+          spark.read.parquet(s"$assignRoot/ingest_batch=$id"),
+          tombs, "doc_id", "semi", tombsFit)
         require(stale.head(1).isEmpty,
           s"$who: assignment snapshot ingest_batch=$id still holds " +
             "tombstoned docs — a delete crashed before its heal; run " +

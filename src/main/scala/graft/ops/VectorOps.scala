@@ -1254,6 +1254,16 @@ object VectorOps extends graft.QueryModule {
 
   private val DeletionLogDir = "deletion_log"
 
+  /** Output-file count for a deletion-log write: one file per ~4M vids
+    * (tens of MB of int64) — takedown-sized logs stay single-file,
+    * while a mass compliance purge no longer funnels through one
+    * coalesce(1) task (the Dedup versioned-log rationale applied to
+    * this per-version log, whose write is already one-shot per
+    * compaction/re-admission).
+    */
+  private def logFiles(rows: Long): Int =
+    math.max(1L, rows / 4000000L).toInt
+
   /** The version's durable DELETION LOG (r11 ADVICE): a one-column
     * `vid` parquet dir recording every deletion a compaction has
     * MATERIALIZED. Tombstones alone made deletion durable only while
@@ -1369,7 +1379,8 @@ object VectorOps extends graft.QueryModule {
         fs.delete(new org.apache.hadoop.fs.Path(s"$base/$DeletionLogDir"), true)
       } else
         graft.core.Artifacts.rewriteDirInPlace(fs, base, DeletionLogDir) {
-          tmp => remaining.coalesce(1).write.parquet(tmp)
+          tmp => remaining.coalesce(logFiles(remaining.count()))
+            .write.parquet(tmp)
         }
     }
   }
@@ -1577,8 +1588,8 @@ object VectorOps extends graft.QueryModule {
       case (Some(l), Some(t)) => Some(l.unionByName(t).distinct())
       case (l, t) => l.orElse(t.map(_.distinct()))
     }
-    newLog.foreach(
-      _.coalesce(1).write.parquet(s"$vnew/$DeletionLogDir"))
+    newLog.map(_.localCheckpoint(true)).foreach(l =>
+      l.coalesce(logFiles(l.count())).write.parquet(s"$vnew/$DeletionLogDir"))
     spark.read.parquet(s"$base/meta").write.parquet(s"$vnew/meta")
   }
 

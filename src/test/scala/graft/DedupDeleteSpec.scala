@@ -437,6 +437,29 @@ class DedupDeleteSpec extends AnyFunSuite {
     assert(!fs.exists(p))
   }
 
+  test("mass-purge shape: with the deletion-path broadcast budget forced to 0, " +
+      "ingest filtering, the healed-gate, store reads, and compaction all run " +
+      "their shuffled fallbacks and the lifecycle output is identical") {
+    val state = tmp("dedup-mass-purge")
+    System.setProperty("graft.deleted.broadcast.rows", "0")
+    try {
+      Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+      Dedup.deleteFromDedupState(spark, state,
+        docs.filter(delPred).select("doc_id"), 0.5, broadcastRowBudget = 0L)
+      // store read (anti-join shuffled) serves the scrubbed signatures
+      assert(Dedup.readSignatureStoreState(spark, state)
+        .filter(delPred).count() === 0)
+      // ingest through the gated filter + healed-gate (both shuffled)
+      Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+      // compaction's materialize probes/rewrites run shuffled too
+      Dedup.compactSignatureStore(spark, state)
+      assert(spark.read.parquet(s"$state/sigs").filter(delPred).count() === 0)
+      assert(assignSet(Dedup.readClusterAssignment(spark, state))
+        === assignSet(Dedup.dupClusters(docs.filter(!delPred), 0.5)),
+        "shuffled-fallback lifecycle != broadcast lifecycle output")
+    } finally System.clearProperty("graft.deleted.broadcast.rows")
+  }
+
   test("compaction with pending tombstones but an empty signature store " +
       "refuses with the re-ingest recipe, not a bare head crash (r12 ADVICE)") {
     val state = tmp("dedup-empty-compact")
