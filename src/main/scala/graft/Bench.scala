@@ -217,7 +217,15 @@ object Bench {
     // low-trust for this run's diff, so they earn a clean-window pass
     // FIRST, regardless of this run's own dispersion ordering
     val prev = if (sys.env.contains("SPARK_GRAFT_ONLY")) None else readPrevArtifact()
-    val carriedSuspects = prev.map(_._4.filter(pass1.contains)).getOrElse(Nil)
+    val fpNow = dataFingerprint(sfDir)
+    // carried suspects only count when the prior artifact measured the
+    // SAME data (the regression check's own rule): stale suspects from
+    // an incomparable corpus would take absolute knapsack priority and
+    // starve this run's genuinely dispersed queries out of the budget
+    val carriedSuspects = prev match {
+      case Some((_, pfp, _, sus)) if pfp == fpNow => sus.filter(pass1.contains)
+      case _ => Nil
+    }
     val dispersed0 = names.filter { n =>
       suspectLoad(Seq(pass1(n), pass2(n)).collect { case (t, None) => t })
     }
@@ -291,7 +299,6 @@ object Bench {
     // the ones still above threshold after it are self-labelled
     // `regressed_vs_prev` — the isolated-re-measure adjudication
     // PERF.md prescribes, run by the artifact itself.
-    val fpNow = dataFingerprint(sfDir)
     val regressCand = prev match {
       case Some((_, pfp, pq, _)) if pfp == fpNow =>
         names.filter { n =>

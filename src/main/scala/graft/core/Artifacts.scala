@@ -313,20 +313,69 @@ object Artifacts {
     * lease releases on BOTH success and failure — a failed op already
     * refused loudly and the state gates protect its artifacts; only a
     * process crash leaves the lease for the TTL/break heal.
+    *
+    * Race windows, addressed (review findings, r13):
+    *   - create-then-write gap: a concurrent reader seeing the freshly
+    *     created EMPTY file must not sweep it as "torn" — unparseable
+    *     content is treated as expired only once the file's mtime is
+    *     older than a grace period, so an in-flight claim (ms) is
+    *     never swept while a genuinely torn crashed write (hours old)
+    *     still heals;
+    *   - release stomping: the lease content carries a per-claim NONCE
+    *     and release deletes only if the content still names THIS
+    *     claim — after a TTL overrun a successor may have legitimately
+    *     swept and re-acquired, and deleting theirs would re-open the
+    *     hazard. The same verify runs right after acquisition, so the
+    *     one remaining delete-then-claim interleaving (two sweepers of
+    *     the same expired lease) aborts before touching any state.
+    *     (POSIX rename REPLACES an existing destination, so a
+    *     rename-based claim would silently stomp a live lease on local
+    *     filesystems — create-exclusive plus verify is the portable
+    *     shape.)
     */
+  /** Parse the lease at `p` to (holder, expiresAtMillis); None when no
+    * lease exists. Parsing is TOTAL: unparseable content is a mid-claim
+    * write (young — reads as live for a grace period, so the
+    * create-then-write window is never swept by a concurrent reader)
+    * or a crashed holder's torn write (old — reads as expired).
+    */
+  private def leaseState(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(String, Long)] = {
+    val tornGraceMs = 10 * 60 * 1000L
+    if (!fs.exists(p)) None
+    else Some(readSmallFile(fs, p.toString).map(_.trim.split('|')) match {
+      case Some(Array(h, e, _*)) if e.nonEmpty && e.forall(_.isDigit) =>
+        (h, e.toLong)
+      case _ =>
+        val mtime = try fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.IOException => System.currentTimeMillis() }
+        ("<torn lease>", mtime + tornGraceMs)
+    })
+  }
+
+  /** Read-only guard for non-maintenance writers (the ingest paths): a
+    * LIVE lease means a maintenance op may be mid-rewrite of the very
+    * dirs this writer reads and overwrites — refuse the batch rather
+    * than interleave. Expired/torn-old leases are ignored here (the
+    * next maintenance op sweeps them; an ingest must not delete
+    * another writer's marker).
+    */
+  private[graft] def requireNoLiveMaintenanceLease(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, who: String): Unit =
+    leaseState(fs, new org.apache.hadoop.fs.Path(s"$root/$LeaseName"))
+      .foreach { case (holder, expires) =>
+        require(expires < System.currentTimeMillis(),
+          s"$who: $root is under maintenance by '$holder' (lease expires " +
+            s"${java.time.Instant.ofEpochMilli(expires)}) — run the batch " +
+            "after the maintenance window, or breakMaintenanceLease(dir) " +
+            "if the holder is known dead")
+      }
+
   private[graft] def withMaintenanceLease[T](fs: org.apache.hadoop.fs.FileSystem,
       root: String, who: String, ttlMs: Long = 2 * 60 * 60 * 1000L)(body: => T): T = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$LeaseName")
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-    if (fs.exists(p)) {
-      val (holder, expires) = readSmallFile(fs, p.toString)
-        .map(_.trim.split('|')) match {
-        // parsing is TOTAL: any corrupt/truncated content (a crashed
-        // holder's torn write) reads as an expired lease, never a crash
-        case Some(Array(h, e)) if e.nonEmpty && e.forall(_.isDigit) =>
-          (h, e.toLong)
-        case _ => ("<torn lease>", 0L)
-      }
+    leaseState(fs, p).foreach { case (holder, expires) =>
       require(expires < System.currentTimeMillis(),
         s"$who: $root is under maintenance by '$holder' (lease expires " +
           s"${java.time.Instant.ofEpochMilli(expires)}). Concurrent " +
@@ -334,15 +383,24 @@ object Artifacts {
           "or breakMaintenanceLease(dir) if the holder is known dead")
       fs.delete(p, false) // expired: crashed holder, heal by timeout
     }
+    val token =
+      s"$who|${System.currentTimeMillis() + ttlMs}|${System.nanoTime()}"
     val out = try fs.create(p, false) catch {
       case e: java.io.IOException => throw new IllegalArgumentException(
         s"$who: could not acquire the maintenance lease on $root " +
           s"(${e.getMessage}) — if another writer took it concurrently, " +
           "retry after it finishes")
     }
-    try out.write(s"$who|${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
-    finally out.close()
-    try body finally fs.delete(p, false)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    // two sweepers of the same expired lease can interleave
+    // delete/create; exactly one token survives — only its writer runs
+    require(readSmallFile(fs, p.toString).exists(_.trim == token),
+      s"$who: lost the maintenance-lease race on $root — another writer " +
+        "claimed it concurrently; retry after it finishes")
+    try body finally {
+      if (readSmallFile(fs, p.toString).exists(_.trim == token))
+        fs.delete(p, false)
+    }
   }
 
   /** Explicitly break a dead holder's maintenance lease (the operator

@@ -375,12 +375,26 @@ object Multimodal {
     new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
   }
 
-  private def encodeGif(
-      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+  // writer/reader acquisition is a registry SCAN — pay it once per
+  // partition (the batch-iterator point of mapPartitions), not per
+  // document (r13 review); instances are reset() after each container
+  // so they reuse cleanly across rows
+  private def gifWriter(): javax.imageio.ImageWriter = {
     val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
     if (!it.hasNext) throw new IllegalStateException(
       "encodeGif: no GIF writer on this executor's JVM")
-    val writer = it.next()
+    it.next()
+  }
+
+  private def gifReader(): javax.imageio.ImageReader = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!it.hasNext) throw new IllegalStateException(
+      "decodeGif: no GIF reader on this executor's JVM")
+    it.next()
+  }
+
+  private def encodeGifWith(writer: javax.imageio.ImageWriter,
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
@@ -391,22 +405,30 @@ object Multimodal {
           new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.reset(); ios.close() }
     bos.toByteArray
   }
 
-  private def decodeGif(
+  private def decodeGifWith(reader: javax.imageio.ImageReader,
       bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
-    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
-    if (!it.hasNext) throw new IllegalStateException(
-      "decodeGif: no GIF reader on this executor's JVM")
-    val reader = it.next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis, false)
       (0 until reader.getNumImages(true)).map(reader.read)
-    } finally { reader.dispose(); iis.close() }
+    } finally { reader.reset(); iis.close() }
+  }
+
+  private def encodeGif(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = gifWriter()
+    try encodeGifWith(writer, frames) finally writer.dispose()
+  }
+
+  private def decodeGif(
+      bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val reader = gifReader()
+    try decodeGifWith(reader, bytes) finally reader.dispose()
   }
 
   /** REAL multi-frame video-container round-trip (r12 verdict #4 — the
@@ -433,6 +455,10 @@ object Multimodal {
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         val icm = grayPalette
+        // one registry scan + one writer/reader per PARTITION, reused
+        // (reset) across this partition's documents
+        val writer = gifWriter()
+        val reader = gifReader()
         ids.map { id =>
           val n = 2 + (id % 4).toInt
           val frames = (0 until n).map { f =>
@@ -452,7 +478,7 @@ object Multimodal {
           }
           // REAL container round-trip — everything below comes from
           // the decoder, not the render buffers
-          val back = decodeGif(encodeGif(frames))
+          val back = decodeGifWith(reader, encodeGifWith(writer, frames))
           var checksum = 0L
           back.zipWithIndex.foreach { case (img, f) =>
             var y = 0

@@ -1081,6 +1081,12 @@ object Dedup extends graft.QueryModule {
     // fold would silently re-derive wrong clusters)
     requireThreshold(spark, stateDir, minEstJaccard, "clustersIngestBatch",
       writeIfAbsent = true)
+    // a LIVE maintenance lease means a maintenance writer may be
+    // mid-rewrite of the very partitions this batch reads and
+    // overwrites — refuse rather than interleave (the lease's
+    // read-only counterpart for non-maintenance writers; r13 review)
+    graft.core.Artifacts.requireNoLiveMaintenanceLease(fsOf(stateDir),
+      stateDir, "clustersIngestBatch")
     // deletion-lifecycle gates: refuse on a crashed maintenance rewrite
     // (parked partition = a plain read would silently shrink the store)
     // and on tombstones whose assignment heal never ran (folding from a
@@ -1317,8 +1323,27 @@ object Dedup extends graft.QueryModule {
         // re-paid the accumulated log on every compaction.
         val logRoot = s"$stateDir/deletion_log"
         val logIds = graft.core.Artifacts.sealedFamilyDirs(fs, logRoot, "log")
-        tombs.write.mode("overwrite")
+        // legacy FLAT-layout migration (r13 review): fold the old
+        // root-level log's rows into the dir being appended, then
+        // retire the flat files — the family becomes the only layout.
+        // Materialized EAGERLY before the subdir write (a lazy read of
+        // the root after log=<n> lands would see a partition column).
+        val flatSealed = logIds.isEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$logRoot/_SUCCESS"))
+        val logRows =
+          if (flatSealed)
+            tombs.unionByName(spark.read.parquet(logRoot).select("doc_id"))
+              .distinct().localCheckpoint(true)
+          else tombs
+        logRows.write.mode("overwrite")
           .parquet(s"$logRoot/log=${(0L +: logIds.map(_._1)).max + 1}")
+        if (flatSealed) {
+          // root _SUCCESS goes FIRST: flat reads as absent the moment
+          // it does, and the sealed family dir already carries every id
+          fs.delete(new org.apache.hadoop.fs.Path(s"$logRoot/_SUCCESS"), false)
+          fs.listStatus(new org.apache.hadoop.fs.Path(logRoot))
+            .filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
+        }
         // sweep unsealed log dirs: each is a CRASHED compaction append
         // whose tombstones never cleared — the sealed dir just written
         // carries every pending id, so the garbage is superseded
@@ -1460,8 +1485,17 @@ object Dedup extends graft.QueryModule {
     val root = s"$stateDir/deletion_log"
     val dirs = graft.core.Artifacts.sealedFamilyDirs(fs, root, "log")
       .collect { case (a, true) => s"$root/log=$a" }
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
+    if (dirs.nonEmpty)
+      Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")))
+      // legacy FLAT layout (pre-family builds wrote the log as
+      // root-level parquet sealed by the root _SUCCESS): still
+      // readable — silently dropping it would RESURRECT taken-down
+      // docs on an existing state dir (r13 review; the latestIndexDir
+      // stay-readable convention). The next compaction migrates it
+      // into the family and retires the flat files.
+      Some(spark.read.parquet(root).select("doc_id"))
+    else None
   }
 
   /** Fold the deletion-log family back to one sealed dir once it holds
@@ -1494,6 +1528,10 @@ object Dedup extends graft.QueryModule {
       s"allowReingestDocs: docIds must carry a `doc_id` column, got " +
         docIds.columns.mkString(","))
     val fs = fsFor(spark, stateDir)
+    // re-admission park/swap-rewrites the deletion-log family — a
+    // maintenance writer like the rest (r13 review)
+    graft.core.Artifacts.withMaintenanceLease(fs, stateDir,
+        "allowReingestDocs") {
     graft.core.Artifacts.healRewrites(fs, stateDir)
     // refuse while any requested doc's deletion is still PENDING (not
     // yet compacted): those ids are in the tombstones, not the log, so
@@ -1528,6 +1566,7 @@ object Dedup extends graft.QueryModule {
             graft.core.Artifacts.writeSmallFile(fs, s"$tmp/_SUCCESS", "")
         }
     }
+    } // lease released
   }
 
   /** Fold the deletion-log family back to one sealed dir (amortized —
@@ -1647,19 +1686,24 @@ object Dedup extends graft.QueryModule {
     */
   def deleteFromDedupState(spark: SparkSession, stateDir: String,
       docIds: DataFrame, minEstJaccard: Double = 0.5,
-      broadcastRowBudget: Long = 2000000L): Unit = {
+      broadcastRowBudget: Long = -1L): Unit = {
     require(docIds.columns.contains("doc_id"),
       s"deleteFromDedupState: docIds must carry a `doc_id` column, got " +
         docIds.columns.mkString(","))
-    requireThreshold(spark, stateDir, minEstJaccard, "deleteFromDedupState",
-      writeIfAbsent = true)
-    val root = s"$stateDir/tombstones"
-    val existing = graft.core.Artifacts
-      .sealedFamilyDirs(fsFor(spark, stateDir), root, "del").map(_._1)
-    val next = if (existing.isEmpty) 1L else existing.max + 1
-    docIds.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$root/del=$next")
-    healAssignments(spark, stateDir, minEstJaccard, broadcastRowBudget)
+    // a delete is a maintenance WRITER (its heal park/swap-rewrites the
+    // assignment snapshots) — same lease as the cron ops (r13 review)
+    graft.core.Artifacts.withMaintenanceLease(fsFor(spark, stateDir),
+        stateDir, "deleteFromDedupState") {
+      requireThreshold(spark, stateDir, minEstJaccard, "deleteFromDedupState",
+        writeIfAbsent = true)
+      val root = s"$stateDir/tombstones"
+      val existing = graft.core.Artifacts
+        .sealedFamilyDirs(fsFor(spark, stateDir), root, "del").map(_._1)
+      val next = if (existing.isEmpty) 1L else existing.max + 1
+      docIds.select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$root/del=$next")
+      healAssignmentsImpl(spark, stateDir, minEstJaccard, broadcastRowBudget)
+    }
   }
 
   /** Heal every retained assignment snapshot after a delete: a removed
@@ -1703,7 +1747,23 @@ object Dedup extends graft.QueryModule {
     */
   def healAssignments(spark: SparkSession, stateDir: String,
       minEstJaccard: Double = 0.5,
-      broadcastRowBudget: Long = 2000000L): Unit = {
+      broadcastRowBudget: Long = -1L): Unit =
+    graft.core.Artifacts.withMaintenanceLease(fsFor(spark, stateDir),
+      stateDir, "healAssignments") {
+      healAssignmentsImpl(spark, stateDir, minEstJaccard, broadcastRowBudget)
+    }
+
+  /** [[healAssignments]] without the lease wrapper — the internal path
+    * for callers that already hold the state's maintenance lease
+    * ([[deleteFromDedupState]], [[maintainDedupState]]).
+    * `broadcastRowBudget` < 0 resolves to the shared
+    * [[DeletedBroadcastRows]] ceiling (JVM-property-tunable), so the
+    * operational dial reaches the heal too.
+    */
+  private def healAssignmentsImpl(spark: SparkSession, stateDir: String,
+      minEstJaccard: Double, broadcastRowBudget0: Long): Unit = {
+    val broadcastRowBudget =
+      if (broadcastRowBudget0 < 0) DeletedBroadcastRows else broadcastRowBudget0
     val assignRoot = s"$stateDir/assign"
     val sigsRoot = s"$stateDir/sigs"
     val fs = fsFor(spark, stateDir)
@@ -1737,32 +1797,28 @@ object Dedup extends graft.QueryModule {
       .collect { case (a, true) => a }.sorted
     val (blocked, snapIds) =
       allSnapIds.partition(id => tornSigs.exists(_ <= id))
-    // gated-broadcast helper: identical join, strategy picked by the
-    // measured row count of the (checkpointed) build side — see
-    // [[gatedJoin]]/[[DeletedBroadcastRows]] for the rationale; this
-    // op takes the budget as a parameter so a caller that KNOWS its
-    // purge is huge can force the shuffled path outright
-    def gated(left: DataFrame, right: DataFrame, key: String,
-        how: String, fits: Boolean): DataFrame =
-      gatedJoin(left, right, key, how, fits)
+    // every join below is [[gatedJoin]]-strategy-picked by a measured
+    // row count of its (checkpointed) build side; this op takes the
+    // budget as a parameter so a caller that KNOWS its purge is huge
+    // can force the shuffled path outright
     val tombsFit = tombs.count() <= broadcastRowBudget
     snapIds.foreach { id =>
       val snap = s"$assignRoot/ingest_batch=$id"
       val assign = spark.read.parquet(snap)
-      val touched = gated(assign, tombs, "doc_id", "semi", tombsFit)
+      val touched = gatedJoin(assign, tombs, "doc_id", "semi", tombsFit)
         .select("cluster_id").distinct().localCheckpoint(true)
       if (touched.head(1).nonEmpty) {
         val touchedFit = touched.count() <= broadcastRowBudget
-        val members = gated(assign, touched, "cluster_id", "semi", touchedFit)
-        val survivors = gated(members, tombs, "doc_id", "left_anti", tombsFit)
+        val members = gatedJoin(assign, touched, "cluster_id", "semi", touchedFit)
+        val survivors = gatedJoin(members, tombs, "doc_id", "left_anti", tombsFit)
           .select("doc_id").localCheckpoint(true)
         val survivorsFit = survivors.count() <= broadcastRowBudget
         val subSigs0 = spark.read.parquet(sigsRoot)
           .filter(col("ingest_batch") <= id).drop("ingest_batch")
-        val subSigs = gated(subSigs0, survivors, "doc_id", "semi", survivorsFit)
+        val subSigs = gatedJoin(subSigs0, survivors, "doc_id", "semi", survivorsFit)
         val subAssign = clustersFromCandidates(
           candidatesFromSignatures(subSigs, minEstJaccard))
-        val healed = gated(assign, touched, "cluster_id", "left_anti", touchedFit)
+        val healed = gatedJoin(assign, touched, "cluster_id", "left_anti", touchedFit)
           .select("doc_id", "cluster_id", "cluster_size")
           .unionByName(subAssign.select("doc_id", "cluster_id", "cluster_size"))
           // fully materialize BEFORE the rewrite parks the dir this
@@ -1848,7 +1904,7 @@ object Dedup extends graft.QueryModule {
     */
   def maintainDedupState(spark: SparkSession, stateDir: String,
       minEstJaccard: Double = 0.5, probeModulus: Long = 101L,
-      broadcastRowBudget: Long = 2000000L): DataFrame = {
+      broadcastRowBudget: Long = -1L): DataFrame = {
     import spark.implicits._
     require(probeModulus > 0, s"probeModulus must be > 0, got $probeModulus")
     val sigsRoot = s"$stateDir/sigs"
@@ -1872,8 +1928,8 @@ object Dedup extends graft.QueryModule {
     val pending = pendingTombstones(spark, stateDir)
     val nTombstoned = pending.map(_.count()).getOrElse(0L)
     val healed = pending.isDefined
-    if (healed) healAssignments(spark, stateDir, minEstJaccard,
-      broadcastRowBudget)
+    if (healed) healAssignmentsImpl(spark, stateDir, minEstJaccard,
+      broadcastRowBudget) // lease already held
     compactSignatureStoreImpl(spark, stateDir) // lease already held
     val partsAfter = sigPartitions().size.toLong
     val nFiles = {

@@ -42,7 +42,9 @@ object Maintain {
     def attempt(family: String, dir: String)(
         body: => String): (String, String, Boolean, String) =
       try { (family, dir, true, body) }
-      catch { case e: Throwable =>
+      // NonFatal only: an OOM/interrupt must propagate and stop the
+      // cron, not become a report row on a compromised JVM
+      catch { case scala.util.control.NonFatal(e) =>
         (family, dir, false,
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
       }

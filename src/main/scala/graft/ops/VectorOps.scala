@@ -1294,14 +1294,29 @@ object VectorOps extends graft.QueryModule {
     else None
   }
 
+  /** Deleted-vid broadcast ceiling — the
+    * [[graft.ops.Dedup]] DeletedBroadcastRows twin (r13 review):
+    * takedown-sized sets broadcast, a mass compliance purge falls back
+    * to the same anti-join shuffled (merge-hinted so Spark's size
+    * estimate cannot re-broadcast what the gate measured over budget).
+    */
+  private def deletedBroadcastRows: Long =
+    sys.props.get("graft.deleted.broadcast.rows").map(_.toLong)
+      .getOrElse(2000000L)
+
+  private def gatedAnti(left: DataFrame, right: DataFrame,
+      key: String): DataFrame =
+    if (right.count() <= deletedBroadcastRows)
+      left.join(broadcast(right), Seq(key), "left_anti")
+    else left.join(right.hint("merge"), Seq(key), "left_anti")
+
   /** Anti-join a codes-shaped frame (`vid` column) against the
     * version's deletion log — the single suppression point every
-    * writer shares.
+    * writer shares. Size-gated like every deletion-path join.
     */
   private def dropLogged(spark: SparkSession, versionDir: String,
       codes: DataFrame): DataFrame =
-    deletionLog(spark, versionDir).fold(codes)(l =>
-      codes.join(broadcast(l), Seq("vid"), "left_anti"))
+    deletionLog(spark, versionDir).fold(codes)(l => gatedAnti(codes, l, "vid"))
 
   /** Scrub a retrain's TRAINING corpus (`vec_id` keyed) against the
     * latest complete version's deleted set — deletion log ∪ sealed
@@ -1311,7 +1326,7 @@ object VectorOps extends graft.QueryModule {
     * would still be FIT on their embeddings — logged-deleted vectors
     * influencing the quantizer model after every retrain, a gap in
     * the takedown-durability claim that nothing depends on the
-    * operator purging the corpus. Takedown-sized → broadcast anti-join;
+    * operator purging the corpus. Size-gated anti-join ([[gatedAnti]]);
     * no prior version → input unchanged.
     */
   private def scrubDeletedTraining(spark: SparkSession, dir: String,
@@ -1332,9 +1347,8 @@ object VectorOps extends graft.QueryModule {
           case (Some(t), Some(l)) => Some(t.unionByName(l).distinct())
           case (t, l) => t.orElse(l)
         }
-        deleted.fold(embeddings)(d => embeddings.join(
-          broadcast(d.select(col("vid").as("vec_id"))),
-          Seq("vec_id"), "left_anti"))
+        deleted.fold(embeddings)(d => gatedAnti(embeddings,
+          d.select(col("vid").as("vec_id")), "vec_id"))
       }
   }
 

@@ -431,10 +431,53 @@ class DedupDeleteSpec extends AnyFunSuite {
     plantLease("dead-cron", System.currentTimeMillis() - 1000L)
     Dedup.maintainDedupState(spark, state)
     assert(!fs.exists(p))
-    // a TORN lease (crashed mid-write) reads as an expired holder
+    // a YOUNG torn lease (crashed — or still IN-FLIGHT — claim write)
+    // reads as LIVE for the grace period: the create-then-write window
+    // must never be swept by a concurrent reader
     val out = fs.create(p, true); out.close()
+    val eTorn = intercept[IllegalArgumentException] {
+      Dedup.maintainDedupState(spark, state)
+    }
+    assert(eTorn.getMessage.contains("torn lease"), eTorn.getMessage)
+    // ...while an OLD torn lease (a crashed claim, hours dead) heals
+    // as an expired holder
+    assert(new java.io.File(s"$state/_MAINT_LEASE")
+      .setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
     Dedup.maintainDedupState(spark, state)
     assert(!fs.exists(p))
+  }
+
+  test("legacy FLAT deletion_log stays readable and migrates into the family " +
+      "on the next compaction — no takedown resurfaces (r13 review)") {
+    val state = tmp("dedup-flat-log")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    // plant the OLD layout: root-level parquet sealed by the root
+    // _SUCCESS (exactly what a parquet write produces), holding ids
+    // the state has NOT ingested yet — the pre-family suppression set
+    val legacyDel = col("doc_id") >= 400 && col("doc_id") % 3 === 0
+    docs.filter(legacyDel).select("doc_id").distinct()
+      .coalesce(1).write.parquet(s"$state/deletion_log")
+    // the flat log suppresses immediately: a batch presenting those
+    // docs must not ingest them
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!legacyDel), 0.5)),
+      "legacy flat deletion_log was not honored")
+    // a fresh takedown + compaction MIGRATES: family-only layout, flat
+    // files retired, BOTH suppression sets intact
+    val newDel = col("doc_id") < 400 && col("doc_id") % 19 === 5
+    Dedup.deleteFromDedupState(spark, state, docs.filter(newDel).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.core.Artifacts.sealedFamilyDirs(fs,
+      s"$state/deletion_log", "log").count(_._2) === 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$state/deletion_log/_SUCCESS")), "flat root seal not retired")
+    Dedup.clustersIngestBatch(docs.filter(legacyDel || newDel), 2, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!legacyDel && !newDel), 0.5)),
+      "a takedown resurfaced across the flat-to-family migration")
   }
 
   test("mass-purge shape: with the deletion-path broadcast budget forced to 0, " +
