@@ -342,15 +342,29 @@ object Artifacts {
   private def leaseState(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[(String, Long)] = {
     val tornGraceMs = 10 * 60 * 1000L
-    if (!fs.exists(p)) None
-    else Some(readSmallFile(fs, p.toString).map(_.trim.split('|')) match {
+    // a file that VANISHES anywhere in this read (exists -> open ->
+    // stat) is a released lease, not a torn one (r13 ADVICE):
+    // FileNotFoundException must read as "no lease" — stamping it with
+    // a fresh mtime would spuriously refuse the caller for the whole
+    // grace window after a legitimate release raced this read
+    val content = try {
+      if (!fs.exists(p)) return None
+      readSmallFile(fs, p.toString)
+    } catch { case _: java.io.FileNotFoundException => return None }
+    content.map(_.trim.split('|')) match {
       case Some(Array(h, e, _*)) if e.nonEmpty && e.forall(_.isDigit) =>
-        (h, e.toLong)
+        Some((h, e.toLong))
       case _ =>
+        // unparseable: a mid-claim write (young — live for the grace
+        // period so the create-then-write window is never swept) or a
+        // crashed holder's torn write (old — reads as expired)
         val mtime = try fs.getFileStatus(p).getModificationTime
-          catch { case _: java.io.IOException => System.currentTimeMillis() }
-        ("<torn lease>", mtime + tornGraceMs)
-    })
+          catch {
+            case _: java.io.FileNotFoundException => return None
+            case _: java.io.IOException => System.currentTimeMillis()
+          }
+        Some(("<torn lease>", mtime + tornGraceMs))
+    }
   }
 
   /** Read-only guard for non-maintenance writers (the ingest paths): a

@@ -1171,18 +1171,24 @@ object Dedup extends graft.QueryModule {
     * compaction itself, only tolerated. Run it between batches (it
     * must not race an in-flight [[clustersIngestBatch]] write).
     */
-  def compactSignatureStore(spark: SparkSession, stateDir: String): Unit =
+  def compactSignatureStore(spark: SparkSession, stateDir: String,
+      broadcastRowBudget: Long = -1L): Unit =
     graft.core.Artifacts.withMaintenanceLease(fsFor(spark, stateDir),
       stateDir, "compactSignatureStore") {
-      compactSignatureStoreImpl(spark, stateDir)
+      compactSignatureStoreImpl(spark, stateDir, broadcastRowBudget)
     }
 
   /** [[compactSignatureStore]] without the lease wrapper — the internal
     * path for [[maintainDedupState]], which already holds the state's
-    * maintenance lease for its whole chain.
+    * maintenance lease for its whole chain. `broadcastRowBudget` < 0
+    * resolves to [[DeletedBroadcastRows]] (r13 ADVICE: a caller that
+    * KNOWS its purge is huge forces the shuffled probes here too, not
+    * just in the heal).
     */
   private def compactSignatureStoreImpl(spark: SparkSession,
-      stateDir: String): Unit = {
+      stateDir: String, broadcastRowBudget0: Long = -1L): Unit = {
+    val broadcastRowBudget =
+      if (broadcastRowBudget0 < 0) DeletedBroadcastRows else broadcastRowBudget0
     val sigsRoot = s"$stateDir/sigs"
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(sigsRoot)
@@ -1270,7 +1276,8 @@ object Dedup extends graft.QueryModule {
         // Refuse if the assignment heal hasn't run — clearing
         // the tombstones below would discard the only evidence the
         // heal needs.
-        requireAssignmentsHealed(spark, stateDir, tombs, "compactSignatureStore")
+        requireAssignmentsHealed(spark, stateDir, tombs, "compactSignatureStore",
+          broadcastRowBudget0 = broadcastRowBudget)
         requireNoParks(spark, s"$stateDir/assign", "compactSignatureStore")
         // the materialize path may rewrite ANY partition (wherever
         // tombstoned rows hide — and a torn partition's partial read
@@ -1283,8 +1290,9 @@ object Dedup extends graft.QueryModule {
         val keep = ids.filterNot(absorb.contains)
         // the tombstone set is takedown-sized normally, corpus-order
         // under a mass purge — gate its broadcasts like every other
-        // deletion-path consumer (tombs is checkpointed above)
-        val tombsFit = tombs.count() <= DeletedBroadcastRows
+        // deletion-path consumer (tombs is checkpointed above), under
+        // the caller's budget when one was passed
+        val tombsFit = tombs.count() <= broadcastRowBudget
         keep.foreach { id =>
           val own = s"$sigsRoot/ingest_batch=$id"
           val srcs = if (id == base) own +: absorb.map(i =>
@@ -1328,11 +1336,23 @@ object Dedup extends graft.QueryModule {
         // retire the flat files — the family becomes the only layout.
         // Materialized EAGERLY before the subdir write (a lazy read of
         // the root after log=<n> lands would see a partition column).
-        val flatSealed = logIds.isEmpty &&
+        // `flatSealed` counts SEALED dirs only (r13 ADVICE, high): an
+        // UNSEALED log dir is a crashed prior migration append —
+        // invisible everywhere else — and gating the fold on
+        // logIds.isEmpty would let that crash permanently strand the
+        // flat log's ids (the re-run would see a non-empty family,
+        // skip the fold, write a tombstones-only sealed dir, and the
+        // pre-migration takedowns would silently resurrect on
+        // re-ingest). The flat rows are read from explicit root-level
+        // FILES, never spark.read.parquet(logRoot): a crashed log=<n>
+        // subdir would otherwise collide with partition discovery.
+        val flatSealed = logIds.forall(!_._2) &&
           fs.exists(new org.apache.hadoop.fs.Path(s"$logRoot/_SUCCESS"))
+        val flatFiles = if (flatSealed) flatLogFiles(fs, logRoot) else Seq.empty
         val logRows =
-          if (flatSealed)
-            tombs.unionByName(spark.read.parquet(logRoot).select("doc_id"))
+          if (flatFiles.nonEmpty)
+            tombs.unionByName(
+                spark.read.parquet(flatFiles: _*).select("doc_id"))
               .distinct().localCheckpoint(true)
           else tombs
         logRows.write.mode("overwrite")
@@ -1487,16 +1507,34 @@ object Dedup extends graft.QueryModule {
       .collect { case (a, true) => s"$root/log=$a" }
     if (dirs.nonEmpty)
       Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
-    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))) {
       // legacy FLAT layout (pre-family builds wrote the log as
       // root-level parquet sealed by the root _SUCCESS): still
       // readable — silently dropping it would RESURRECT taken-down
       // docs on an existing state dir (r13 review; the latestIndexDir
       // stay-readable convention). The next compaction migrates it
-      // into the family and retires the flat files.
-      Some(spark.read.parquet(root).select("doc_id"))
-    else None
+      // into the family and retires the flat files. Read EXPLICIT
+      // root-level files, never the root dir (r13 ADVICE): a crashed
+      // migration append leaves an unsealed log=<n> subdir that
+      // partition discovery would trip over, and a crashed drop-all
+      // re-admission can leave _SUCCESS over an empty dir — zero flat
+      // files then reads as "no log", not a schema-inference crash.
+      val flat = flatLogFiles(fs, root)
+      if (flat.nonEmpty) Some(spark.read.parquet(flat: _*).select("doc_id"))
+      else None
+    } else None
   }
+
+  /** Root-level parquet data files of a legacy FLAT deletion log —
+    * explicit paths so a crashed `log=<n>` family append sitting next
+    * to them can never confuse partition discovery (r13 ADVICE).
+    */
+  private def flatLogFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
 
   /** Fold the deletion-log family back to one sealed dir once it holds
     * more than this many — bounds the reader's union width over a long
@@ -1550,10 +1588,19 @@ object Dedup extends graft.QueryModule {
       val remaining = l.join(docIds.select("doc_id").distinct(),
         Seq("doc_id"), "left_anti").localCheckpoint(true)
       if (remaining.head(1).isEmpty) {
-        // drop-all: delete the whole family. A partial recursive
-        // delete leaves some log dirs sealed — ids still SUPPRESSED
-        // (the safe direction: deletion holds, nothing resurfaces
-        // silently) and the crashed re-admission simply re-runs
+        // drop-all: delete the whole family. UNSEAL FIRST (r13
+        // ADVICE, medium): a root-level _SUCCESS may exist (legacy
+        // flat layout, or the partial-rewrite branch below writes
+        // one), and recursive-delete ordering is unspecified — a
+        // crash that removed the log= dirs but not the root marker
+        // would otherwise gate an EMPTY dir as a flat log and crash
+        // every reader on schema inference. With the marker gone
+        // first, a partial recursive delete leaves some log dirs
+        // sealed — ids still SUPPRESSED (the safe direction: deletion
+        // holds, nothing resurfaces silently) and the crashed
+        // re-admission simply re-runs.
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$stateDir/deletion_log/_SUCCESS"), false)
         fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/deletion_log"), true)
       } else
         // removal rewrites the family as ONE unit via park/swap: the
@@ -1857,10 +1904,13 @@ object Dedup extends graft.QueryModule {
     */
   private def requireAssignmentsHealed(spark: SparkSession, stateDir: String,
       tombs: DataFrame, who: String,
-      overwrites: Option[Long] = None): Unit = {
+      overwrites: Option[Long] = None,
+      broadcastRowBudget0: Long = -1L): Unit = {
+    val broadcastRowBudget =
+      if (broadcastRowBudget0 < 0) DeletedBroadcastRows else broadcastRowBudget0
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
-    val tombsFit = tombs.count() <= DeletedBroadcastRows
+    val tombsFit = tombs.count() <= broadcastRowBudget
     graft.core.Artifacts
       .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
       .collect { case (a, true) => a }
@@ -1930,7 +1980,8 @@ object Dedup extends graft.QueryModule {
     val healed = pending.isDefined
     if (healed) healAssignmentsImpl(spark, stateDir, minEstJaccard,
       broadcastRowBudget) // lease already held
-    compactSignatureStoreImpl(spark, stateDir) // lease already held
+    compactSignatureStoreImpl(spark, stateDir,
+      broadcastRowBudget) // lease already held
     val partsAfter = sigPartitions().size.toLong
     val nFiles = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(sigsRoot), true)

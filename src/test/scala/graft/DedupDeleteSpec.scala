@@ -480,6 +480,123 @@ class DedupDeleteSpec extends AnyFunSuite {
       "a takedown resurfaced across the flat-to-family migration")
   }
 
+  test("a TORN first migrating compaction append cannot strand the legacy flat " +
+      "log: the re-run still folds its ids into the family (r13 ADVICE, high)") {
+    val state = tmp("dedup-torn-migration")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    // the OLD layout: root-level parquet sealed by root _SUCCESS,
+    // holding not-yet-ingested ids (the pre-family suppression set)
+    val legacyDel = col("doc_id") >= 400 && col("doc_id") % 3 === 0
+    docs.filter(legacyDel).select("doc_id").distinct()
+      .coalesce(1).write.parquet(s"$state/deletion_log")
+    // the crash artifact: the FIRST migrating append died after its
+    // data files but before its seal — an unsealed log=1 holding only
+    // that run's tombstones, root _SUCCESS still present, tombstones
+    // never cleared (the clear runs after the log write)
+    val crashDel = col("doc_id") < 400 && col("doc_id") % 19 === 5
+    docs.filter(crashDel).select("doc_id").distinct()
+      .write.parquet(s"$state/deletion_log/log=1")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$state/deletion_log/log=1/_SUCCESS"), false)
+    // readers between the crash and the re-run must not trip partition
+    // discovery over the flat+unsealed coexistence
+    assert(Dedup.readSignatureStoreState(spark, state).count() > 0)
+    // the re-run: re-issue the delete (its tombstones never cleared in
+    // the real crash; idempotent here) and compact again
+    Dedup.deleteFromDedupState(spark, state, docs.filter(crashDel).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state)
+    // family-only layout: flat retired, torn dir swept, and the sealed
+    // family carries BOTH the legacy ids and the crashed run's
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$state/deletion_log/_SUCCESS")), "flat root seal not retired")
+    val sealedDirs = graft.core.Artifacts.sealedFamilyDirs(fs,
+      s"$state/deletion_log", "log")
+    assert(sealedDirs.nonEmpty && sealedDirs.forall(_._2),
+      s"torn log dir survived the re-run: $sealedDirs")
+    val logged = spark.read.parquet(sealedDirs.map { case (a, _) =>
+        s"$state/deletion_log/log=$a" }: _*)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val legacyIds = docs.filter(legacyDel).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(legacyIds.subsetOf(logged),
+      "legacy flat ids lost across the torn migration re-run")
+    // and suppression holds end-to-end: a batch presenting the legacy
+    // ids must not ingest them
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!legacyDel && !crashDel), 0.5)),
+      "a takedown resurfaced across the torn migration re-run")
+  }
+
+  test("a crashed drop-all re-admission (root _SUCCESS over an empty family) " +
+      "reads as NO log — readers serve, ingest re-admits (r13 ADVICE, medium)") {
+    val state = tmp("dedup-dropall-crash")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    val del = col("doc_id") < 400 && col("doc_id") % 19 === 5
+    Dedup.deleteFromDedupState(spark, state, docs.filter(del).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state) // materialize into the log
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the pre-fix crash artifact: the recursive family delete
+    // removed every log= dir but a root _SUCCESS survived (delete
+    // ordering is unspecified; the partial-rewrite branch writes one)
+    graft.core.Artifacts.sealedFamilyDirs(fs, s"$state/deletion_log", "log")
+      .foreach { case (a, _) => fs.delete(new org.apache.hadoop.fs.Path(
+        s"$state/deletion_log/log=$a"), true) }
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$state/deletion_log/_SUCCESS"), true).close()
+    // every reader must treat this as "no deletion log" — not a
+    // schema-inference crash on an empty flat read
+    assert(Dedup.readSignatureStoreState(spark, state).count() > 0)
+    // the documented recovery — re-running the re-admission — works
+    Dedup.allowReingestDocs(spark, state, docs.filter(del).select("doc_id"))
+    // and the drop-all's intent holds: the ids re-ingest freely
+    Dedup.clustersIngestBatch(docs.filter(del || col("doc_id") >= 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs, 0.5)),
+      "re-admitted docs stayed suppressed after the crashed drop-all")
+  }
+
+  test("broadcastRowBudget=0 passed as a PARAMETER (JVM prop unset) forces the " +
+      "shuffled probes through compaction + the healed-gate too (r13 ADVICE)") {
+    val state = tmp("dedup-budget-param")
+    assert(sys.props.get("graft.deleted.broadcast.rows").isEmpty)
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    Dedup.deleteFromDedupState(spark, state,
+      docs.filter(delPred).select("doc_id"), 0.5, broadcastRowBudget = 0L)
+    Dedup.compactSignatureStore(spark, state, broadcastRowBudget = 0L)
+    assert(spark.read.parquet(s"$state/sigs").filter(delPred).count() === 0)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(
+        docs.filter(col("doc_id") < 400 && !delPred), 0.5)),
+      "parameter-budget shuffled lifecycle != broadcast lifecycle output")
+  }
+
+  test("a lease that VANISHES mid-read reads as no lease, not a young torn " +
+      "one — a released lease racing the read must not refuse (r13 ADVICE)") {
+    val state = tmp("dedup-lease-vanish")
+    val raw = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leaseP = new org.apache.hadoop.fs.Path(s"$state/_MAINT_LEASE")
+    // a filesystem where the lease exists at the first check but has
+    // vanished by the read — the release-vs-read race, made mechanical
+    var calls = 0
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def exists(p: org.apache.hadoop.fs.Path): Boolean =
+        if (p == leaseP) { calls += 1; calls == 1 } else super.exists(p)
+      override def getFileStatus(p: org.apache.hadoop.fs.Path)
+          : org.apache.hadoop.fs.FileStatus =
+        if (p == leaseP) throw new java.io.FileNotFoundException(p.toString)
+        else super.getFileStatus(p)
+    }
+    // must neither refuse ("under maintenance by '<torn lease>'") nor
+    // leak the FileNotFoundException
+    graft.core.Artifacts.requireNoLiveMaintenanceLease(fs, state, "test")
+    assert(calls >= 1)
+  }
+
   test("mass-purge shape: with the deletion-path broadcast budget forced to 0, " +
       "ingest filtering, the healed-gate, store reads, and compaction all run " +
       "their shuffled fallbacks and the lifecycle output is identical") {
