@@ -25,7 +25,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
         "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout",
-        "maintain", "emission")
+        "maintain", "emission", "occupancy")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -141,6 +141,49 @@ object ScaleProbe {
         graft.ops.Dedup.dedupedCorpus(planted, clusters,
           broadcastDrop = false).count()
       }
+      planted.unpersist()
+    }
+
+    if (sections("occupancy")) {
+      // planted LSH bucket blowup (r13 verdict #1): 1/8 of the BASE
+      // corpus collapses onto 64 templates — identical text means
+      // identical signature, so each template is ONE bucket in EVERY
+      // band, and the uncapped banded join pays Σ occ·(occ−1)/2 pairs
+      // for them (quadratic in template popularity — the shape one
+      // boilerplate shingle set at crawl scale produces) while the
+      // capped join drops exactly those buckets. Base corpus, not the
+      // replicated one: the blowup under measurement is quadratic by
+      // construction, so the probe pins the CONTRAST, not a factor.
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+      val planted = base.withColumn("text",
+        when(col("doc_id") % 8 === 0,
+          concat(lit("shared boilerplate template nr "),
+            (col("doc_id") % 4).cast("string"),
+            lit(" repeated navigation footer body text")))
+          .otherwise(col("text")))
+        .persist()
+      println(s"[scale] occupancy corpus ${planted.count()} rows " +
+        "(1/8 collapsed onto 4 templates)")
+      val rep = graft.ops.Dedup.minhashCapReport(planted, 8)
+        .collect()
+      rep.foreach(r => println(s"[scale] cap_report band=${r.getInt(0)} " +
+        s"buckets_over=${r.getLong(1)} docs_in_over=${r.getLong(2)} " +
+        s"pairs_dropped=${r.getLong(3)}"))
+      time("lsh_uncapped_boiler") {
+        graft.ops.Dedup.minhashCandidates(planted, 0.5).count()
+      }
+      time("lsh_capped_boiler") {
+        graft.ops.Dedup.minhashCandidates(planted, 0.5,
+          maxOccupancy = 8).count()
+      }
+      // organic recall is untouched: the capped run on the UNPLANTED
+      // corpus (no bucket near the cap) must equal the uncapped one
+      val clean = spark.read.parquet(s"$dir/documents.parquet")
+      val a = graft.ops.Dedup.minhashCandidates(clean, 0.5).count()
+      val b = graft.ops.Dedup.minhashCandidates(clean, 0.5,
+        maxOccupancy = 8).count()
+      println(s"[scale] clean-corpus pairs uncapped=$a capped=$b " +
+        s"identical=${a == b}")
       planted.unpersist()
     }
 

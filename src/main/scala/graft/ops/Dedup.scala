@@ -348,8 +348,10 @@ object Dedup extends graft.QueryModule {
     * (estimated Jaccard ≥ minEstJaccard). O(docs) signature pass +
     * O(docs·bands) bucket shuffle — the 100 TB dedup path.
     */
-  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
-    candidatesFromSignatures(minhashSignatures(docs), minEstJaccard)
+  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5,
+      maxOccupancy: Long = Long.MaxValue): DataFrame =
+    candidatesFromSignatures(minhashSignatures(docs), minEstJaccard,
+      maxOccupancy)
 
   /** Persist a signature table to parquet — the MATERIALIZED SIGNATURE
     * STORE the incremental-dedup scaladocs name: a daily pipeline
@@ -412,6 +414,52 @@ object Dedup extends graft.QueryModule {
         max(col("occ")).as("max_occupancy"),
         floor(sum(col("occ") * (col("occ") - 1)) / lit(2.0)).cast("long")
           .as("candidate_pairs"))
+      .orderBy("band")
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
+  }
+
+  /** Drop rows whose bucket key holds more than `maxOccupancy` rows —
+    * the shared LSH bucket-size ceiling (r13 verdict #1) behind
+    * [[candidatesFromSignatures]], [[simhashPairs]], and
+    * [[embeddingNearDupLsh]]. A no-op (zero added plan) at the
+    * default; otherwise one keyed aggregate over the bucket projection
+    * plus a semi join — O(rows), paid once, versus the occ² pairs an
+    * uncapped mega-bucket would emit downstream.
+    */
+  private def cappedBuckets(rows: DataFrame, keys: Seq[String],
+      maxOccupancy: Long): DataFrame =
+    if (maxOccupancy == Long.MaxValue) rows
+    else {
+      val fit = rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_occ"))
+        .filter(col("_occ") <= maxOccupancy)
+        .select(keys.map(col): _*)
+      rows.join(fit, keys, "semi")
+    }
+
+  /** The LOUD dropped-mass report for the `maxOccupancy` ceiling —
+    * what a capped [[minhashCandidates]] run skipped, per band:
+    * buckets over the cap, docs parked in them, and the candidate
+    * pairs the cap avoided (Σ occ·(occ−1)/2 over over-cap buckets).
+    * Zero-filled per band so the report shape is stable when nothing
+    * was dropped. The dfCeiling convention: a lossy scale knob is only
+    * acceptable when what it drops is itself a priced, declared table
+    * (q_minhash_cap_report), never a silent truncation.
+    */
+  def minhashCapReport(docs: DataFrame, maxOccupancy: Long): DataFrame = {
+    val sigs = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val over = col("occ") > maxOccupancy
+    val out = bandProjection(sigs)
+      .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+      .groupBy("band").agg(
+        sum(when(over, 1L).otherwise(0L)).cast("long").as("buckets_over"),
+        sum(when(over, col("occ")).otherwise(0L)).cast("long")
+          .as("docs_in_over"),
+        floor(sum(when(over, col("occ") * (col("occ") - 1)).otherwise(0L))
+          / lit(2.0)).cast("long").as("pairs_dropped"))
       .orderBy("band")
       .localCheckpoint(true)
     sigs.unpersist(false)
@@ -481,14 +529,40 @@ object Dedup extends graft.QueryModule {
     * signature table ONCE and feeds it to candidate generation,
     * clustering, and corpus emission, instead of re-sketching the corpus
     * per step. `sigs` must have columns (doc_id, sig0..sig7).
+    *
+    * `maxOccupancy` is the ENFORCED form of the [[minhashOccupancy]]
+    * pre-flight (r13 verdict #1): band buckets holding more than this
+    * many docs are dropped from the candidate join before it pays
+    * their occ·(occ−1)/2 pairs — ONE boilerplate shingle set shared by
+    * millions of crawl pages would otherwise buy a quadratic bucket
+    * all-pairs no matter what the rest of the corpus looks like. Same
+    * lossy-but-priced contract as [[jaccardPairs]]' `dfCeiling`: the
+    * dropped mass is itself a declared, oracle-checked table
+    * ([[minhashCapReport]] / q_minhash_cap_report), so the decision is
+    * visible, never silent. Recall is untouched while no bucket
+    * exceeds the cap (spec-pinned); an over-cap bucket is a
+    * near-identical boilerplate clique whose members exact-hash dedup
+    * ([[exactDupGroups]]) catches at O(n). Default = no cap, so every
+    * pre-existing caller and declared hash is unchanged.
     */
-  def candidatesFromSignatures(sigs0: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+  def candidatesFromSignatures(sigs0: DataFrame, minEstJaccard: Double = 0.5,
+      maxOccupancy: Long = Long.MaxValue): DataFrame = {
     // persisted: the signature table feeds 4 band projections × both
     // sides of the candidate self-join plus the two scoring joins —
     // without caching the upstream pipeline runs ~10 times
     val sigs = sigs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandProjection(sigs)
+    // when the cap is active the filtered projection feeds BOTH sides
+    // of the self-join — persist it so the occupancy aggregate runs
+    // once, not per side (zero change to the uncapped plan)
+    val capActive = maxOccupancy != Long.MaxValue
+    val bands = {
+      val b = cappedBuckets(bandProjection(sigs), Seq("band", "bkey"),
+        maxOccupancy)
+      if (capActive)
+        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else b
+    }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -506,6 +580,7 @@ object Dedup extends graft.QueryModule {
       .filter(col("est_jaccard") >= minEstJaccard)
       .localCheckpoint(true)
     sigs.unpersist(false)
+    if (capActive) bands.unpersist(false)
     out
   }
 
@@ -2234,7 +2309,8 @@ object Dedup extends graft.QueryModule {
     * fan out b times.
     */
   def embeddingNearDupLsh(embeddings: DataFrame, planesPerBand: Int = 4,
-      nBands: Int = 4, dims: Int = 64, k: Int = 20): DataFrame = {
+      nBands: Int = 4, dims: Int = 64, k: Int = 20,
+      maxOccupancy: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2243,11 +2319,24 @@ object Dedup extends graft.QueryModule {
     // method (nBands × planesPerBand × dims multiply-adds) measured 2×
     // slower end-to-end — the giant method defeats JIT while the small
     // per-band projections each compile tight (PERF.md round-4 notes)
-    val bands = (0 until nBands).map { b =>
-      e.select(
-        col("vec_id"), lit(b).as("band"),
-        VectorOps.lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
-    }.reduce(_ union _)
+    // maxOccupancy: the enforced bucket ceiling (r13 verdict #1) — a
+    // degenerate embedding (all-zero vectors, a cluster of identical
+    // template pages) parks in one (band, bkt) and would pay occ² here.
+    // Capped frame feeds both join sides — persist it (uncapped plan
+    // unchanged).
+    val capActive = maxOccupancy != Long.MaxValue
+    val bands = {
+      val b = cappedBuckets(
+        (0 until nBands).map { bd =>
+          e.select(
+            col("vec_id"), lit(bd).as("band"),
+            VectorOps.lshBucketCol(col("v"), planesPerBand, dims, bd * planesPerBand).as("bkt"))
+        }.reduce(_ union _),
+        Seq("band", "bkt"), maxOccupancy)
+      if (capActive)
+        b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else b
+    }
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -2262,6 +2351,7 @@ object Dedup extends graft.QueryModule {
       .limit(k)
       .localCheckpoint(true)
     e.unpersist(false)
+    if (capActive) bands.unpersist(false)
     out
   }
 
@@ -2281,11 +2371,25 @@ object Dedup extends graft.QueryModule {
 
   /** SimHash near-dup pairs: bucket by the 16-bit prefix (the LSH step
     * that keeps this O(docs) at scale), then exact Hamming ≤ maxHamming.
+    * `maxOccupancy` caps the prefix buckets — the same enforced
+    * ceiling as [[candidatesFromSignatures]] (r13 verdict #1): one
+    * boilerplate fingerprint shared by millions of docs is one prefix
+    * bucket, and this join would otherwise pay its occ² pairs.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+      maxOccupancy: Long = Long.MaxValue): DataFrame = {
+    val sh0 = simhash(docs)
       .withColumn("prefix", shiftright(col("simhash"), 16))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // capped frame feeds both join sides — persist so the occupancy
+    // aggregate runs once (no plan change when the cap is off)
+    val capActive = maxOccupancy != Long.MaxValue
+    val sh = {
+      val s = cappedBuckets(sh0, Seq("prefix"), maxOccupancy)
+      if (capActive)
+        s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s
+    }
     val out = sh.as("a").join(sh.as("b"),
         col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -2293,7 +2397,8 @@ object Dedup extends graft.QueryModule {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .localCheckpoint(true)
-    sh.unpersist(false)
+    sh0.unpersist(false)
+    if (capActive) sh.unpersist(false)
     out
   }
 
@@ -2491,6 +2596,24 @@ object Dedup extends graft.QueryModule {
 
     // Band-bucket occupancy pre-flight: price the banded candidate
     // join (and see which band is hot) before running it.
+    // The occupancy ceiling ENFORCED on the declared surface (r13
+    // verdict #1): band buckets holding > 2 docs are dropped before
+    // the candidate join pays their occ·(occ−1)/2 pairs. The oracle
+    // recomputes the SAME occupancy filter independently in SQL, so
+    // the hash gate checks the cap's semantics themselves — and the
+    // cap genuinely fires at the tested SFs (max occupancy is 3 at
+    // sf0.01).
+    "q_minhash_lsh_capped" -> { (spark, dir) =>
+      minhashCandidates(Tables.documents(spark, dir), 0.5, maxOccupancy = 2L)
+        .orderBy("d1", "d2")
+    },
+
+    // ...and the loud dropped-mass twin: what that cap skipped, per
+    // band — the lossy knob is only acceptable priced, never silent.
+    "q_minhash_cap_report" -> { (spark, dir) =>
+      minhashCapReport(Tables.documents(spark, dir), 2L)
+    },
+
     "q_minhash_occupancy" -> { (spark, dir) =>
       minhashOccupancy(Tables.documents(spark, dir))
     },
@@ -3028,6 +3151,55 @@ object Dedup extends graft.QueryModule {
            |FROM text_pairs t FULL OUTER JOIN img_pairs i
            |  ON t.d1 = i.d1 AND t.d2 = i.d2
            |ORDER BY 1, 2""".stripMargin,
+
+      // the q_minhash_lsh fragments with the occupancy ceiling
+      // recomputed independently: buckets over 2 docs leave the band
+      // projection before the candidate join
+      "q_minhash_lsh_capped" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |fit AS (
+           |  SELECT band, bkey FROM bands GROUP BY band, bkey
+           |  HAVING count(*) <= 2),
+           |bandsk AS (
+           |  SELECT b.* FROM bands b
+           |  JOIN fit f ON b.band = f.band AND b.bkey = f.bkey),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |  FROM bandsk x JOIN bandsk y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+           |SELECT c.d1, c.d2, CAST($estExpr AS DOUBLE) / 8.0 AS est_jaccard
+           |FROM cand c
+           |JOIN sigs s1 ON c.d1 = s1.doc_id
+           |JOIN sigs s2 ON c.d2 = s2.doc_id
+           |WHERE CAST($estExpr AS DOUBLE) / 8.0 >= 0.5
+           |ORDER BY c.d1, c.d2""".stripMargin,
+
+      // per-band dropped mass of that cap, zero-filled: buckets over
+      // the ceiling, docs parked in them, pairs the cap avoided
+      "q_minhash_cap_report" ->
+        s"""WITH $shingleHashCte,
+           |sigs AS (
+           |  SELECT doc_id,
+           |    $sigColsSql
+           |  FROM hashes GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects),
+           |occ AS (
+           |  SELECT band, bkey, count(*) AS occ FROM bands GROUP BY band, bkey)
+           |SELECT band,
+           |  CAST(sum(CASE WHEN occ > 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS buckets_over,
+           |  CAST(sum(CASE WHEN occ > 2 THEN occ ELSE 0 END) AS BIGINT)
+           |    AS docs_in_over,
+           |  CAST(floor(sum(CASE WHEN occ > 2 THEN occ * (occ - 1) ELSE 0 END)
+           |    / 2.0) AS BIGINT) AS pairs_dropped
+           |FROM occ GROUP BY band ORDER BY band""".stripMargin,
 
       // per-band bucket occupancy + the candidate-pair price of the
       // banded join — the same sigs/bands fragments as q_minhash_lsh

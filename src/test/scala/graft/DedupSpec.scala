@@ -22,6 +22,61 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall: exact=${exact.size} capped=${capped.size}")
   }
 
+  test("maxOccupancy (r13 verdict #1): recall is untouched while no bucket " +
+      "exceeds the cap; a planted mega-bucket drops exactly its own pairs, " +
+      "and the cap report prices the dropped mass") {
+    import org.apache.spark.sql.functions._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. generous cap == uncapped, bit-for-bit, on all three banded
+    //    joins (no organic bucket at sf0.001 comes near 1000)
+    assert(pairSet(Dedup.minhashCandidates(docs, 0.5, maxOccupancy = 1000L))
+      === pairSet(Dedup.minhashCandidates(docs, 0.5)),
+      "minhash: generous cap changed the candidate set")
+    assert(pairSet(Dedup.simhashPairs(docs, 8, maxOccupancy = 1000L))
+      === pairSet(Dedup.simhashPairs(docs, 8)),
+      "simhash: generous cap changed the pair set")
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(
+      Dedup.embeddingNearDupLsh(emb, 4, 4, 64, 20, maxOccupancy = 100000L)
+        .collect().map(_.toSeq).toSet
+      === Dedup.embeddingNearDupLsh(emb, 4, 4, 64, 20)
+        .collect().map(_.toSeq).toSet,
+      "embedding LSH: generous cap changed the top-k")
+    // 2. planted boilerplate: 12 identical docs are ONE bucket of
+    //    occupancy 12 in EVERY band — over a cap of 8, so all 66 of
+    //    their pairs drop, while every organic pair survives verbatim
+    val planted = docs.select("doc_id", "text").unionByName(
+      spark.range(12).select(
+        (col("id") + 1000000L).as("doc_id"),
+        lit("shared boilerplate template repeated navigation footer body")
+          .as("text")))
+    val uncapped = pairSet(Dedup.minhashCandidates(planted, 0.5))
+    val capped = pairSet(Dedup.minhashCandidates(planted, 0.5,
+      maxOccupancy = 8L))
+    assert(uncapped.count { case (a, b) => a >= 1000000L && b >= 1000000L }
+      === 66, "fixture: the planted clique should emit C(12,2) pairs uncapped")
+    assert(capped.forall { case (a, b) => a < 1000000L || b < 1000000L },
+      "capped join still emitted mega-bucket pairs")
+    assert(capped === uncapped.filter { case (a, b) =>
+        a < 1000000L || b < 1000000L },
+      "cap dropped (or added) pairs outside the over-cap bucket")
+    // 3. the loud report prices exactly that: per band, 1 bucket over,
+    //    12 docs parked, 66 pairs avoided
+    val rep = Dedup.minhashCapReport(planted, 8L).collect()
+    assert(rep.length === 4)
+    rep.foreach { r =>
+      assert(r.getLong(1) === 1L, s"band ${r.getInt(0)}: buckets_over")
+      assert(r.getLong(2) === 12L, s"band ${r.getInt(0)}: docs_in_over")
+      assert(r.getLong(3) === 66L, s"band ${r.getInt(0)}: pairs_dropped")
+    }
+    // ...and reports all-zeros (stable 4-row shape) when nothing drops
+    assert(Dedup.minhashCapReport(docs, 1000L).collect()
+      .forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L))
+  }
+
   test("prefix filtering is lossless: equals the all-postings join at every threshold") {
     // the entire point of q_jaccard_prefix: only each doc's rarest
     // (1−τ) shingles enter the index, yet the result is IDENTICAL to
