@@ -272,11 +272,6 @@ object Bench {
       }
       (taken.result(), skipped.result(), spent)
     }
-    val (disp3, dispSkipped, spent3) = underBudget(dispersed, remeasureBudgetSec,
-      priority = carriedSuspects.toSet)
-    val pass3: Map[String, (Double, Option[String])] =
-      if (disp3.nonEmpty) sweep(disp3) else Map.empty
-
     // extra sweeps are ADVISORY: a pass3/pass4 failure must never flip
     // a query both full sweeps ran clean into the error column — drop
     // errored extra passes entirely (the query simply stays
@@ -299,22 +294,40 @@ object Bench {
     // the ones still above threshold after it are self-labelled
     // `regressed_vs_prev` — the isolated-re-measure adjudication
     // PERF.md prescribes, run by the artifact itself.
+    //
+    // REGRESSIONS CLAIM THE BUDGET FIRST (r13 verdict #2): a flagged
+    // cross-round regression is strictly more alarming than a same-run
+    // dispersed-but-stable number, and the r13 artifact shipped 5
+    // regression flags unadjudicated because the dispersion pool had
+    // consumed the whole knapsack. Candidates are computed from the
+    // two full sweeps alone — an extra clean-window pass can only
+    // LOWER a min, i.e. only CLEAR flags, so this pre-pass3 set is a
+    // superset of the final one and ordering the pools this way never
+    // misses a regression pass3 would have surfaced.
     val regressCand = prev match {
       case Some((_, pfp, pq, _)) if pfp == fpNow =>
         names.filter { n =>
-          val (mn, _, err) = combineAll(passesOf(n, pass3))
+          val (mn, _, err) = combineAll(Seq(pass1(n), pass2(n)))
           err.isEmpty && pq.get(n).exists(regressedVsPrev(mn, _))
         }
       case _ => Nil
     }
-    // regressions get the same bounded clean-window treatment; the ones
-    // the budget leaves out are flagged saturated instead of silently
-    // keeping an unadjudicated regressed_vs_prev label (r11 ADVICE —
-    // a throttled run must be distinguishable from N real regressions)
-    val (regr4, regrSkipped, _) = underBudget(regressCand,
-      remeasureBudgetSec - spent3)
+    val (regr4, regrSkipped0, spentR) = underBudget(regressCand,
+      remeasureBudgetSec)
     val pass4: Map[String, (Double, Option[String])] =
       if (regr4.nonEmpty) sweep(regr4) else Map.empty
+
+    // dispersion suspects spend what the regression pool left; queries
+    // the regression pool already re-measured are excluded (one extra
+    // clean-window pass corroborates both pools — passesOf merges them)
+    val (disp3, dispSkipped, _) = underBudget(
+      dispersed.filterNot(regr4.toSet), remeasureBudgetSec - spentR,
+      priority = carriedSuspects.toSet)
+    val pass3: Map[String, (Double, Option[String])] =
+      if (disp3.nonEmpty) sweep(disp3) else Map.empty
+    // a budget-skipped regression that got its clean-window pass via
+    // the dispersion pool anyway is adjudicated, not saturated
+    val regrSkipped = regrSkipped0.filterNot(disp3.toSet)
     // calibration ledger entry for the extra passes: whether the
     // re-measure window itself was clean is part of the record
     val calibExtra =
