@@ -809,9 +809,13 @@ object VectorOps extends graft.QueryModule {
     * broadcast, and scoring is one zero-join, zero-shuffle fold per
     * (candidate, query) row followed by a rank<=k filter that Spark 4
     * plans as WindowGroupLimit — a bounded per-query heap below the
-    * sort. The only shuffles anywhere are the two one-time vid-keyed
-    * aggregations that build the code index; a real ingest fuses
-    * encoding into the write path and stores the packed codes.
+    * sort. The codebook is MODEL-SIZED by contract (m·ksub rows), so
+    * it is collected once and inlined as literal codewords: encode and
+    * LUT are pure narrow projections — zero joins, zero aggregations,
+    * zero shuffles anywhere in the plan (r13 verdict #3: the previous
+    * broadcast-join + two-aggregation encode made a timed serve six
+    * load-sensitive stages; this shape is two). A real ingest fuses
+    * the encode projection into the write path and stores packed codes.
     *
     * Exactness: every per-element product/square is quantized onto the
     * shared 1e12 integer grid before its sum (the [[qsum]] pattern),
@@ -832,35 +836,45 @@ object VectorOps extends graft.QueryModule {
     // testdata regeneration could shift to 1-based). Trained path: a
     // [[pqTrain]] codebook; default: the ksub lowest-id vectors'
     // subvectors (the no-training stand-in whose oracle is mechanical).
-    val cb = codebook.getOrElse(standInCodebook(e, m, ksub, sub))
+    // Model-sized by contract: collected ONCE (m·ksub rows — the
+    // centroid-table pattern) and inlined as literal codewords, so the
+    // encode and the LUT below are single narrow projections instead
+    // of a broadcast join + two keyed aggregations each (r13 verdict
+    // #3: q_pq_rerank's chronic dispersion tracked its stage count —
+    // every extra barrier was another chance for a host load window
+    // to stall one pass).
+    val cw: Map[(Int, Int), Seq[Double]] =
+      codebook.getOrElse(standInCodebook(e, m, ksub, sub)).collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Int]("cid")) ->
+          r.getAs[scala.collection.Seq[Double]]("cw").toSeq).toMap
+    require(cw.size == m * ksub,
+      s"pqSearch: codebook must hold ${m * ksub} dense (j, cid) codewords, " +
+        s"got ${cw.size}")
     def gridFold(terms: Column): Column =
       aggregate(terms, lit(0L), (acc, t) => acc + floor(t * lit(GRID) + lit(0.5)))
-    // encode: nearest codeword per (vector, subspace) — a hash-aggregate
-    // argmin over the ×ksub fanout (partial+final), then one vid-keyed
-    // pack into the m-code array the scan reads
-    val codes = e
-      .join(broadcast(cb), lit(true))
-      .select(col("vid"), col("j"), col("cid"),
-        gridFold(zip_with(
-          slice(col("vid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
-          (x, c) => (x - c) * (x - c))).as("d2q"))
-      .groupBy("vid", "j")
-      .agg(min(struct(col("d2q"), col("cid"))).as("best"))
-      .select(col("vid"), col("j"), col("best.cid").as("code"))
-      .groupBy("vid")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
-        s => s.getField("code")).as("codes"))
-    // per-query LUT, packed to one array in (j, cid) order so the ADC
-    // fold reads entry j*ksub+code with one element_at
+    def codeword(j: Int, cid: Int): Column = array(cw((j, cid)).map(lit): _*)
+    // encode: nearest codeword per (vector, subspace), ties to the
+    // lowest cid — the exact grid argmin as one expression per
+    // subspace (array_min over struct(d2, cid) ≡ min(struct(d2, cid)))
+    def codeJ(v: Column, j: Int): Column =
+      array_min(array((0 until ksub).map { cid =>
+        struct(
+          gridFold(zip_with(slice(v, j * sub + 1, sub), codeword(j, cid),
+            (x, c) => (x - c) * (x - c))).as("d"),
+          lit(cid).as("c"))
+      }: _*)).getField("c")
+    val codes = e.select(col("vid"),
+      array((0 until m).map(j => codeJ(col("vid_v"), j)): _*).as("codes"))
+    // per-query LUT, one array in (j, cid) order so the ADC fold reads
+    // entry j*ksub+code with one element_at; |queries| rows, eagerly
+    // materialized so the broadcast-exchange thread ships rows instead
+    // of running the query scan (the ivfSearchCentroids convention)
     val lut = castVec(embeddings.filter(queryPred), "qid")
-      .join(broadcast(cb), lit(true))
-      .select(col("qid"), col("j"), col("cid"),
-        gridFold(zip_with(
-          slice(col("qid_v"), col("j") * lit(sub) + lit(1), lit(sub)), col("cw"),
-          (x, c) => x * c)).cast("long").as("lamq"))
-      .groupBy("qid")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("cid"), col("lamq")))),
-        s => s.getField("lamq")).as("lut"))
+      .select(col("qid"),
+        array((for (j <- 0 until m; cid <- 0 until ksub) yield
+          gridFold(zip_with(slice(col("qid_v"), j * sub + 1, sub),
+            codeword(j, cid), (x, c) => x * c)).cast("long")): _*).as("lut"))
+      .localCheckpoint(true)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vid"))
     // per-candidate score via the codegen'd ADC kernel — the scan's
     // entire per-row work is this one fused m-lookup loop
@@ -1022,8 +1036,13 @@ object VectorOps extends graft.QueryModule {
     */
   private def rerankExact(embeddings: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val e = castVec(embeddings, "vid")
+    // |queries| rows — materialize BEFORE the broadcast: computing the
+    // scan + semi-join inside the broadcast-exchange thread is the
+    // same erratic-stall shape the shortlist checkpoint already fixed
+    // (PERF.md q_pq_rerank finding; r13 verdict #3)
     val q = castVec(embeddings, "qid")
       .join(broadcast(cand.select("qid").distinct()), Seq("qid"), "left_semi")
+      .localCheckpoint(true)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     e.join(broadcast(cand), Seq("vid"))
       .join(broadcast(q), Seq("qid"))
