@@ -376,16 +376,65 @@ object Dedup extends graft.QueryModule {
     * crashed APPEND keeps the previous write's marker and at worst
     * duplicates rows on retry, which the candidate joins tolerate.
     *
-    * DELETION: this FLAT single-dir store has no tombstone layout — a
-    * deployment that needs the takedown lifecycle (tombstones, heal,
-    * materialization, deletion log, [[allowReingestDocs]]) should hold
-    * its signatures in the [[clustersIngestBatch]] state-dir store and
-    * read through [[readSignatureStoreState]]; callers of this flat
-    * reader who delete docs must anti-join their own takedown set.
+    * DELETION (r13 verdict #4): takedowns land as a sealed
+    * `_tombstones/del=<n>` family INSIDE the store dir (the
+    * underscore prefix keeps the subdir invisible to the data scan,
+    * like `_SUCCESS` itself) via [[deleteFromMinhashSignatures]], and
+    * THIS READER anti-joins them out — suppression is a reader gate,
+    * never caller discipline (the one store where it used to be).
+    * The anti-join is size-gated on the same
+    * [[DeletedBroadcastRows]] budget as the state-dir path (a mass
+    * purge falls back shuffled). Bytes remain until re-write; a
+    * deployment that needs the FULL lifecycle (heal, physical
+    * materialization, durable deletion log, [[allowReingestDocs]])
+    * should hold its signatures in the [[clustersIngestBatch]]
+    * state-dir store and read through [[readSignatureStoreState]].
     */
-  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Artifacts.gatedRead(spark, dir, "readMinhashSignatures",
-      "re-run writeMinhashSignatures")
+  def readMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.core.Artifacts.gatedRead(spark, dir,
+      "readMinhashSignatures", "re-run writeMinhashSignatures")
+    flatStoreTombstones(spark, dir).fold(sigs) { t =>
+      gatedJoin(sigs, t, "doc_id", "left_anti",
+        t.count() <= DeletedBroadcastRows)
+    }
+  }
+
+  /** DELETE documents from a FLAT [[writeMinhashSignatures]] store:
+    * `docIds` (one `doc_id` column) lands as a fresh sealed
+    * `_tombstones/del=<n>` dir and [[readMinhashSignatures]] suppresses
+    * the ids from every subsequent read — no caller-side anti-join
+    * (r13 verdict #4). O(takedown) append, crash-safe by the sealed
+    * family convention (an unsealed dir is a crashed delete, invisible
+    * — re-run it). Signature BYTES remain until the store is next
+    * rewritten; physical materialization, healing, and re-admission
+    * are the state-dir store's lifecycle, not this one's.
+    */
+  def deleteFromMinhashSignatures(spark: SparkSession, dir: String,
+      docIds: DataFrame): Unit = {
+    require(docIds.columns.contains("doc_id"),
+      s"deleteFromMinhashSignatures: docIds must carry a `doc_id` column, " +
+        s"got ${docIds.columns.mkString(",")}")
+    val root = s"$dir/_tombstones"
+    val existing = graft.core.Artifacts
+      .sealedFamilyDirs(fsFor(spark, dir), root, "del").map(_._1)
+    val next = if (existing.isEmpty) 1L else existing.max + 1
+    docIds.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/del=$next")
+  }
+
+  /** Sealed tombstones of a flat store as one distinct frame; None
+    * when no takedown was ever filed (the common case pays one
+    * directory listing, no plan change).
+    */
+  private def flatStoreTombstones(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val root = s"$dir/_tombstones"
+    val dirs = graft.core.Artifacts
+      .sealedFamilyDirs(fsFor(spark, dir), root, "del")
+      .collect { case (a, true) => s"$root/del=$a" }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
+  }
 
   /** MinHash band-bucket occupancy pre-flight — the third member of
     * the pricing family (q_selfjoin_cost prices the inverted-index

@@ -504,6 +504,50 @@ class IndexServeSpec extends AnyFunSuite {
     }
   }
 
+  test("flat signature store takedown (r13 verdict #4): suppression is a " +
+      "reader gate — no caller-side anti-join — appends compose, an " +
+      "unsealed tombstone dir is invisible, budget-0 serves identically") {
+    import graft.ops.Dedup
+    val sDir = Files.createTempDirectory("graft-sig-del").toString + "/s"
+    val history = docs.filter(col("doc_id") < 400)
+    Dedup.writeMinhashSignatures(history, sDir)
+    val del1 = col("doc_id") % 7 === 3
+    Dedup.deleteFromMinhashSignatures(spark, sDir,
+      docs.filter(del1).select("doc_id"))
+    // the reader itself suppresses: equals the scrubbed fresh sketch
+    assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del1))),
+      "flat-store reader did not suppress the takedown")
+    // ...and store-fed incremental dedup never pairs against them
+    val batch = docs.filter(col("doc_id") >= 400)
+    val cand = Dedup.incrementalCandidates(batch,
+      Dedup.readMinhashSignatures(spark, sDir), 0.5)
+    assert(cand.filter(col("d1") % 7 === 3 && col("d1") < 400).count() === 0)
+    // a second takedown APPENDS (the sealed-family shape): both hold
+    val del2 = col("doc_id") % 11 === 2
+    Dedup.deleteFromMinhashSignatures(spark, sDir,
+      docs.filter(del2).select("doc_id"))
+    assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del1 && !del2))),
+      "appended takedowns did not compose")
+    // an UNSEALED tombstone dir is a crashed delete — invisible
+    val fs = new org.apache.hadoop.fs.Path(sDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    docs.filter(col("doc_id") % 13 === 1).select("doc_id")
+      .write.parquet(s"$sDir/_tombstones/del=9")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$sDir/_tombstones/del=9/_SUCCESS"), false)
+    assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del1 && !del2))),
+      "a torn tombstone dir changed the served store")
+    // mass-purge shape: budget 0 forces the shuffled anti-join, same rows
+    System.setProperty("graft.deleted.broadcast.rows", "0")
+    try assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del1 && !del2))),
+      "shuffled-fallback read diverged")
+    finally System.clearProperty("graft.deleted.broadcast.rows")
+  }
+
   test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
     val mDir = Files.createTempDirectory("graft-bpe-model").toString + "/m"
     val trained = Bpe.bpeTrainModel(docs, 8)
