@@ -25,7 +25,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
         "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout",
-        "maintain", "emission", "occupancy")
+        "maintain", "emission", "occupancy", "hotuser")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -142,6 +142,37 @@ object ScaleProbe {
           broadcastDrop = false).count()
       }
       planted.unpersist()
+    }
+
+    if (sections("hotuser")) {
+      // planted hot-window skew (r13 verdict #5): one bot user emits
+      // 1M events at 1 s spacing — under the plain per-user window
+      // that is ONE WindowExec partition (a single task sorts 1M rows
+      // however many cores exist); the salted two-phase twin splits it
+      // over ~12 day-buckets and merges ~12 session rows back. Both
+      // must return the identical session set (SessionWindowSpec pins
+      // the full-column equality; the count cross-check here keeps the
+      // probe honest).
+      val botN = 1000000L * math.min(factor, 4)
+      val bot = spark.range(botN).select(
+        lit(424242L).as("user_id"), col("id").as("event_id"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        lit(0.5).as("value"))
+      val hot = spark.read.parquet(s"$dir/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .unionByName(bot).persist()
+      println(s"[scale] hot-user corpus ${hot.count()} events " +
+        s"(bot=$botN in one user)")
+      var plain = 0L; var salted = 0L
+      time("sessionize_plain_hot") {
+        plain = graft.ops.EventOps.sessionizeNative(hot).count(); plain
+      }
+      time("sessionize_salted_hot") {
+        salted = graft.ops.EventOps.sessionizeSalted(hot).count(); salted
+      }
+      println(s"[scale] sessions plain=$plain salted=$salted " +
+        s"identical=${plain == salted}")
+      hot.unpersist()
     }
 
     if (sections("occupancy")) {

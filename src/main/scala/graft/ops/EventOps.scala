@@ -82,6 +82,82 @@ object EventOps extends graft.QueryModule {
         dsum(col("value")).as("sum_value"))
       .select("user_id", "session_start", "session_end", "n_events", "sum_value")
 
+  /** HOT-KEY-SAFE sessionization — the salted two-phase twin of the
+    * declared q_sessionize (r13 verdict #5).
+    *
+    * The plain formulation partitions its window by user_id alone, so
+    * ONE bot user with millions of events is ONE WindowExec partition:
+    * a single task sorts and scans that whole stream no matter how
+    * many executors the cluster has. This is the one skew class
+    * q_skew_report / q_salted_agg do not cover — they price
+    * AGGREGATION skew, which partial (map-side) aggregation absorbs;
+    * a window function has no partial phase, so the hot key lands
+    * whole on one task. Mitigation = pre-split by TIME BUCKET:
+    *
+    *   - phase 1 keys the window (user_id, ts div bucketSec): the hot
+    *     user's events spread over span/bucketSec tasks, and the
+    *     per-bucket lag/cumsum is exactly the declared session logic.
+    *     A bucket boundary can only OVER-split (never merge), so
+    *     phase 1 is a refinement of the true sessions;
+    *   - phase 2 re-runs the same lag/cumsum merge over phase 1's
+    *     SESSION rows — sub-sessions whose gap ≤ threshold re-join
+    *     across bucket boundaries and the cumulative index renumbers
+    *     them 1..n in time order, identical to the declared output.
+    *     For a DENSE bot (the hot shape) phase 1 emits ~1 session per
+    *     bucket, so phase 2's per-user partition holds span/bucketSec
+    *     rows — at 1 s event spacing and day buckets, 86400× smaller
+    *     than the event stream it replaced.
+    *
+    * Exactness: the result is correct for ANY time-contiguous
+    * pre-split (phase 2's merge criterion IS the session definition,
+    * same strict-> gap semantics), and the value sum stays DECIMAL
+    * until one final cast, so regrouping cannot perturb it —
+    * SessionWindowSpec pins equality with the declared q_sessionize
+    * on every column. Worst case: a user whose events all sit ≥ gap
+    * apart yields sessions ≈ events and phase 2 inherits the skew —
+    * but then the OUTPUT itself is per-event for that user, and the
+    * bucketing composes (re-split phase 2 by a coarser bucket) if
+    * that shape ever ships. ScaleProbe's `hotuser` section prices the
+    * contrast on a planted million-event bot.
+    */
+  def sessionizeSalted(events: DataFrame, gapSec: Long = 1800L,
+      bucketSec: Long = 86400L): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val byUB = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    val sub = events
+      // integer div (exact, monotonic in ts) — any monotonic bucketing
+      // yields time-contiguous pre-splits, which is all phase 2 needs
+      .withColumn("bkt",
+        expr(s"unix_micros(ts) div ${bucketSec * 1000000L}"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUB))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "bkt", "sid")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 10))).as("sv"))
+    // per-user session ranges are disjoint, so (s_start) orders them
+    // totally — the merge window runs over session rows, not events
+    val byU = Window.partitionBy("user_id").orderBy("s_start", "s_end")
+    sub
+      .withColumn("prev_end", lag(col("s_end"), 1).over(byU))
+      .withColumn("new_s",
+        when(col("prev_end").isNull ||
+          (unix_micros(col("s_start")) - unix_micros(col("prev_end"))) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("s_start")).as("session_start"),
+        max(col("s_end")).as("session_end"),
+        sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("double").as("sum_value"))
+  }
+
   /** Ingest-time event dedup: within each (user, event_type, tumbling
     * `windowSec` window) group, keep the FIRST event — ties on timestamp
     * break by event_id, so the kept set is deterministic under any

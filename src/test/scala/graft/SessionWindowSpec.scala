@@ -22,4 +22,33 @@ class SessionWindowSpec extends AnyFunSuite {
     assert(native.nonEmpty)
     assert(native.sameElements(declared))
   }
+
+  test("sessionizeSalted == declared q_sessionize on every column, including " +
+      "session_id numbering and the decimal-exact sum (r13 verdict #5)") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_id", "session_start", "session_end",
+          "n_events", "sum_value")
+        .collect().map(_.toString).sorted.toSeq
+    val declared = rows(EventOps.queries("q_sessionize")(spark, dir))
+    assert(declared.nonEmpty)
+    // default day buckets AND pathological tiny buckets (every session
+    // fragments across many buckets — the maximal phase-2 merge load)
+    assert(rows(EventOps.sessionizeSalted(
+      graft.core.Tables.events(spark, dir))) === declared)
+    assert(rows(EventOps.sessionizeSalted(
+      graft.core.Tables.events(spark, dir), bucketSec = 600L)) === declared,
+      "tiny-bucket over-split did not re-merge to the declared sessions")
+    // planted bot: 5000 events 1 s apart from one user spanning many
+    // 10-min buckets must come back as ONE session with an exact sum
+    val bot = spark.range(5000).select(
+      lit(424242L).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+      lit(0.1).as("value"))
+    val s = EventOps.sessionizeSalted(bot, 1800L, 600L)
+      .collect()
+    assert(s.length === 1 && s.head.getAs[Long]("n_events") === 5000L)
+    assert(math.abs(s.head.getAs[Double]("sum_value") - 500.0) < 1e-9)
+  }
 }
