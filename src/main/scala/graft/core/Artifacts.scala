@@ -386,7 +386,30 @@ object Artifacts {
       }
 
   private[graft] def withMaintenanceLease[T](fs: org.apache.hadoop.fs.FileSystem,
-      root: String, who: String, ttlMs: Long = 2 * 60 * 60 * 1000L)(body: => T): T = {
+      root: String, who: String, ttlMs: Long = 2 * 60 * 60 * 1000L)(body: => T): T =
+    withMaintenanceLeaseRefresh(fs, root, who, ttlMs)(_ => body)
+
+  /** [[withMaintenanceLease]] handing the body a `refresh` heartbeat
+    * (r13 stretch #8): the TTL is the only crash detector, so a
+    * legitimately slow maintenance op (a mega-cluster heal) could
+    * outlive its lease and be swept MID-REWRITE by the next cron.
+    * Calling `refresh()` at phase boundaries re-stamps the expiry
+    * (same claim nonce) while the holder is provably alive — a
+    * long-running holder making progress is never swept, while a
+    * FROZEN one stops refreshing and still heals by TTL. If the lease
+    * was already lost (TTL lapsed and a successor swept and claimed),
+    * refresh refuses LOUDLY instead of letting two writers interleave
+    * park/swap rewrites — the crashed-holder recovery path, surfaced
+    * as an error at the first phase boundary instead of as corruption.
+    * The re-stamp OVERWRITES in place (never delete+recreate: an
+    * absent-file window would let a contender claim mid-refresh); a
+    * reader racing the overwrite sees either token or an unparseable
+    * tear, and a young tear reads as LIVE for the grace period — the
+    * safe direction.
+    */
+  private[graft] def withMaintenanceLeaseRefresh[T](
+      fs: org.apache.hadoop.fs.FileSystem, root: String, who: String,
+      ttlMs: Long = 2 * 60 * 60 * 1000L)(body: (() => Unit) => T): T = {
     val p = new org.apache.hadoop.fs.Path(s"$root/$LeaseName")
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
     leaseState(fs, p).foreach { case (holder, expires) =>
@@ -397,8 +420,8 @@ object Artifacts {
           "or breakMaintenanceLease(dir) if the holder is known dead")
       fs.delete(p, false) // expired: crashed holder, heal by timeout
     }
-    val token =
-      s"$who|${System.currentTimeMillis() + ttlMs}|${System.nanoTime()}"
+    val nonce = System.nanoTime()
+    var token = s"$who|${System.currentTimeMillis() + ttlMs}|$nonce"
     val out = try fs.create(p, false) catch {
       case e: java.io.IOException => throw new IllegalArgumentException(
         s"$who: could not acquire the maintenance lease on $root " +
@@ -411,7 +434,17 @@ object Artifacts {
     require(readSmallFile(fs, p.toString).exists(_.trim == token),
       s"$who: lost the maintenance-lease race on $root — another writer " +
         "claimed it concurrently; retry after it finishes")
-    try body finally {
+    def refresh(): Unit = {
+      require(readSmallFile(fs, p.toString).exists(_.trim == token),
+        s"$who: the maintenance lease on $root was lost mid-run (TTL " +
+          "lapsed and another writer claimed it) — aborting before this " +
+          "op's next phase can interleave with the successor's rewrites; " +
+          "re-run after the successor finishes")
+      token = s"$who|${System.currentTimeMillis() + ttlMs}|$nonce"
+      val o = fs.create(p, true)
+      try o.write(token.getBytes("UTF-8")) finally o.close()
+    }
+    try body(() => refresh()) finally {
       if (readSmallFile(fs, p.toString).exists(_.trim == token))
         fs.delete(p, false)
     }

@@ -2086,9 +2086,13 @@ object Dedup extends graft.QueryModule {
     val fs = fsFor(spark, stateDir)
     // the serial-writer contract, mechanical (r12 verdict #3): a
     // second overlapping cron refuses at entry instead of racing the
-    // park/swap rewrites below
-    graft.core.Artifacts.withMaintenanceLease(fs, stateDir,
-        "maintainDedupState") {
+    // park/swap rewrites below. The refreshable variant (r13 stretch
+    // #8): each phase boundary re-stamps the lease expiry, so a
+    // legitimately slow heal/compaction at scale is never swept
+    // mid-rewrite by the next cron while it is provably making
+    // progress — a frozen holder stops refreshing and heals by TTL.
+    graft.core.Artifacts.withMaintenanceLeaseRefresh(fs, stateDir,
+        "maintainDedupState") { leaseRefresh =>
     requireThreshold(spark, stateDir, minEstJaccard, "maintainDedupState",
       writeIfAbsent = true)
     graft.core.Artifacts.healRewrites(fs, sigsRoot)
@@ -2104,8 +2108,10 @@ object Dedup extends graft.QueryModule {
     val healed = pending.isDefined
     if (healed) healAssignmentsImpl(spark, stateDir, minEstJaccard,
       broadcastRowBudget) // lease already held
+    leaseRefresh() // heal done — heartbeat before the compaction phase
     compactSignatureStoreImpl(spark, stateDir,
       broadcastRowBudget) // lease already held
+    leaseRefresh() // compaction done — heartbeat before the probe
     val partsAfter = sigPartitions().size.toLong
     val nFiles = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(sigsRoot), true)

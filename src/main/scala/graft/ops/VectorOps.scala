@@ -1832,11 +1832,14 @@ object VectorOps extends graft.QueryModule {
     import spark.implicits._
     // the serial-writer contract, mechanical (r12 verdict #3): a second
     // overlapping cron refuses at entry instead of racing the retrain /
-    // compaction / prune writes below
-    graft.core.Artifacts.withMaintenanceLease(
+    // compaction / prune writes below. Refreshable (r13 stretch #8):
+    // the lease re-stamps at each phase boundary so a slow
+    // rebalance-retrain at scale is never swept mid-write while making
+    // progress; a frozen holder stops refreshing and heals by TTL.
+    graft.core.Artifacts.withMaintenanceLeaseRefresh(
       new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf()),
-      dir, "maintainIndex") {
+      dir, "maintainIndex") { leaseRefresh =>
     // balance decision FIRST (it reads only cell counts): when the
     // rebalance-retrain runs, its fresh codes/append=0 is compact by
     // construction, so running compaction before it would pay a
@@ -1845,11 +1848,13 @@ object VectorOps extends graft.QueryModule {
     val fat0 = fattestShareOf(ix0.codes)
     val rebalanced = fat0 > maxShare &&
       rebalanceNow(spark, dir, ix0, embeddings, maxShare, maxSplits)
+    leaseRefresh() // retrain decision done — heartbeat before compaction
     // after a rebalance the fresh codes table is one compact append,
     // so the dial below folds only when pending deletion tombstones
     // (carried through the retrain) must materialize — the fragmented
     // case never pays a second corpus-sized rewrite in one window
     val compacted = compactIvfPqIndexIfFragmented(spark, dir, maxAppends)
+    leaseRefresh() // compaction done — heartbeat before prune + probe
     pruneIvfPqVersions(spark, dir, keepVersions)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())

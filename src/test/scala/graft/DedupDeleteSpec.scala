@@ -447,6 +447,47 @@ class DedupDeleteSpec extends AnyFunSuite {
     assert(!fs.exists(p))
   }
 
+  test("lease heartbeat (r13 stretch #8): a slow holder that refreshes at " +
+      "phase boundaries outlives its TTL unswept; a frozen one still heals " +
+      "by TTL; a holder that LOST its lease refuses at the next boundary") {
+    val state = tmp("dedup-lease-heartbeat")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(s"$state/_MAINT_LEASE")
+    // a slow-but-alive holder: tiny TTL, refresh mid-body, then sleep
+    // past the ORIGINAL expiry — a contender must still refuse
+    graft.core.Artifacts.withMaintenanceLeaseRefresh(fs, state,
+        "slow-op", ttlMs = 500L) { refresh =>
+      Thread.sleep(350L); refresh(); Thread.sleep(350L)
+      // 700 ms elapsed > original 500 ms TTL; the refreshed lease is live
+      val e = intercept[IllegalArgumentException] {
+        graft.core.Artifacts.withMaintenanceLease(fs, state, "contender") {}
+      }
+      assert(e.getMessage.contains("under maintenance"), e.getMessage)
+    }
+    assert(!fs.exists(p), "refreshing holder did not release on exit")
+    // a FROZEN holder (never refreshes) heals by TTL as before
+    graft.core.Artifacts.withMaintenanceLeaseRefresh(fs, state,
+        "frozen-op", ttlMs = 100L) { _ =>
+      Thread.sleep(250L)
+      graft.core.Artifacts.withMaintenanceLease(fs, state, "healer") {}
+    }
+    // a holder whose lease was swept and re-claimed mid-run must refuse
+    // at its next refresh instead of interleaving with the successor
+    val eLost = intercept[IllegalArgumentException] {
+      graft.core.Artifacts.withMaintenanceLeaseRefresh(fs, state,
+          "laggard", ttlMs = 100L) { refresh =>
+        Thread.sleep(250L)
+        // successor legitimately claims the expired lease...
+        graft.core.Artifacts.withMaintenanceLease(fs, state, "successor",
+          ttlMs = 3600000L) {
+          refresh() // ...so the laggard's heartbeat must abort loudly
+        }
+      }
+    }
+    assert(eLost.getMessage.contains("lost mid-run"), eLost.getMessage)
+  }
+
   test("legacy FLAT deletion_log stays readable and migrates into the family " +
       "on the next compaction — no takedown resurfaces (r13 review)") {
     val state = tmp("dedup-flat-log")
