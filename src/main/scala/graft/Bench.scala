@@ -304,13 +304,28 @@ object Bench {
     // LOWER a min, i.e. only CLEAR flags, so this pre-pass3 set is a
     // superset of the final one and ordering the pools this way never
     // misses a regression pass3 would have surfaced.
-    val regressCand = prev match {
-      case Some((_, pfp, pq, _)) if pfp == fpNow =>
+    // Baseline lineage (r13 stretch #7): the prior artifact when its
+    // data fingerprint matches this run's; otherwise the LEDGER's
+    // same-fp entry — the per-fingerprint min history that survives a
+    // driver testdata regeneration happening mid-round (without it,
+    // each regeneration restarted trend-tracking from one sample and
+    // the fp-gate correctly but silently disabled the whole check).
+    // prev_ref in the artifact names which lineage was compared.
+    val ledger =
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) Seq.empty else readLedgerEntries()
+    val baseline: Option[(String, Map[String, Double])] = prev match {
+      case Some((f, pfp, pq, _)) if pfp == fpNow => Some((f, pq))
+      case _ => ledger.collectFirst {
+        case (fp, qs) if fp == fpNow => (s"bench_ledger.json@$fpNow", qs)
+      }
+    }
+    val regressCand = baseline match {
+      case Some((_, pq)) =>
         names.filter { n =>
           val (mn, _, err) = combineAll(Seq(pass1(n), pass2(n)))
           err.isEmpty && pq.get(n).exists(regressedVsPrev(mn, _))
         }
-      case _ => Nil
+      case None => Nil
     }
     val (regr4, regrSkipped0, spentR) = underBudget(regressCand,
       remeasureBudgetSec)
@@ -344,7 +359,7 @@ object Bench {
     }
     val regressed = regressCand.filter { n =>
       val (mn, _, _) = combineAll(allPasses(n))
-      prev.exists(_._3.get(n).exists(regressedVsPrev(mn, _)))
+      baseline.exists(_._2.get(n).exists(regressedVsPrev(mn, _)))
     }
     // which committed values came from a re-measure: the reported min
     // was achieved only in an extra clean-window pass, not in the two
@@ -359,14 +374,18 @@ object Bench {
 
     val (full, summary) =
       render(results, sfDir, calibBefore, calibMid, calibAfter, suspects,
-        regressed, prev.map(_._1), calibExtra, dispSkipped, regrSkipped,
+        regressed, baseline.map(_._1), calibExtra, dispSkipped, regrSkipped,
         minFromRemeasure)
     // full detail for humans/judges — file is best-effort, stdout first
     // (skipped for SPARK_GRAFT_ONLY dev runs: a partial sweep must not
     // clobber the round's full-suite artifact)
-    if (!sys.env.contains("SPARK_GRAFT_ONLY"))
+    if (!sys.env.contains("SPARK_GRAFT_ONLY")) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
       catch { case _: Throwable => () }
+      // fold this run's clean mins into the same-fp ledger entry
+      val cleanMins = results.collect { case (n, mn, _, None) => n -> mn }.toMap
+      writeLedger(ledger, fpNow, cleanMins)
+    }
     println(full)
     // the LAST line is the one the harness parses — keep it short
     println(summary)
@@ -439,6 +458,79 @@ object Bench {
       else Some((f.getName, fp, qs, suspects.result()))
     } catch { case _: Throwable => None }
   }
+
+  /** Cross-regeneration trend LEDGER (r13 stretch #7) —
+    * `bench_ledger.json`: an ordered list of {data_fp → per-query min}
+    * entries, most recent last, bounded to [[LedgerMaxEntries]]
+    * fingerprints. The driver regenerates testdata between (and
+    * sometimes mid-) rounds; the prior artifact's fp then mismatches
+    * and the cross-round regression check used to restart from one
+    * sample. The ledger keeps the cleanest committed reading per
+    * (fingerprint, query), so a run on a fingerprint seen before
+    * regains its baseline immediately — and the artifact's `prev_ref`
+    * names which lineage it compared against
+    * (`bench_results.json` vs `bench_ledger.json@<fp>`). Best-effort
+    * IO throughout, like [[readPrevArtifact]].
+    */
+  private[graft] val LedgerMaxEntries = 4
+
+  private[graft] def readLedgerEntries(
+      path: String = "bench_ledger.json"): Seq[(String, Map[String, Double])] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Seq.empty
+    else try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+      val out = Seq.newBuilder[(String, Map[String, Double])]
+      Option(root.get("entries")).foreach { arr =>
+        val it = arr.elements()
+        while (it.hasNext) {
+          val e = it.next()
+          val fp = Option(e.get("data_fp")).map(_.asText()).getOrElse("")
+          val b = Map.newBuilder[String, Double]
+          Option(e.get("queries")).foreach { q =>
+            val qi = q.fields()
+            while (qi.hasNext) {
+              val kv = qi.next(); b += kv.getKey -> kv.getValue.asDouble()
+            }
+          }
+          val qs = b.result()
+          if (fp.nonEmpty && qs.nonEmpty) out += fp -> qs
+        }
+      }
+      out.result()
+    } catch { case _: Throwable => Seq.empty }
+  }
+
+  /** Fold `mins` (this run's error-free per-query mins) into the
+    * ledger's entry for `fp` — elementwise MIN against any prior entry
+    * (the ledger tracks the cleanest known reading), entry moved to
+    * most-recent position, list pruned to [[LedgerMaxEntries]].
+    */
+  private[graft] def writeLedger(entries: Seq[(String, Map[String, Double])],
+      fp: String, mins: Map[String, Double],
+      path: String = "bench_ledger.json"): Unit = try {
+    if (mins.isEmpty) return
+    val prior = entries.collectFirst { case (f, q) if f == fp => q }
+      .getOrElse(Map.empty[String, Double])
+    val merged = (prior.keySet ++ mins.keySet).map { k =>
+      k -> math.min(prior.getOrElse(k, Double.MaxValue),
+        mins.getOrElse(k, Double.MaxValue))
+    }.toMap
+    val kept = (entries.filterNot(_._1 == fp) :+ (fp -> merged))
+      .takeRight(LedgerMaxEntries)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val body = kept.map { case (f, qs) =>
+      val q = qs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      s"""{"data_fp":${jstr(f)},"queries":$q}"""
+    }.mkString("""{"entries":[""", ",", "]}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+  } catch { case _: Throwable => () }
 
   /** Apparent cross-round regression: this run's min exceeds BOTH 1.5×
     * the prior committed artifact's reading (benchdiff's regression

@@ -167,6 +167,37 @@ newline""") else None))
     }
   }
 
+  test("bench ledger (r13 stretch #7): round-trips, merges elementwise mins " +
+      "per fingerprint, keeps recency order, prunes to the entry cap") {
+    val p = java.nio.file.Files.createTempDirectory("graft-ledger")
+      .resolve("bench_ledger.json").toString
+    assert(Bench.readLedgerEntries(p).isEmpty) // missing file: empty
+    Bench.writeLedger(Seq.empty, "fpA", Map("q1" -> 2.0, "q2" -> 5.0), p)
+    assert(Bench.readLedgerEntries(p) ===
+      Seq("fpA" -> Map("q1" -> 2.0, "q2" -> 5.0)))
+    // same fp again: elementwise min, new query joins
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpA",
+      Map("q1" -> 3.0, "q2" -> 1.5, "q3" -> 9.0), p)
+    assert(Bench.readLedgerEntries(p) ===
+      Seq("fpA" -> Map("q1" -> 2.0, "q2" -> 1.5, "q3" -> 9.0)))
+    // newer fingerprints append; touching an old fp moves it to most
+    // recent; the cap evicts the OLDEST
+    for (fp <- Seq("fpB", "fpC", "fpD"))
+      Bench.writeLedger(Bench.readLedgerEntries(p), fp, Map("q1" -> 1.0), p)
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpA", Map("q1" -> 9.9), p)
+    val fps = Bench.readLedgerEntries(p).map(_._1)
+    assert(fps === Seq("fpB", "fpC", "fpD", "fpA"), fps.toString)
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpE", Map("q1" -> 1.0), p)
+    assert(Bench.readLedgerEntries(p).map(_._1) ===
+      Seq("fpC", "fpD", "fpA", "fpE"))
+    // the re-touched fpA entry kept its historical min
+    assert(Bench.readLedgerEntries(p)
+      .collectFirst { case ("fpA", q) => q("q1") }.contains(2.0))
+    // malformed file reads as empty, never throws
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "{broken")
+    assert(Bench.readLedgerEntries(p).isEmpty)
+  }
+
   test("calibration loop does constant CPU work and reports sane times") {
     val (st1, nt1) = Bench.calibrate()
     val (st2, nt2) = Bench.calibrate()
