@@ -646,9 +646,10 @@ object Dedup extends graft.QueryModule {
     * est_jaccard ≥ threshold) restricted to pairs with a new member.
     */
   def incrementalCandidates(newDocs: DataFrame, oldSigs0: DataFrame,
-      minEstJaccard: Double = 0.5): DataFrame =
+      minEstJaccard: Double = 0.5,
+      maxOccupancy: Long = Long.MaxValue): DataFrame =
     incrementalCandidatesFromSigs(minhashSignatures(newDocs), oldSigs0,
-      minEstJaccard)
+      minEstJaccard, maxOccupancy)
 
   /** [[incrementalCandidates]] over a PRECOMPUTED batch signature
     * table — the reuse entry point for pipelines that sketch the batch
@@ -656,7 +657,8 @@ object Dedup extends graft.QueryModule {
     * streaming cluster maintenance path does exactly this).
     */
   def incrementalCandidatesFromSigs(newSigs0: DataFrame, oldSigs0: DataFrame,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      maxOccupancy: Long = Long.MaxValue): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both signature tables feed a band projection plus the two scoring
     // joins — persist each, drop before returning (house cache hygiene)
@@ -666,8 +668,25 @@ object Dedup extends graft.QueryModule {
     // with any column order (all-long schema would mis-pair silently
     // under a positional union)
     val allSigs = newSigs.unionByName(oldSigs)
-    val cand = bandProjection(newSigs).as("x")
-      .join(bandProjection(allSigs).as("y"),
+    // maxOccupancy (r13 verdict #1, same contract as
+    // [[candidatesFromSignatures]]): the ceiling is measured over the
+    // COMBINED (history ∪ batch) projection — a boilerplate bucket's
+    // blowup here is |batch∩bucket|·|bucket|, and the history side is
+    // where the million-doc clique lives. Probe side filters to the
+    // same surviving buckets so no half-capped pair can appear.
+    val capActive = maxOccupancy != Long.MaxValue
+    val allBands = {
+      val b = cappedBuckets(bandProjection(allSigs), Seq("band", "bkey"),
+        maxOccupancy)
+      if (capActive) b.persist(lvl) else b
+    }
+    val newBands =
+      if (capActive)
+        bandProjection(newSigs).join(allBands.select("band", "bkey"),
+          Seq("band", "bkey"), "semi")
+      else bandProjection(newSigs)
+    val cand = newBands.as("x")
+      .join(allBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(
@@ -684,6 +703,7 @@ object Dedup extends graft.QueryModule {
       .localCheckpoint(true)
     newSigs.unpersist(false)
     oldSigs.unpersist(false)
+    if (capActive) allBands.unpersist(false)
     out
   }
 

@@ -62,6 +62,28 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === uncapped.filter { case (a, b) =>
         a < 1000000L || b < 1000000L },
       "cap dropped (or added) pairs outside the over-cap bucket")
+    // 2b. the incremental (daily-ingest) path honors the same ceiling,
+    //     measured over the COMBINED history ∪ batch projection: a new
+    //     clone of the planted clique pairs with all 12 uncapped and
+    //     with none capped, while generous-cap equals uncapped exactly
+    val newClone = spark.range(1).select(
+      lit(2000000L).as("doc_id"),
+      lit("shared boilerplate template repeated navigation footer body")
+        .as("text"))
+    val histSigs = Dedup.minhashSignatures(planted)
+    val incUncapped = pairSet(Dedup.incrementalCandidates(newClone, histSigs, 0.5))
+    val incCapped = pairSet(Dedup.incrementalCandidates(newClone, histSigs, 0.5,
+      maxOccupancy = 8L))
+    assert(incUncapped.count(_._2 == 2000000L) === 12)
+    assert(incCapped.isEmpty,
+      s"capped incremental still paired against the mega-bucket: $incCapped")
+    assert(pairSet(Dedup.incrementalCandidates(
+        docs.filter(col("doc_id") >= 400), Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 400)), 0.5, maxOccupancy = 1000L))
+      === pairSet(Dedup.incrementalCandidates(
+        docs.filter(col("doc_id") >= 400), Dedup.minhashSignatures(
+          docs.filter(col("doc_id") < 400)), 0.5)),
+      "incremental: generous cap changed the candidate set")
     // 3. the loud report prices exactly that: per band, 1 bucket over,
     //    12 docs parked, 66 pairs avoided
     val rep = Dedup.minhashCapReport(planted, 8L).collect()
