@@ -158,7 +158,10 @@ object ScaleProbe {
         lit(424242L).as("user_id"), col("id").as("event_id"),
         timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
         lit(0.5).as("value"))
-      val hot = spark.read.parquet(s"$dir/events.parquet")
+      // through Tables.events, never a raw parquet read: the driver's
+      // events file has carried two physical ts encodings (NANOS is
+      // unreadable without the normalization)
+      val hot = graft.core.Tables.events(spark, dir)
         .select("user_id", "event_id", "ts", "value")
         .unionByName(bot).persist()
       println(s"[scale] hot-user corpus ${hot.count()} events " +
