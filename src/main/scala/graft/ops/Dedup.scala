@@ -535,11 +535,14 @@ object Dedup extends graft.QueryModule {
     * Output: (d1, d2, est_jaccard, hamming, text_fired, image_fired)
     * — est_jaccard null on image-only pairs, hamming null on
     * text-only pairs.
+    *
+    * `maxOccupancy` (r13 verdict #1) caps the TEXT stage's band
+    * buckets; the image stage is already bounded by phash banding.
     */
   def crossModalDupCandidates(docs: DataFrame, media: DataFrame,
       assoc: DataFrame, minEstJaccard: Double = 0.5,
-      maxHamming: Int = 7): DataFrame = {
-    val text = minhashCandidates(docs, minEstJaccard)
+      maxHamming: Int = 7, maxOccupancy: Long = Long.MaxValue): DataFrame = {
+    val text = minhashCandidates(docs, minEstJaccard, maxOccupancy)
     val mPairs = graft.multimodal.Multimodal.phashPairs(media, maxHamming)
     val img = mPairs
       .join(assoc.select(col("media_id").as("m1"), col("doc_id").as("dd1")),
@@ -993,12 +996,19 @@ object Dedup extends graft.QueryModule {
     * syntactic sketch bounds the candidate set, the semantic check
     * runs only on candidates — O(candidates), never O(n²) in either
     * space.
+    *
+    * `maxOccupancy` (r13 verdict #1) caps the syntactic stage's band
+    * buckets — on a boilerplate-heavy corpus the semantic re-score
+    * inherits the capped candidate set, so the whole pipeline stays
+    * O(capped candidates). See [[minhashCapReport]] for what a cap
+    * drops.
     */
   def semanticDedup(docs: DataFrame, embeddings: DataFrame,
-      minEstJaccard: Double = 0.5, minCos: Double = 0.9): DataFrame = {
+      minEstJaccard: Double = 0.5, minCos: Double = 0.9,
+      maxOccupancy: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    minhashCandidates(docs, minEstJaccard)
+    minhashCandidates(docs, minEstJaccard, maxOccupancy)
       .join(e.as("e1"), col("d1") === col("e1.vec_id"))
       .join(e.as("e2"), col("d2") === col("e2.vec_id"))
       .select(col("d1"), col("d2"), col("est_jaccard"),
@@ -1013,8 +1023,21 @@ object Dedup extends graft.QueryModule {
     * trivially their own cluster and are omitted (the interesting output
     * is the docs that need a keep/drop decision).
     */
-  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
-    clustersFromCandidates(minhashCandidates(docs, minEstJaccard))
+  /** `maxOccupancy` (r13 verdict #1) caps the banded candidate join's
+    * bucket size — the stateless clustering entry point composes the
+    * dial directly. The STATEFUL lifecycle ([[clustersIngestBatch]] +
+    * its heal/compaction chain) deliberately does NOT take it: the
+    * heal contract is bit-equality with the UNCAPPED scrubbed-corpus
+    * recompute (q_dedup_deleted's oracle), and a cap would have to be
+    * pinned as durable state like `_THRESHOLD` to keep ingest and
+    * heal deriving the same graph. Collapse boilerplate cliques
+    * upstream with [[exactDupGroups]] (O(n)) before a stateful ingest
+    * instead.
+    */
+  def dupClusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+      maxOccupancy: Long = Long.MaxValue): DataFrame =
+    clustersFromCandidates(minhashCandidates(docs, minEstJaccard,
+      maxOccupancy))
 
   /** Clustering over a precomputed candidate-pair frame
     * ([[minhashCandidates]] / [[candidatesFromSignatures]] output —

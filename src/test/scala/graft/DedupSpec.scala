@@ -99,6 +99,47 @@ class DedupSpec extends AnyFunSuite {
         r.getLong(3) == 0L))
   }
 
+  test("maxOccupancy threads through the stateless composing entry points " +
+      "(dupClusters / semanticDedup / crossModalDupCandidates): generous " +
+      "cap == uncapped, tiny cap collapses a planted clique") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.dupClusters(docs, 0.5, maxOccupancy = 1000L))
+      === rows(Dedup.dupClusters(docs, 0.5)),
+      "dupClusters: generous cap changed the clustering")
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(rows(Dedup.semanticDedup(docs, emb, 0.5, 0.9,
+        maxOccupancy = 1000L))
+      === rows(Dedup.semanticDedup(docs, emb, 0.5, 0.9)),
+      "semanticDedup: generous cap changed the confirmed set")
+    // planted clique: 12 text-identical docs with no media rows — the
+    // capped cross-modal run must drop exactly their text pairs
+    val planted = docs.select("doc_id", "text").unionByName(
+      spark.range(12).select(
+        (col("id") + 1000000L).as("doc_id"),
+        lit("shared boilerplate template repeated navigation footer body")
+          .as("text")))
+    val media = Seq((1L, "image", "payload-bytes"))
+      .toDF("media_id", "kind", "payload_s")
+      .select(col("media_id"), col("kind"),
+        encode(col("payload_s"), "UTF-8").as("payload"))
+    val assoc = media.select(col("media_id"), col("media_id").as("doc_id"))
+    def xmPairs(cap: Long) =
+      Dedup.crossModalDupCandidates(planted, media, assoc, 0.5, 7,
+          maxOccupancy = cap)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xmUncapped = xmPairs(Long.MaxValue)
+    val xmCapped = xmPairs(8L)
+    assert(xmUncapped.count { case (a, b) =>
+      a >= 1000000L && b >= 1000000L } === 66)
+    assert(xmCapped === xmUncapped.filter { case (a, b) =>
+        a < 1000000L || b < 1000000L },
+      "crossModal cap dropped (or added) pairs outside the clique")
+  }
+
   test("prefix filtering is lossless: equals the all-postings join at every threshold") {
     // the entire point of q_jaccard_prefix: only each doc's rarest
     // (1−τ) shingles enter the index, yet the result is IDENTICAL to
