@@ -25,7 +25,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("relational", "dedup", "emb", "cdc", "quota", "prefix",
         "pipeline", "bpe", "classify", "pq", "audit", "trained", "layout",
-        "maintain", "emission", "occupancy", "hotuser")
+        "maintain", "emission", "occupancy", "hotuser", "collapse")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -218,6 +218,48 @@ object ScaleProbe {
         maxOccupancy = 8).count()
       println(s"[scale] clean-corpus pairs uncapped=$a capped=$b " +
         s"identical=${a == b}")
+      planted.unpersist()
+    }
+
+    if (sections("collapse")) {
+      // the upstream exact-collapse recipe priced (q_dedup_collapsed's
+      // scale claim): on the SAME planted boilerplate corpus the
+      // occupancy probe uses, contrast clustering the full corpus
+      // (pays the cliques' occ² candidate pairs) against collapse →
+      // cluster reps only → expand (the cliques cost one O(n) window
+      // + two hash joins). Unlike the cap, the recipe is LOSSLESS —
+      // the expanded output is asserted bit-equal to the direct one.
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+      val planted = base.withColumn("text",
+        when(col("doc_id") % 8 === 0,
+          concat(lit("shared boilerplate template nr "),
+            (col("doc_id") % 4).cast("string"),
+            lit(" repeated navigation footer body text")))
+          .otherwise(col("text")))
+        .persist()
+      println(s"[scale] collapse corpus ${planted.count()} rows " +
+        "(1/8 collapsed onto 4 templates)")
+      var direct: DataFrame = null
+      time("cluster_direct_boiler") {
+        direct = graft.ops.Dedup.dupClusters(planted, 0.5)
+          .localCheckpoint(true)
+        direct.count()
+      }
+      var expanded: DataFrame = null
+      time("cluster_collapsed_boiler") {
+        val mapping = graft.ops.Dedup.exactDupMapping(planted)
+          .localCheckpoint(true)
+        val reps = planted.join(
+          mapping.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+          Seq("doc_id"))
+        expanded = graft.ops.Dedup.expandCollapsedAssignment(mapping,
+          graft.ops.Dedup.dupClusters(reps, 0.5)).localCheckpoint(true)
+        expanded.count()
+      }
+      val diff = direct.unionByName(expanded)
+        .groupBy("doc_id", "cluster_id", "cluster_size")
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).count()
+      println(s"[scale] collapse lossless=${diff == 0} (mismatched rows=$diff)")
       planted.unpersist()
     }
 

@@ -111,6 +111,63 @@ object Dedup extends graft.QueryModule {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
 
+  /** Per-doc exact-duplicate representative map: (doc_id, rep_id) with
+    * rep_id = the min doc_id sharing this doc's exact text — the
+    * WRITE-side half of the upstream-collapse recipe the stateful
+    * lifecycle documents ([[dupClusters]]): ingest only the reps (one
+    * per exact clique), expand the assignment back through this map
+    * ([[expandCollapsedAssignment]]). One hash-partitioned window over
+    * md5(text), O(n) at any scale — contrast the occ·(occ−1)/2 pairs
+    * an uncollapsed clique costs every banded join it reaches.
+    */
+  def exactDupMapping(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text")))).as("rep_id"))
+
+  /** Expand a collapsed-ingest cluster assignment back to ALL docs —
+    * the READ-side half of the upstream-collapse recipe
+    * ([[exactDupMapping]] is the write side). `mapping` is the union
+    * of every ingested batch's mapping; `repAssign` a cluster
+    * assignment over the representatives ([[dupClusters]] output or
+    * [[readClusterAssignment]]). Every doc inherits its rep's cluster;
+    * an exact clique (≥ 2 copies) whose rep clusters with nothing else
+    * is re-materialized as its own cluster labeled by the rep — which
+    * IS the clique's min id, the [[clustersFromCandidates]] labeling
+    * convention, because identical text means identical signatures:
+    * the rep graph is the full graph with each clique contracted to
+    * its min-id node, so the expansion is bit-identical to clustering
+    * the uncollapsed corpus (q_dedup_collapsed puts that equality
+    * behind the shared-oracle hash gate; the stateful twin is pinned
+    * in DedupSpec). Sizes recount over the expanded membership —
+    * deliberately NOT by a cluster_id window: this recipe exists FOR
+    * mega-clique corpora, where a window would materialize the whole
+    * expanded clique in one task (the hot-key window class). Instead
+    * each expanded cluster's size is Σ of its reps' clique sizes —
+    * derived entirely on REP-sized frames (clique sizes are one
+    * map-side-combined count over the mapping), so the corpus-sized
+    * membership is scanned once and joined against a small per-cluster
+    * size table; no single-task partition at any clique size, nothing
+    * broadcasts (the sizes join is still key-hashed — Catalyst may
+    * elect to broadcast the small side, which is fine: it is
+    * cluster-count-sized, not corpus-sized).
+    */
+  def expandCollapsedAssignment(mapping: DataFrame,
+      repAssign: DataFrame): DataFrame = {
+    val reps = repAssign.select(col("doc_id").as("rep_id"), col("cluster_id"))
+    val cliqueN = mapping.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("_n"))
+    val soloCliques = cliqueN.filter(col("_n") >= 2)
+      .join(reps.select("rep_id"), Seq("rep_id"), "left_anti")
+      .select(col("rep_id"), col("rep_id").as("cluster_id"))
+    val labeled = reps.unionByName(soloCliques)
+    val sizes = labeled.join(cliqueN, Seq("rep_id"))
+      .groupBy("cluster_id").agg(sum(col("_n")).as("cluster_size"))
+    mapping.join(labeled, Seq("rep_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Near-dup pairs by n-gram-shingle Jaccard ≥ threshold; candidates
     * come from an inverted-index self-join on the shingle, never
     * |docs|² pairs.
@@ -2649,6 +2706,27 @@ object Dedup extends graft.QueryModule {
       exactDupGroups(Tables.documents(spark, dir)).orderBy("text_md5")
     },
 
+    // The doc->representative map for upstream exact-collapse (the
+    // boilerplate mitigation the stateful lifecycle documents): one
+    // window over md5(text), O(n).
+    "q_exact_rep_map" -> { (spark, dir) =>
+      exactDupMapping(Tables.documents(spark, dir)).orderBy("doc_id")
+    },
+
+    // The WHOLE collapse recipe behind the hash gate: collapse exact
+    // cliques to reps, cluster ONLY the reps, expand back — shares
+    // q_dedup_clusters' full-recompute oracle verbatim, so the gate
+    // itself proves the collapsed path changes nothing.
+    "q_dedup_collapsed" -> { (spark, dir) =>
+      val mapping = exactDupMapping(Tables.documents(spark, dir))
+        .localCheckpoint(true)
+      val reps = Tables.documents(spark, dir)
+        .join(mapping.filter(col("doc_id") === col("rep_id"))
+          .select("doc_id"), Seq("doc_id"))
+      expandCollapsedAssignment(mapping, dupClusters(reps, 0.5))
+        .orderBy("doc_id")
+    },
+
     "q_ngram_jaccard" -> { (spark, dir) =>
       jaccardPairs(Tables.documents(spark, dir), 3, 0.6).orderBy("d1", "d2")
     },
@@ -3642,6 +3720,12 @@ object Dedup extends graft.QueryModule {
            |SELECT doc_id, cluster_id, cluster_size, quota, rn
            |FROM quota WHERE rn <= quota ORDER BY doc_id""".stripMargin,
       "q_dedup_clusters" -> dedupClustersSql,
+      "q_exact_rep_map" ->
+        """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // the collapse->cluster-reps->expand recipe must equal the
+      // direct full-corpus clustering — same oracle text by design
+      "q_dedup_collapsed" -> dedupClustersSql,
       // the incremental maintenance path must equal a from-scratch
       // re-cluster of the full corpus — same oracle text by design
       "q_dedup_clusters_incr" -> dedupClustersSql,

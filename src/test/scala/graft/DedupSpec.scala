@@ -140,6 +140,50 @@ class DedupSpec extends AnyFunSuite {
       "crossModal cap dropped (or added) pairs outside the clique")
   }
 
+  test("upstream exact-collapse recipe, stateful: ingesting one rep per " +
+      "exact clique and expanding through exactDupMapping equals the " +
+      "direct clustersIngestBatch ingest bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def assignSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "cluster_size").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // planted boilerplate clique split ACROSS the two batches (each
+    // batch collapses independently, so the cross-batch copies ride
+    // the near-dup edge between the two reps)
+    val clique = spark.range(12).select(
+      (col("id") + 1000000L).as("doc_id"),
+      lit("shared boilerplate template repeated navigation footer body")
+        .as("text"))
+    val all = docs.select("doc_id", "text").unionByName(clique)
+    val b0 = all.filter(col("doc_id") < 400 ||
+      (col("doc_id") >= 1000000L && col("doc_id") < 1000006L))
+    val b1 = all.filter((col("doc_id") >= 400 && col("doc_id") < 1000000L) ||
+      col("doc_id") >= 1000006L)
+    val direct = tmp("collapse-direct")
+    Dedup.clustersIngestBatch(b0, 0, direct)
+    Dedup.clustersIngestBatch(b1, 1, direct)
+    // collapsed path: per-batch rep map, reps-only ingest
+    val m0 = Dedup.exactDupMapping(b0).localCheckpoint(true)
+    val m1 = Dedup.exactDupMapping(b1).localCheckpoint(true)
+    val collapsed = tmp("collapse-reps")
+    Dedup.clustersIngestBatch(
+      b0.join(m0.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id")), 0, collapsed)
+    Dedup.clustersIngestBatch(
+      b1.join(m1.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id")), 1, collapsed)
+    val repAssign = Dedup.readClusterAssignment(spark, collapsed)
+    // the collapsed store held 2 reps where the corpus held 12 docs
+    assert(repAssign.filter(col("doc_id") >= 1000000L).count() <= 2,
+      "collapse leaked clique members into the rep state")
+    val expanded = Dedup.expandCollapsedAssignment(
+      m0.unionByName(m1), repAssign)
+    assert(assignSet(expanded)
+      === assignSet(Dedup.readClusterAssignment(spark, direct)),
+      "expanded collapsed assignment != direct ingest")
+  }
+
   test("prefix filtering is lossless: equals the all-postings join at every threshold") {
     // the entire point of q_jaccard_prefix: only each doc's rarest
     // (1−τ) shingles enter the index, yet the result is IDENTICAL to
