@@ -151,6 +151,19 @@ object Dedup extends graft.QueryModule {
     * broadcasts (the sizes join is still key-hashed — Catalyst may
     * elect to broadcast the small side, which is fine: it is
     * cluster-count-sized, not corpus-sized).
+    *
+    * DELETION interplay (the contract a collapsed STATEFUL deployment
+    * must know): state-dir tombstones address INGESTED doc_ids — the
+    * reps. Taking down a non-rep copy never touches the state; drop
+    * its row from the caller-owned mapping (the copy stops being
+    * served, the rep keeps standing for the rest of its clique).
+    * Taking down a REP takes down every mapping row pointing at it —
+    * if surviving clique members must keep serving, promote one:
+    * re-ingest it as its own rep (under [[allowReingestDocs]] if the
+    * id was previously purged) and repoint the mapping. The engine
+    * does not automate the promotion: which copy of a taken-down
+    * document may legally keep serving is a policy decision, not a
+    * mechanical one.
     */
   def expandCollapsedAssignment(mapping: DataFrame,
       repAssign: DataFrame): DataFrame = {
