@@ -66,6 +66,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** JSON string escaper shared by every hand-rendered artifact
+    * (the bench line and the trend ledger) — ONE copy, so an escaping
+    * fix cannot silently diverge the two emitters.
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
   /** Time one query action; a failure is REPORTED, never silently timed
     * as a fast success (a broken query used to bench as a great number).
     */
@@ -519,11 +529,6 @@ object Bench {
     }.toMap
     val kept = (entries.filterNot(_._1 == fp) :+ (fp -> merged))
       .takeRight(LedgerMaxEntries)
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val body = kept.map { case (f, qs) =>
       val q = qs.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
@@ -579,11 +584,6 @@ object Bench {
       suspectSaturated: Seq[String] = Nil,
       regressionSaturated: Seq[String] = Nil,
       minFromRemeasure: Seq[String] = Nil): (String, String) = {
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // forward-sweep position (r9 verdict #8): the three r9

@@ -192,7 +192,7 @@ object ScaleProbe {
       val planted = base.withColumn("text",
         when(col("doc_id") % 8 === 0,
           concat(lit("shared boilerplate template nr "),
-            (col("doc_id") % 4).cast("string"),
+            ((col("doc_id") / 8).cast("long") % 4).cast("string"),
             lit(" repeated navigation footer body text")))
           .otherwise(col("text")))
         .persist()
@@ -233,7 +233,7 @@ object ScaleProbe {
       val planted = base.withColumn("text",
         when(col("doc_id") % 8 === 0,
           concat(lit("shared boilerplate template nr "),
-            (col("doc_id") % 4).cast("string"),
+            ((col("doc_id") / 8).cast("long") % 4).cast("string"),
             lit(" repeated navigation footer body text")))
           .otherwise(col("text")))
         .persist()

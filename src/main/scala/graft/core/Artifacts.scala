@@ -405,7 +405,14 @@ object Artifacts {
     * absent-file window would let a contender claim mid-refresh); a
     * reader racing the overwrite sees either token or an unparseable
     * tear, and a young tear reads as LIVE for the grace period — the
-    * safe direction.
+    * safe direction. A refresh arriving at (or within a skew margin
+    * of) its own expiry REFUSES rather than re-stamps: past the TTL a
+    * contender may legitimately sweep-and-claim between the token
+    * check and the overwrite, and re-stamping would clobber the
+    * successor — the residual clobber window is cross-host clock skew
+    * beyond the margin, the irreducible limit of a TTL lease on a
+    * filesystem without compare-and-swap (a post-write verify narrows
+    * it further to the create→read gap).
     */
   private[graft] def withMaintenanceLeaseRefresh[T](
       fs: org.apache.hadoop.fs.FileSystem, root: String, who: String,
@@ -440,9 +447,30 @@ object Artifacts {
           "lapsed and another writer claimed it) — aborting before this " +
           "op's next phase can interleave with the successor's rewrites; " +
           "re-run after the successor finishes")
+      // A LAPSED lease must never be re-stamped (r14 review): past the
+      // TTL a contender may legitimately sweep-and-claim between our
+      // token read above and the overwrite below, and the overwrite
+      // would silently clobber the successor — the exact interleave
+      // this function promises to refuse. Refusing at (expiry − a
+      // safety margin) bounds the residual race to cross-host clock
+      // skew beyond the margin, the irreducible limit of a TTL lease
+      // without compare-and-swap.
+      val ownExpiry = token.split('|')(1).toLong
+      val margin = math.min(ttlMs / 4, 10 * 60 * 1000L)
+      require(System.currentTimeMillis() < ownExpiry - margin,
+        s"$who: the maintenance lease on $root has lapsed (or is within " +
+          s"${margin}ms of lapsing) — refusing to re-stamp it, since a " +
+          "contender may already be sweeping; abort and re-run after the " +
+          "TTL window")
       token = s"$who|${System.currentTimeMillis() + ttlMs}|$nonce"
       val o = fs.create(p, true)
       try o.write(token.getBytes("UTF-8")) finally o.close()
+      // best-effort post-write verify: a contender that wrote between
+      // our create and this read surfaces here instead of at the next
+      // phase boundary
+      require(readSmallFile(fs, p.toString).exists(_.trim == token),
+        s"$who: the maintenance lease on $root changed hands during a " +
+          "refresh — aborting before interleaving with the successor")
     }
     try body(() => refresh()) finally {
       if (readSmallFile(fs, p.toString).exists(_.trim == token))

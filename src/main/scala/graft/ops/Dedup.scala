@@ -116,14 +116,20 @@ object Dedup extends graft.QueryModule {
     * WRITE-side half of the upstream-collapse recipe the stateful
     * lifecycle documents ([[dupClusters]]): ingest only the reps (one
     * per exact clique), expand the assignment back through this map
-    * ([[expandCollapsedAssignment]]). One hash-partitioned window over
-    * md5(text), O(n) at any scale — contrast the occ·(occ−1)/2 pairs
-    * an uncollapsed clique costs every banded join it reaches.
+    * ([[expandCollapsedAssignment]]). Shape: a groupBy(md5) min +
+    * join back, deliberately NOT min-over-window — a window has no
+    * partial phase, so a mega-clique would land whole (and SORT) in
+    * one task, the exact hot-key class this recipe exists to defuse;
+    * the aggregate collapses each clique map-side to one row per
+    * partition, and the skewed probe side of the join-back is
+    * AQE-splittable. O(n) at any scale — contrast the occ·(occ−1)/2
+    * pairs an uncollapsed clique costs every banded join it reaches.
     */
   def exactDupMapping(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("text")))).as("rep_id"))
+    docs.select(col("doc_id"), md5(col("text")).as("_h"))
+      .join(docs.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("rep_id")), Seq("_h"))
+      .select(col("doc_id"), col("rep_id"))
 
   /** Expand a collapsed-ingest cluster assignment back to ALL docs —
     * the READ-side half of the upstream-collapse recipe
@@ -432,11 +438,34 @@ object Dedup extends graft.QueryModule {
     * round-trip is lossless and store-fed candidates are bit-identical
     * to freshly-sketched ones (IndexServeSpec pins it). `append`
     * appends (the daily shape); otherwise overwrite.
+    *
+    * An OVERWRITE carries the store's `_tombstones` family across the
+    * rewrite (r14 review): Spark's overwrite clears the whole dir, and
+    * a rebuild from an unscrubbed corpus would otherwise silently
+    * resurrect every flat-store takedown — the exact caller-discipline
+    * hole the reader gate closed. The rewrite both SCRUBS the incoming
+    * signatures against the carried tombstones (physically
+    * materializing the deletions, as the read-side scaladoc promises a
+    * rewrite does) and re-lands the family so later APPENDS of a
+    * deleted doc stay suppressed. Crash between the data write and the
+    * family re-land: the store serves scrubbed data (nothing
+    * resurrects), but a FUTURE append of a deleted doc would serve —
+    * re-run the write or re-file the takedown; a deployment needing
+    * stronger deletion durability belongs in the state-dir store.
     */
   def writeMinhashSignatures(docs: DataFrame, dir: String,
-      append: Boolean = false): Unit =
-    minhashSignatures(docs).write
-      .mode(if (append) "append" else "overwrite").parquet(dir)
+      append: Boolean = false): Unit = {
+    val sigs = minhashSignatures(docs)
+    if (append) { sigs.write.mode("append").parquet(dir); return }
+    val carried = flatStoreTombstones(docs.sparkSession, dir)
+      .map(_.localCheckpoint(true)) // materialize BEFORE the dir clears
+    val scrubbed = carried.fold(sigs)(t =>
+      gatedJoin(sigs, t, "doc_id", "left_anti",
+        t.count() <= DeletedBroadcastRows))
+    scrubbed.write.mode("overwrite").parquet(dir)
+    carried.foreach(_.write.mode("overwrite")
+      .parquet(s"$dir/_tombstones/del=1"))
+  }
 
   /** Loud-read contract: a crashed OVERWRITE of the store can leave a
     * partial, silently-shrunken history (whether partial files are
@@ -497,10 +526,20 @@ object Dedup extends graft.QueryModule {
     * directory listing, no plan change).
     */
   private def flatStoreTombstones(spark: SparkSession,
-      dir: String): Option[DataFrame] = {
-    val root = s"$dir/_tombstones"
+      dir: String): Option[DataFrame] =
+    sealedDelFamilyDocs(spark, s"$dir/_tombstones")
+
+  /** Sealed `del=<n>` family under `root` as one distinct doc_id frame
+    * — the shared reader behind both the flat store's `_tombstones`
+    * and the state dir's `tombstones` (one copy of the sealed-family
+    * convention, so a change to it cannot diverge the two stores).
+    * None when no takedown was ever filed (one directory listing, no
+    * plan change).
+    */
+  private def sealedDelFamilyDocs(spark: SparkSession,
+      root: String): Option[DataFrame] = {
     val dirs = graft.core.Artifacts
-      .sealedFamilyDirs(fsFor(spark, dir), root, "del")
+      .sealedFamilyDirs(fsFor(spark, root), root, "del")
       .collect { case (a, true) => s"$root/del=$a" }
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
@@ -567,8 +606,19 @@ object Dedup extends graft.QueryModule {
     * acceptable when what it drops is itself a priced, declared table
     * (q_minhash_cap_report), never a silent truncation.
     */
-  def minhashCapReport(docs: DataFrame, maxOccupancy: Long): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  def minhashCapReport(docs: DataFrame, maxOccupancy: Long): DataFrame =
+    capReportFromSignatures(minhashSignatures(docs), maxOccupancy)
+
+  /** [[minhashCapReport]] over a PRECOMPUTED signature table — the
+    * signature-reuse entry point ([[candidatesFromSignatures]]'
+    * convention): a production capped run pairs the candidate join
+    * with its mandatory dropped-mass report, and this overload lets
+    * both ride ONE sketch pass (or the materialized store) instead of
+    * each paying its own full-corpus tokenize+minhash.
+    */
+  def capReportFromSignatures(sigs0: DataFrame,
+      maxOccupancy: Long): DataFrame = {
+    val sigs = sigs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val over = col("occ") > maxOccupancy
     val out = bandProjection(sigs)
@@ -1693,14 +1743,8 @@ object Dedup extends graft.QueryModule {
     * invisible (re-run the delete), the sealed-family convention.
     */
   private def pendingTombstones(spark: SparkSession,
-      stateDir: String): Option[DataFrame] = {
-    val root = s"$stateDir/tombstones"
-    val dirs = graft.core.Artifacts
-      .sealedFamilyDirs(fsFor(spark, stateDir), root, "del")
-      .collect { case (a, true) => s"$root/del=$a" }
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).select("doc_id").distinct())
-  }
+      stateDir: String): Option[DataFrame] =
+    sealedDelFamilyDocs(spark, s"$stateDir/tombstones")
 
   /** The state's durable DELETION LOG — the
     * [[VectorOps.deleteFromIvfPqIndex]] deletion_log mirrored (review

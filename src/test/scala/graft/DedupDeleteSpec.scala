@@ -458,8 +458,10 @@ class DedupDeleteSpec extends AnyFunSuite {
     // past the ORIGINAL expiry — a contender must still refuse
     graft.core.Artifacts.withMaintenanceLeaseRefresh(fs, state,
         "slow-op", ttlMs = 500L) { refresh =>
-      Thread.sleep(350L); refresh(); Thread.sleep(350L)
-      // 700 ms elapsed > original 500 ms TTL; the refreshed lease is live
+      // refresh well before (expiry − ttl/4 margin): a heartbeat at the
+      // boundary itself now REFUSES (the r14 lapsed-re-stamp fix)
+      Thread.sleep(200L); refresh(); Thread.sleep(350L)
+      // 550 ms elapsed > original 500 ms TTL; the refreshed lease is live
       val e = intercept[IllegalArgumentException] {
         graft.core.Artifacts.withMaintenanceLease(fs, state, "contender") {}
       }
@@ -486,6 +488,18 @@ class DedupDeleteSpec extends AnyFunSuite {
       }
     }
     assert(eLost.getMessage.contains("lost mid-run"), eLost.getMessage)
+    // a heartbeat arriving at/past its own expiry refuses to re-stamp
+    // even when nobody has claimed yet (r14 review: a contender could
+    // be sweeping BETWEEN the token check and the overwrite — past the
+    // TTL the re-stamp is a silent clobber, not a heartbeat)
+    val eLate = intercept[IllegalArgumentException] {
+      graft.core.Artifacts.withMaintenanceLeaseRefresh(fs, state,
+          "late-op", ttlMs = 200L) { refresh =>
+        Thread.sleep(250L)
+        refresh()
+      }
+    }
+    assert(eLate.getMessage.contains("lapsed"), eLate.getMessage)
   }
 
   test("legacy FLAT deletion_log stays readable and migrates into the family " +

@@ -548,6 +548,34 @@ class IndexServeSpec extends AnyFunSuite {
     finally System.clearProperty("graft.deleted.broadcast.rows")
   }
 
+  test("flat-store OVERWRITE carries tombstones (r14 review): a rebuild " +
+      "from an unscrubbed corpus cannot resurrect a takedown, the rewrite " +
+      "materializes the deletion physically, and later appends stay gated") {
+    import graft.ops.Dedup
+    val sDir = Files.createTempDirectory("graft-sig-ow").toString + "/s"
+    val history = docs.filter(col("doc_id") < 400)
+    Dedup.writeMinhashSignatures(history, sDir)
+    val del = col("doc_id") % 7 === 3
+    Dedup.deleteFromMinhashSignatures(spark, sDir,
+      docs.filter(del).select("doc_id"))
+    // rebuild from the UNSCRUBBED corpus — previously Spark's overwrite
+    // cleared _tombstones with the data and every takedown resurrected
+    Dedup.writeMinhashSignatures(history, sDir)
+    assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del))),
+      "overwrite resurrected a takedown")
+    // the rewrite materialized the deletion: raw data scan is scrubbed
+    assert(spark.read.parquet(sDir).filter(del).count() === 0,
+      "overwrite did not physically scrub the deleted rows")
+    // a LATER append redelivering a deleted doc stays reader-gated by
+    // the carried family
+    Dedup.writeMinhashSignatures(
+      docs.filter(del && col("doc_id") < 400), sDir, append = true)
+    assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del))),
+      "append after overwrite served a taken-down doc")
+  }
+
   test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
     val mDir = Files.createTempDirectory("graft-bpe-model").toString + "/m"
     val trained = Bpe.bpeTrainModel(docs, 8)
