@@ -126,10 +126,31 @@ object Dedup extends graft.QueryModule {
     * pairs an uncollapsed clique costs every banded join it reaches.
     */
   def exactDupMapping(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), md5(col("text")).as("_h"))
-      .join(docs.groupBy(md5(col("text")).as("_h"))
-        .agg(min(col("doc_id")).as("rep_id")), Seq("_h"))
+    exactDupMappingFromHashes(
+      docs.select(col("doc_id"), md5(col("text")).as("_h")))
+
+  /** [[exactDupMapping]] over a PRECOMPUTED (doc_id, _h) content-hash
+    * frame — and the single-scan shape behind it (r14 verdict stretch
+    * #7): the narrow hash projection is persisted once and feeds BOTH
+    * the clique aggregate and the probe side of the join-back, so the
+    * documents parquet (doc_id + full text, md5 over every byte) is
+    * scanned and hashed ONCE instead of once per subtree — exactly the
+    * scan this recipe's mega-corpus target cares about. The mapping is
+    * checkpointed eagerly (2 ids per row — the write side of the
+    * recipe materializes it as a store anyway) so the hash cache can
+    * drop before the caller's downstream work runs.
+    */
+  def exactDupMappingFromHashes(hashed0: DataFrame): DataFrame = {
+    val hashed = hashed0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = hashed
+      .join(hashed.groupBy("_h").agg(min(col("doc_id")).as("rep_id")),
+        Seq("_h"))
       .select(col("doc_id"), col("rep_id"))
+      .localCheckpoint(true)
+    hashed.unpersist(false)
+    out
+  }
 
   /** Expand a collapsed-ingest cluster assignment back to ALL docs —
     * the READ-side half of the upstream-collapse recipe
@@ -447,25 +468,78 @@ object Dedup extends graft.QueryModule {
     * signatures against the carried tombstones (physically
     * materializing the deletions, as the read-side scaladoc promises a
     * rewrite does) and re-lands the family so later APPENDS of a
-    * deleted doc stay suppressed. Crash between the data write and the
-    * family re-land: the store serves scrubbed data (nothing
-    * resurrects), but a FUTURE append of a deleted doc would serve —
-    * re-run the write or re-file the takedown; a deployment needing
-    * stronger deletion durability belongs in the state-dir store.
+    * deleted doc stay suppressed.
+    *
+    * Crash-safety (r14 verdict #4 — the park/swap treatment): the
+    * carried family lands as a fresh sealed `del=<n>` under the
+    * SIBLING park dir ([[tombstoneParkRoot]]) BEFORE the dir-clearing
+    * data overwrite, and is renamed into `$dir/_tombstones` after.
+    * [[flatStoreTombstones]] reads family ∪ park, so at EVERY crash
+    * point the full takedown set keeps gating both reads and future
+    * appends: before the park write nothing has changed; between park
+    * and data write the live family still serves; between data write
+    * and the rename the park is the (complete) serving copy. The old
+    * shape re-landed the family only AFTER the overwrite — a crash in
+    * between silently lost the append gate. Prior park `del=` dirs
+    * (crashed attempts) are never deleted before the new one lands:
+    * their ids are a subset of the fresh union, and the rename folds
+    * them all back into the family.
+    *
+    * Concurrency: the overwrite assumes a SINGLE writer (the store has
+    * no lease — a delete filed between the tombstone snapshot below
+    * and the rename would be carried by neither and silently wiped; a
+    * deployment with concurrent mutators belongs in the leased
+    * state-dir store). Concurrent DELETES against each other are
+    * guarded in [[deleteFromMinhashSignatures]] itself.
     */
   def writeMinhashSignatures(docs: DataFrame, dir: String,
       append: Boolean = false): Unit = {
     val sigs = minhashSignatures(docs)
     if (append) { sigs.write.mode("append").parquet(dir); return }
-    val carried = flatStoreTombstones(docs.sparkSession, dir)
+    val spark = docs.sparkSession
+    val fs = fsFor(spark, dir)
+    val parkRoot = tombstoneParkRoot(dir)
+    val carried = flatStoreTombstones(spark, dir)
       .map(_.localCheckpoint(true)) // materialize BEFORE the dir clears
     val scrubbed = carried.fold(sigs)(t =>
       gatedJoin(sigs, t, "doc_id", "left_anti",
         t.count() <= DeletedBroadcastRows))
+    carried match {
+      case Some(t) =>
+        // sweep UNSEALED park dirs (crashed prior park writes — invisible
+        // to the reader, pure garbage) but never sealed ones: their ids
+        // are already folded into `carried` and the rename below returns
+        // them to the family
+        val entries = graft.core.Artifacts
+          .sealedFamilyDirs(fs, parkRoot, "del")
+        entries.collect { case (a, false) => a }.foreach(a =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$parkRoot/del=$a"), true))
+        val parked = entries.collect { case (a, true) => a }
+        t.write.parquet(s"$parkRoot/del=${(0L +: parked).max + 1}")
+      case None =>
+        // no takedown anywhere — a park root here can only hold crashed
+        // unsealed writes; sweep it whole
+        fs.delete(new org.apache.hadoop.fs.Path(parkRoot), true)
+    }
     scrubbed.write.mode("overwrite").parquet(dir)
-    carried.foreach(_.write.mode("overwrite")
-      .parquet(s"$dir/_tombstones/del=1"))
+    if (carried.isDefined) {
+      val target = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
+      require(fs.rename(new org.apache.hadoop.fs.Path(parkRoot), target),
+        s"writeMinhashSignatures: rename $parkRoot -> $target failed — " +
+          "the carried tombstone family is still parked (reads and the " +
+          "append gate stay correct through the park union); re-run the " +
+          "overwrite to complete the swap")
+    }
   }
+
+  /** The flat store's tombstone PARK — a sibling of the store dir (an
+    * overwrite clears everything inside it, so the carried family must
+    * wait outside), holding the same sealed `del=<n>` layout as
+    * `_tombstones` and read by [[flatStoreTombstones]] as part of the
+    * takedown union.
+    */
+  private def tombstoneParkRoot(dir: String): String =
+    s"${dir.stripSuffix("/")}._tombstones_park"
 
   /** Loud-read contract: a crashed OVERWRITE of the store can leave a
     * partial, silently-shrunken history (whether partial files are
@@ -507,6 +581,19 @@ object Dedup extends graft.QueryModule {
     * — re-run it). Signature BYTES remain until the store is next
     * rewritten; physical materialization, healing, and re-admission
     * are the state-dir store's lifecycle, not this one's.
+    *
+    * Concurrent-delete guard (r14 ADVICE, medium): the dir is written
+    * with `errorifexists`, never `overwrite` — two concurrent deletes
+    * that race to the same `del=<n>` now fail LOUDLY on the slower
+    * writer instead of silently clobbering the faster one's takedowns
+    * (a resurrected takedown with no error). The loser re-lists the
+    * family and retries on a fresh n, so both takedowns land. Residual
+    * (documented, same class as the lease's clock-skew note): the
+    * exists-check inside the write is check-then-act on a no-CAS
+    * filesystem, so two writers in the same instant can both pass it —
+    * serialize takedown FILERS if the deployment can race at that
+    * granularity. Mutations racing the OVERWRITE path are the single-
+    * writer assumption documented on [[writeMinhashSignatures]].
     */
   def deleteFromMinhashSignatures(spark: SparkSession, dir: String,
       docIds: DataFrame): Unit = {
@@ -514,20 +601,47 @@ object Dedup extends graft.QueryModule {
       s"deleteFromMinhashSignatures: docIds must carry a `doc_id` column, " +
         s"got ${docIds.columns.mkString(",")}")
     val root = s"$dir/_tombstones"
-    val existing = graft.core.Artifacts
-      .sealedFamilyDirs(fsFor(spark, dir), root, "del").map(_._1)
-    val next = if (existing.isEmpty) 1L else existing.max + 1
-    docIds.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$root/del=$next")
+    val ids = docIds.select("doc_id").distinct()
+    var attempt = 0
+    var landed = false
+    while (!landed) {
+      val existing = graft.core.Artifacts
+        .sealedFamilyDirs(fsFor(spark, dir), root, "del").map(_._1)
+      val next = (0L +: existing).max + 1
+      try {
+        ids.write.mode("errorifexists").parquet(s"$root/del=$next")
+        landed = true
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          attempt += 1
+          require(attempt < 8,
+            s"deleteFromMinhashSignatures: $attempt consecutive collisions " +
+              s"landing a tombstone dir under $root (last: ${e.getMessage}) " +
+              "— concurrent takedown writers are racing faster than the " +
+              "retry can re-list; serialize the filers and re-run")
+      }
+    }
   }
 
-  /** Sealed tombstones of a flat store as one distinct frame; None
-    * when no takedown was ever filed (the common case pays one
-    * directory listing, no plan change).
+  /** Sealed tombstones of a flat store as one distinct frame — the
+    * `_tombstones` family INSIDE the store unioned with the sibling
+    * PARK a crashed overwrite may have left ([[tombstoneParkRoot]]):
+    * the park always holds a complete snapshot of the takedown set at
+    * park time and takedowns are never un-filed on this store (re-
+    * admission is the state-dir lifecycle), so the union can only
+    * over-suppress already-absent rows, never resurrect. None when no
+    * takedown was ever filed (the common case pays two directory
+    * listings, no plan change).
     */
   private def flatStoreTombstones(spark: SparkSession,
-      dir: String): Option[DataFrame] =
-    sealedDelFamilyDocs(spark, s"$dir/_tombstones")
+      dir: String): Option[DataFrame] = {
+    val fam = sealedDelFamilyDocs(spark, s"$dir/_tombstones")
+    val park = sealedDelFamilyDocs(spark, tombstoneParkRoot(dir))
+    (fam, park) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b).distinct())
+      case (a, b) => a.orElse(b)
+    }
+  }
 
   /** Sealed `del=<n>` family under `root` as one distinct doc_id frame
     * — the shared reader behind both the flat store's `_tombstones`
@@ -1633,8 +1747,9 @@ object Dedup extends graft.QueryModule {
         // re-ingest). The flat rows are read from explicit root-level
         // FILES, never spark.read.parquet(logRoot): a crashed log=<n>
         // subdir would otherwise collide with partition discovery.
-        val flatSealed = logIds.forall(!_._2) &&
+        val rootSuccess =
           fs.exists(new org.apache.hadoop.fs.Path(s"$logRoot/_SUCCESS"))
+        val flatSealed = logIds.forall(!_._2) && rootSuccess
         val flatFiles = if (flatSealed) flatLogFiles(fs, logRoot) else Seq.empty
         val logRows =
           if (flatFiles.nonEmpty)
@@ -1644,7 +1759,20 @@ object Dedup extends graft.QueryModule {
           else tombs
         logRows.write.mode("overwrite")
           .parquet(s"$logRoot/log=${(0L +: logIds.map(_._1)).max + 1}")
-        if (flatSealed) {
+        // retire the flat layout whenever its remnants coexist with a
+        // sealed family dir (one exists for sure now — logRows just
+        // committed), not only on the folding run (r14 ADVICE): a crash
+        // between a migration's log=<n> write and this retirement left
+        // a SEALED dir behind, so the re-run computed flatSealed=false,
+        // never retired the flat files, and the 'family becomes the
+        // only layout' invariant silently never completed (the stale
+        // root marker kept legacy special cases load-bearing forever).
+        // Safe because a sealed family dir coexisting with the root
+        // marker implies the flat ids are already folded: the FIRST
+        // family append sealed while the marker existed must have run
+        // with flatSealed=true (no sealed dir preceded it, by
+        // induction), and that run folded the flat rows in.
+        if (rootSuccess) {
           // root _SUCCESS goes FIRST: flat reads as absent the moment
           // it does, and the sealed family dir already carries every id
           fs.delete(new org.apache.hadoop.fs.Path(s"$logRoot/_SUCCESS"), false)
@@ -2764,8 +2892,10 @@ object Dedup extends graft.QueryModule {
     },
 
     // The doc->representative map for upstream exact-collapse (the
-    // boilerplate mitigation the stateful lifecycle documents): one
-    // window over md5(text), O(n).
+    // boilerplate mitigation the stateful lifecycle documents): a
+    // map-side-combined groupBy(md5) min + join-back over ONE persisted
+    // hash projection — never min-over-window, which would land (and
+    // sort) a mega-clique whole in one task. O(n).
     "q_exact_rep_map" -> { (spark, dir) =>
       exactDupMapping(Tables.documents(spark, dir)).orderBy("doc_id")
     },
@@ -2773,10 +2903,10 @@ object Dedup extends graft.QueryModule {
     // The WHOLE collapse recipe behind the hash gate: collapse exact
     // cliques to reps, cluster ONLY the reps, expand back — shares
     // q_dedup_clusters' full-recompute oracle verbatim, so the gate
-    // itself proves the collapsed path changes nothing.
+    // itself proves the collapsed path changes nothing. (The mapping
+    // arrives checkpointed from exactDupMapping.)
     "q_dedup_collapsed" -> { (spark, dir) =>
       val mapping = exactDupMapping(Tables.documents(spark, dir))
-        .localCheckpoint(true)
       val reps = Tables.documents(spark, dir)
         .join(mapping.filter(col("doc_id") === col("rep_id"))
           .select("doc_id"), Seq("doc_id"))
@@ -3013,6 +3143,18 @@ object Dedup extends graft.QueryModule {
 
     "q_simhash_pairs" -> { (spark, dir) =>
       simhashPairs(Tables.documents(spark, dir), 8).orderBy("d1", "d2")
+    },
+
+    // The occupancy ceiling hash-gated on a SECOND banded-join family
+    // (r14 verdict stretch #8 — q_minhash_lsh_capped covers the
+    // minhash bands): prefix buckets holding > 2 docs leave the
+    // SimHash join before it pays their occ² pairs. The oracle
+    // recomputes the cap independently in SQL, and the cap genuinely
+    // fires at every tested SF (one occ-3 prefix bucket exists at
+    // sf0.001/0.01/0.1 — 14→11, 13→10, 229→189 pairs).
+    "q_simhash_capped" -> { (spark, dir) =>
+      simhashPairs(Tables.documents(spark, dir), 8, maxOccupancy = 2L)
+        .orderBy("d1", "d2")
     },
 
     // Sorted-neighborhood candidates: one global fingerprint sort
@@ -3883,6 +4025,23 @@ object Dedup extends graft.QueryModule {
            |SELECT a.doc_id AS d1, b.doc_id AS d2,
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
            |FROM pref a JOIN pref b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+           |ORDER BY d1, d2""".stripMargin,
+      // the q_simhash_pairs fragments with the occupancy ceiling
+      // recomputed independently: prefix buckets over 2 docs leave the
+      // projection before the pair join
+      "q_simhash_capped" ->
+        s"""WITH $shingleHashCte,
+           |$simhashCte,
+           |pref AS (SELECT doc_id, simhash, simhash >> 16 AS prefix FROM simhash),
+           |fit AS (
+           |  SELECT prefix FROM pref GROUP BY prefix
+           |  HAVING count(*) <= 2),
+           |prefk AS (
+           |  SELECT p.* FROM pref p JOIN fit f ON p.prefix = f.prefix)
+           |SELECT a.doc_id AS d1, b.doc_id AS d2,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM prefk a JOIN prefk b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
            |ORDER BY d1, d2""".stripMargin,
       "q_sorted_neighborhood" ->

@@ -184,6 +184,23 @@ class DedupSpec extends AnyFunSuite {
       "expanded collapsed assignment != direct ingest")
   }
 
+  test("single-scan exactDupMapping (r15 stretch #7): the persisted-hash " +
+      "shape is bit-equal to the naive two-subtree groupBy+join recompute") {
+    import org.apache.spark.sql.functions._
+    val clique = spark.range(9).select(
+      (col("id") + 2000000L).as("doc_id"),
+      lit("identical mega clique body text").as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(clique)
+    val naive = corpus.select(col("doc_id"), md5(col("text")).as("_h"))
+      .join(corpus.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("rep_id")), Seq("_h"))
+      .select(col("doc_id"), col("rep_id"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.exactDupMapping(corpus)) === pairs(naive),
+      "single-scan mapping diverged from the naive recompute")
+  }
+
   test("prefix filtering is lossless: equals the all-postings join at every threshold") {
     // the entire point of q_jaccard_prefix: only each doc's rarest
     // (1−τ) shingles enter the index, yet the result is IDENTICAL to

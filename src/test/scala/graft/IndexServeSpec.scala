@@ -576,6 +576,95 @@ class IndexServeSpec extends AnyFunSuite {
       "append after overwrite served a taken-down doc")
   }
 
+  test("flat-store overwrite crash windows (r15 verdict #4): the takedown " +
+      "set survives a crash at EVERY protocol boundary — park written, " +
+      "data overwritten pre-swap — and the next overwrite heals the park") {
+    import graft.ops.Dedup
+    val fsp = (d: String) => new org.apache.hadoop.fs.Path(d)
+    val fs = fsp("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    val history = docs.filter(col("doc_id") < 400)
+    val del = col("doc_id") % 7 === 3
+    val scrubbedRows = rows(Dedup.minhashSignatures(history.filter(!del)))
+
+    // --- boundary 1: crash AFTER the park write, BEFORE the data
+    // overwrite (live family still serving; park = stale snapshot)
+    val d1 = Files.createTempDirectory("graft-sig-cw1").toString + "/s"
+    Dedup.writeMinhashSignatures(history, d1)
+    Dedup.deleteFromMinhashSignatures(spark, d1,
+      docs.filter(del).select("doc_id"))
+    docs.filter(del).select("doc_id").distinct()
+      .write.parquet(s"$d1._tombstones_park/del=1") // the park write, then "crash"
+    assert(rows(Dedup.readMinhashSignatures(spark, d1)) === scrubbedRows,
+      "boundary 1: reader lost the takedown")
+    Dedup.writeMinhashSignatures(
+      docs.filter(del && col("doc_id") < 400), d1, append = true)
+    assert(rows(Dedup.readMinhashSignatures(spark, d1)) === scrubbedRows,
+      "boundary 1: append gate lost")
+    Dedup.writeMinhashSignatures(history, d1) // re-run heals: park folds + renames
+    assert(!fs.exists(fsp(s"$d1._tombstones_park")),
+      "boundary 1: re-run left the park behind")
+    assert(rows(Dedup.readMinhashSignatures(spark, d1)) === scrubbedRows,
+      "boundary 1: healed store serves wrong rows")
+
+    // --- boundary 2: crash AFTER the data overwrite, BEFORE the
+    // park->family rename (park is the SOLE copy of the takedown set —
+    // the exact window the old shape lost takedowns in)
+    val d2 = Files.createTempDirectory("graft-sig-cw2").toString + "/s"
+    Dedup.writeMinhashSignatures(history, d2)
+    Dedup.deleteFromMinhashSignatures(spark, d2,
+      docs.filter(del).select("doc_id"))
+    Dedup.writeMinhashSignatures(history, d2) // completed overwrite...
+    // ...then reconstitute the pre-rename state: family back out to the park
+    assert(fs.rename(fsp(s"$d2/_tombstones"), fsp(s"$d2._tombstones_park")))
+    assert(rows(Dedup.readMinhashSignatures(spark, d2)) === scrubbedRows,
+      "boundary 2: reader lost the takedown while parked")
+    // the property the old shape broke: a FUTURE append of a deleted doc
+    // must stay suppressed even though $dir/_tombstones is gone
+    Dedup.writeMinhashSignatures(
+      docs.filter(del && col("doc_id") < 400), d2, append = true)
+    assert(rows(Dedup.readMinhashSignatures(spark, d2)) === scrubbedRows,
+      "boundary 2: append gate lost in the pre-rename window")
+    Dedup.writeMinhashSignatures(history, d2) // next overwrite completes the swap
+    assert(!fs.exists(fsp(s"$d2._tombstones_park")),
+      "boundary 2: heal left the park behind")
+    assert(fs.exists(fsp(s"$d2/_tombstones")),
+      "boundary 2: heal did not land the family in the store")
+    assert(rows(Dedup.readMinhashSignatures(spark, d2)) === scrubbedRows,
+      "boundary 2: healed store serves wrong rows")
+    assert(spark.read.parquet(d2).filter(del).count() === 0,
+      "boundary 2: healed store not physically scrubbed")
+  }
+
+  test("flat-store delete collision guard (r14 ADVICE, medium): a same-n " +
+      "tombstone write fails LOUDLY instead of clobbering, and the filer " +
+      "skips crashed dirs when picking n") {
+    import graft.ops.Dedup
+    val sDir = Files.createTempDirectory("graft-sig-cg").toString + "/s"
+    val history = docs.filter(col("doc_id") < 400)
+    Dedup.writeMinhashSignatures(history, sDir)
+    Dedup.deleteFromMinhashSignatures(spark, sDir,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id"))
+    // the clobber is structurally impossible now: a second write aimed at
+    // an existing del dir errors instead of silently replacing it
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.filter(col("doc_id") % 11 === 2).select("doc_id").distinct()
+        .write.mode("errorifexists").parquet(s"$sDir/_tombstones/del=1")
+    }
+    // a crashed (unsealed) del dir occupies its id: the next filer lists
+    // past it instead of colliding
+    val fs = new org.apache.hadoop.fs.Path(sDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$sDir/_tombstones/del=2"))
+    Dedup.deleteFromMinhashSignatures(spark, sDir,
+      docs.filter(col("doc_id") % 11 === 2).select("doc_id"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$sDir/_tombstones/del=3")),
+      "filer did not skip the occupied id")
+    val del = col("doc_id") % 7 === 3 || col("doc_id") % 11 === 2
+    assert(rows(Dedup.readMinhashSignatures(spark, sDir))
+      === rows(Dedup.minhashSignatures(history.filter(!del))),
+      "both takedowns should serve suppressed")
+  }
+
   test("BPE: merge table round-trips exactly; encoding with the loaded model equals in-query training") {
     val mDir = Files.createTempDirectory("graft-bpe-model").toString + "/m"
     val trained = Bpe.bpeTrainModel(docs, 8)
