@@ -468,6 +468,21 @@ object EventOps extends graft.QueryModule {
         .orderBy("user_id", "session_id")
     },
 
+    // The HOT-KEY-SAFE two-phase sessionization DECLARED behind the
+    // same oracle text as q_sessionize (r14 verdict #1, the
+    // q_dedup_keep_shuffled convention): the salted plan — phase 1
+    // windows keyed (user_id, time bucket) so a million-event bot
+    // spreads over span/bucket tasks, phase 2 merges the session rows
+    // — is the plan you'd serve at 100 TB, and sharing the oracle
+    // verbatim makes the hash gate itself the proof that the skew-safe
+    // shape moves zero rows at every tested SF (the JVM-scale
+    // SessionWindowSpec equality, now corpus-checked). PlanSpec pins
+    // that the event-sized window never partitions by user alone.
+    "q_sessionize_salted" -> { (spark, dir) =>
+      sessionizeSalted(Tables.events(spark, dir), 1800L, 86400L)
+        .orderBy("user_id", "session_id")
+    },
+
     // Conversion funnel view → click → purchase using each user's
     // earliest event of each type.
     "q_event_funnel" -> { (spark, dir) =>
@@ -547,6 +562,28 @@ object EventOps extends graft.QueryModule {
         .orderBy("user_id")
     },
   )
+
+  /** One oracle text for BOTH q_sessionize and q_sessionize_salted —
+    * shared VERBATIM (the q_dedup_keep_shuffled convention) so the
+    * hash gate itself proves the two-phase skew-safe plan emits
+    * exactly the declared sessions.
+    */
+  private val sessionizeOracleSql: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged),
+       |numbered AS (
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events, ${DS.format("value")} AS sum_value
+       |FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // same 16-bit masks, the same interleave arithmetic, // = floor
@@ -649,22 +686,10 @@ object EventOps extends graft.QueryModule {
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
          |  count(*) AS n, ${DS.format("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-    "q_sessionize" ->
-      s"""WITH lagged AS (
-         |  SELECT user_id, event_id, ts, value,
-         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-         |  FROM events),
-         |flagged AS (
-         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-         |    THEN 1 ELSE 0 END AS new_session
-         |  FROM lagged),
-         |numbered AS (
-         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM flagged)
-         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-         |  count(*) AS n_events, ${DS.format("value")} AS sum_value
-         |FROM numbered GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize" -> sessionizeOracleSql,
+    // the two-phase hot-key-safe plan must equal the declared sessions
+    // — same oracle text by design, so the hash gate IS the proof
+    "q_sessionize_salted" -> sessionizeOracleSql,
     // same session decomposition as q_sessionize (no exact-gap events
     // exist at any SF, so > vs >= at the boundary cannot diverge);
     // output drops the per-user session ordinal

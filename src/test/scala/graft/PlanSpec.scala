@@ -83,6 +83,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_sessionize_salted: the event-sized phase-1 window is keyed " +
+      "(user_id, bkt) — the user-alone merge window only ever sees " +
+      "session rows (r14 verdict #1)") {
+    val p = plan("q_sessionize_salted")
+    // the bucketed exchange + window specs exist
+    assert("hashpartitioning\\(user_id#\\d+L?, bkt#".r.findAllIn(p).nonEmpty, p)
+    val bucketed = "windowspecdefinition\\(user_id#\\d+L?, bkt#".r
+      .findAllIn(p).matchData.map(_.start).toSeq
+    assert(bucketed.nonEmpty, p)
+    // every user-alone window spec sits ABOVE (earlier in the top-down
+    // plan string than) every bucketed one: phase 2's merge runs over
+    // phase 1's aggregated session rows, never over raw events
+    val userAlone = "windowspecdefinition\\(user_id#\\d+L?, _w".r
+      .findAllIn(p).matchData.map(_.start).toSeq ++
+      "windowspecdefinition\\(user_id#\\d+L?, s_start".r
+        .findAllIn(p).matchData.map(_.start).toSeq
+    assert(userAlone.nonEmpty, p)
+    assert(userAlone.max < bucketed.min,
+      s"a user-alone window appears below the bucketed phase:\n$p")
+  }
+
   test("q_salted_agg joins on (key, salt): no plain-key join survives in the plan") {
     val p = plan("q_salted_agg")
     assert(p.contains("__salt"), p)
