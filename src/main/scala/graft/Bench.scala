@@ -232,10 +232,10 @@ object Bench {
     // SAME data (the regression check's own rule): stale suspects from
     // an incomparable corpus would take absolute knapsack priority and
     // starve this run's genuinely dispersed queries out of the budget
-    val carriedSuspects = prev match {
-      case Some((_, pfp, _, sus)) if pfp == fpNow => sus.filter(pass1.contains)
+    val carriedSuspects = (prev match {
+      case Some((_, pfp, _, sus, _)) if pfp == fpNow => sus.filter(pass1.contains)
       case _ => Nil
-    }
+    }) ++ SeededSuspects.filter(pass1.contains)
     val dispersed0 = names.filter { n =>
       suspectLoad(Seq(pass1(n), pass2(n)).collect { case (t, None) => t })
     }
@@ -243,17 +243,13 @@ object Bench {
     // EVERY dispersed query earns the corroborating pass (r11 verdict
     // #3 — the r11 driver run skipped it for 45/189 widespread suspects
     // and committed low-trust numbers that poisoned the next round's
-    // cross-round baseline), but the re-measure budget is BOUNDED: when
-    // dispersion is widespread, re-time the biggest potential
-    // inflations first (max−min gap over the two sweeps) and stop once
-    // the re-measured queries' own expected cost (their min so far)
-    // exceeds max(30 s, 30% of the suite's min total) — a throttled
-    // run re-prices its worst numbers without paying half a run.
-    // Queries the budget leaves out are reported in
-    // `adjudication_saturated` so a reader can tell "re-measured clean"
-    // from "never adjudicated" (the ADVICE distinguishability fix).
-    val remeasureBudgetSec =
-      math.max(30.0, 0.3 * names.map(n => combineAll(Seq(pass1(n), pass2(n)))._1).sum)
+    // cross-round baseline), under a BOUNDED re-measure budget; the
+    // budget itself is computed AFTER the regression pool below so it
+    // can scale with the total flagged mass (r14 verdict #2). Queries
+    // the budget leaves out are reported in `*_check_saturated` so a
+    // reader can tell "re-measured clean" from "never adjudicated"
+    // (the ADVICE distinguishability fix).
+    val suiteMinSec = names.map(n => combineAll(Seq(pass1(n), pass2(n)))._1).sum
     // knapsack-greedy, not takeWhile: one over-budget candidate at the
     // head must not starve every cheap query behind it (the exact
     // committed-low-trust failure this budget exists to fix); items
@@ -323,20 +319,37 @@ object Bench {
     // prev_ref in the artifact names which lineage was compared.
     val ledger =
       if (sys.env.contains("SPARK_GRAFT_ONLY")) Seq.empty else readLedgerEntries()
-    val baseline: Option[(String, Map[String, Double])] = prev match {
-      case Some((f, pfp, pq, _)) if pfp == fpNow => Some((f, pq))
-      case _ => ledger.collectFirst {
-        case (fp, qs) if fp == fpNow => (s"bench_ledger.json@$fpNow", qs)
+    // baseline = (lineage name, per-query min, per-query baseline TREE
+    // — which git HEAD produced each baseline number, "" unknown): the
+    // provenance that blocked adjudicating q_pipeline_e2e in r14
+    val baseline: Option[(String, Map[String, Double], Map[String, String])] =
+      prev match {
+        case Some((f, pfp, pq, _, ptree)) if pfp == fpNow =>
+          Some((f, pq, pq.keysIterator.map(_ -> ptree).toMap))
+        case _ => ledger.collectFirst {
+          case (fp, recent) if fp == fpNow =>
+            (s"bench_ledger.json@$fpNow", ledgerMins(recent),
+              ledgerTrees(recent))
+        }
       }
-    }
     val regressCand = baseline match {
-      case Some((_, pq)) =>
+      case Some((_, pq, _)) =>
         names.filter { n =>
           val (mn, _, err) = combineAll(Seq(pass1(n), pass2(n)))
           err.isEmpty && pq.get(n).exists(regressedVsPrev(mn, _))
         }
       case None => Nil
     }
+    // The budget SCALES with the flagged pool (r14 verdict #2: a fixed
+    // 30%-of-suite cap shipped 24/25 dispersion suspects unadjudicated
+    // — the inverse of r13's regression starvation), bounded by a
+    // wall-clock ceiling of 75% of one sweep so a fully-throttled run
+    // re-prices everything it flagged without paying a third suite.
+    val flaggedCostSec = (regressCand ++ dispersed).distinct
+      .map(n => combineAll(Seq(pass1(n), pass2(n)))._1).sum
+    val remeasureBudgetSec = math.max(
+      math.max(30.0, 0.3 * suiteMinSec),
+      math.min(flaggedCostSec, 0.75 * suiteMinSec))
     val (regr4, regrSkipped0, spentR) = underBudget(regressCand,
       remeasureBudgetSec)
     val pass4: Map[String, (Double, Option[String])] =
@@ -382,19 +395,29 @@ object Bench {
       }
     }
 
+    val treeNow = currentTree()
+    // raw per-pass timings (successful passes, sweep order then extras)
+    // — r14 verdict #2's cheap prong: with these in the artifact,
+    // "dispersed but envelope-stable" is checkable mechanically from
+    // the file alone, no forensic re-run needed
+    val passesRaw = names.map(n =>
+      n -> allPasses(n).collect { case (t, None) => t })
     val (full, summary) =
       render(results, sfDir, calibBefore, calibMid, calibAfter, suspects,
         regressed, baseline.map(_._1), calibExtra, dispSkipped, regrSkipped,
-        minFromRemeasure)
+        minFromRemeasure, passesRaw, treeNow,
+        baseline.map(_._3.view.filterKeys(regressCand.toSet).toMap)
+          .getOrElse(Map.empty))
     // full detail for humans/judges — file is best-effort, stdout first
     // (skipped for SPARK_GRAFT_ONLY dev runs: a partial sweep must not
     // clobber the round's full-suite artifact)
     if (!sys.env.contains("SPARK_GRAFT_ONLY")) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_results.json"), full)
       catch { case _: Throwable => () }
-      // fold this run's clean mins into the same-fp ledger entry
+      // fold this run's clean mins into the same-fp ledger entry,
+      // stamped with the tree they were measured on
       val cleanMins = results.collect { case (n, mn, _, None) => n -> mn }.toMap
-      writeLedger(ledger, fpNow, cleanMins)
+      writeLedger(ledger, fpNow, cleanMins, treeNow)
     }
     println(full)
     // the LAST line is the one the harness parses — keep it short
@@ -433,18 +456,20 @@ object Bench {
     * run overwrites it; parsed minimally to (file name, data_fp,
     * per-query min map, prior suspect_load list — the carried-over
     * low-trust queries the next sweep's knapsack seeds with, r12
-    * verdict #6). Best-effort — a missing, unreadable, or malformed
-    * artifact disables the cross-round check rather than failing the
-    * bench.
+    * verdict #6 — and the git tree the artifact was measured on, ""
+    * for pre-r15 artifacts). Best-effort — a missing, unreadable, or
+    * malformed artifact disables the cross-round check rather than
+    * failing the bench.
     */
   private[graft] def readPrevArtifact()
-      : Option[(String, String, Map[String, Double], Seq[String])] = {
+      : Option[(String, String, Map[String, Double], Seq[String], String)] = {
     val f = new java.io.File("bench_results.json")
     if (!f.isFile) None
     else try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readString(f.toPath))
       val fp = Option(root.get("data_fp")).map(_.asText()).getOrElse("")
+      val tree = Option(root.get("tree")).map(_.asText()).getOrElse("")
       val b = Map.newBuilder[String, Double]
       Option(root.get("queries")).foreach { q =>
         val it = q.fields()
@@ -465,44 +490,84 @@ object Bench {
       }
       val qs = b.result() -- erred
       if (fp.isEmpty || qs.isEmpty) None
-      else Some((f.getName, fp, qs, suspects.result()))
+      else Some((f.getName, fp, qs, suspects.result(), tree))
     } catch { case _: Throwable => None }
   }
 
-  /** Cross-regeneration trend LEDGER (r13 stretch #7) —
-    * `bench_ledger.json`: an ordered list of {data_fp → per-query min}
-    * entries, most recent last, bounded to [[LedgerMaxEntries]]
-    * fingerprints. The driver regenerates testdata between (and
-    * sometimes mid-) rounds; the prior artifact's fp then mismatches
-    * and the cross-round regression check used to restart from one
-    * sample. The ledger keeps the cleanest committed reading per
-    * (fingerprint, query), so a run on a fingerprint seen before
-    * regains its baseline immediately — and the artifact's `prev_ref`
-    * names which lineage it compared against
-    * (`bench_results.json` vs `bench_ledger.json@<fp>`). Best-effort
-    * IO throughout, like [[readPrevArtifact]].
+  /** Cross-regeneration trend LEDGER (r13 stretch #7, reshaped r15) —
+    * `bench_ledger.json`: an ordered list of per-fingerprint entries,
+    * most recent last, bounded to [[LedgerMaxEntries]] fingerprints.
+    * The driver regenerates testdata between (and sometimes mid-)
+    * rounds; the prior artifact's fp then mismatches and the
+    * cross-round regression check used to restart from one sample.
+    *
+    * Each entry holds, per query, the RECENT window of committed clean
+    * readings — the last [[LedgerRecentK]] runs' (seconds, tree) pairs,
+    * where tree is the git HEAD the reading was measured on (r14
+    * verdict #5: the r14 judge could not attribute q_pipeline_e2e's
+    * 3.77 s ledger min to any tree). The regression baseline is the
+    * MIN over that window, not an all-time min (r14 ADVICE: the
+    * unbounded elementwise-min fold ratcheted the baseline down to the
+    * luckiest reading ANY past environment produced, and it never aged
+    * out — a slower-but-healthy host then flagged regressions against
+    * a number nothing current reproduces). A lucky reading now drives
+    * the check for at most K more runs. The artifact's `prev_ref`
+    * names which lineage it compared against and `baseline_trees`
+    * names the trees behind any flagged query's baseline. Best-effort
+    * IO throughout, like [[readPrevArtifact]]; the pre-r15 numeric
+    * `queries` layout reads back as a one-reading window with an
+    * unknown ("") tree.
     */
   private[graft] val LedgerMaxEntries = 4
+  private[graft] val LedgerRecentK = 3
 
-  private[graft] def readLedgerEntries(
-      path: String = "bench_ledger.json"): Seq[(String, Map[String, Double])] = {
+  /** Baseline min per query over an entry's recent window. */
+  private[graft] def ledgerMins(
+      recent: Map[String, Seq[(Double, String)]]): Map[String, Double] =
+    recent.collect { case (q, rs) if rs.nonEmpty => q -> rs.map(_._1).min }
+
+  /** The tree that produced each query's window min ("" = unknown). */
+  private[graft] def ledgerTrees(
+      recent: Map[String, Seq[(Double, String)]]): Map[String, String] =
+    recent.collect { case (q, rs) if rs.nonEmpty => q -> rs.minBy(_._1)._2 }
+
+  private[graft] def readLedgerEntries(path: String = "bench_ledger.json")
+      : Seq[(String, Map[String, Seq[(Double, String)]])] = {
     val f = new java.io.File(path)
     if (!f.isFile) Seq.empty
     else try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(java.nio.file.Files.readString(f.toPath))
-      val out = Seq.newBuilder[(String, Map[String, Double])]
+      val out = Seq.newBuilder[(String, Map[String, Seq[(Double, String)]])]
       Option(root.get("entries")).foreach { arr =>
         val it = arr.elements()
         while (it.hasNext) {
           val e = it.next()
           val fp = Option(e.get("data_fp")).map(_.asText()).getOrElse("")
-          val b = Map.newBuilder[String, Double]
-          Option(e.get("queries")).foreach { q =>
-            val qi = q.fields()
-            while (qi.hasNext) {
-              val kv = qi.next(); b += kv.getKey -> kv.getValue.asDouble()
-            }
+          val b = Map.newBuilder[String, Seq[(Double, String)]]
+          Option(e.get("recent")) match {
+            case Some(q) =>
+              val qi = q.fields()
+              while (qi.hasNext) {
+                val kv = qi.next()
+                val rs = Seq.newBuilder[(Double, String)]
+                val ri = kv.getValue.elements()
+                while (ri.hasNext) {
+                  val pair = ri.next()
+                  rs += ((pair.get(0).asDouble(),
+                    Option(pair.get(1)).map(_.asText()).getOrElse("")))
+                }
+                b += kv.getKey -> rs.result()
+              }
+            case None =>
+              // pre-r15 layout: one all-time min per query, tree unknown
+              Option(e.get("queries")).foreach { q =>
+                val qi = q.fields()
+                while (qi.hasNext) {
+                  val kv = qi.next()
+                  b += kv.getKey -> Seq((kv.getValue.asDouble(), ""))
+                }
+              }
           }
           val qs = b.result()
           if (fp.nonEmpty && qs.nonEmpty) out += fp -> qs
@@ -512,30 +577,50 @@ object Bench {
     } catch { case _: Throwable => Seq.empty }
   }
 
-  /** Fold `mins` (this run's error-free per-query mins) into the
-    * ledger's entry for `fp` — elementwise MIN against any prior entry
-    * (the ledger tracks the cleanest known reading), entry moved to
-    * most-recent position, list pruned to [[LedgerMaxEntries]].
+  /** Append `mins` (this run's error-free per-query mins, measured on
+    * git tree `tree`) to the ledger entry for `fp`: each query's recent
+    * window grows by one reading and is trimmed to the newest
+    * [[LedgerRecentK]]; the entry moves to most-recent position and the
+    * list prunes to [[LedgerMaxEntries]]. The derived `queries` min is
+    * emitted alongside `recent` so external readers of the old shape
+    * keep working.
     */
-  private[graft] def writeLedger(entries: Seq[(String, Map[String, Double])],
-      fp: String, mins: Map[String, Double],
+  private[graft] def writeLedger(
+      entries: Seq[(String, Map[String, Seq[(Double, String)]])],
+      fp: String, mins: Map[String, Double], tree: String = "",
       path: String = "bench_ledger.json"): Unit = try {
     if (mins.isEmpty) return
     val prior = entries.collectFirst { case (f, q) if f == fp => q }
-      .getOrElse(Map.empty[String, Double])
+      .getOrElse(Map.empty[String, Seq[(Double, String)]])
     val merged = (prior.keySet ++ mins.keySet).map { k =>
-      k -> math.min(prior.getOrElse(k, Double.MaxValue),
-        mins.getOrElse(k, Double.MaxValue))
+      val win = prior.getOrElse(k, Nil) ++
+        mins.get(k).map(v => (v, tree)).toSeq
+      k -> win.takeRight(LedgerRecentK)
     }.toMap
     val kept = (entries.filterNot(_._1 == fp) :+ (fp -> merged))
       .takeRight(LedgerMaxEntries)
     val body = kept.map { case (f, qs) =>
-      val q = qs.toSeq.sortBy(_._1)
+      val rec = qs.toSeq.sortBy(_._1).map { case (k, rs) =>
+        s"${jstr(k)}:" + rs.map { case (t, tr) => s"[$t,${jstr(tr)}]" }
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val q = ledgerMins(qs).toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-      s"""{"data_fp":${jstr(f)},"queries":$q}"""
+      s"""{"data_fp":${jstr(f)},"queries":$q,"recent":$rec}"""
     }.mkString("""{"entries":[""", ",", "]}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
   } catch { case _: Throwable => () }
+
+  /** This checkout's git HEAD (short), "" when unresolvable — stamps
+    * the artifact and every ledger reading so a number is always
+    * attributable to the tree that produced it (r14 verdict #5).
+    */
+  private[graft] def currentTree(): String = try {
+    val p = new ProcessBuilder("git", "rev-parse", "--short=12", "HEAD")
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+    if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,40}")) out else ""
+  } catch { case _: Throwable => "" }
 
   /** Apparent cross-round regression: this run's min exceeds BOTH 1.5×
     * the prior committed artifact's reading (benchdiff's regression
@@ -544,6 +629,17 @@ object Bench {
     */
   private[graft] def regressedVsPrev(cur: Double, prev: Double): Boolean =
     cur > 1.5 * prev && cur > prev + 0.5
+
+  /** Queries seeded into the PRIORITY re-measure pool regardless of
+    * this run's own dispersion or any prior artifact's suspect list
+    * (r14 verdict #3): q_pipeline_e2e read 1.5-1.7× its r13 numbers in
+    * BOTH r14 readings with a provably unchanged plan — probably load,
+    * but it is the suite's most expensive query and the ledger could
+    * not attribute its min to a tree. Seeding guarantees it one
+    * clean-window pass at knapsack priority 0; remove the entry once a
+    * clean number is recorded.
+    */
+  private[graft] val SeededSuspects: Seq[String] = Seq("q_pipeline_e2e")
 
   /** Is a query's reported min still load-suspect after its passes?
     * True when the successful times are dispersed (>2× spread AND
@@ -583,7 +679,10 @@ object Bench {
       calibExtra: Option[(Double, Double)] = None,
       suspectSaturated: Seq[String] = Nil,
       regressionSaturated: Seq[String] = Nil,
-      minFromRemeasure: Seq[String] = Nil): (String, String) = {
+      minFromRemeasure: Seq[String] = Nil,
+      passesRaw: Seq[(String, Seq[Double])] = Nil,
+      tree: String = "",
+      baselineTrees: Map[String, String] = Map.empty): (String, String) = {
     val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // forward-sweep position (r9 verdict #8): the three r9
@@ -624,7 +723,19 @@ object Bench {
     val remeas = minFromRemeasure.map(jstr).mkString("[", ",", "]")
     val satS = suspectSaturated.map(jstr).mkString("[", ",", "]")
     val satR = regressionSaturated.map(jstr).mkString("[", ",", "]")
-    (s"""{$head,$calib$extraCalib,$fp,"queries":$qs,"queries_max":$qsMax,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"regressed_vs_prev":$regr,"min_from_remeasure":$remeas,"suspect_check_saturated":$satS,"regression_check_saturated":$satR,"prev_ref":$pref,"sf":${jstr(sfDir)}}""",
+    // raw per-pass detail (r14 verdict #2): every successful timing of
+    // every query, sweep order then extra passes — the artifact's own
+    // evidence base for post-hoc load adjudication
+    val qsPasses = passesRaw.map { case (k, ts) =>
+      s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    // tree provenance (r14 verdict #5): the git HEAD this run measured,
+    // and — for each cross-round regression candidate — the tree that
+    // produced its baseline number ("" = unknown lineage)
+    val treeJ = s""""tree":${jstr(tree)}"""
+    val blTrees = baselineTrees.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    (s"""{$head,$calib$extraCalib,$fp,$treeJ,"queries":$qs,"queries_max":$qsMax,"queries_passes":$qsPasses,"sweep_pos":$qsPos,"errors":$errs,"suspect_load":$susp,"regressed_vs_prev":$regr,"baseline_trees":$blTrees,"min_from_remeasure":$remeas,"suspect_check_saturated":$satS,"regression_check_saturated":$satR,"prev_ref":$pref,"sf":${jstr(sfDir)}}""",
       s"""{$head,$calib$extraCalib,$fp,"sf":${jstr(sfDir)}}""")
   }
 }

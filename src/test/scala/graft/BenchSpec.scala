@@ -154,7 +154,7 @@ newline""") else None))
     // runs from the repo root, where bench_results.json is committed at
     // each round close — the exact file the in-bench check reads
     Bench.readPrevArtifact() match {
-      case Some((name, fp, qs, suspects)) =>
+      case Some((name, fp, qs, suspects, _)) =>
         assert(name === "bench_results.json")
         assert(fp.nonEmpty)
         assert(qs.nonEmpty && qs.values.forall(_ >= 0.0))
@@ -167,35 +167,78 @@ newline""") else None))
     }
   }
 
-  test("bench ledger (r13 stretch #7): round-trips, merges elementwise mins " +
-      "per fingerprint, keeps recency order, prunes to the entry cap") {
+  test("bench ledger (r13 stretch #7, r15 recent-k + tree provenance): " +
+      "round-trips, baselines on the recent-window min with its tree, " +
+      "ages out lucky readings, keeps recency order, prunes to the cap") {
     val p = java.nio.file.Files.createTempDirectory("graft-ledger")
       .resolve("bench_ledger.json").toString
+    def mins(fp: String) = Bench.readLedgerEntries(p)
+      .collectFirst { case (f, r) if f == fp => Bench.ledgerMins(r) }
+    def trees(fp: String) = Bench.readLedgerEntries(p)
+      .collectFirst { case (f, r) if f == fp => Bench.ledgerTrees(r) }
     assert(Bench.readLedgerEntries(p).isEmpty) // missing file: empty
-    Bench.writeLedger(Seq.empty, "fpA", Map("q1" -> 2.0, "q2" -> 5.0), p)
-    assert(Bench.readLedgerEntries(p) ===
-      Seq("fpA" -> Map("q1" -> 2.0, "q2" -> 5.0)))
-    // same fp again: elementwise min, new query joins
+    Bench.writeLedger(Seq.empty, "fpA", Map("q1" -> 2.0, "q2" -> 5.0),
+      "tree1", p)
+    assert(mins("fpA").contains(Map("q1" -> 2.0, "q2" -> 5.0)))
+    assert(trees("fpA").contains(Map("q1" -> "tree1", "q2" -> "tree1")))
+    // same fp again: window min wins per query, new query joins, and
+    // the TREE follows the reading that holds the min (r14 verdict #5)
     Bench.writeLedger(Bench.readLedgerEntries(p), "fpA",
-      Map("q1" -> 3.0, "q2" -> 1.5, "q3" -> 9.0), p)
-    assert(Bench.readLedgerEntries(p) ===
-      Seq("fpA" -> Map("q1" -> 2.0, "q2" -> 1.5, "q3" -> 9.0)))
+      Map("q1" -> 3.0, "q2" -> 1.5, "q3" -> 9.0), "tree2", p)
+    assert(mins("fpA").contains(Map("q1" -> 2.0, "q2" -> 1.5, "q3" -> 9.0)))
+    assert(trees("fpA").get("q1") === "tree1")
+    assert(trees("fpA").get("q2") === "tree2")
+    // recent-k aging (r14 ADVICE): a lucky all-time min stops driving
+    // the baseline once K newer readings displace it — no more
+    // unbounded ratchet to a number no current environment reproduces
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpA", Map("q1" -> 3.1),
+      "tree3", p)
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpA", Map("q1" -> 3.2),
+      "tree4", p)
+    assert(mins("fpA").get("q1") === 3.0,
+      "the 2.0 reading should have aged out of the 3-run window")
+    assert(trees("fpA").get("q1") === "tree2")
     // newer fingerprints append; touching an old fp moves it to most
     // recent; the cap evicts the OLDEST
     for (fp <- Seq("fpB", "fpC", "fpD"))
-      Bench.writeLedger(Bench.readLedgerEntries(p), fp, Map("q1" -> 1.0), p)
-    Bench.writeLedger(Bench.readLedgerEntries(p), "fpA", Map("q1" -> 9.9), p)
+      Bench.writeLedger(Bench.readLedgerEntries(p), fp, Map("q1" -> 1.0), "", p)
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpA", Map("q1" -> 9.9), "", p)
     val fps = Bench.readLedgerEntries(p).map(_._1)
     assert(fps === Seq("fpB", "fpC", "fpD", "fpA"), fps.toString)
-    Bench.writeLedger(Bench.readLedgerEntries(p), "fpE", Map("q1" -> 1.0), p)
+    Bench.writeLedger(Bench.readLedgerEntries(p), "fpE", Map("q1" -> 1.0), "", p)
     assert(Bench.readLedgerEntries(p).map(_._1) ===
       Seq("fpC", "fpD", "fpA", "fpE"))
-    // the re-touched fpA entry kept its historical min
-    assert(Bench.readLedgerEntries(p)
-      .collectFirst { case ("fpA", q) => q("q1") }.contains(2.0))
+    // the pre-r15 numeric layout reads back as a one-reading window
+    // with an unknown tree (old ledgers stay usable)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """{"entries":[{"data_fp":"fpOld","queries":{"q9":4.25}}]}""")
+    assert(mins("fpOld").contains(Map("q9" -> 4.25)))
+    assert(trees("fpOld").contains(Map("q9" -> "")))
     // malformed file reads as empty, never throws
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p), "{broken")
     assert(Bench.readLedgerEntries(p).isEmpty)
+  }
+
+  test("render carries tree provenance and raw per-pass timings (r14 " +
+      "verdicts #2/#5): the artifact is self-adjudicating from the file") {
+    val results = Seq(("q_a", 1.0, 1.1, None), ("q_b", 5.6, 5.9, None))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (full, summary) = Bench.render(results, "/root/testdata/sf0.1",
+      (0.4, 0.45), (0.4, 0.45), (0.4, 0.45), Nil, Seq("q_b"),
+      Some("bench_ledger.json@fpX"),
+      passesRaw = Seq("q_a" -> Seq(1.0, 1.1), "q_b" -> Seq(5.9, 5.6, 5.7)),
+      tree = "abc123def456",
+      baselineTrees = Map("q_b" -> "0ldtree00000"))
+    val f = om.readTree(full)
+    assert(f.get("tree").asText() === "abc123def456")
+    assert(f.get("baseline_trees").get("q_b").asText() === "0ldtree00000")
+    assert(f.get("queries_passes").get("q_b").size() === 3)
+    assert(f.get("queries_passes").get("q_b").get(1).asDouble() === 5.6)
+    // the summary line stays bounded — raw passes ride the full JSON only
+    assert(!summary.contains("queries_passes") && summary.length < 600)
+    // the current tree resolves in a git checkout and stamps hex
+    val t = Bench.currentTree()
+    assert(t.isEmpty || t.matches("[0-9a-f]{6,40}"), t)
   }
 
   test("calibration loop does constant CPU work and reports sane times") {
