@@ -809,6 +809,34 @@ object Dedup extends graft.QueryModule {
         (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
     }.reduce(_ union _)
 
+  /** [[bandProjection]] carrying the full signature row (doc_id, band,
+    * bkey, sig0..7) — the fused-scoring shape (r15): when the banded
+    * self-join's output is scored by signature agreement, carrying the
+    * 8 sig columns through the band exchange lets the join emit
+    * (d1, d2, est_jaccard) DIRECTLY, deleting the two corpus-sized
+    * scoring joins (cand ⋈ sigs ⋈ sigs) the old plan paid. The trade
+    * at 100 TB: the band exchange widens from 3 to 11 longs per row
+    * (~3.7× its bytes) against removing two full exchanges of the
+    * signature table plus their join barriers — fewer stages, less
+    * total shuffle, and two fewer chances for a loaded host to stall
+    * a pass (the q_pq_rerank stage-count lesson).
+    */
+  private def bandProjectionWide(sigs: DataFrame): DataFrame =
+    (0 until NBANDS).map { bnd =>
+      sigs.select(
+        col("doc_id") +: lit(bnd).as("band") +:
+          (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey") +:
+          (0 until 8).map(j => col(s"sig$j")): _*)
+    }.reduce(_ union _)
+
+  /** Signature-agreement estimate between the `x`/`y` sides of a wide
+    * band self-join: (matching sigs)/8 as double.
+    */
+  private def estFromSides: Column =
+    (0 until 8).map(j =>
+      when(col(s"x.sig$j") === col(s"y.sig$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(8.0)
+
   /** The banded-LSH pass against a precomputed signature table
     * ([[minhashSignatures]] output, or a materialized signature store) —
     * the pipeline-reuse entry point: a real dedup run computes the
@@ -833,9 +861,9 @@ object Dedup extends graft.QueryModule {
     */
   def candidatesFromSignatures(sigs0: DataFrame, minEstJaccard: Double = 0.5,
       maxOccupancy: Long = Long.MaxValue): DataFrame = {
-    // persisted: the signature table feeds 4 band projections × both
-    // sides of the candidate self-join plus the two scoring joins —
-    // without caching the upstream pipeline runs ~10 times
+    // persisted: the signature table feeds the 4 band-projection
+    // branches on both sides of the candidate self-join — without
+    // caching the upstream pipeline runs once per branch
     val sigs = sigs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // when the cap is active the filtered projection feeds BOTH sides
@@ -843,26 +871,25 @@ object Dedup extends graft.QueryModule {
     // once, not per side (zero change to the uncapped plan)
     val capActive = maxOccupancy != Long.MaxValue
     val bands = {
-      val b = cappedBuckets(bandProjection(sigs), Seq("band", "bkey"),
+      val b = cappedBuckets(bandProjectionWide(sigs), Seq("band", "bkey"),
         maxOccupancy)
       if (capActive)
         b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else b
     }
-    val cand = bands.as("x").join(bands.as("y"),
+    // FUSED scoring (r15, see [[bandProjectionWide]]): the self-join
+    // emits the estimate directly — est is a function of (d1, d2), so
+    // distinct over (d1, d2, est) is exactly the old pair-distinct and
+    // the two scoring joins the old plan paid are gone. Eager: scored
+    // candidates are the stage output (bounded by band collisions);
+    // drop the signature cache before returning so looped callers
+    // (EvalProbe, dupClusters→dedup_keep) don't accumulate it
+    val out = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        estFromSides.as("est_jaccard"))
       .distinct()
-    val est = (0 until 8).map(j =>
-      when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
-    // eager: scored candidates are the stage output (bounded by band
-    // collisions); drop the signature cache before returning so looped
-    // callers (EvalProbe, dupClusters→dedup_keep) don't accumulate it
-    val out = cand
-      .join(sigs.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sigs.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .localCheckpoint(true)
     sigs.unpersist(false)
@@ -897,8 +924,8 @@ object Dedup extends graft.QueryModule {
       minEstJaccard: Double = 0.5,
       maxOccupancy: Long = Long.MaxValue): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // both signature tables feed a band projection plus the two scoring
-    // joins — persist each, drop before returning (house cache hygiene)
+    // both signature tables feed the band-projection branches — persist
+    // each, drop before returning (house cache hygiene)
     val newSigs = newSigs0.persist(lvl)
     val oldSigs = oldSigs0.persist(lvl)
     // by NAME, not position: stored signature tables can come back
@@ -913,29 +940,29 @@ object Dedup extends graft.QueryModule {
     // same surviving buckets so no half-capped pair can appear.
     val capActive = maxOccupancy != Long.MaxValue
     val allBands = {
-      val b = cappedBuckets(bandProjection(allSigs), Seq("band", "bkey"),
+      val b = cappedBuckets(bandProjectionWide(allSigs), Seq("band", "bkey"),
         maxOccupancy)
       if (capActive) b.persist(lvl) else b
     }
     val newBands =
       if (capActive)
-        bandProjection(newSigs).join(allBands.select("band", "bkey"),
+        bandProjectionWide(newSigs).join(allBands.select("band", "bkey"),
           Seq("band", "bkey"), "semi")
-      else bandProjection(newSigs)
-    val cand = newBands.as("x")
+      else bandProjectionWide(newSigs)
+    // FUSED scoring (r15, see [[bandProjectionWide]]): est is symmetric
+    // in the two sides (an equality count), so the least/greatest pair
+    // normalization composes with it and distinct over (d1, d2, est)
+    // is exactly the old pair-distinct — the two scoring joins against
+    // the corpus-sized combined signature table are gone.
+    val out = newBands.as("x")
       .join(allBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(
         least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
+        estFromSides.as("est_jaccard"))
       .distinct()
-    val est = (0 until 8).map(j =>
-      when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
-    val out = cand
-      .join(allSigs.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(allSigs.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"), (est.cast("double") / lit(8.0)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .localCheckpoint(true)
     newSigs.unpersist(false)

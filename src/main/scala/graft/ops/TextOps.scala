@@ -1152,15 +1152,33 @@ object TextOps extends graft.QueryModule {
     * collect/sort/transform shape as the kmeans centroid rebuild, with
     * per-group state bounded by document length.
     */
-  def encodeTokens(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+  def encodeTokens(docs: DataFrame, vocabSize: Int = 20): DataFrame =
+    encodeTokensFromTokens(Shingles.tokensWithPos(docs), vocabSize)
+
+  /** [[encodeTokens]] over a (doc_id, pos, term) token stream —
+    * the pipeline-reuse entry point
+    * ([[graft.text.Shingles.tokensWithPos]] output): a curation run
+    * that already MATERIALIZED its tokenization for other stages
+    * encodes from that pass instead of paying its own (at 100 TB the
+    * corpus text scan is the cost that matters; vocab and encoding
+    * both reading one persisted stream saves a full pass). Caller owns
+    * the frame's persistence — handed a lazy frame, the vocab and
+    * encode consumers each compute the token subtree against whatever
+    * caching the input carries, which for the plain [[encodeTokens]]
+    * over a cached corpus costs the same as the historical
+    * two-projection shape (an r15 A/B found an internal
+    * persist+checkpoint of the token stream SLOWER than recomputing
+    * it when the docs frame is already cached — PERF.md r15).
+    */
+  def encodeTokensFromTokens(tok: DataFrame, vocabSize: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = TfIdf.tokens(docs).groupBy("term").agg(count(lit(1)).as("n"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(vocabSize)
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .select("term", "token_id")
-    Shingles.tokensWithPos(docs)
+    tok
       .join(broadcast(vocab), Seq("term"), "left")
       .select(col("doc_id"), col("pos"), coalesce(col("token_id"), lit(0)).as("id"))
       .groupBy("doc_id")
