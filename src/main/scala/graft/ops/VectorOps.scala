@@ -829,6 +829,22 @@ object VectorOps extends graft.QueryModule {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val sub = dims / m
     require(sub * m == dims, s"dims $dims not divisible into $m subspaces")
+    // Literal-inlining budget (r14 ADVICE): the encode projection holds
+    // m·ksub codeword arrays of `sub` literals and the LUT m·ksub
+    // gridFolds over the same — fine at the default (8·16·8 = 1024
+    // literal doubles), but a production codebook (ksub=256) would put
+    // tens of thousands of literals in ONE expression tree: Janino's
+    // 64KB method limit degrades codegen to interpreted fallbacks and
+    // the analyzer pays a plan-size blowup. Refuse loudly above the
+    // budget — a codebook that size belongs on the broadcast-join ADC
+    // path ([[writeIvfPqIndex]]/[[ivfPqSearchServed]], whose
+    // pqEncodeAssigned joins the codebook as DATA, never literals).
+    require(m * ksub * sub <= PqInlineLiteralBudget,
+      s"pqSearch: inlining this codebook would place ${m * ksub * sub} " +
+        s"literal doubles in one expression (budget $PqInlineLiteralBudget) " +
+        "— codegen fallback + analyzer blowup territory; use the IVFADC " +
+        "broadcast-join path (writeIvfPqIndex / ivfPqSearchServed) for " +
+        "production-size codebooks")
     val e = castVec(embeddings, "vid")
     // codebook: (j, cid, cw) with cid DENSE 0..ksub-1 — the flattened
     // LUT layout (entry j·ksub+code) requires exactly that id space, so
@@ -2618,6 +2634,12 @@ object VectorOps extends graft.QueryModule {
     * floor(term·GRID + 0.5) longs exactly; 1e12 ≈ 12 decimal digits.
     */
   private val GRID = 1e12
+
+  /** Max literal doubles [[pqSearch]] may inline from a codebook into
+    * one expression tree (r14 ADVICE): 8× the default configuration,
+    * well under Janino's 64KB generated-method limit.
+    */
+  private[graft] val PqInlineLiteralBudget: Int = 8192
 
   def principalDirection(embeddings: DataFrame, dims: Int = 64, iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession

@@ -33,6 +33,19 @@ class PqSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("pqSearch refuses a codebook too large to inline (r14 ADVICE): " +
+      "a ksub=256 configuration points at the broadcast-join IVFADC path") {
+    // default config sits well inside the budget
+    assert(8 * 16 * 8 <= VectorOps.PqInlineLiteralBudget)
+    // a realistic production codebook (ksub=256, m=8, sub=8 -> 16384
+    // literal doubles) must refuse loudly BEFORE building the plan —
+    // Janino 64KB fallback / analyzer blowup territory
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.pqSearch(emb, col("vec_id") < 5, 8, 256, 10, 64)
+    }
+    assert(e.getMessage.contains("writeIvfPqIndex"), e.getMessage)
+  }
+
   test("ADC top-10 keeps useful overlap with the exact dot-product top-10") {
     // 16 codewords x 8 subspaces on isotropic random vectors is the
     // WORST case for PQ (no cluster structure to quantize onto), like
