@@ -141,15 +141,25 @@ object Dedup extends graft.QueryModule {
     * drop before the caller's downstream work runs.
     */
   def exactDupMappingFromHashes(hashed0: DataFrame): DataFrame = {
+    val (lazyOut, hashed) = exactDupMappingLazy(hashed0)
+    val out = lazyOut.localCheckpoint(true)
+    hashed.unpersist(false)
+    out
+  }
+
+  /** The mapping pipeline, lazily: (result, persisted hash table) —
+    * the [[graft.ops.TextOps.shuffleRankLazy]] convention, so PlanSpec
+    * can assert the single-scan shape on the un-checkpointed plan.
+    */
+  private[graft] def exactDupMappingLazy(
+      hashed0: DataFrame): (DataFrame, DataFrame) = {
     val hashed = hashed0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = hashed
       .join(hashed.groupBy("_h").agg(min(col("doc_id")).as("rep_id")),
         Seq("_h"))
       .select(col("doc_id"), col("rep_id"))
-      .localCheckpoint(true)
-    hashed.unpersist(false)
-    out
+    (out, hashed)
   }
 
   /** Expand a collapsed-ingest cluster assignment back to ALL docs —

@@ -104,6 +104,26 @@ class PlanSpec extends AnyFunSuite {
       s"a user-alone window appears below the bucketed phase:\n$p")
   }
 
+  test("q_exact_rep_map scans the documents parquet ONCE (r15 stretch #7): " +
+      "both subtrees read the persisted hash projection") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val (lazyOut, hashed) = graft.ops.Dedup.exactDupMappingLazy(
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")).as("_h")))
+    try {
+      val p = lazyOut.queryExecution.executedPlan.toString
+      // both consumers (probe side + clique aggregate) read the CACHED
+      // hash projection; every parquet-scan print sits inside an
+      // InMemoryRelation subtree (the cache's stored child plan, shown
+      // once per consumer), so the file is physically read once
+      assert("InMemoryTableScan".r.findAllIn(p).length === 2, p)
+      assert("FileScan parquet".r.findAllIn(p).length
+        === "InMemoryRelation".r.findAllIn(p).length,
+        s"a parquet scan escaped the cache:\n$p")
+    } finally hashed.unpersist(false)
+  }
+
   test("q_salted_agg joins on (key, salt): no plain-key join survives in the plan") {
     val p = plan("q_salted_agg")
     assert(p.contains("__salt"), p)
