@@ -585,6 +585,45 @@ class DedupDeleteSpec extends AnyFunSuite {
       "a takedown resurfaced across the torn migration re-run")
   }
 
+  test("a migration crashed AFTER its sealed log write but BEFORE flat " +
+      "retirement still retires the flat remnants on the NEXT compaction " +
+      "(r14 ADVICE): the family becomes the only layout, nothing strands") {
+    val state = tmp("dedup-postseal-migration")
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") < 400), 0, state)
+    val legacyDel = col("doc_id") >= 400 && col("doc_id") % 3 === 0
+    docs.filter(legacyDel).select("doc_id").distinct()
+      .coalesce(1).write.parquet(s"$state/deletion_log")
+    // the crash artifact this fix targets: the first migrating
+    // compaction COMPLETED its sealed log=1 write (flat ids folded in)
+    // but died before retiring the flat layout — root _SUCCESS and the
+    // flat parquet files coexist with a SEALED family dir. Pre-fix,
+    // every later run computed flatSealed=false (a sealed dir exists)
+    // and the remnants survived forever.
+    docs.filter(legacyDel).select("doc_id").distinct()
+      .write.parquet(s"$state/deletion_log/log=1")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val flatFilesBefore = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$state/deletion_log"))
+      .count(_.isFile)
+    assert(flatFilesBefore > 0, "fixture lost its flat files")
+    // the NEXT ordinary takedown + compaction retires the remnants
+    val newDel = col("doc_id") < 400 && col("doc_id") % 19 === 5
+    Dedup.deleteFromDedupState(spark, state, docs.filter(newDel).select("doc_id"))
+    Dedup.compactSignatureStore(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$state/deletion_log/_SUCCESS")),
+      "stale flat root marker survived the post-seal migration crash")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/deletion_log"))
+      .count(_.isFile) === 0,
+      "flat parquet files survived — the family never became the only layout")
+    // and no takedown resurfaces: the sealed family carries BOTH sets
+    Dedup.clustersIngestBatch(docs.filter(col("doc_id") >= 400), 1, state)
+    assert(assignSet(Dedup.readClusterAssignment(spark, state))
+      === assignSet(Dedup.dupClusters(docs.filter(!legacyDel && !newDel), 0.5)),
+      "a takedown resurfaced after the flat retirement")
+  }
+
   test("a crashed drop-all re-admission (root _SUCCESS over an empty family) " +
       "reads as NO log — readers serve, ingest re-admits (r13 ADVICE, medium)") {
     val state = tmp("dedup-dropall-crash")
