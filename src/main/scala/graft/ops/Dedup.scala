@@ -1025,18 +1025,24 @@ object Dedup extends graft.QueryModule {
       minAgree: Int): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpusSigs = minhashSignatures(docs).persist(lvl)
-    val cand = bandProjection(corpusSigs).as("x")
-      .join(broadcast(bandProjection(probeSigs)).as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("probe_id"))
-      .distinct()
+    // FUSED scoring (r15, the [[bandProjectionWide]] trade): both band
+    // projections carry their signature columns, so the one broadcast
+    // band join emits the agreement directly — the old shape paid a
+    // CORPUS-sized scoring join (cand ⋈ corpusSigs) plus a second
+    // probe broadcast. Broadcast bytes are ~unchanged (one 11-long
+    // projection replaces a 3-long band table AND a 9-long sig table);
+    // the corpus-side exchange disappears entirely. `agree` is a
+    // function of the (doc, probe) pair, so distinct over the scored
+    // row is exactly the old pair-distinct.
     val agree = (0 until 8).map(j =>
-      when(col(s"s1.sig$j") === col(s"s2.sig$j"), 1).otherwise(0)).reduce(_ + _)
-    val out = cand.as("c")
-      .join(corpusSigs.as("s1"), col("c.doc_id") === col("s1.doc_id"))
-      .join(broadcast(probeSigs.as("s2")), col("c.probe_id") === col("s2.doc_id"))
-      .select(col("c.doc_id").as("doc_id"), col("c.probe_id").as("probe_id"),
-        agree.cast("long").as("agree"))
+      when(col(s"x.sig$j") === col(s"y.sig$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val out = bandProjectionWide(corpusSigs).as("x")
+      .join(broadcast(bandProjectionWide(probeSigs)).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("probe_id"),
+        agree.as("agree"))
+      .distinct()
       .filter(col("agree") >= minAgree)
       .groupBy("doc_id")
       .agg(

@@ -314,8 +314,14 @@ class PlanSpec extends AnyFunSuite {
         .localCheckpoint(true), 4)
     val p = lazyOut.queryExecution.executedPlan.toString
     sigs.unpersist(false)
-    // band join + probe-signature scoring join are both broadcasts
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // ONE fused broadcast band join carries both candidates and the
+    // agreement scoring (r15: the probe's band AND signature columns
+    // ride the same broadcast; the old corpus-sized scoring join and
+    // the second probe broadcast are gone)
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 1, p)
+    // the corpus side never shuffles for a join: every exchange left
+    // in the plan is the final aggregation's, not a join input's
+    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
