@@ -1325,10 +1325,21 @@ object Dedup extends graft.QueryModule {
     */
   def clustersFromCandidates(candidates: DataFrame): DataFrame = {
     val edges = candidates.select(col("d1").as("src"), col("d2").as("dst"))
-    Graph.connectedComponentsStar(edges)
+    // cluster_size via a map-side-combined aggregate + join-back, NOT
+    // count-over-window (r15): a window has no partial phase, so ONE
+    // boilerplate mega-cluster would land (and sort) whole in a single
+    // task — the same hot-key class exactDupMapping and
+    // expandCollapsedAssignment already avoid. The sizes side is
+    // cluster-count-sized (Catalyst may broadcast it — fine), and the
+    // assignment is checkpointed so the components fixpoint is not
+    // re-derived per join side.
+    val assign = Graph.connectedComponentsStar(edges)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .localCheckpoint(true)
+    assign
+      .join(assign.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size")
   }
 
   /** INCREMENTAL cluster maintenance — the missing half of the
