@@ -408,22 +408,27 @@ object VectorOps extends graft.QueryModule {
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // FUSED scoring (r16, the Dedup.bandProjectionWide trick — r15's
+    // verdict item #2): carry the vector through the band projection so
+    // the banded self-join emits the quantized cosine DIRECTLY, deleting
+    // the two corpus-sized scoring joins (cand ⋈ e ⋈ e) the old plan
+    // paid. wq is a pure function of (v1, v2), so distinct over
+    // (v1, v2, wq) is exactly the old pair-distinct. The band exchange
+    // widens by the 64-double vector against removing two full
+    // exchanges of the vector table plus their join barriers.
     val bands = (0 until nBands).map { b =>
       e.select(col("vec_id"), lit(b).as("band"),
-        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
+        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"),
+        col("v"))
     }.reduce(_ union _)
-    val cand = bands.as("x").join(bands.as("y"),
+    val scored = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
-    val scored = cand
-      .join(e.select(col("vec_id").as("v1"), col("v").as("va")), Seq("v1"))
-      .join(e.select(col("vec_id").as("v2"), col("v").as("vb")), Seq("v2"))
-      .select(col("v1"), col("v2"),
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         floor(greatest(
-            round(call_function("array_cosine", col("va"), col("vb")), 6),
+            round(call_function("array_cosine", col("x.v"), col("y.v")), 6),
             lit(0.0)) * lit(1e6) + lit(0.5)).cast("long").as("wq"))
+      .distinct()
     val edges = scored.select(col("v1").as("src"), col("v2").as("dst"), col("wq"))
       .union(scored.select(col("v2"), col("v1"), col("wq")))
       .localCheckpoint(true)
@@ -494,20 +499,25 @@ object VectorOps extends graft.QueryModule {
     val words = e.select(col("vec_id"),
       lshBucketCol(col("v"), nBands * pMax, dims, 0).as("w"))
       .localCheckpoint(true) // the ONE corpus-width pass
+    // ONE two-level aggregate over the union of every (setting, band)
+    // branch (r16): the per-setting map used to build |settings|
+    // separate aggregation pipelines over `words` — same rows, 2
+    // exchanges instead of 2·|settings| and one aggregation barrier
+    // instead of four (guide §2.4).
     settings.map { p =>
       val mask = (1L << p) - 1
-      val bands = (0 until nBands).map { b =>
+      (0 until nBands).map { b =>
         words.select(lit(p).as("planes_per_band"), lit(b).as("band"),
           shiftright(col("w"), b * p).bitwiseAND(lit(mask)).as("bkt"))
       }.reduce(_ union _)
-      bands.groupBy("planes_per_band", "band", "bkt")
-        .agg(count(lit(1)).as("occ"))
-        .groupBy("planes_per_band")
-        .agg(count(lit(1)).as("n_buckets"),
-          max(col("occ")).as("max_occupancy"),
-          floor(sum(col("occ") * (col("occ") - 1)) / lit(2.0)).cast("long")
-            .as("candidate_pairs"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ union _)
+      .groupBy("planes_per_band", "band", "bkt")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("planes_per_band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occupancy"),
+        floor(sum(col("occ") * (col("occ") - 1)) / lit(2.0)).cast("long")
+          .as("candidate_pairs"))
       .orderBy("planes_per_band")
   }
 
