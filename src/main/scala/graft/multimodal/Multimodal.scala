@@ -107,10 +107,24 @@ object Multimodal {
     * readers initialize per JVM (ImageIO is static), so the
     * per-partition batching amortizes exactly as the stub documents.
     */
+  /** ImageIO defaults to DISK-backed stream caches: every
+    * ImageIO.read/write/createImage*Stream call materializes a temp
+    * file, so a per-document codec pass pays one file create+delete
+    * per row — measured as the dominant cost of the round-trip queries
+    * at sf0.1 (q_multimodal_decoded was the suite's single most
+    * expensive query, and the images here are ≤ a few hundred bytes).
+    * Memory-backed streams are bit-identical; only the buffer's home
+    * changes. Per-JVM global, set executor-side at the top of every
+    * codec mapPartitions (idempotent, races harmlessly).
+    */
+  private def useMemoryImageIO(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
+      useMemoryImageIO()
       batch.map { r =>
         val parsed =
           if (r.kind != "image") None
@@ -168,6 +182,7 @@ object Multimodal {
     import spark.implicits._
     val media = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        useMemoryImageIO()
         ids.map { id =>
           val w = 3 + (id % 13).toInt
           val h = 2 + (id % 7).toInt
@@ -224,6 +239,7 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        useMemoryImageIO()
         ids.map { id =>
           val img = new java.awt.image.BufferedImage(9, 8,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -454,6 +470,7 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        useMemoryImageIO()
         val icm = grayPalette
         // one registry scan + one writer/reader per PARTITION, reused
         // (reset) across this partition's documents

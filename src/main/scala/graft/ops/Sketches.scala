@@ -65,30 +65,40 @@ object Sketches extends graft.QueryModule {
     * the sketch and a candidate set.
     */
   def heavyHitters(tokens: DataFrame, minFrac: Double = 0.02): DataFrame = {
-    // Build ONCE and checkpoint eagerly: the sketch is ≤ d·w rows but its
-    // subtree is a full corpus aggregate, and it feeds d broadcast probes
-    // below — unchecked, each probe re-executes the corpus pass. The
-    // stream length is the sum of any one hash row's counters (every
-    // token lands in exactly one bucket per row), so n_total needs no
-    // separate corpus scan either: 6 corpus passes → 2 (sketch build +
-    // candidate exact counts). Blocks are swept by the callers' existing
-    // getPersistentRDDs sweep (Bench/Verify/TimeProbe contract).
-    val sketch = countMinSketch(tokens).localCheckpoint(true)
-    val total = sketch.filter(col("r") === 0).agg(sum(col("cnt")).as("n_total"))
-    // candidate terms: the distinct-term frame (bounded by vocabulary,
-    // not stream length); each probes the broadcast sketch d times
-    var est = tokens.groupBy("term").agg(count(lit(1)).as("exact_count"))
-    for (r <- 0 until CmsDepth)
-      est = est
-        .withColumn(s"b$r", cmsBucket(col("term"), r))
-        .join(
-          broadcast(sketch.filter(col("r") === r)
-            .select(col("bucket").as(s"b$r"), col("cnt").as(s"c$r"))),
-          s"b$r")
-    est
-      .crossJoin(total)
-      .withColumn("est_count", least((0 until CmsDepth).map(r => col(s"c$r")): _*))
-      .filter(col("est_count") >= lit(minFrac) * col("n_total"))
+    // The sketch is ≤ d·w = 1024 counters at ANY corpus size — exactly
+    // the model-sized state this codebase already collects driver-side
+    // (BPE merge table, PQ codebooks). r16: collect it once and probe
+    // it as a LITERAL map instead of d broadcast joins — that deletes
+    // d broadcast builds, d join operators, and the crossJoin (the
+    // stream length is the sum of hash row 0's counters, driver
+    // arithmetic on the collected rows). Remaining plan: one corpus
+    // aggregate for the sketch, one for the candidates' exact counts,
+    // a map lookup per (term, hash row). Estimates, filter arithmetic
+    // and output are bit-identical.
+    val sk = countMinSketch(tokens).collect()
+      .map(r => (r.getAs[Int]("r").toLong * CmsWidth + r.getAs[Long]("bucket"),
+        r.getAs[Long]("cnt"))).toMap
+    val nTotal = sk.collect { case (k, v) if k < CmsWidth => v }.sum
+    // absent buckets hold count 0 (no token hashed there) — they can't
+    // win the min for any term that actually occurs, but the lookup
+    // must stay total for the literal map
+    val skMap = map(sk.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // est_count is a function of the GROUP KEY alone, so a bare filter
+    // on it would be pushed below the aggregate and re-evaluate the
+    // d md5 probes once per TOKEN instead of once per term (measured:
+    // 2.2 s → 3.3 s at sf0.1 — the guide §4.4 duplicate-evaluation
+    // trap, Column flavor). The always-true exact_count guard
+    // references the aggregate output, which pins the probe above the
+    // aggregate; the otherwise branch is unreachable (count ≥ 1).
+    tokens.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      .withColumn("est_count",
+        when(col("exact_count") >= 0, least((0 until CmsDepth).map { r =>
+          coalesce(
+            element_at(skMap, cmsBucket(col("term"), r) + lit(r.toLong * CmsWidth)),
+            lit(0L))
+        }: _*)).otherwise(lit(0L)))
+      .filter(col("est_count") >= lit(minFrac) * lit(nTotal))
       .select("term", "est_count", "exact_count")
   }
 

@@ -359,40 +359,38 @@ object TextOps extends graft.QueryModule {
     * mojibake, base64 blobs, or binary-in-text sources drift high and
     * template spam drifts low — a one-aggregate detector for whole
     * classes of ingest corruption that token-level stats can't see.
-    * Characters come from explode(sequence)+substring (engine-
-    * identical — split-on-empty-string disagrees between engines);
+    * Spark enumerates characters with one split(text, '') per doc;
+    * the DuckDB oracle keeps its generate_series+substr enumeration
+    * (string_split on '' differs there) — same char multiset,
+    * hash-gate-pinned;
     * each −p·log2(p) term quantizes to DECIMAL(28,6) BEFORE the sum
     * (the q_dataset_card lang-entropy pattern), so the hash gate
     * covers the arithmetic.
     *
-    * Two scale guards: (1) empty documents are filtered BEFORE the
-    * sequence explode — Spark's sequence(1, 0) counts DOWN (default
-    * step −1) and would emit two phantom rows per empty doc where
-    * DuckDB's generate_series(1, 0) emits none, a cross-engine hash
-    * divergence on reachable input (CorpusReader emits empty text for
-    * malformed rows); (2) the text is sliced into fixed 1 KB chunks
-    * first and characters enumerate WITHIN a chunk — UTF8String
-    * substr(i, 1) is an O(i) byte scan, so per-char substr over the
-    * whole text is O(len²) per document (invisible on short synthetic
-    * docs, ~10¹⁰ byte reads on one 100 KB web document); chunking
-    * bounds every scan at 1 KB, making the pass O(len·chunk).
-    * ScaleProbe's long-doc probe measures the contrast.
+    * Scale shape (r16): characters come from ONE split(text, "") per
+    * document — a single O(len) pass — replacing the earlier chunked
+    * per-char substr enumeration (O(len·chunk) byte scans plus a
+    * second generator level; the chunking itself existed only to bound
+    * substr's O(i) scans). Empty docs and split's trailing "" are
+    * dropped by the same <> '' filter; the char multiset is identical
+    * and the oracle (which enumerates via generate_series + substr,
+    * engine-side) pins it at every SF.
     */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val chunkLen = 1024
+    // r16: one explode of split(text, "") — one O(len) pass per doc —
+    // instead of the chunk explode + per-char substr enumeration. The
+    // substr form paid an O(chunk) byte scan PER CHARACTER (bounded by
+    // the 1 KB chunking, but still ~chunkLen× the work of a single
+    // split) plus a second generator level. split on the empty pattern
+    // yields exactly the text's characters (a trailing "" under
+    // limit=-1 is dropped by the <> "" filter that empty-doc handling
+    // needs anyway); the char multiset — and therefore every count —
+    // is identical, which the unchanged oracle pins at all SFs. The
+    // old form's empty-doc sequence(1,0) guard is moot here: split of
+    // "" gives [""], filtered.
     val chars = docs
-      .select(col("source"), col("text"))
-      .filter(length(col("text")) > 0)
-      .select(col("source"),
-        explode(sequence(lit(0),
-          ((length(col("text")) - 1) / lit(chunkLen)).cast("int"))).as("c"),
-        col("text"))
-      .select(col("source"),
-        col("text").substr(col("c") * lit(chunkLen) + 1, lit(chunkLen)).as("chunk"))
-      .select(col("source"),
-        explode(sequence(lit(1), length(col("chunk")))).as("i"), col("chunk"))
-      .select(col("source"), col("chunk").substr(col("i"), lit(1)).as("ch"))
-      .filter(col("ch") =!= " ")
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= " " && col("ch") =!= "")
     val freq = chars.groupBy("source", "ch").agg(count(lit(1)).as("cnt"))
     val tot = freq.groupBy("source").agg(sum(col("cnt")).as("n_chars"),
       count(lit(1)).as("n_distinct_chars"))
@@ -598,19 +596,35 @@ object TextOps extends graft.QueryModule {
     * Per-token −ln p quantizes to DECIMAL(28,6) before the exact
     * per-doc sum, the shared cross-engine determinism pattern.
     *
-    * Scale shape: one doc-keyed lag window builds the bigram stream;
-    * the model tables derive from the SAME stream (two grouped
+    * Scale shape: the bigram stream builds per-row from the split
+    * array (zero exchanges — [[bigramStream]]); the model tables
+    * derive from the SAME stream (two grouped
     * aggregates) and join back on their own keys — token-stream-sized
     * equi-joins on (prev, term) / (prev), the shape AQE re-plans
     * freely; only the one-row V total touches the driver. At 100 TB
     * the bigram key would be hash32'd before the shuffles.
     */
+  /** (doc_id, prev, term) — the adjacent-token bigram stream, built
+    * per-row from the split array (r16): the lag() window the old form
+    * used shuffled and sorted the whole token stream once per
+    * consumer; out-of-bounds-null get() reproduces the lag-pair
+    * multiset with zero exchanges (the [[graft.text.Shingles.shingles]]
+    * argument, n = 2 with named halves).
+    */
+  private def bigramStream(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs
+      .select(col("doc_id"), toks.as("_t"))
+      .select(col("doc_id"), explode(
+        filter(
+          transform(col("_t"), (t: Column, i: Column) =>
+            struct(t.as("prev"), get(col("_t"), i + 1).as("term"))),
+          s => s.getField("term").isNotNull)).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.term").as("term"))
+  }
+
   def bigramNll(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val big = graft.text.Shingles.tokensWithPos(docs)
-      .withColumn("prev", lag(col("term"), 1).over(w))
-      .filter(col("prev").isNotNull)
+    val big = bigramStream(docs)
     val v = TfIdf.tokens(docs).select("term").distinct().count().toDouble
     val c2 = big.groupBy("prev", "term").agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy("prev").agg(count(lit(1)).as("c1"))
@@ -639,8 +653,8 @@ object TextOps extends graft.QueryModule {
     * ("Francisco") — the distinction that makes KN the standard n-gram
     * smoother for quality filtering.
     *
-    * Scale shape: identical to [[bigramNll]] — one doc-keyed lag
-    * window builds the bigram stream, and EVERY count table (c2, then
+    * Scale shape: identical to [[bigramNll]] — the bigram stream
+    * builds per-row with zero exchanges, and EVERY count table (c2, then
     * c1/N₁₊fwd/N₁₊bwd derived from c2, types-total scalar) comes from
     * grouped aggregates of that one stream; scoring is three
     * bigram-type-keyed equi-joins back onto it. Only the one-row types
@@ -649,12 +663,7 @@ object TextOps extends graft.QueryModule {
     * determinism pattern).
     */
   def knBigramNll(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val big = graft.text.Shingles.tokensWithPos(docs)
-      .withColumn("prev", lag(col("term"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select("doc_id", "prev", "term")
+    val big = bigramStream(docs)
     val c2 = big.groupBy("prev", "term").agg(count(lit(1)).as("c2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // c1 and the left-diversity N₁₊(v,·) fall out of ONE aggregate of

@@ -29,19 +29,20 @@ class SketchesSpec extends AnyFunSuite {
   }
 
   test("heavyHitters reads the corpus once in its final plan: the sketch is a " +
-      "checkpointed ExistingRDD, not a re-executed corpus aggregate per probe join") {
+      "collected literal map, not a re-executed corpus aggregate per probe join") {
     // r5 verdict #2: the un-persisted sketch subtree used to re-run the
     // full corpus pass for each of the d probe joins PLUS a separate
-    // n_total scan (~6 passes). Now the build is one eager checkpoint
-    // (pass 1), n_total is derived from it, and the returned plan's only
-    // corpus read is the candidate exact-count aggregate (pass 2).
+    // n_total scan (~6 passes). r16: the ≤ d·w-row sketch is collected
+    // (model-sized state, the BPE-merge-table convention) and probed as
+    // a literal map, so the returned plan's ONLY corpus read is the
+    // candidate exact-count aggregate — no joins, no broadcast builds.
     val hh = Sketches.heavyHitters(tokens, 0.02)
     val plan = hh.queryExecution.executedPlan.toString
     // "Scan parquet" matches both the v1 ("FileScan parquet") and v2
     // ("BatchScan parquet") leaf renderings exactly once each
     val fileScans = "Scan parquet".r.findAllIn(plan).size
     assert(fileScans === 1, s"expected exactly 1 corpus scan, got $fileScans:\n$plan")
-    assert(plan.contains("ExistingRDD"), "sketch probes must read the checkpointed RDD")
+    assert(!plan.contains("Join"), s"sketch probes must be literal lookups, not joins:\n$plan")
   }
 
   test("bloom filter has no false negatives; false positives stay near the designed rate") {
