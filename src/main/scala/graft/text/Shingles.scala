@@ -33,43 +33,14 @@ object Shingles {
         (col("pos0") + 1).as("pos") :+ col("term"): _*)
 
   /** (doc_id, pos, span) — positioned token n-grams: the n-token span
-    * starting at token position pos. Positions are the raw 1-based
-    * split positions ([[tokensWithPos]]); with no empty tokens in the
-    * text they are dense token indexes.
-    *
-    * Built per-row from the split array (indexed transform + get() +
-    * null-propagating concat) instead of explode → window(lead): the
-    * window form shuffled AND sorted the entire corpus token stream
-    * once per call — pure overhead at any scale, and the single biggest
-    * shared exchange in the dedup/text family (optimization guide §2.4,
-    * "remove shuffles outright"). Row set is identical: the filtered
-    * token list in split order IS the window's pos-ordered term
-    * sequence, tail positions with fewer than n tokens null out via
-    * out-of-bounds get() exactly like the old lead(), and an all-empty
-    * text yields no rows (the explode-of-nothing behavior). Measured
-    * head-to-head (ShingleMicroProbe, rotating-order reps): the array
-    * form is at or below the window form locally while deleting the
-    * exchange.
+    * starting at token position pos, via lead windows (null-propagating
+    * concat, so tail positions with fewer than n tokens drop out exactly
+    * like the `||` operator in the SQL oracle). Positions are the raw
+    * 1-based split positions ([[tokensWithPos]]); with no empty tokens
+    * in the text they are dense token indexes.
     */
-  def spansWithPos(docs: DataFrame, n: Int): DataFrame = {
-    val raw = split(col("text"), " ")
-    val terms = filter(raw, t => t =!= "")
-    val poss = filter(
-      transform(raw, (t: Column, i: Column) => when(t =!= "", i + 1)),
-      p => p.isNotNull)
-    docs
-      .select(col("doc_id"), terms.as("_t"), poss.as("_p"))
-      .select(col("doc_id"), inline(
-        filter(
-          transform(col("_t"), (t: Column, i: Column) => {
-            val parts: Seq[Column] = (0 until n).flatMap { k =>
-              val tk = if (k == 0) t else get(col("_t"), i + k)
-              if (k == 0) Seq(tk) else Seq(lit(" "), tk)
-            }
-            struct(get(col("_p"), i).as("pos"), concat(parts: _*).as("span"))
-          }),
-          s => s.getField("span").isNotNull)))
-  }
+  def spansWithPos(docs: DataFrame, n: Int): DataFrame =
+    spansFromTokens(tokensWithPos(docs), n)
 
   /** [[spansWithPos]] over an already-materialized (doc_id, pos, term)
     * frame — lets a caller that needs BOTH the token stream and its
@@ -88,27 +59,10 @@ object Shingles {
   }
 
   /** (doc_id, shingle) — token n-grams ([[spansWithPos]] without the
-    * position). Skips the position bookkeeping entirely: one filtered
-    * token array per row, shingle i = concat(toks[i], toks[i+1], …) via
-    * out-of-bounds-null get() so tail positions null out exactly like
-    * the old lead() window — zero exchanges (see [[spansWithPos]]).
+    * position).
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
-    docs
-      .select(col("doc_id"), toks.as("_toks"))
-      .select(col("doc_id"), explode(
-        filter(
-          transform(col("_toks"), (t: Column, i: Column) => {
-            val parts: Seq[Column] = (0 until n).flatMap { k =>
-              val tk = if (k == 0) t else get(col("_toks"), i + k)
-              if (k == 0) Seq(tk) else Seq(lit(" "), tk)
-            }
-            concat(parts: _*)
-          }),
-          s => s.isNotNull))
-        .as("shingle"))
-  }
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    spansWithPos(docs, n).select(col("doc_id"), col("span").as("shingle"))
 
   /** SQL mirror of [[spansWithPos]] as a DuckDB CTE body over
     * `documents`: produces (doc_id, pos, span).
