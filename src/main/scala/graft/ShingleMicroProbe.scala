@@ -115,6 +115,17 @@ object ShingleMicroProbe {
           s => s.getField("span").isNotNull)))
   }
 
+  // variant D: native token_spans expression (one JVM loop per doc)
+  private def shinglesExpr(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        inline(call_function("token_spans", col("text"), lit(n))))
+      .select(col("doc_id"), col("span").as("shingle"))
+
+  private def spansExpr(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      inline(call_function("token_spans", col("text"), lit(n))))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -127,11 +138,13 @@ object ShingleMicroProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = graft.core.Tables.documents(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
 
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "window" -> (() => shinglesWindow(docs, 3)),
       "slice " -> (() => shinglesSlice(docs, 3)),
-      "get   " -> (() => shinglesGet(docs, 3)))
+      "get   " -> (() => shinglesGet(docs, 3)),
+      "expr  " -> (() => shinglesExpr(docs, 3)))
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -168,7 +181,8 @@ object ShingleMicroProbe {
     val spanVariants: Seq[(String, () => DataFrame)] = Seq(
       "swindow" -> (() => spansWindow(docs, 8)),
       "sslice " -> (() => spansSlice(docs, 8)),
-      "sget   " -> (() => spansGet(docs, 8)))
+      "sget   " -> (() => spansGet(docs, 8)),
+      "sexpr  " -> (() => spansExpr(docs, 8)))
     spanVariants.map { case (nm, f) =>
       val c = f().groupBy("doc_id", "pos", "span").count()
         .agg(count(lit(1)), sum(xxhash64(col("doc_id"), col("pos"), col("span"), col("count")).cast("decimal(38,0)"))).head

@@ -48,6 +48,30 @@ object Tables {
     events(spark, sfDir).createOrReplaceTempView("events")
   }
 
+  /** Spread a SMALL input across the session's cores before heavy
+    * per-row work (guide §2.2/§6): parquet scans parallelize at
+    * row-group granularity, so a sub-split-sized file — the whole
+    * documents table at bench SFs is one ~600 KB file — arrives as ONE
+    * task, and every downstream per-row kernel (shingle md5, vector
+    * dots, image decode) runs single-threaded until the first
+    * exchange. The pre-r16 explode→window shingle pass was fast
+    * locally for exactly this accidental reason: its window exchange
+    * re-spread the rows. This helper makes that spread deliberate and
+    * SCALE-ADAPTIVE: only a frame whose optimizer-estimated bytes are
+    * under parallelism × 4 MB (the per-core open-cost floor — i.e. a
+    * scan that cannot reach core-count parallelism on its own) is
+    * hash-repartitioned by `key`, so the added exchange is bounded by
+    * the threshold (~128 MB at 32 cores) and a production-sized scan
+    * passes through untouched with zero plan change.
+    */
+  def spreadSmall(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(p.toLong) * 4L * 1024 * 1024)
+      df.repartition(p, col(key))
+    else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

@@ -108,5 +108,23 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "hash32_buckets", exprs => Hash32Buckets(exprs(0), exprs(1)), "built-in")
     }
+    val tsId = org.apache.spark.sql.catalyst.FunctionIdentifier("token_spans")
+    if (!reg.functionExists(tsId)) {
+      reg.createOrReplaceTempFunction(
+        "token_spans", exprs => TokenSpans(exprs(0), exprs(1)), "built-in")
+    }
+    val lswId = org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_sign_word")
+    if (!reg.functionExists(lswId)) {
+      def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+        e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_sign_word expects integer literals for (nPlanes, dims, planeOffset), got $other")
+        }
+      reg.createOrReplaceTempFunction(
+        "lsh_sign_word",
+        exprs => LshSignWord(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+          intLit(exprs(3))), "built-in")
+    }
   }
 }

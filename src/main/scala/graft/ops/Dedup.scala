@@ -894,13 +894,18 @@ object Dedup extends graft.QueryModule {
     // candidates are the stage output (bounded by band collisions);
     // drop the signature cache before returning so looped callers
     // (EvalProbe, dupClusters→dedup_keep) don't accumulate it
+    // threshold filter BEFORE the pair-distinct (r16, guide §2.3): est
+    // is a pure per-row function, so filter∘distinct ≡ distinct∘filter
+    // — but filtering first keeps sub-threshold collisions out of the
+    // distinct's partial maps and exchange (most band collisions fail
+    // the ≥ τ test, so this is the join's dominant output mass)
     val out = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         estFromSides.as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
       .localCheckpoint(true)
     sigs.unpersist(false)
     if (capActive) bands.unpersist(false)
@@ -972,8 +977,8 @@ object Dedup extends graft.QueryModule {
         least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"),
         estFromSides.as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
+      .distinct()
       .localCheckpoint(true)
     newSigs.unpersist(false)
     oldSigs.unpersist(false)
@@ -1042,8 +1047,8 @@ object Dedup extends graft.QueryModule {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("probe_id"),
         agree.as("agree"))
-      .distinct()
       .filter(col("agree") >= minAgree)
+      .distinct()
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_probes_hit"),

@@ -327,19 +327,40 @@ object VectorOps extends graft.QueryModule {
       e.select(col("vec_id"), lit(b).as("band"),
         lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
     }.reduce(_ union _)
-    val cand = bands.as("x").join(bands.as("y"),
+    // Edge generation in ONE pass and ONE exchange (r16, guide §2.4):
+    // both edge directions explode inline off the banded join output
+    // (the old cand.union(cand.swap) referenced the join subplan
+    // twice), the single exchange hash-partitions by dst — the key
+    // every voting round joins on — and the pair-dedup aggregate runs
+    // ON that partitioning (dst ⊆ (src, dst), so no second exchange).
+    // A localCheckpoint preserves its child's output partitioning, so
+    // the edge table (the big side: 2 rows per candidate pair)
+    // shuffles ONCE here instead of once per round, and each round's
+    // join exchanges only the node-sized label table.
+    val edges = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
-    val edges = cand.union(cand.select(col("v2"), col("v1")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("x.vec_id").as("src"), col("y.vec_id").as("dst")),
+        struct(col("y.vec_id").as("src"), col("x.vec_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
     e.unpersist(false)
+    // seeds checkpointed ONCE (node-sized; referenced twice per round),
+    // and — r16 — NO per-round label checkpoint: each round's label
+    // frame feeds exactly one consumer (the next round; the final join
+    // reads only the last), so the rounds compose into ONE linear plan
+    // evaluated once — the per-round eager materializations were pure
+    // job overhead at a fixed small `iters` (the r16 job census billed
+    // this query 46 jobs for 65 tasks). Lineage is still truncated
+    // every 4th round so a high-iters caller keeps a bounded plan.
     val seeds = embeddings.filter(col("vec_id") % seedMod === 0)
       .select(col("vec_id"), col("label").as("plab"))
-    var labels = seeds.localCheckpoint(true)
-    for (_ <- 1 to iters) {
+      .localCheckpoint(true)
+    var labels = seeds
+    for (r <- 1 to iters) {
       val votes = edges
         .join(labels.withColumnRenamed("vec_id", "dst"), Seq("dst"))
         .groupBy(col("src"), col("plab"))
@@ -348,7 +369,8 @@ object VectorOps extends graft.QueryModule {
         .agg(min(struct((-col("nv")).as("neg"), col("plab").as("lab"))).as("top"))
         .select(col("src").as("vec_id"), col("top.lab").as("plab"))
         .join(seeds.select("vec_id"), Seq("vec_id"), "left_anti")
-      labels = seeds.union(inferred).localCheckpoint(true)
+      labels = seeds.union(inferred)
+      if (r % 4 == 0 && r < iters) labels = labels.localCheckpoint(true)
     }
     embeddings.select(col("vec_id"), col("label"))
       .join(labels, Seq("vec_id"), "left")
@@ -421,16 +443,23 @@ object VectorOps extends graft.QueryModule {
         lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"),
         col("v"))
     }.reduce(_ union _)
-    val scored = bands.as("x").join(bands.as("y"),
+    // one banded-join pass, both edge directions exploded inline, ONE
+    // dst-keyed exchange with the pair-dedup riding it (see
+    // [[labelPropagation]] — wq is a pure function of the pair, so
+    // dedup on (src, dst) keeps exactly the old (v1, v2, wq) distinct)
+    val edges = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         floor(greatest(
             round(call_function("array_cosine", col("x.v"), col("y.v")), 6),
             lit(0.0)) * lit(1e6) + lit(0.5)).cast("long").as("wq"))
-      .distinct()
-    val edges = scored.select(col("v1").as("src"), col("v2").as("dst"), col("wq"))
-      .union(scored.select(col("v2"), col("v1"), col("wq")))
+      .select(explode(array(
+        struct(col("v1").as("src"), col("v2").as("dst"), col("wq")),
+        struct(col("v2").as("src"), col("v1").as("dst"), col("wq")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.wq").as("wq"))
+      .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true)
     e.unpersist(false)
     val seeds = embeddings.filter(col("vec_id") % seedMod === 0)
@@ -440,20 +469,30 @@ object VectorOps extends graft.QueryModule {
     for (_ <- 1 to iters)
       rounds = rounds :+
         propagateWeightedRound(edges, rounds.last, seeds).localCheckpoint(true)
-    val joined = rounds.zipWithIndex.foldLeft(
-        embeddings.select(col("vec_id"), col("label"))) { case (acc, (l, r)) =>
-      acc.join(l.withColumnRenamed("plab", s"plab_$r"), Seq("vec_id"), "left")
-    }
+    // last_changed_round via ONE union + per-node map aggregate instead
+    // of iters+1 shuffled left joins (r16, guide §2.4): every round's
+    // node-sized label frame unions with its round index, one keyed
+    // aggregate folds them into a round→label map per node, and the
+    // change detection reads the map with try_element_at (absent round
+    // ≡ the old null join miss). One exchange replaces iters+1.
+    val hist = rounds.zipWithIndex.map { case (l, r) =>
+      l.select(col("vec_id"), lit(r).as("r"), col("plab"))
+    }.reduce(_ unionByName _)
+    val agg = hist.groupBy("vec_id")
+      .agg(map_from_entries(collect_list(struct(col("r"), col("plab")))).as("m"))
+    def plabAt(r: Int): Column =
+      coalesce(try_element_at(col("m"), lit(r)), lit(-999))
     val lastChanged = (1 to iters).foldLeft(lit(0)) { (acc, r) =>
-      when(coalesce(col(s"plab_$r"), lit(-999)) =!=
-        coalesce(col(s"plab_${r - 1}"), lit(-999)), lit(r)).otherwise(acc)
+      when(plabAt(r) =!= plabAt(r - 1), lit(r)).otherwise(acc)
     }
-    joined.select(col("vec_id"), col("label"),
-      (col("vec_id") % seedMod === 0).cast("int").as("is_seed"),
-      coalesce(col(s"plab_$iters"), lit(-1)).as("propagated"),
-      (coalesce(col(s"plab_$iters"), lit(-1)) === col("label")).cast("int")
-        .as("correct"),
-      lastChanged.as("last_changed_round"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        (col("vec_id") % seedMod === 0).cast("int").as("is_seed"),
+        coalesce(try_element_at(col("m"), lit(iters)), lit(-1)).as("propagated"),
+        (coalesce(try_element_at(col("m"), lit(iters)), lit(-1)) === col("label"))
+          .cast("int").as("correct"),
+        lastChanged.as("last_changed_round"))
   }
 
   /** LSH bucket-occupancy pre-flight — the q_selfjoin_cost convention
@@ -668,13 +707,8 @@ object VectorOps extends graft.QueryModule {
     * exactly, and strtod parses correctly rounded, so both engines see
     * bit-identical weights).
     */
-  private[ops] def lshPlaneWeight(plane: Int, dim: Int): Double = {
-    var z = (plane.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
+  private[ops] def lshPlaneWeight(plane: Int, dim: Int): Double =
+    graft.functions.LshSignWord.planeWeight(plane, dim)
 
   /** Sign-bit bucket word for vector column `v` over planes
     * [planeOffset, planeOffset + nPlanes): per plane, a left-folded
@@ -682,15 +716,21 @@ object VectorOps extends graft.QueryModule {
     * and therefore the bucket — is bit-identical to the SQL oracle's.
     * `planeOffset` selects an independent plane set per LSH band.
     * Shared by [[lshSearch]] and [[Dedup.embeddingNearDupLsh]].
+    *
+    * Native since r16 ([[graft.functions.LshSignWord]]): the
+    * compositional form was nPlanes × dims element_at·weight nodes —
+    * 2048 per 32-plane word — which Catalyst re-optimized on every
+    * execution; the r16 job census put q_lsh_occupancy at 0.9 s of
+    * task time inside a multi-second wall, all driver-side tree work.
+    * Same weights, same fold order, same null/ANSI semantics, so every
+    * bucket (and every declared hash) is unchanged.
     */
   private[graft] def lshBucketCol(v: Column, nPlanes: Int = 8, dims: Int = 64,
-      planeOffset: Int = 0): Column =
-    (0 until nPlanes).map { p =>
-      val dot = (0 until dims)
-        .map(i => element_at(v, i + 1) * lit(lshPlaneWeight(planeOffset + p, i)))
-        .reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+      planeOffset: Int = 0): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("lsh_sign_word", v, lit(nPlanes), lit(dims), lit(planeOffset))
+  }
 
   def lshSearch(embeddings: DataFrame, queryPred: Column,
       nPlanes: Int = 8, dims: Int = 64, k: Int = 5): DataFrame = {

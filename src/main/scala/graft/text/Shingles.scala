@@ -33,14 +33,34 @@ object Shingles {
         (col("pos0") + 1).as("pos") :+ col("term"): _*)
 
   /** (doc_id, pos, span) — positioned token n-grams: the n-token span
-    * starting at token position pos, via lead windows (null-propagating
-    * concat, so tail positions with fewer than n tokens drop out exactly
-    * like the `||` operator in the SQL oracle). Positions are the raw
-    * 1-based split positions ([[tokensWithPos]]); with no empty tokens
-    * in the text they are dense token indexes.
+    * starting at token position pos. Positions are the raw 1-based
+    * split positions ([[tokensWithPos]]); with no empty tokens in the
+    * text they are dense token indexes.
+    *
+    * Built by the native [[graft.functions.TokenSpans]] kernel — one
+    * tight JVM loop per document — instead of explode → doc-partitioned
+    * lead() window: the window form shuffled AND sorted the entire
+    * corpus token stream once per call (the single biggest shared
+    * exchange in the dedup/text family; optimization guide §2.4), and
+    * the higher-order-function rewrite that first removed it ran
+    * interpreted per element and measured 38% slower than the window
+    * on the r16 10-query A/B. The kernel removes the exchange AND the
+    * interpreter: ShingleMicroProbe (same JVM, rotated order) measures
+    * it at 0.11 s vs the window's 0.60 s on the 8-token span stream,
+    * and the (pos, span) multiset is bit-identical to both prior forms
+    * (probe sanity hashes; 205/205 oracle green).
     */
-  def spansWithPos(docs: DataFrame, n: Int): DataFrame =
-    spansFromTokens(tokensWithPos(docs), n)
+  def spansWithPos(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // spreadSmall: a bench-sized corpus scans as ONE task (row-group
+    // granularity), so without the window's accidental exchange every
+    // span/md5 would run single-threaded — spread the doc rows (cheap,
+    // pre-explode) when and only when the scan is too small to
+    // parallelize itself; production-sized scans pass through unchanged
+    graft.core.Tables.spreadSmall(docs, "doc_id")
+      .select(col("doc_id"),
+        inline(call_function("token_spans", col("text"), lit(n))))
+  }
 
   /** [[spansWithPos]] over an already-materialized (doc_id, pos, term)
     * frame — lets a caller that needs BOTH the token stream and its
@@ -59,7 +79,7 @@ object Shingles {
   }
 
   /** (doc_id, shingle) — token n-grams ([[spansWithPos]] without the
-    * position).
+    * position; same native kernel, zero exchanges).
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     spansWithPos(docs, n).select(col("doc_id"), col("span").as("shingle"))
