@@ -24,7 +24,12 @@ import graft.core.Tables
 object VectorOps extends graft.QueryModule {
 
   private def castVec(df: DataFrame, name: String): DataFrame =
-    df.select(col("vec_id").as(name), col("embedding").cast("array<double>").as(s"${name}_v"))
+    // spreadSmall (r16, guide §2.2/§6): the embeddings parquet at
+    // bench SFs is one sub-split file = ONE scan task, so every
+    // per-row vector kernel downstream (projections, PQ encode, ADC)
+    // would run single-threaded until the first exchange
+    graft.core.Tables.spreadSmall(df, "vec_id")
+      .select(col("vec_id").as(name), col("embedding").cast("array<double>").as(s"${name}_v"))
 
   /** Cosine via the native fused expression [[graft.functions.ArrayCosine]]
     * (single codegen'd loop — no intermediate zipped/squared arrays, same

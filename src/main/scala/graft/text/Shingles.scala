@@ -25,7 +25,13 @@ object Shingles {
     */
   def tokensWithPos(docs: DataFrame, docId: String = "doc_id", text: String = "text",
       carry: Seq[String] = Nil): DataFrame =
-    docs
+    // spreadSmall (r16, guide §2.2/§6): a bench-sized corpus scans as
+    // ONE task, so the per-token work consumers put on this stream
+    // (md5 bucket hashing in the classifiers, BPE symbol folds) would
+    // run single-threaded until the first exchange; spread the doc
+    // rows pre-explode when and only when the scan cannot reach
+    // core-count parallelism itself
+    graft.core.Tables.spreadSmall(docs, docId)
       .select(col(docId).as("doc_id") +: carry.map(col) :+
         posexplode(split(col(text), " ")).as(Seq("pos0", "term")): _*)
       .filter(col("term") =!= "")
