@@ -113,6 +113,26 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "token_spans", exprs => TokenSpans(exprs(0), exprs(1)), "built-in")
     }
+    val tpId = org.apache.spark.sql.catalyst.FunctionIdentifier("token_pairs")
+    if (!reg.functionExists(tpId)) {
+      reg.createOrReplaceTempFunction(
+        "token_pairs", exprs => TokenPairs(exprs(0)), "built-in")
+    }
+    val bfId = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_merge_fold_all")
+    if (!reg.functionExists(bfId)) {
+      reg.createOrReplaceTempFunction(
+        "bpe_merge_fold_all", exprs => BpeMergeFoldAll(exprs(0), exprs(1)), "built-in")
+    }
+    val bwId = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_encode_word")
+    if (!reg.functionExists(bwId)) {
+      reg.createOrReplaceTempFunction(
+        "bpe_encode_word", exprs => BpeEncodeWord(exprs(0), exprs(1)), "built-in")
+    }
+    val apId = org.apache.spark.sql.catalyst.FunctionIdentifier("array_adj_pairs")
+    if (!reg.functionExists(apId)) {
+      reg.createOrReplaceTempFunction(
+        "array_adj_pairs", exprs => ArrayAdjPairs(exprs(0)), "built-in")
+    }
     val lswId = org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_sign_word")
     if (!reg.functionExists(lswId)) {
       def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

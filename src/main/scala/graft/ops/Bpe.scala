@@ -78,11 +78,16 @@ object Bpe extends graft.QueryModule {
     * is not known at plan-build time (see
     * [[graft.streaming.DocStream.tokenizeOnIngest]]).
     */
-  private[graft] def mergeFoldDyn(syms: Column, lft: Column, rgt: Column): Column =
-    aggregate(syms, typedLit(Seq.empty[String]), (acc, s) =>
-      when(size(acc) > 0 && element_at(acc, size(acc)) === lft && s === rgt,
-        concat(slice(acc, lit(1), size(acc) - 1), array(concat(lft, rgt))))
-        .otherwise(concat(acc, array(s))))
+  private[graft] def mergeFoldDyn(syms: Column, lft: Column, rgt: Column): Column = {
+    // native kernel (r17, guide §4 / the TokenSpans precedent): the
+    // HOF `aggregate` fold ran through the lambda interpreter per
+    // element and built one intermediate accumulator array per symbol;
+    // the kernel is one JVM loop with identical greedy semantics
+    // (BpeFold.foldOnce — null sides never compare equal, plain append)
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    call_function("bpe_merge_fold_all", syms,
+      array(struct(lft.as("lft"), rgt.as("rgt"))))
+  }
 
   /** The trained tokenizer packed for SERVING: one row whose `merges`
     * column is the step-ordered array of (lft, rgt) rules — the same
@@ -113,7 +118,12 @@ object Bpe extends graft.QueryModule {
     * the model) and the final word→symbols DataFrame for encoding.
     */
   private[graft] def train(docs: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
-    var syms = symbolTable(docs).localCheckpoint(true)
+    // LAZY checkpoints (r17, guide §2.4 job-count): each step's argmax
+    // action materializes the previous step's fold inside its OWN job,
+    // so the loop runs k jobs instead of 2k — same lineage truncation,
+    // same results, half the per-step scheduling overhead that
+    // dominates a vocab-sized table at any core count.
+    var syms = symbolTable(docs).localCheckpoint(false)
     val merges = Seq.newBuilder[Merge]
     for (step <- 1 to k) {
       val top = syms
@@ -126,17 +136,20 @@ object Bpe extends graft.QueryModule {
       require(top.nonEmpty, s"corpus ran out of symbol pairs before merge $step of $k")
       val (lft, rgt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += Merge(step, lft, rgt, lft + rgt, c)
-      syms = syms.withColumn("syms", mergeFold(col("syms"), lft, rgt)).localCheckpoint(true)
+      syms = syms.withColumn("syms", mergeFold(col("syms"), lft, rgt)).localCheckpoint(false)
     }
     (merges.result(), syms)
   }
 
   /** Adjacent symbol pairs of a symbol array as (lft, rgt) structs. */
   private def adjPairs(syms: Column): Column =
-    zip_with(
-      slice(syms, lit(1), size(syms) - 1),
-      slice(syms, lit(2), size(syms) - 1),
-      (l, r) => struct(l.as("lft"), r.as("rgt")))
+    {
+      // native kernel (r17): the zip_with(slice, slice) chain built two
+      // intermediate arrays per word per round through the lambda
+      // interpreter; one JVM loop, identical (lft, rgt) pairs
+      graft.functions.GraftFunctions.register(SparkSession.active)
+      call_function("array_adj_pairs", syms)
+    }
 
   /** [[train]]'s production-shaped sibling: the INCREMENTAL pair-count
     * trainer — spec-pinned to produce the identical merge sequence
@@ -376,12 +389,23 @@ object Bpe extends graft.QueryModule {
     * cross-corpus apply.
     */
   def bpeEncodeWith(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val finalSyms = merges.sortBy(_.step).grouped(16)
-      .foldLeft(symbolTable(docs)) { (df, grp) =>
-        grp.foldLeft(df)((d, mg) =>
-          d.withColumn("syms", mergeFold(col("syms"), mg.lft, mg.rgt)))
-          .localCheckpoint(true)
-      }
+    // ONE native kernel call per distinct word (r17, guide §4): char
+    // split + every merge rule applied in step order inside a single
+    // JVM loop ([[graft.functions.BpeEncodeWord]]) — replaces k
+    // chained interpreted `aggregate` folds plus the every-16-merges
+    // lineage checkpoint the old expression-depth growth forced
+    // (expression depth is now constant in k). Identical greedy
+    // semantics rule for rule, so the encode output is bit-identical
+    // (BpeSpec pins self-application == bpeEncode on top of the
+    // oracle hash).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ordered = merges.sortBy(_.step)
+    if (ordered.isEmpty) return encodeFrom(docs, symbolTable(docs))
+    val rules = array(ordered.map(m =>
+      struct(lit(m.lft).as("lft"), lit(m.rgt).as("rgt"))): _*)
+    val finalSyms = Shingles.tokensWithPos(docs)
+      .groupBy(col("term").as("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", call_function("bpe_encode_word", col("word"), rules))
     encodeFrom(docs, finalSyms)
   }
 

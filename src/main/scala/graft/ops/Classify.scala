@@ -68,7 +68,15 @@ object Classify extends graft.QueryModule {
     * machinery it curates.
     */
   private def bucketedTokens(docs: DataFrame): DataFrame =
-    Shingles.tokensWithPos(docs, carry = Seq("source"))
+    // spreadSmall on the DOC rows (r17, guide §2.2): the per-token md5
+    // bucketing below is heavy pre-exchange work, and a bench-sized
+    // corpus scans as one task — spread before the explode so the
+    // kernel parallelizes; production-sized scans pass through
+    // unchanged. Applied HERE, not in tokensWithPos, because most
+    // token-stream consumers are exchange-bound, not kernel-bound
+    // (the r16 blanket spread regressed the BPE family 25%).
+    Shingles.tokensWithPos(graft.core.Tables.spreadSmall(docs, "doc_id"),
+        carry = Seq("source"))
       .select(col("doc_id"), col("source"),
         (Shingles.hash32(col("term")) % B).as("bucket"))
 

@@ -1125,7 +1125,13 @@ object Dedup extends graft.QueryModule {
     * shuffle (elided so the oracle stays string-exact).
     */
   def intraDocDedup(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tok = graft.text.Shingles.tokensWithPos(docs)
+    // spreadSmall on the doc rows (r17, guide §2.2): the persisted
+    // token stream feeds the span window, the repeat explode and the
+    // per-doc aggregates — with a one-task scan ALL of that heavy
+    // work runs single-threaded off one cached partition (measured 4×
+    // slower); production-sized scans pass through unchanged
+    val tok = graft.text.Shingles.tokensWithPos(
+        graft.core.Tables.spreadSmall(docs, "doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sp = graft.text.Shingles.spansFromTokens(tok, k)
     // first-occurrence detection as a whole-partition window min on
@@ -2911,8 +2917,12 @@ object Dedup extends graft.QueryModule {
     require(kmax > 0, s"kmax must be positive, got $kmax")
     val wPrev = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // boundary indicator per token; chunk id = boundaries strictly before
-    val toks = Shingles.tokensWithPos(docs)
+    // boundary indicator per token; chunk id = boundaries strictly
+    // before. spreadSmall (r17, guide §2.2): the per-token md5
+    // boundary hash below is heavy pre-exchange work on a one-task
+    // bench-sized scan; production-sized scans pass through unchanged
+    val toks = Shingles.tokensWithPos(
+        graft.core.Tables.spreadSmall(docs, "doc_id"))
       .withColumn("b",
         when(Shingles.hash32(concat(lit("cdc:"), col("term"))) % mod === 0
           || col("pos") % kmax === 0, 1L)

@@ -605,22 +605,22 @@ object TextOps extends graft.QueryModule {
     * the bigram key would be hash32'd before the shuffles.
     */
   /** (doc_id, prev, term) — the adjacent-token bigram stream, built
-    * per-row from the split array (r16): the lag() window the old form
-    * used shuffled and sorted the whole token stream once per
-    * consumer; out-of-bounds-null get() reproduces the lag-pair
-    * multiset with zero exchanges (the [[graft.text.Shingles.shingles]]
-    * argument, n = 2 with named halves).
+    * per-row by the native [[graft.functions.TokenPairs]] kernel (r17):
+    * the lag() window the original form used shuffled and sorted the
+    * whole token stream once per consumer; the r16 HOF rewrite
+    * (indexed transform + get) removed the exchange but ran through
+    * the lambda interpreter per element and roughly cancelled the win
+    * (q_bigram_nll 0.92×). The kernel keeps zero exchanges AND enters
+    * whole-stage codegen — one tight JVM loop per document (the
+    * [[graft.functions.TokenSpans]] precedent, n = 2 with struct
+    * halves). spreadSmall parallelizes the per-doc kernel when the
+    * corpus scans as one task; production scans pass through.
     */
   private def bigramStream(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
-    docs
-      .select(col("doc_id"), toks.as("_t"))
-      .select(col("doc_id"), explode(
-        filter(
-          transform(col("_t"), (t: Column, i: Column) =>
-            struct(t.as("prev"), get(col("_t"), i + 1).as("term"))),
-          s => s.getField("term").isNotNull)).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.term").as("term"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.core.Tables.spreadSmall(docs, "doc_id")
+      .select(col("doc_id"),
+        inline(call_function("token_pairs", col("text"))))
   }
 
   def bigramNll(docs: DataFrame): DataFrame = {

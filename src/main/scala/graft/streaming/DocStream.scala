@@ -243,14 +243,17 @@ object DocStream {
     * batch query, whose vocab join never sees it.
     */
   def tokenizeOnIngest(docs: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = tokensCol
     docs.crossJoin(broadcast(model))
       .withColumn("toks", toks)
+      // per token, ONE native kernel call (r17,
+      // [[graft.functions.BpeEncodeWord]]): char split + the whole
+      // broadcast rule array folded in step order inside a single JVM
+      // loop — replaces the aggregate-of-aggregate HOF chain that ran
+      // the lambda interpreter per rule per symbol per token
       .withColumn("subs", transform(col("toks"), t =>
-        aggregate(col("merges"),
-          transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))),
-          (syms, mg) =>
-            graft.ops.Bpe.mergeFoldDyn(syms, mg.getField("lft"), mg.getField("rgt")))))
+        call_function("bpe_encode_word", t, col("merges"))))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("subs"), lit(0L), (a, s) => a + size(s).cast("long"))

@@ -25,13 +25,15 @@ object Shingles {
     */
   def tokensWithPos(docs: DataFrame, docId: String = "doc_id", text: String = "text",
       carry: Seq[String] = Nil): DataFrame =
-    // spreadSmall (r16, guide §2.2/§6): a bench-sized corpus scans as
-    // ONE task, so the per-token work consumers put on this stream
-    // (md5 bucket hashing in the classifiers, BPE symbol folds) would
-    // run single-threaded until the first exchange; spread the doc
-    // rows pre-explode when and only when the scan cannot reach
-    // core-count parallelism itself
-    graft.core.Tables.spreadSmall(docs, docId)
+    // No spreadSmall here (r17, guide §2.4): most consumers of this
+    // stream do CHEAP per-row work (per-doc counts, groupBy term) and
+    // hit their own exchange immediately, so the r16 blanket spread
+    // added a pure-overhead exchange per consumer — the bench's own
+    // regression check flagged the BPE family (−25%) and
+    // q_source_quantiles (−60%). Consumers with heavy pre-exchange
+    // per-row kernels (the classifiers' per-token md5 bucketing)
+    // spread the DOC rows at their own call site instead.
+    docs
       .select(col(docId).as("doc_id") +: carry.map(col) :+
         posexplode(split(col(text), " ")).as(Seq("pos0", "term")): _*)
       .filter(col("term") =!= "")
