@@ -72,6 +72,23 @@ object Tables {
     else df
   }
 
+  /** Coalesce a SMALL frame to one output partition before a write
+    * (guide §6: aim for 128 MB – 1 GB output files, never one
+    * near-empty file per shuffle partition): when the optimizer's
+    * size estimate fits inside one target output file
+    * (`spark.sql.files.maxPartitionBytes`), narrow to a single
+    * partition — one write task, one file, and every later read of
+    * the directory lists ONE file instead of `shuffle.partitions`
+    * stubs. Production-sized frames pass through unchanged, as does a
+    * frame with unknown stats (the Long.Max default estimate never
+    * shrinks). The write-side mirror of [[spreadSmall]].
+    */
+  def shrinkSmall(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= BigInt(target)) df.coalesce(1) else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

@@ -525,7 +525,8 @@ object Dedup extends graft.QueryModule {
         entries.collect { case (a, false) => a }.foreach(a =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$parkRoot/del=$a"), true))
         val parked = entries.collect { case (a, true) => a }
-        t.write.parquet(s"$parkRoot/del=${(0L +: parked).max + 1}")
+        graft.core.Tables.shrinkSmall(t)
+          .write.parquet(s"$parkRoot/del=${(0L +: parked).max + 1}")
       case None =>
         // no takedown anywhere — a park root here can only hold crashed
         // unsealed writes; sweep it whole
@@ -619,7 +620,8 @@ object Dedup extends graft.QueryModule {
         .sealedFamilyDirs(fsFor(spark, dir), root, "del").map(_._1)
       val next = (0L +: existing).max + 1
       try {
-        ids.write.mode("errorifexists").parquet(s"$root/del=$next")
+        graft.core.Tables.shrinkSmall(ids)
+          .write.mode("errorifexists").parquet(s"$root/del=$next")
         landed = true
       } catch {
         case e: org.apache.spark.sql.AnalysisException =>
@@ -682,14 +684,12 @@ object Dedup extends graft.QueryModule {
     * dedup run needs anyway, plus two keyed aggregates over the
     * 4-rows-per-doc band projection.
     */
-  def minhashOccupancy(docs: DataFrame): DataFrame = {
-    // persisted: bandProjection is a 4-way union over the signature
-    // table — unpersisted, the corpus-wide sketch pipeline would run
-    // once per band branch (the candidatesFromSignatures convention);
-    // the 4-row result is checkpointed so the cache can drop eagerly
-    val sigs = minhashSignatures(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = bandProjection(sigs)
+  def minhashOccupancy(docs: DataFrame): DataFrame =
+    // no persist (r17): bandProjection is ONE generate over the
+    // signature table now, so this is a single linear pipeline — the
+    // cache write (and the 4 union branches racing to materialize it)
+    // is gone with the union
+    bandProjection(minhashSignatures(docs))
       .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
@@ -698,9 +698,6 @@ object Dedup extends graft.QueryModule {
           .as("candidate_pairs"))
       .orderBy("band")
       .localCheckpoint(true)
-    sigs.unpersist(false)
-    out
-  }
 
   /** Drop rows whose bucket key holds more than `maxOccupancy` rows —
     * the shared LSH bucket-size ceiling (r13 verdict #1) behind
@@ -742,10 +739,10 @@ object Dedup extends graft.QueryModule {
     */
   def capReportFromSignatures(sigs0: DataFrame,
       maxOccupancy: Long): DataFrame = {
-    val sigs = sigs0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no persist (r17): one generate, one linear pipeline — see
+    // [[minhashOccupancy]]
     val over = col("occ") > maxOccupancy
-    val out = bandProjection(sigs)
+    bandProjection(sigs0)
       .groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       .groupBy("band").agg(
         sum(when(over, 1L).otherwise(0L)).cast("long").as("buckets_over"),
@@ -755,8 +752,6 @@ object Dedup extends graft.QueryModule {
           / lit(2.0)).cast("long").as("pairs_dropped"))
       .orderBy("band")
       .localCheckpoint(true)
-    sigs.unpersist(false)
-    out
   }
 
   /** Cross-modal duplicate candidates (r9 verdict #5): doc pairs where
@@ -813,11 +808,17 @@ object Dedup extends graft.QueryModule {
     * (doc_id, band, bkey), NBANDS rows per doc.
     */
   private def bandProjection(sigs: DataFrame): DataFrame =
-    (0 until NBANDS).map { bnd =>
-      sigs.select(
-        col("doc_id"), lit(bnd).as("band"),
-        (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey"))
-    }.reduce(_ union _)
+    // ONE generate instead of an NBANDS-way union (r17, guide §2.4):
+    // the union form scanned its input once per band branch — against
+    // a persisted-but-unmaterialized signature cache the branches race
+    // and each recomputes the sketch reduce (the 128-task stage that
+    // dominated q_minhash_occupancy / q_minhash_cap_report's census).
+    // posexplode emits the identical (band, bkey) rows — pos IS the
+    // 0-based band index — from a single pass.
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until NBANDS).map(bnd =>
+        col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")): _*))
+        .as(Seq("band", "bkey")))
 
   /** [[bandProjection]] carrying the full signature row (doc_id, band,
     * bkey, sig0..7) — the fused-scoring shape (r15): when the banded
@@ -832,12 +833,15 @@ object Dedup extends graft.QueryModule {
     * a pass (the q_pq_rerank stage-count lesson).
     */
   private def bandProjectionWide(sigs: DataFrame): DataFrame =
-    (0 until NBANDS).map { bnd =>
-      sigs.select(
-        col("doc_id") +: lit(bnd).as("band") +:
-          (col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")).as("bkey") +:
-          (0 until 8).map(j => col(s"sig$j")): _*)
-    }.reduce(_ union _)
+    // same single-generate shape as [[bandProjection]] (r17, §2.4) —
+    // one pass over the signature table instead of NBANDS union
+    // branches, carrying the 8 sig columns through for fused scoring
+    sigs.select(
+      col("doc_id") +:
+        posexplode(array((0 until NBANDS).map(bnd =>
+          col(s"sig${2 * bnd}") * lit(P) + col(s"sig${2 * bnd + 1}")): _*))
+          .as(Seq("band", "bkey")) +:
+        (0 until 8).map(j => col(s"sig$j")): _*)
 
   /** Signature-agreement estimate between the `x`/`y` sides of a wide
     * band self-join: (matching sigs)/8 as double.
@@ -1598,8 +1602,14 @@ object Dedup extends graft.QueryModule {
     // assignment first, then signatures: a crash between the writes
     // replays the whole batch, and sigs-written-last means a prior
     // crash can't leave this id visible as "previous state" to itself
-    out.write.mode("overwrite").parquet(s"$assignRoot/ingest_batch=$id")
-    newSigs.write.mode("overwrite").parquet(s"$sigsRoot/ingest_batch=$id")
+    // shrinkSmall (r17, guide §6): a batch's snapshot/signature
+    // partitions land in size-appropriate files — every lifecycle op
+    // (heal, compaction, probe, serve) re-reads these dirs, so stub
+    // files written here tax the whole state's lifetime
+    graft.core.Tables.shrinkSmall(out)
+      .write.mode("overwrite").parquet(s"$assignRoot/ingest_batch=$id")
+    graft.core.Tables.shrinkSmall(newSigs)
+      .write.mode("overwrite").parquet(s"$sigsRoot/ingest_batch=$id")
     // prune assignment SNAPSHOTS older than the previous version —
     // replay of id only ever reads prev.max, so {id, prev.max} is the
     // full recovery set; without pruning the state dir would grow
@@ -2083,7 +2093,7 @@ object Dedup extends graft.QueryModule {
         // defragments the family for free)
         graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
           tmp =>
-            remaining.write.parquet(s"$tmp/log=1")
+            graft.core.Tables.shrinkSmall(remaining).write.parquet(s"$tmp/log=1")
             graft.core.Artifacts.writeSmallFile(fs, s"$tmp/_SUCCESS", "")
         }
     }
@@ -2101,7 +2111,7 @@ object Dedup extends graft.QueryModule {
       .localCheckpoint(true)
     graft.core.Artifacts.rewriteDirInPlace(fs, stateDir, "deletion_log") {
       tmp =>
-        all.write.parquet(s"$tmp/log=1")
+        graft.core.Tables.shrinkSmall(all).write.parquet(s"$tmp/log=1")
         graft.core.Artifacts.writeSmallFile(fs, s"$tmp/_SUCCESS", "")
     }
   }
@@ -2221,7 +2231,10 @@ object Dedup extends graft.QueryModule {
       val existing = graft.core.Artifacts
         .sealedFamilyDirs(fsFor(spark, stateDir), root, "del").map(_._1)
       val next = if (existing.isEmpty) 1L else existing.max + 1
-      docIds.select("doc_id").distinct()
+      // shrinkSmall (r17, guide §6): a takedown-sized tombstone set
+      // otherwise lands as one near-empty file per shuffle partition,
+      // and every later tombstone read lists them all
+      graft.core.Tables.shrinkSmall(docIds.select("doc_id").distinct())
         .write.mode("overwrite").parquet(s"$root/del=$next")
       healAssignmentsImpl(spark, stateDir, minEstJaccard, broadcastRowBudget)
     }
@@ -2346,8 +2359,13 @@ object Dedup extends graft.QueryModule {
           // plan reads from (the write itself would otherwise race its
           // own input's rename)
           .localCheckpoint(true)
+        // shrinkSmall (r17, guide §6): the healed snapshot re-lands in
+        // size-appropriate files instead of one stub per union
+        // partition (checkpointed frames carry their origin stats, so
+        // the gate stays scale-adaptive)
         graft.core.Artifacts.rewriteDirInPlace(fs, assignRoot,
-          s"ingest_batch=$id") { tmp => healed.write.parquet(tmp) }
+          s"ingest_batch=$id") { tmp =>
+          graft.core.Tables.shrinkSmall(healed).write.parquet(tmp) }
       }
     }
     require(blocked.isEmpty,
@@ -2732,11 +2750,15 @@ object Dedup extends graft.QueryModule {
     val capActive = maxOccupancy != Long.MaxValue
     val bands = {
       val b = cappedBuckets(
-        (0 until nBands).map { bd =>
-          e.select(
-            col("vec_id"), lit(bd).as("band"),
-            VectorOps.lshBucketCol(col("v"), planesPerBand, dims, bd * planesPerBand).as("bkt"))
-        }.reduce(_ union _),
+        // ONE generate instead of an nBands-way union (r17, §2.4 — the
+        // Dedup.bandProjection shape): pos IS the band index; the JIT
+        // concern that kept the branches separate predates the native
+        // lsh_sign_word kernel (one expression node per call)
+        e.select(
+          col("vec_id"),
+          posexplode(array((0 until nBands).map(bd =>
+            VectorOps.lshBucketCol(col("v"), planesPerBand, dims,
+              bd * planesPerBand)): _*)).as(Seq("band", "bkt"))),
         Seq("band", "bkt"), maxOccupancy)
       if (capActive)
         b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -326,12 +326,15 @@ object VectorOps extends graft.QueryModule {
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-band projections kept as separate union branches — the fused
-    // single-method form defeats JIT (PERF.md round-4 LSH notes)
-    val bands = (0 until nBands).map { b =>
-      e.select(col("vec_id"), lit(b).as("band"),
-        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"))
-    }.reduce(_ union _)
+    // ONE generate instead of an nBands-way union (r17, §2.4 — the
+    // Dedup.bandProjection shape): the union branches each re-scanned
+    // the persisted vector cache (racing its materialization); pos IS
+    // the band index. The round-4 JIT concern that kept the branches
+    // separate predates the native lsh_sign_word kernel.
+    val bands = e.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand)): _*))
+        .as(Seq("band", "bkt")))
     // Edge generation in ONE pass and ONE exchange (r16, guide §2.4):
     // both edge directions explode inline off the banded join output
     // (the old cand.union(cand.swap) referenced the join subplan
@@ -443,11 +446,13 @@ object VectorOps extends graft.QueryModule {
     // (v1, v2, wq) is exactly the old pair-distinct. The band exchange
     // widens by the 64-double vector against removing two full
     // exchanges of the vector table plus their join barriers.
-    val bands = (0 until nBands).map { b =>
-      e.select(col("vec_id"), lit(b).as("band"),
-        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand).as("bkt"),
-        col("v"))
-    }.reduce(_ union _)
+    // ONE generate instead of an nBands-way union (r17, §2.4), vector
+    // carried through for the fused scoring — see [[labelPropagation]]
+    val bands = e.select(col("vec_id"),
+      posexplode(array((0 until nBands).map(b =>
+        lshBucketCol(col("v"), planesPerBand, dims, b * planesPerBand)): _*))
+        .as(Seq("band", "bkt")),
+      col("v"))
     // one banded-join pass, both edge directions exploded inline, ONE
     // dst-keyed exchange with the pair-dedup riding it (see
     // [[labelPropagation]] — wq is a pure function of the pair, so
