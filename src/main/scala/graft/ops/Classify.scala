@@ -514,13 +514,37 @@ object Classify extends graft.QueryModule {
     * beyond the model.
     */
   def linearProbeWeights(docs: DataFrame, iters: Int = 3): (String, Array[Long], Long) = {
-    val spark = docs.sparkSession
-    val target = docs.agg(min(col("source"))).head.getString(0)
-    val per = bucketedTokens(docs)
+    val perAll = perBucketCounts(docs).localCheckpoint(true)
+    linearProbeFrom(docs, perAll, iters)
+  }
+
+  /** The per-(doc, source, bucket) token-count table every gate query
+    * needs — the ONE corpus tokenize + md5-bucket pass. Callers that
+    * both train and score checkpoint this once and feed both phases
+    * ([[linearProbeFrom]]), instead of paying the pass twice (r17,
+    * guide §2.4: q_gate_sweep / q_gate_report / q_linear_quality each
+    * ran it for training and again for scoring).
+    */
+  private def perBucketCounts(docs: DataFrame): DataFrame =
+    bucketedTokens(docs)
       .groupBy("doc_id", "source", "bucket")
       .agg(count(lit(1)).as("cnt"))
-      .filter(isTrain(col("doc_id")))
-      .localCheckpoint(true)
+
+  /** [[linearProbeWeights]]' training loop over a PRE-MATERIALIZED
+    * count table (`perAll` = checkpointed [[perBucketCounts]]).
+    * Per iteration, ONE job (r17): the bias gradient rides the
+    * per-bucket gradient collect as a sentinel bucket −1 row — the
+    * old loop materialized the residual table (1 job), collected the
+    * bucket grads (1 job) and summed the bias grad (1 job). The
+    * residual subtree is referenced twice inside the fused query, but
+    * both sides aggregate the in-memory checkpoint and the identical
+    * shuffle is reused (ReusedExchange), never a corpus rescan.
+    */
+  private def linearProbeFrom(docs: DataFrame, perAll: DataFrame,
+      iters: Int): (String, Array[Long], Long) = {
+    val spark = docs.sparkSession
+    val target = docs.agg(min(col("source"))).head.getString(0)
+    val per = perAll.filter(isTrain(col("doc_id")))
     val nTrain = per.select("doc_id").distinct().count()
     val w = Array.fill(B)(0L)
     var bias = 0L
@@ -535,20 +559,20 @@ object Classify extends graft.QueryModule {
           (when(col("source") === lit(target), lit(1000000L)).otherwise(lit(0L)) -
             pMicroCol(col("zw") + lit(bias) * col("n_tokens"), col("n_tokens")))
             .as("r"))
-        .localCheckpoint(true)
       val grads = per.join(r, Seq("doc_id"))
+        .select(col("bucket"),
+          floor((col("r") * col("cnt")).cast("double") /
+            col("n_tokens").cast("double") + lit(0.5)).cast("long").as("g"))
+        .unionByName(r.select(lit(-1L).as("bucket"), col("r").as("g")))
         .groupBy("bucket")
-        .agg(sum(floor((col("r") * col("cnt")).cast("double") /
-          col("n_tokens").cast("double") + lit(0.5)).cast("long")).as("g"))
+        .agg(sum(col("g")).as("g"))
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-      val gBias = r.agg(sum(col("r"))).head.getLong(0)
       for (b <- 0 until B)
         w(b) += math.floor(
           grads.getOrElse(b.toLong, 0L).toDouble / (2.0 * nTrain) + 0.5).toLong
-      bias += math.floor(gBias.toDouble / (2.0 * nTrain) + 0.5).toLong
-      r.unpersist(false)
+      bias += math.floor(
+        grads.getOrElse(-1L, 0L).toDouble / (2.0 * nTrain) + 0.5).toLong
     }
-    per.unpersist(false)
     (target, w, bias)
   }
 
@@ -723,8 +747,11 @@ object Classify extends graft.QueryModule {
     * 0.5-threshold prediction beside the true target flag.
     */
   def linearQuality(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val (target, w, bias) = linearProbeWeights(docs, iters)
-    linearQualityWith(docs, target, w, bias)
+    // ONE corpus tokenize+bucket pass (r17): the trainer and the
+    // held-out scorer read the same checkpointed count table
+    val perAll = perBucketCounts(docs).localCheckpoint(true)
+    val (target, w, bias) = linearProbeFrom(docs, perAll, iters)
+    scoredTestDocs(perAll, target, w, bias)
   }
 
   /** [[linearQuality]]'s scoring tail with a FIXED model — the serving
@@ -732,14 +759,21 @@ object Classify extends graft.QueryModule {
     * just the broadcast weight join + doc-keyed aggregate.
     */
   def linearQualityWith(docs: DataFrame, target: String, w: Array[Long],
-      bias: Long): DataFrame = {
-    val spark = docs.sparkSession
+      bias: Long): DataFrame =
+    scoredTestDocs(perBucketCounts(docs), target, w, bias)
+
+  /** Score the held-out half of a (doc, source, bucket, cnt) count
+    * table with a fixed model — the shared tail of [[linearQuality]]
+    * (pre-materialized counts) and [[linearQualityWith]] (fresh pass).
+    */
+  private def scoredTestDocs(perAll: DataFrame, target: String,
+      w: Array[Long], bias: Long): DataFrame = {
+    val spark = perAll.sparkSession
     val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
       .toDF("bucket", "w")
     val zNum = col("zw") + lit(bias) * col("n_tokens")
-    bucketedTokens(docs)
+    perAll
       .filter(isTest(col("doc_id")))
-      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
       .join(broadcast(wDf), Seq("bucket"))
       .groupBy("doc_id", "source")
       .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("w")).as("zw"))
@@ -764,12 +798,14 @@ object Classify extends graft.QueryModule {
     */
   def gateReport(docs: DataFrame, iters: Int = 3): DataFrame = {
     val spark = docs.sparkSession
-    val (_, w, bias) = linearProbeWeights(docs, iters)
+    // ONE corpus tokenize+bucket pass (r17): trainer + corpus scorer
+    // share the checkpointed count table
+    val perAll = perBucketCounts(docs).localCheckpoint(true)
+    val (_, w, bias) = linearProbeFrom(docs, perAll, iters)
     val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
       .toDF("bucket", "w")
     val zNum = col("zw") + lit(bias) * col("n_tokens")
-    bucketedTokens(docs)
-      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+    perAll
       .join(broadcast(wDf), Seq("bucket"))
       .groupBy("doc_id", "source")
       .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("w")).as("zw"))
@@ -806,12 +842,14 @@ object Classify extends graft.QueryModule {
   def gateSweep(docs: DataFrame, iters: Int = 3,
       thresholdsMicro: Seq[Long] = gateThresholdsMicro): DataFrame = {
     val spark = docs.sparkSession
-    val (_, w, bias) = linearProbeWeights(docs, iters)
+    // ONE corpus tokenize+bucket pass (r17): trainer + sweep scorer
+    // share the checkpointed count table
+    val perAll = perBucketCounts(docs).localCheckpoint(true)
+    val (_, w, bias) = linearProbeFrom(docs, perAll, iters)
     val wDf = spark.createDataFrame((0 until B).map(b => (b.toLong, w(b))))
       .toDF("bucket", "w")
     val zNum = col("zw") + lit(bias) * col("n_tokens")
-    val scored = bucketedTokens(docs)
-      .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+    val scored = perAll
       .join(broadcast(wDf), Seq("bucket"))
       .groupBy("doc_id", "source")
       .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("w")).as("zw"))

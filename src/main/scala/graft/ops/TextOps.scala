@@ -140,33 +140,31 @@ object TextOps extends graft.QueryModule {
     * ([[Classify.isTrain]]), so this composes with the classifier
     * evals it audits.
     *
-    * Scale shape: one adjacency pass builds the bigram stream — a
-    * lead window over the positioned token stream (ONE exchange on
-    * doc_id), not a positional self-join (two exchanges + a hash
-    * join); the lead(pos) = pos + 1 guard preserves the join's exact
-    * adjacency semantics (raw split positions can have gaps where
-    * empty tokens were filtered, and a pair must not span a gap).
-    * The train TYPE set is a distinct aggregate; the membership probe
-    * is one bigram-keyed left join (co-partitioned; a bloom filter
-    * replaces it when the type set outgrows comfortable shuffles).
+    * Scale shape: one adjacency pass builds the bigram stream — the
+    * per-document [[graft.functions.TokenPairs]] kernel, zero
+    * exchanges and no positional self-join. The train TYPE set is a
+    * distinct aggregate; the membership probe is one bigram-keyed
+    * left join (co-partitioned; a bloom filter replaces it when the
+    * type set outgrows comfortable shuffles).
     */
-  /** The positioned adjacent-bigram stream (doc_id, [carry…,] w1, w2)
-    * via a lead WINDOW — one exchange on doc_id — with the
-    * lead(pos) = pos + 1 guard that keeps the positional-join
-    * semantics exactly (a pair never spans a position gap left by
-    * filtered empty tokens). PlanSpec pins the no-join shape.
+  /** The adjacent-bigram stream (doc_id, [carry…,] w1, w2) via the
+    * native [[graft.functions.TokenPairs]] kernel (r17): the lead
+    * WINDOW this replaces shuffled AND sorted the whole token stream
+    * (guide §2.4), and its lead(pos) = pos + 1 guard only ever dropped
+    * pairs spanning filtered empty tokens — pairs the corpus
+    * tokenization rule never produces, so the kernel's
+    * adjacent-of-filtered multiset is identical (the q_bigram_nll
+    * precedent; oracle-gated). PlanSpec pins the no-join,
+    * no-window shape.
     */
   private[graft] def bigramStream(docs: DataFrame,
-      carry: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    Shingles.tokensWithPos(docs, carry = carry)
-      .select(col("doc_id") +: carry.map(col) :+ col("pos") :+
-        col("term").as("w1") :+
-        lead(col("term"), 1).over(w).as("w2") :+
-        lead(col("pos"), 1).over(w).as("pos2"): _*)
-      .filter(col("pos2") === col("pos") + 1)
-      .select(col("doc_id") +: carry.map(col) :+ col("w1") :+ col("w2"): _*)
+      carry: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.core.Tables.spreadSmall(docs, "doc_id")
+      .select(col("doc_id") +: carry.map(col) :+
+        inline(call_function("token_pairs", col("text"))): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("prev").as("w1") :+ col("term").as("w2"): _*)
   }
 
   def ngramNovelty(docs: DataFrame): DataFrame = {

@@ -457,14 +457,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("bigram stream derives from ONE exchange and no join (lead window, r8 #4)") {
-    // the novelty/phrase bigram source: previously a positional
-    // self-join (two exchanges + a hash join); now a lead window
+  test("bigram stream: native token_pairs kernel, no join, no window (r8 #4 → r17)") {
+    // the novelty/phrase bigram source: positional self-join (r8) →
+    // lead window (one corpus-wide exchange+sort) → per-doc kernel
     val docs = graft.core.Tables.documents(spark, dir)
     val p = graft.ops.TextOps.bigramStream(docs, Seq("source"))
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("token_pairs"), p)
+    // at most the scale-adaptive small-scan spread; never the window's
+    // mandatory corpus-wide exchange+sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
   }
 
   test("q_lsh_occupancy prices every setting with zero joins past the sign-word pass") {
