@@ -37,11 +37,14 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init at min(self, neighbors): one aggregation that is exactly the
     // first propagation round, so near-diagonal dup graphs (pairs,
-    // triangles) start converged and pay a single verification round
+    // triangles) start converged and pay a single verification round.
+    // Checkpoints are LAZY (r17, job-count sweep): the convergence
+    // aggregate right after is a full scan, so its job materializes the
+    // checkpoint — one job per round instead of two.
     var labels = sym.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("node"), col("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // labels only ever decrease, so Σ label is a strictly decreasing
     // convergence metric — one cheap agg per round, no self-join diff.
     // sum() over zero rows is null — an empty edge list must converge
@@ -57,7 +60,7 @@ object Graph {
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = sumLabels(next)
       done = cur.compareTo(prev) == 0
       prev = cur
@@ -117,19 +120,26 @@ object Graph {
         .distinct()
     }
 
-    def checksum(e: DataFrame): java.math.BigDecimal =
+    // None ⇔ zero edge rows (sum over an empty frame is null; xxhash64
+    // of non-null longs is never null) — doubles as the emptiness test,
+    // so no separate isEmpty job
+    def checksum(e: DataFrame): Option[java.math.BigDecimal] =
       Option(e.agg(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")))
-        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+        .head.getDecimal(0))
 
+    // checkpoints are LAZY (r17, job-count sweep): the checksum
+    // aggregate is a full scan, so its job materializes the checkpoint
+    // — one job per round instead of two
     var cur = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
-    var prev = checksum(cur)
+      .localCheckpoint(false)
+    var prevOpt = checksum(cur)
     var it = 0
-    var done = cur.isEmpty
+    var done = prevOpt.isEmpty
+    var prev = prevOpt.getOrElse(java.math.BigDecimal.ZERO)
     while (!done && it < maxIter) {
-      cur = smallStar(largeStar(cur)).localCheckpoint(true)
-      val c = checksum(cur)
+      cur = smallStar(largeStar(cur)).localCheckpoint(false)
+      val c = checksum(cur).getOrElse(java.math.BigDecimal.ZERO)
       done = c.compareTo(prev) == 0
       prev = c
       it += 1
