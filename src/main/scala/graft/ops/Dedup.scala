@@ -1703,7 +1703,10 @@ object Dedup extends graft.QueryModule {
           "torn partitions and re-ingest their documents")
     }
     val ids = entries.map(_._1).sorted
-    val tombsOpt = pendingTombstones(spark, stateDir).map(_.localCheckpoint(true))
+    // lazy checkpoint (r17, job-count sweep): the first consumer is a
+    // full-scan count (requireAssignmentsHealed's budget probe), which
+    // materializes it — one job instead of two
+    val tombsOpt = pendingTombstones(spark, stateDir).map(_.localCheckpoint(false))
     if (ids.length <= 3 && tombsOpt.isEmpty) return // {base, prev, current}, no deletes
     val targetBytes = spark.sessionState.conf.filesMaxPartitionBytes
     def bytesOf(dirs: Seq[String]): Long = dirs.map { d =>
@@ -2304,8 +2307,10 @@ object Dedup extends graft.QueryModule {
     requireThreshold(spark, stateDir, minEstJaccard, "healAssignments",
       writeIfAbsent = true)
     graft.core.Artifacts.healRewrites(fs, assignRoot)
+    // lazy checkpoint (r17, job-count sweep): the count below is a
+    // full scan and materializes it — one job instead of two
     val tombs = pendingTombstones(spark, stateDir).getOrElse(return)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     requireNoParks(spark, sigsRoot, "healAssignments")
     // TORN-partition gate (r12 ADVICE, medium): the ingest gate
     // deliberately tolerates a torn NEWEST sigs partition pending its
@@ -2339,13 +2344,18 @@ object Dedup extends graft.QueryModule {
     snapIds.foreach { id =>
       val snap = s"$assignRoot/ingest_batch=$id"
       val assign = spark.read.parquet(snap)
+      // lazy checkpoints + ONE count each (r17, job-count sweep): the
+      // count doubles as the emptiness/broadcast-budget probe and
+      // materializes the checkpoint — the eager-checkpoint + head +
+      // count ladder was three jobs per snapshot
       val touched = gatedJoin(assign, tombs, "doc_id", "semi", tombsFit)
-        .select("cluster_id").distinct().localCheckpoint(true)
-      if (touched.head(1).nonEmpty) {
-        val touchedFit = touched.count() <= broadcastRowBudget
+        .select("cluster_id").distinct().localCheckpoint(false)
+      val nTouched = touched.count()
+      if (nTouched > 0) {
+        val touchedFit = nTouched <= broadcastRowBudget
         val members = gatedJoin(assign, touched, "cluster_id", "semi", touchedFit)
         val survivors = gatedJoin(members, tombs, "doc_id", "left_anti", tombsFit)
-          .select("doc_id").localCheckpoint(true)
+          .select("doc_id").localCheckpoint(false)
         val survivorsFit = survivors.count() <= broadcastRowBudget
         val subSigs0 = spark.read.parquet(sigsRoot)
           .filter(col("ingest_batch") <= id).drop("ingest_batch")
@@ -2403,19 +2413,26 @@ object Dedup extends graft.QueryModule {
     val assignRoot = s"$stateDir/assign"
     val fs = fsFor(spark, stateDir)
     val tombsFit = tombs.count() <= broadcastRowBudget
-    graft.core.Artifacts
+    val snapIds = graft.core.Artifacts
       .sealedFamilyDirs(fs, assignRoot, "ingest_batch")
       .collect { case (a, true) => a }
       .filterNot(overwrites.contains)
-      .foreach { id =>
-        val stale = gatedJoin(
-          spark.read.parquet(s"$assignRoot/ingest_batch=$id"),
-          tombs, "doc_id", "semi", tombsFit)
-        require(stale.head(1).isEmpty,
-          s"$who: assignment snapshot ingest_batch=$id still holds " +
-            "tombstoned docs — a delete crashed before its heal; run " +
-            "healAssignments(stateDir) first")
-      }
+    if (snapIds.nonEmpty) {
+      // ONE gate job over the union of all sealed snapshots (r17,
+      // job-count sweep — was one semi-join + head per snapshot); the
+      // carried snapshot id keeps the error message exact
+      val all = snapIds.map(id =>
+        spark.read.parquet(s"$assignRoot/ingest_batch=$id")
+          .select(col("doc_id")).withColumn("_snap", lit(id)))
+        .reduce(_ unionByName _)
+      val staleIds = gatedJoin(all, tombs, "doc_id", "semi", tombsFit)
+        .select("_snap").distinct().collect().map(_.getLong(0)).sorted
+      require(staleIds.isEmpty,
+        s"$who: assignment snapshot(s) ingest_batch=" +
+          s"${staleIds.mkString(",")} still hold tombstoned docs — a " +
+          "delete crashed before its heal; run healAssignments(stateDir) " +
+          "first")
+    }
   }
 
   /** ONE schedulable maintenance op for the dedup state — the
@@ -2494,8 +2511,10 @@ object Dedup extends graft.QueryModule {
       if (graft.core.Artifacts.sealedFamilyDirs(fs, assignRoot, "ingest_batch")
           .exists(_._2)) readClusterAssignment(spark, stateDir).count()
       else 0L
-    // sampled self-recall probe against the maintained store
-    val sigs = readSignatureStoreState(spark, stateDir).localCheckpoint(true)
+    // sampled self-recall probe against the maintained store. Lazy
+    // checkpoints (r17, job-count sweep): the max/count full scans
+    // right after materialize them — one job each instead of two
+    val sigs = readSignatureStoreState(spark, stateDir).localCheckpoint(false)
     val panel0 = sigs.filter(col("doc_id") % probeModulus === 0)
     val maxId = sigs.agg(max(col("doc_id"))).head
     val (panelN, recall) =
@@ -2503,7 +2522,7 @@ object Dedup extends graft.QueryModule {
       else {
         val offset = maxId.getLong(0) + 1
         val panel = panel0.withColumn("doc_id", col("doc_id") + lit(offset))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val n = panel.count()
         if (n == 0) (0L, None)
         else {
