@@ -113,12 +113,17 @@ object Shingles {
   def shinglesSql(n: Int = 3): String =
     s"SELECT doc_id, span AS shingle FROM (${spansWithPosSql(n)})"
 
-  /** 32-bit hash of a string: first 8 hex chars of md5 as an integer.
-    * One md5 + conv on the Spark side; the DuckDB mirror (no conv
-    * function there) assembles the same value nibble-by-nibble.
+  /** 32-bit hash of a string: first 8 hex chars of md5 as an integer —
+    * the native [[graft.functions.Hash32]] kernel (r17, guide §4: the
+    * old `conv(substring(md5(c),1,8),16,10)` chain allocated a 32-char
+    * hex string and re-parsed 8 digits per call; the kernel reads the
+    * digest's first 4 bytes directly, bit-identical value). The DuckDB
+    * mirror (no conv function there) assembles the same value
+    * nibble-by-nibble.
     */
   def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.functions.ColShim.column(
+      graft.functions.Hash32(graft.functions.ColShim.expression(c)))
 
   /** SQL mirror of [[hash32]] (DuckDB). ascii() is INT32 there, so each
     * nibble is cast to BIGINT before the power-of-16 multiply.
