@@ -1772,16 +1772,24 @@ object Dedup extends graft.QueryModule {
         // deletion-path consumer (tombs is checkpointed above), under
         // the caller's budget when one was passed
         val tombsFit = tombs.count() <= broadcastRowBudget
+        // rewrite only when there is something to change: the base
+        // when it absorbs folded partitions, any partition that
+        // physically holds a tombstoned row. ONE probe job over the
+        // union of the kept partitions (r17, job-count sweep — was one
+        // semi-join + head per partition), partition id carried
+        val holdIds: Set[Long] = {
+          val all = keep.map(id =>
+            spark.read.parquet(s"$sigsRoot/ingest_batch=$id")
+              .select(col("doc_id")).withColumn("_p", lit(id)))
+            .reduce(_ unionByName _)
+          gatedJoin(all, tombs, "doc_id", "semi", tombsFit)
+            .select("_p").distinct().collect().map(_.getLong(0)).toSet
+        }
         keep.foreach { id =>
           val own = s"$sigsRoot/ingest_batch=$id"
           val srcs = if (id == base) own +: absorb.map(i =>
             s"$sigsRoot/ingest_batch=$i") else Seq(own)
-          // rewrite only when there is something to change: the base
-          // when it absorbs folded partitions, any partition that
-          // physically holds a tombstoned row
-          val holdsDeleted = gatedJoin(spark.read.parquet(own),
-            tombs, "doc_id", "semi", tombsFit).head(1).nonEmpty
-          if (srcs.length > 1 || holdsDeleted) {
+          if (srcs.length > 1 || holdIds(id)) {
             val data = gatedJoin(spark.read.parquet(srcs: _*),
               tombs, "doc_id", "left_anti", tombsFit)
               .coalesce(nOut(srcs))
