@@ -2349,7 +2349,17 @@ object Dedup extends graft.QueryModule {
     // budget as a parameter so a caller that KNOWS its purge is huge
     // can force the shuffled path outright
     val tombsFit = tombs.count() <= broadcastRowBudget
-    snapIds.foreach { id =>
+    // snapshot heals OVERLAP (r17, guide §2.6): each snapshot's heal is
+    // independent and individually complete (disjoint rewrite dirs,
+    // shared READ-ONLY inputs — the checkpointed tombstones and the
+    // sealed sigs prefix), and each chain is a ladder of small jobs
+    // whose per-job scheduling gaps leave the cluster idle; submitting
+    // them from a small thread pool lets one snapshot's jobs back-fill
+    // another's tail. Failure contract unchanged: a failed heal
+    // rethrows after the pool drains, and a partial pass was already
+    // documented safe and idempotent (the serial loop had the same
+    // property).
+    def healOne(id: Long): Unit = {
       val snap = s"$assignRoot/ingest_batch=$id"
       val assign = spark.read.parquet(snap)
       // lazy checkpoints + ONE count each (r17, job-count sweep): the
@@ -2385,6 +2395,19 @@ object Dedup extends graft.QueryModule {
           s"ingest_batch=$id") { tmp =>
           graft.core.Tables.shrinkSmall(healed).write.parquet(tmp) }
       }
+    }
+    if (snapIds.size <= 1) snapIds.foreach(healOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, snapIds.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = snapIds.map(id => scala.concurrent.Future(healOne(id)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     require(blocked.isEmpty,
       s"healAssignments: sigs partitions ${tornSigs.sorted.mkString(",")} " +
